@@ -1,0 +1,80 @@
+"""Local replica of the driver's correctness gate: run every catalog
+query on Spark AND its DuckDB oracle on the same parquet tables;
+compare row count, column names, and order-insensitive value content.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+from xmidt_event_streams_spark.catalog import QUERIES
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and int-valued floats
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
+
+
+def duck_run(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.sql])
+def test_oracle_parity(spark, sf_dir, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    dcols, drows = duck_run(spec.sql, sf_dir)
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} (spark) != {len(drows)} (duckdb)"
+    )
+    sset = _rowset(scols, srows)
+    dset = _rowset(dcols, drows)
+    if sset != dset:
+        diff_s = [r for r in sset if r not in set(map(tuple, dset))][:5]
+        diff_d = [r for r in dset if r not in set(map(tuple, sset))][:5]
+        raise AssertionError(
+            f"{name}: value mismatch.\n spark-only: {diff_s}\n duck-only: {diff_d}"
+        )
+
+
+@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if not s.sql])
+def test_rows_only(spark, sf_dir, name):
+    sdf = QUERIES[name].fn(spark, sf_dir)
+    assert sdf.count() >= 0

@@ -1,0 +1,793 @@
+"""Query catalog: every operator exposed as a named (Spark query,
+DuckDB oracle SQL) pair over the driver's parquet tables.
+
+This is the single registry behind ``__spark_entry__.py`` (driver
+correctness gate), ``bench.py`` (performance gate), and
+``tests/test_oracle_parity.py`` (local replica of the gate).
+
+Conventions that make cross-engine value-hashing exact:
+  * every computed column is aliased identically on both sides;
+  * integer outputs are BIGINT on both sides;
+  * doubles that pass through non-associative aggregation are either
+    summed as DECIMAL (exact) and cast back, or rounded to >= 6 dp at
+    a magnitude where cross-engine FP drift is << the rounding step;
+  * all content hashing is md5 (identical in every engine);
+  * regex stays in the Java-regex ∩ RE2 common dialect
+    (SURVEY.md §7 'regex drift').
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.config import DEFAULT_FILTERS
+from xmidt_event_streams_spark.enrich import (
+    classify_rejects,
+    extract_event_type,
+    fix_wrp,
+)
+from xmidt_event_streams_spark.functions.text import (
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    predict_lang,
+    quality_features,
+    token_count,
+)
+from xmidt_event_streams_spark.operators.aggregates import (
+    SUBMIT_DURATION_BUCKETS_MS,
+    duration_histogram,
+    event_type_counts,
+)
+from xmidt_event_streams_spark.operators.batching import assign_batches
+from xmidt_event_streams_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from xmidt_event_streams_spark.operators.sessions import latest_per_key, sessionize
+from xmidt_event_streams_spark.operators.similarity import (
+    brute_force_topk,
+    deterministic_planes,
+    lsh_bucket,
+)
+from xmidt_event_streams_spark.routing import route_union, routing_oracle_sql
+from xmidt_event_streams_spark.schema import WRP_VIEW_SQL, wrp_view
+from xmidt_event_streams_spark.session import load_tables
+
+
+class QuerySpec(NamedTuple):
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    headline: bool = False  # included in bench.py
+
+
+def _ev(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+def _wrp(spark, sf_dir):
+    return wrp_view(_ev(spark, sf_dir))
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+WRP_CTE = f"wrp AS ({WRP_VIEW_SQL})"
+
+_EVT_SQL = (
+    "CASE WHEN regexp_extract(dest, '^event:([^/]+)', 1) = '' THEN 'unknown' "
+    "ELSE regexp_extract(dest, '^event:([^/]+)', 1) END"
+)
+
+# ---------------------------------------------------------------- routing
+
+_ROUTED_SQL = routing_oracle_sql(
+    DEFAULT_FILTERS, "wrp", "dest", "source", "event_id, dest, source, session_id"
+)
+
+
+def q_flagship_route_counts(spark, sf_dir):
+    """R1-R4 + V8 + M1: fan-out routing then per-(stream, event type)
+    counts -- the reference's hot path as one aggregate."""
+    routed = route_union(_wrp(spark, sf_dir), DEFAULT_FILTERS)
+    return routed.groupBy(
+        "stream_name", extract_event_type("dest").alias("event_type")
+    ).agg(F.count("*").alias("n"))
+
+
+SQL_FLAGSHIP = f"""
+WITH {WRP_CTE}, routed AS ({_ROUTED_SQL})
+SELECT stream_name, {_EVT_SQL} AS event_type, count(*) AS n
+FROM routed GROUP BY 1, 2
+"""
+
+
+def q_route_fanout(spark, sf_dir):
+    """R1/R2/R3: the (message, matching stream) pair set."""
+    routed = route_union(_wrp(spark, sf_dir), DEFAULT_FILTERS)
+    return routed.select("event_id", "stream_name")
+
+
+SQL_ROUTE_FANOUT = f"""
+WITH {WRP_CTE}, routed AS ({_ROUTED_SQL})
+SELECT event_id, stream_name FROM routed
+"""
+
+
+def q_event_type_counts(spark, sf_dir):
+    """M1: COUNT(*) GROUP BY extracted event type over the full stream."""
+    return event_type_counts(_wrp(spark, sf_dir))
+
+
+SQL_EVENT_TYPE_COUNTS = f"""
+WITH {WRP_CTE}
+SELECT {_EVT_SQL} AS event_type, count(*) AS n FROM wrp GROUP BY 1
+"""
+
+
+def q_validate_rejects(spark, sf_dir):
+    """V3 + M2/M3: rows tagged with reject reason, counted per reason
+    ('' = accepted)."""
+    tagged = classify_rejects(_wrp(spark, sf_dir))
+    return tagged.groupBy("reject_reason").agg(F.count("*").alias("n"))
+
+
+SQL_VALIDATE_REJECTS = f"""
+WITH {WRP_CTE}
+SELECT CASE WHEN msg_type <> 4 THEN 'invalid_msg_type' ELSE '' END AS reject_reason,
+       count(*) AS n
+FROM wrp GROUP BY 1
+"""
+
+
+def q_fixwrp_enrich(spark, sf_dir):
+    """V6 fixWrp: default empty content_type/transaction_uuid, tag the
+    reason (deterministic md5-derived uuid so the oracle can match)."""
+    fixed = fix_wrp(_wrp(spark, sf_dir), deterministic_uuid_from="event_id")
+    return fixed.select("event_id", "content_type", "transaction_uuid", "fix_reason")
+
+
+SQL_FIXWRP = f"""
+WITH {WRP_CTE}, h AS (
+  SELECT *, md5(CAST(event_id AS VARCHAR)) AS hh FROM wrp
+)
+SELECT event_id,
+  CASE WHEN content_type IS NULL OR content_type = '' THEN 'application/json'
+       ELSE content_type END AS content_type,
+  CASE WHEN transaction_uuid IS NULL OR transaction_uuid = '' THEN
+    substr(hh,1,8) || '-' || substr(hh,9,4) || '-' || substr(hh,13,4) || '-' ||
+    substr(hh,17,4) || '-' || substr(hh,21,12)
+  ELSE transaction_uuid END AS transaction_uuid,
+  CASE
+    WHEN (transaction_uuid IS NULL OR transaction_uuid = '')
+     AND (content_type IS NULL OR content_type = '') THEN 'empty_uuid_and_content_type'
+    WHEN transaction_uuid IS NULL OR transaction_uuid = '' THEN 'empty_uuid'
+    WHEN content_type IS NULL OR content_type = '' THEN 'empty_content_type'
+    ELSE '' END AS fix_reason
+FROM h
+"""
+
+# ---------------------------------------------------- scalar / micro-batch
+
+
+def q_time_functions(spark, sf_dir):
+    """F1/F2/F5: canonical epoch-micros storage form and round-trip."""
+    ev = _ev(spark, sf_dir)
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        us.alias("us"),
+        F.floor(us / 1_000_000).cast("long").alias("epoch_s"),
+        F.timestamp_micros(us).alias("ts_roundtrip"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+    )
+
+
+SQL_TIME_FUNCTIONS = """
+SELECT event_id, epoch_us(ts) AS us,
+  CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS epoch_s,
+  make_timestamp(epoch_us(ts)) AS ts_roundtrip,
+  date_trunc('hour', ts) AS hour_start
+FROM events
+"""
+
+
+def q_batch_chunks(spark, sf_dir):
+    """B6/K6: 500-record delivery chunk assignment per stream-group
+    (batch.GetBatches arithmetic as a window expression)."""
+    return assign_batches(
+        _ev(spark, sf_dir), "event_type", "event_id", 500
+    ).select("event_id", "event_type", "batch_no")
+
+
+SQL_BATCH_CHUNKS = """
+SELECT event_id, event_type,
+  CAST(floor((row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) / 500.0) AS BIGINT) AS batch_no
+FROM events
+"""
+
+
+def q_json_serialize(spark, sf_dir):
+    """K1/F8: message -> JSON blob (to_json over a struct)."""
+    w = _wrp(spark, sf_dir)
+    return w.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_id"), F.col("dest"), F.col("session_id"))
+        ).alias("js"),
+    )
+
+
+SQL_JSON_SERIALIZE = f"""
+WITH {WRP_CTE}
+SELECT event_id,
+  to_json(struct_pack(event_id := event_id, dest := dest, session_id := session_id)) AS js
+FROM wrp
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """V2 analog: parse the JSON payload column (props) -- projection
+    pushes into the scan."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """M7: histogram bucketing (queue_submit_duration buckets) applied
+    to the events value column."""
+    return duration_histogram(_ev(spark, sf_dir), "value")
+
+
+def _hist_case() -> str:
+    expr = "'inf'"
+    for b in reversed(SUBMIT_DURATION_BUCKETS_MS):
+        expr = f"CASE WHEN value <= {b} THEN '{b}' ELSE {expr} END"
+    return expr
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT {_hist_case()} AS le_ms, count(*) AS n FROM events GROUP BY 1
+"""
+
+# ------------------------------------------------------------- sessions
+
+
+def q_session_windows(spark, sf_dir):
+    """Event-time session windows (30 min gap) per user -- Spark
+    session_window vs the SQL gaps-and-islands construction."""
+    return sessionize(_ev(spark, sf_dir), "user_id", "ts", 30)
+
+
+SQL_SESSION_WINDOWS = """
+WITH m AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+def q_latest_per_key(spark, sf_dir):
+    """Per-key latest-row dedup (CDC compaction)."""
+    return latest_per_key(
+        _ev(spark, sf_dir), "user_id", "ts", tiebreak_col="event_id"
+    ).select("user_id", "event_id", "ts")
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_dedup_by_txn(spark, sf_dir):
+    """Reference-upgrade dedup on the delivery key (SURVEY.md §2.8):
+    min event per transaction_uuid."""
+    w = _wrp(spark, sf_dir)
+    return w.groupBy("transaction_uuid").agg(
+        F.min("event_id").alias("event_id"), F.count("*").alias("n")
+    )
+
+
+SQL_DEDUP_BY_TXN = f"""
+WITH {WRP_CTE}
+SELECT transaction_uuid, min(event_id) AS event_id, count(*) AS n
+FROM wrp GROUP BY 1
+"""
+
+# ------------------------------------------------------------ documents
+
+# Shared DuckDB fragment: normalized word list per doc.
+_WORDS_CTE = r"""
+words AS (
+  SELECT doc_id, lang, source, text,
+    list_filter(
+      string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      t -> t <> ''
+    ) AS w
+  FROM documents
+)
+"""
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by md5 fingerprint of normalized text."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands x 2) candidate near-dup pairs over
+    word-3-gram shingles."""
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+    r = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+        for i in range(num_hashes)
+    )
+    key_items = ", ".join(
+        f"md5('b{b}:' || array_to_string(sig[{b * r + 1}:{b * r + r}], '|'))"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_WORDS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(w) - {shingle_n - 1}, 0)),
+                   i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')) AS sh
+  FROM words
+),
+sig AS (
+  SELECT doc_id, [{sig_items}] AS sig FROM sh WHERE len(sh) > 0
+),
+keys AS (SELECT doc_id, [{key_items}] AS ks FROM sig),
+ex AS (SELECT doc_id, unnest(ks) AS bucket FROM keys)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH = _minhash_sql()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard for all pairs within (lang, source)
+    buckets."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), ("lang", "source"), shingle_n=2
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_WORDS_CTE},
+sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                 i -> array_to_string(w[i:i+1], ' '))) AS sh
+  FROM words
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh)))
+    ELSE 0 END, 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash signature per document."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", simhash16("text").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    bits = " || ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN substr(h,{p},1) IN {hexhi} THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(1, 17)
+    )
+    return f"""
+WITH {_WORDS_CTE},
+hh AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hs FROM words)
+SELECT doc_id, {bits} AS simhash FROM hh
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword estimate."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+WITH {_WORDS_CTE}
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(coalesce(list_sum(list_transform(w, t -> CAST(ceil(length(t)/4.0) AS INT))), 0) AS BIGINT) AS n_bpe
+FROM words
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features per document."""
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(feats["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(feats["stopword_ratio_en"], 6).alias("stopword_ratio_en"),
+    )
+
+
+_EN_SW = "['" + "','".join(LANG_STOPWORDS["en"]) + "']"
+
+SQL_TEXT_QUALITY = f"""
+WITH {_WORDS_CTE}
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(w) > 0
+    THEN CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS DOUBLE) / len(w)
+    ELSE 0 END, 6) AS avg_token_len,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0 END, 6) AS punct_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0 END, 6) AS digit_ratio,
+  round(CASE WHEN len(w) > 0
+    THEN CAST(len(list_filter(w, t -> list_contains({_EN_SW}, t))) AS DOUBLE) / len(w)
+    ELSE 0 END, 6) AS stopword_ratio_en
+FROM words
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic stopword-based language identification."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", predict_lang("text").alias("pred_lang"))
+
+
+def _lang_id_sql() -> str:
+    ordered = sorted(LANG_STOPWORDS.items())
+    n = len(ordered)
+    structs = ", ".join(
+        f"struct_pack(score := len(list_filter(w, t -> list_contains("
+        f"['" + "','".join(words) + f"'], t))), rnk := {n - 1 - i}, lang := '{lang}')"
+        for i, (lang, words) in enumerate(ordered)
+    )
+    return f"""
+WITH {_WORDS_CTE},
+b AS (SELECT doc_id, list_max([{structs}]) AS best FROM words)
+SELECT doc_id, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang
+FROM b
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+# ----------------------------------------------------------- embeddings
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = _emb(spark, sf_dir)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT query_id, vec_id,
+    round(CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)) > 0
+      THEN list_dot_product(v, qv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+      ELSE 0 END, 6) AS cos_sim
+  FROM c CROSS JOIN q WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM s
+) WHERE rnk <= 10
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid, one row per (label, dimension)."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+    return ex.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.round(F.avg("col"), 6).alias("v")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(r.range AS BIGINT) AS pos,
+  round(avg((embedding::DOUBLE[])[r.range + 1]), 6) AS v
+FROM embeddings CROSS JOIN range(64) r
+GROUP BY 1, 2
+"""
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Cosine-LSH sign buckets (8 deterministic hyperplanes)."""
+    return lsh_bucket(_emb(spark, sf_dir), n_planes=8, dim=64).select(
+        "vec_id", "bucket"
+    )
+
+
+def _lsh_buckets_sql() -> str:
+    planes = deterministic_planes(8, 64)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in p)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"SELECT vec_id, {bits} AS bucket FROM embeddings"
+
+
+SQL_LSH_BUCKETS = _lsh_buckets_sql()
+
+# ------------------------------------------------------ relational (TPC-H)
+
+
+def _dec2(c: str) -> str:
+    return f"CAST({c} AS DECIMAL(12,2))"
+
+
+def _dec4(c: str) -> str:
+    return f"CAST({c} AS DECIMAL(4,2))"
+
+
+_ONE = "CAST(1 AS DECIMAL(4,2))"
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Pricing summary: wide aggregation with exact decimal sums."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    d2 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    d4 = lambda c: F.col(c).cast("decimal(4,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(4,2)")
+    disc = d2("l_extendedprice") * (one - d4("l_discount"))
+    charge = disc * (one + d4("l_tax"))
+    g = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(d2("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(d2("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 4).alias("sum_charge"),
+            F.round(
+                (F.sum(d2("l_quantity")).cast("double") / F.count("*")), 4
+            ).alias("avg_qty"),
+            F.round(
+                (F.sum(d2("l_extendedprice")).cast("double") / F.count("*")), 4
+            ).alias("avg_price"),
+            F.round(
+                (F.sum(d4("l_discount")).cast("double") / F.count("*")), 4
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return g
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum({_dec2('l_quantity')}) AS DOUBLE), 4) AS sum_qty,
+  round(CAST(sum({_dec2('l_extendedprice')}) AS DOUBLE), 4) AS sum_base_price,
+  round(CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})) AS DOUBLE), 4) AS sum_disc_price,
+  round(CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')}) * ({_ONE} + {_dec4('l_tax')})) AS DOUBLE), 4) AS sum_charge,
+  round(CAST(sum({_dec2('l_quantity')}) AS DOUBLE) / count(*), 4) AS avg_qty,
+  round(CAST(sum({_dec2('l_extendedprice')}) AS DOUBLE) / count(*), 4) AS avg_price,
+  round(CAST(sum({_dec4('l_discount')}) AS DOUBLE) / count(*), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Shipping-priority: 3-way join + agg + deterministic top-10."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return j
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  round(CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Local-supplier volume: 6-way star join, revenue per nation."""
+    t = load_tables(
+        spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = (
+        t["region"]
+        .filter(F.col("r_name") == "ASIA")
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+    return j
+
+
+SQL_TPCH_Q5ISH = f"""
+SELECT n_name,
+  round(CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})) AS DOUBLE), 4) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event type."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload + typed metadata
+    (byte length, content hash). The decode stage is stubbed (see
+    multimodal.py); the schema/partitioning path is real."""
+    ev = _ev(spark, sf_dir)
+    payload = F.encode(F.col("props"), "UTF-8")
+    return ev.select(
+        "event_id",
+        F.octet_length(payload).cast("long").alias("payload_len"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT event_id, CAST(octet_length(props::BLOB) AS BIGINT) AS payload_len,
+       md5(props) AS payload_md5
+FROM events
+"""
+
+# ------------------------------------------------------------- registry
+
+QUERIES: dict[str, QuerySpec] = {
+    "flagship_route_counts": QuerySpec(q_flagship_route_counts, SQL_FLAGSHIP, True),
+    "route_fanout": QuerySpec(q_route_fanout, SQL_ROUTE_FANOUT, True),
+    "event_type_counts": QuerySpec(q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
+    "validate_rejects": QuerySpec(q_validate_rejects, SQL_VALIDATE_REJECTS),
+    "fixwrp_enrich": QuerySpec(q_fixwrp_enrich, SQL_FIXWRP),
+    "time_functions": QuerySpec(q_time_functions, SQL_TIME_FUNCTIONS),
+    "batch_chunks": QuerySpec(q_batch_chunks, SQL_BATCH_CHUNKS),
+    "json_serialize": QuerySpec(q_json_serialize, SQL_JSON_SERIALIZE),
+    "json_extract": QuerySpec(q_json_extract, SQL_JSON_EXTRACT),
+    "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "session_windows": QuerySpec(q_session_windows, SQL_SESSION_WINDOWS, True),
+    "latest_per_key": QuerySpec(q_latest_per_key, SQL_LATEST_PER_KEY),
+    "dedup_by_txn": QuerySpec(q_dedup_by_txn, SQL_DEDUP_BY_TXN),
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, True),
+    "minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, SQL_MINHASH, True),
+    "ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash": QuerySpec(q_simhash, SQL_SIMHASH),
+    "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
+    "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": QuerySpec(q_lang_id, SQL_LANG_ID),
+    "embedding_topk": QuerySpec(q_embedding_topk, SQL_EMBEDDING_TOPK, True),
+    "embedding_centroids": QuerySpec(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
+    "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1, True),
+    "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3, True),
+    "tpch_q5ish": QuerySpec(q_tpch_q5ish, SQL_TPCH_Q5ISH),
+    "events_windowed": QuerySpec(q_events_windowed, SQL_EVENTS_WINDOWED),
+    "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
+}

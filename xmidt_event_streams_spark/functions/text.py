@@ -1,0 +1,143 @@
+"""Text-analysis column functions: tokenization, n-grams, quality,
+language-ID, fingerprinting.
+
+All built-in-function compositions (JVM-side, codegen'd); nothing here
+drops to Python per row. These back the documents-table operators
+(dedup, quality filtering, lang-id) a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier. Deliberately small + deterministic so the DuckDB
+# oracle can embed the same lists.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace + trim: canonical form for
+    fingerprints and shingles."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of normalized text -> array<string>.
+    Empty text -> empty array (split of '' yields [''] -- filtered)."""
+    norm = normalize_text(col)
+    return F.filter(F.split(norm, " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-ish segmentation: splits on word
+    boundaries AND every ~4 chars within long words (approximates
+    subword token counts for budget estimation)."""
+    col = F.col(col) if isinstance(col, str) else col
+    # each token contributes ceil(len/4) subword units
+    return F.aggregate(
+        tokens(col),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles of normalized text -> array<string>.
+
+    Expressed with sequence+transform (no UDF): positions 1..len-n+1.
+    """
+    norm = normalize_text(col)
+    cnt = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
+    return F.transform(F.sequence(F.lit(1), cnt), lambda i: norm.substr(i, F.lit(n)))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (space-joined)."""
+    toks = tokens(col)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of normalized text (stable id for
+    exact dedup)."""
+    return F.md5(normalize_text(col))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, token stats, punctuation and
+    digit ratios, stopword ratio (en)."""
+    col_ = F.col(col) if isinstance(col, str) else col
+    toks = tokens(col)
+    n_chars = F.length(col_)
+    n_tokens = F.size(toks)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.when(
+            n_tokens > 0,
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens,
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            n_chars > 0,
+            F.length(F.regexp_replace(col_, r"[^.,;:!?'\"()-]", "")) / n_chars,
+        ).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(
+            n_chars > 0, F.length(F.regexp_replace(col_, r"[^0-9]", "")) / n_chars
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio_en": stopword_ratio(col, LANG_STOPWORDS["en"]),
+    }
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-ID signal)."""
+    toks = tokens(col)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def predict_lang(col: Column | str) -> Column:
+    """Heuristic language-ID: argmax of stopword hits, ties broken by
+    language code order, 'und' when all scores are zero."""
+    scores = lang_scores(col)
+    ordered = sorted(scores.items())  # lang code asc
+    n = len(ordered)
+    # max over (score, reversed-rank): earlier lang code wins ties.
+    pairs = F.array(
+        *[
+            F.struct(
+                score.alias("score"),
+                F.lit(n - 1 - i).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, score) in enumerate(ordered)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Four tiers, all engine-portable (signatures built from md5, which every
+SQL engine computes identically -- the DuckDB oracle reproduces them
+bit-for-bit):
+
+  * exact            -- fingerprint (md5 of normalized text) groupBy.
+  * minhash + LSH    -- word-shingle MinHash signature; banding; a
+                        band-bucket self-join yields candidate pairs.
+                        MinHash here is the *lexicographic min of
+                        md5(seed|shingle)* per hash function: the md5
+                        hex string is a uniform draw, so min over
+                        shingles is a valid MinHash permutation and is
+                        identical across engines (no engine-specific
+                        integer hashing).
+  * simhash (16-bit) -- per-token md5 nibble high-bits, majority vote
+                        per bit position -> 16-char bitstring.
+  * n-gram Jaccard   -- exact Jaccard over word n-gram shingle sets
+                        for candidate pairs (verification tier after
+                        LSH, or standalone within small buckets).
+
+Scale notes: signature computation is narrow (higher-order functions
+over an array column, fully JVM-side). The only shuffles are the
+groupBys on fingerprint / band-bucket -- exactly the shuffles the
+problem requires. Band buckets are md5 keys: uniformly distributed, no
+skew. The candidate-pair join is a self-equi-join on bucket key; at
+100 TB you bucket-partition by band key and AQE handles stragglers.
+
+Reference has no dedup (SURVEY.md §2.8): its at-least-once delivery
+makes duplicates *likely*; transaction-uuid dedup is the natural
+upgrade (dropDuplicates / dropDuplicatesWithinWatermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.functions.text import fingerprint, word_ngrams
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the min-id representative per fingerprint.
+
+    (groupBy-min rather than dropDuplicates so the survivor is
+    deterministic -- dropDuplicates keeps an arbitrary row.)
+    """
+    return (
+        df.withColumn("fingerprint", fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_by_key(df: DataFrame, key_col: str = "transaction_uuid") -> DataFrame:
+    """Reference-upgrade dedup: one row per delivery key (SURVEY.md
+    §2.8; streaming twin is dropDuplicatesWithinWatermark)."""
+    return df.dropDuplicates([key_col])
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` hex strings.
+
+    hash_i(doc) = min over shingles of md5('<i>|' || shingle).
+    Empty shingle set -> array of nulls (doc too short; callers filter).
+    """
+    shingles = word_ngrams(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: md5 over each contiguous signature slice ->
+    array of ``bands`` bucket keys (band index baked into the key so
+    buckets from different bands never collide)."""
+    keys = []
+    for b in range(bands):
+        sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        keys.append(F.md5(F.concat(F.lit(f"b{b}:"), F.concat_ws("|", sl))))
+    return F.array(*keys)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+
+    Plan: narrow signature compute -> explode band keys -> self-join on
+    bucket (shuffle on uniformly-distributed md5 keys) -> distinct
+    pairs. Returns (id_a, id_b) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, shingle_n)
+    keyed = (
+        df.select(F.col(id_col), minhash_band_keys(sig, bands, r).alias("band_keys"))
+        .filter(~F.array_contains(F.transform(F.col("band_keys"), F.isnull), True))
+        .select(F.col(id_col), F.explode("band_keys").alias("bucket"))
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash16(text: Column | str) -> Column:
+    """16-bit SimHash as a bitstring.
+
+    Per token: md5 -> 16 hex nibbles; bit_p(token) = high bit of
+    nibble p (hex digit >= '8'). Doc bit_p = majority vote over
+    tokens (>= 0 balance -> 1). Deterministic and portable: only
+    md5, substring, and comparisons.
+    """
+    from xmidt_event_streams_spark.functions.text import tokens
+
+    toks = tokens(text)
+    hashes = F.transform(toks, F.md5)
+    bits = []
+    for p in range(1, 17):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                     F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hamming_bitstr(a: Column, b: Column) -> Column:
+    """Hamming distance between equal-length bitstrings."""
+    return F.aggregate(
+        F.zip_with(F.split(a, ""), F.split(b, ""),
+                   lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    bucket_cols: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs within each bucket.
+
+    Jaccard = |A ∩ B| / |A ∪ B| over *distinct* shingle sets.
+    Bucketing (e.g. by lang/source, or by LSH band) keeps the pair
+    blow-up bounded; the join shuffles on the bucket columns only.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in bucket_cols],
+        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    out = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+  * brute-force cosine top-k -- the exact baseline: broadcast the
+    query set, score every corpus vector (narrow), per-query top-k via
+    window rank (single shuffle on query id). At 100 TB the corpus
+    never shuffles; queries are tiny and broadcast.
+  * LSH-bucketed ANN -- random-hyperplane sign buckets (cosine LSH):
+    corpus vectors get a plan-time-constant bucket key (narrow);
+    queries probe only their own bucket (+ Hamming-1 neighbors for
+    recall). Turns the scan into an equi-join on bucket key; this is
+    the scale path (bucket count ~ 2^planes; data bucketed/partitioned
+    by key on write).
+
+Deterministic hyperplanes are derived from md5 (seeded), so plans are
+reproducible run-to-run without Math.random.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.functions.vectors import cosine, random_projection_sign_bits
+
+
+def deterministic_planes(n_planes: int, dim: int, seed: str = "xes") -> list[list[float]]:
+    """Pseudo-random hyperplanes from md5(seed|plane|chunk): uniform
+    in [-1, 1), reproducible everywhere, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        chunk = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}|{p}|{chunk}".encode()).hexdigest()
+            for i in range(0, 32, 8):
+                if len(vals) >= dim:
+                    break
+                u = int(h[i : i + 8], 16) / 0xFFFFFFFF  # [0,1]
+                vals.append(2.0 * u - 1.0)
+            chunk += 1
+        planes.append(vals)
+    return planes
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` must be small (it is
+    broadcast). Ties broken by corpus id (deterministic). Self-matches
+    (same id) excluded. Scores rounded to 6dp for engine-portable
+    comparison."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(vec_col, "_qvec"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+    seed: str = "xes",
+) -> DataFrame:
+    """Attach the cosine-LSH sign-bucket key (narrow transformation)."""
+    planes = deterministic_planes(n_planes, dim, seed)
+    return df.withColumn(bucket_col, random_projection_sign_bits(vec_col, planes))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors in the query's bucket.
+
+    Recall < 1.0 by construction; raise recall with fewer planes or
+    multi-probe. The join is an equi-join on bucket key -- at scale,
+    bucket-partition the corpus on write and the probe is a pruned
+    scan, no shuffle of the big side.
+    """
+    cb = lsh_bucket(corpus, n_planes, dim, vec_col)
+    qb = lsh_bucket(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")),
+        n_planes,
+        dim,
+        "_qvec",
+    )
+    scored = cb.join(
+        F.broadcast(qb),
+        (F.col("bucket") == qb["bucket"]) & (F.col(id_col) != F.col(query_id_col)),
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(vec_col, "_qvec"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def centroids_by(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group centroid via posexplode + groupBy(group, dim) + avg +
+    re-assemble. Two shuffles total (dim-expanded agg then collect per
+    group); at scale prefer this over any driver-side loop.
+    Output: (group, centroid array<double>)."""
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    per_dim = exploded.groupBy(group_col, "pos").agg(F.avg("col").alias("v"))
+    return (
+        per_dim.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            F.col(group_col),
+            F.transform("pv", lambda s: s["v"]).alias("centroid"),
+        )
+    )

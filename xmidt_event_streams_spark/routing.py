@@ -1,0 +1,216 @@
+"""Routing: the reference's core query, compiled to Catalyst plans.
+
+The reference evaluates every message against every configured filter
+(fan-out, reference: filter/filter_manager.go:136-138); a filter
+passes a message iff
+
+  (R2) ANY event regex matches the destination with an ``event:``
+       prefix stripped (filter/filter.go:63-82) -- unanchored match,
+  (R3) AND (device-id matcher list is empty OR ANY device regex
+       matches the source OR the stripped destination)
+       (filter/filter.go:84-97).
+
+Here each filter compiles once, at plan time, into a Spark ``Column``
+predicate -- an OR-chain of ``rlike`` with *literal* patterns, so the
+regex is compiled once per task inside whole-stage codegen and the OR
+short-circuits per row (the reference's early-exit loop,
+filter/filter.go:72-77, for free).
+
+Two physical strategies for the fan-out, both shuffle-free:
+
+  * :func:`route` / :func:`route_union` -- N branch plans over one
+    source (predicate per stream baked into the plan). Best when the
+    filter set is known at plan time: Catalyst sees plain Filter
+    nodes, pushes them into the scan.
+  * :func:`route_crossjoin` -- a broadcast nested-loop join against
+    the filter relation with a data-driven ``exists(..., rlike)``
+    predicate. Best when filters arrive as data. The filter table is
+    tiny (10s-100s of rows) so the broadcast is trivial; at 100 TB
+    the big side never moves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from xmidt_event_streams_spark.config import FilterConfig
+
+EVENT_PREFIX = "event:"
+# Literal-prefix strip as an anchored regex (the prefix contains no
+# regex metacharacters, so this is exactly strings.TrimPrefix,
+# reference: filter/filter.go:73).
+_STRIP_RE = f"^{EVENT_PREFIX}"
+
+
+def strip_event_prefix(dest: Column | str) -> Column:
+    """``strings.TrimPrefix(dest, "event:")`` (filter/filter.go:73,87)."""
+    dest = F.col(dest) if isinstance(dest, str) else dest
+    return F.regexp_replace(dest, _STRIP_RE, "")
+
+
+def event_predicate(fc: FilterConfig, dest: Column | str) -> Column:
+    """R2: OR over event regexes against the stripped destination."""
+    stripped = strip_event_prefix(dest)
+    pred = F.lit(False)
+    for pat in fc.events:
+        pred = pred | stripped.rlike(pat)
+    return pred
+
+
+def device_predicate(
+    fc: FilterConfig, source: Column | str, dest: Column | str
+) -> Column | None:
+    """R3: OR over device regexes against source OR stripped dest.
+
+    Returns None when the matcher list is empty (pass-all), including
+    after ``.*`` wildcard elision (R4) -- the caller emits no predicate
+    at all, mirroring the reference's cleared matcher list.
+    """
+    matchers = fc.effective_device_ids
+    if not matchers:
+        return None
+    source = F.col(source) if isinstance(source, str) else source
+    stripped = strip_event_prefix(dest)
+    pred = F.lit(False)
+    for pat in matchers:
+        pred = pred | source.rlike(pat) | stripped.rlike(pat)
+    return pred
+
+
+def filter_predicate(
+    fc: FilterConfig, dest: Column | str = "dest", source: Column | str = "source"
+) -> Column:
+    """The full R2 AND R3 predicate for one filter."""
+    pred = event_predicate(fc, dest)
+    dev = device_predicate(fc, source, dest)
+    if dev is not None:
+        pred = pred & dev
+    return pred
+
+
+def compile_filters(
+    filters: Iterable[FilterConfig],
+    dest: str = "dest",
+    source: str = "source",
+) -> list[tuple[FilterConfig, Column]]:
+    """Plan-time compilation of the whole filter set (the analog of the
+    reference's startup loadFilters phase, filter/filter_manager.go:83-113)."""
+    return [(fc, filter_predicate(fc, dest, source)) for fc in filters]
+
+
+def route(
+    df: DataFrame,
+    filters: Iterable[FilterConfig],
+    dest: str = "dest",
+    source: str = "source",
+) -> dict[str, DataFrame]:
+    """R1 fan-out as N branch plans over one source DataFrame.
+
+    Works identically for batch and streaming DataFrames (the
+    predicates are stateless narrow transformations).
+    """
+    return {
+        fc.stream_name: df.filter(pred)
+        for fc, pred in compile_filters(filters, dest, source)
+    }
+
+
+def route_union(
+    df: DataFrame,
+    filters: Iterable[FilterConfig],
+    dest: str = "dest",
+    source: str = "source",
+    stream_col: str = "stream_name",
+) -> DataFrame:
+    """Fan-out flattened to a single relation tagged with the matching
+    stream -- one row per (message, matching filter) pair, the exact
+    multiset the reference's dispatchers receive."""
+    branches = [
+        br.withColumn(stream_col, F.lit(fc.stream_name))
+        for fc, br in zip(list(filters), route(df, filters, dest, source).values())
+    ]
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return out
+
+
+FILTER_RELATION_SCHEMA = StructType(
+    [
+        StructField("stream_name", StringType(), False),
+        StructField("events", ArrayType(StringType(), False), False),
+        StructField("device_ids", ArrayType(StringType(), False), False),
+        StructField("alt_streams", ArrayType(StringType(), False), False),
+    ]
+)
+
+
+def filters_to_df(spark: SparkSession, filters: Iterable[FilterConfig]) -> DataFrame:
+    """Materialize the filter set as the small static relation
+    (SURVEY.md §1.3: the second 'table')."""
+    rows = [
+        (
+            fc.stream_name,
+            list(fc.events),
+            list(fc.effective_device_ids),
+            list(fc.alt_streams),
+        )
+        for fc in filters
+    ]
+    return spark.createDataFrame(rows, FILTER_RELATION_SCHEMA)
+
+
+def route_crossjoin(
+    df: DataFrame,
+    filters_df: DataFrame,
+    dest: str = "dest",
+    source: str = "source",
+) -> DataFrame:
+    """Data-driven fan-out: broadcast theta-join on regex predicates.
+
+    ``exists(events, p -> regexp_like(stripped, p))`` evaluates the
+    OR-of-regex per (row, filter) pair; the filter side is always
+    broadcast so the event stream never shuffles.
+    """
+    stripped = strip_event_prefix(dest)
+    src = F.col(source)
+    event_ok = F.exists("events", lambda p: F.regexp_like(stripped, p))
+    device_ok = (F.size("device_ids") == 0) | F.exists(
+        "device_ids", lambda p: F.regexp_like(src, p) | F.regexp_like(stripped, p)
+    )
+    return df.join(F.broadcast(filters_df), event_ok & device_ok, "inner")
+
+
+def routing_oracle_sql(
+    filters: Iterable[FilterConfig],
+    events_relation: str,
+    dest_expr: str,
+    source_expr: str,
+    select_cols: str,
+) -> str:
+    """Generate the DuckDB-equivalent SQL for :func:`route_union` --
+    a UNION ALL of per-filter regexp_matches SELECTs over the same
+    relation. Used by the correctness harness; patterns must stay in
+    the RE2 AND Java-regex common dialect (SURVEY.md §7 'regex drift')."""
+    parts = []
+    stripped = f"regexp_replace({dest_expr}, '^event:', '')"
+    for fc in filters:
+        ev = " OR ".join(
+            f"regexp_matches({stripped}, '{p}')" for p in fc.events
+        )
+        clauses = [f"({ev})"]
+        if fc.effective_device_ids:
+            dv = " OR ".join(
+                f"regexp_matches({source_expr}, '{p}') OR regexp_matches({stripped}, '{p}')"
+                for p in fc.effective_device_ids
+            )
+            clauses.append(f"({dv})")
+        parts.append(
+            f"SELECT {select_cols}, '{fc.stream_name}' AS stream_name "
+            f"FROM {events_relation} WHERE {' AND '.join(clauses)}"
+        )
+    return " UNION ALL ".join(parts)

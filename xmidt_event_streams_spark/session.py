@@ -1,0 +1,99 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB case and degrades gracefully locally:
+
+  * AQE on (runtime coalescing, skew-join splitting) -- replaces any
+    hand-tuned shuffle sizing.
+  * Arrow on -- every Pandas-UDF boundary is vectorized.
+  * UTC session timezone -- canonical storage time is UTC epoch-micros
+    (reference: internal/mytime/time.go:60-66); UTC makes parquet
+    timestamp round-trips engine-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "xmidt-event-streams-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),
+        )
+        # Routing configs are tiny static relations: always broadcastable.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+        # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which vanilla Spark rejects; read as int64 nanos and convert
+        # (truncation to micros matches DuckDB's ns->us behavior).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the driver's parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame. Filters/projections applied by
+    callers push down into the parquet scan (verify with
+    ``df.explain('formatted')`` -> PushedFilters / ReadSchema).
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names:
+        df = normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): surfaced as int64 under
+# nanosAsLong; converted here (floor-div truncates to micros, matching
+# DuckDB's TIMESTAMP_NS -> TIMESTAMP coercion).
+_NANOS_TS_COLS = {"ts"}
+
+
+def normalize_nanos(df):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for f in df.schema.fields:
+        if f.name in _NANOS_TS_COLS and isinstance(f.dataType, LongType):
+            # integer `div` -- a double division would lose precision at
+            # 1e18-nanosecond magnitudes (2^53 < epoch-nanos)
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    return df
