@@ -1,0 +1,134 @@
+"""fixWrp (request_handler_test.go:372-456), event-type extraction,
+time functions, and text/vector function edge cases."""
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from xmidt_event_streams_spark.enrich import (
+    classify_rejects,
+    extract_event_type,
+    fix_wrp,
+)
+from xmidt_event_streams_spark.functions.text import (
+    predict_lang,
+    token_count,
+    word_ngrams,
+)
+from xmidt_event_streams_spark.functions.time import (
+    duration_seconds_from_string,
+    ts_from_number_string,
+)
+from xmidt_event_streams_spark.functions.vectors import cosine
+
+
+class TestFixWrp:
+    def _run(self, spark, ct, tx):
+        df = spark.createDataFrame(
+            [Row(event_id=1, content_type=ct, transaction_uuid=tx)]
+        )
+        return fix_wrp(df, deterministic_uuid_from="event_id").collect()[0]
+
+    def test_both_empty(self, spark):
+        r = self._run(spark, "", "")
+        assert r["content_type"] == "application/json"
+        assert len(r["transaction_uuid"]) == 36 and r["transaction_uuid"].count("-") == 4
+        assert r["fix_reason"] == "empty_uuid_and_content_type"
+
+    def test_uuid_only(self, spark):
+        r = self._run(spark, "text/plain", "")
+        assert r["content_type"] == "text/plain"
+        assert r["fix_reason"] == "empty_uuid"
+
+    def test_content_type_only(self, spark):
+        r = self._run(spark, "", "txn-1")
+        assert r["transaction_uuid"] == "txn-1"
+        assert r["fix_reason"] == "empty_content_type"
+
+    def test_untouched(self, spark):
+        r = self._run(spark, "application/json", "txn-1")
+        assert r["fix_reason"] == ""
+
+    def test_production_uuid_is_random(self, spark):
+        df = spark.createDataFrame(
+            [Row(event_id=i, content_type="", transaction_uuid="") for i in range(2)]
+        )
+        rows = fix_wrp(df).collect()
+        assert rows[0]["transaction_uuid"] != rows[1]["transaction_uuid"]
+
+
+class TestEventTypeExtraction:
+    def test_cases(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(dest="event:device-status/mac:1/online"),
+                Row(dest="event:boot-time"),
+                Row(dest="no-prefix/x"),
+                Row(dest="event:"),
+                Row(dest=""),
+                Row(dest=None),
+            ]
+        )
+        out = [r["t"] for r in df.select(extract_event_type("dest").alias("t")).collect()]
+        assert out == ["device-status", "boot-time", "unknown", "unknown", "unknown", "unknown"]
+
+
+class TestRejects:
+    def test_msg_type_and_nulls(self, spark):
+        df = spark.createDataFrame(
+            [Row(msg_type=4, dest="d"), Row(msg_type=3, dest="d"), Row(msg_type=4, dest=None)]
+        )
+        out = classify_rejects(df, required_cols=("dest",)).collect()
+        reasons = [r["reject_reason"] for r in out]
+        assert reasons == ["", "invalid_msg_type", "null_dest"]
+
+
+class TestTimeFunctions:
+    def test_epoch_heuristic(self, spark):
+        df = spark.createDataFrame(
+            [Row(s="1704067798"), Row(s="1704067798778549")]
+        )
+        out = df.select(
+            F.unix_micros(ts_from_number_string("s")).alias("us")
+        ).collect()
+        assert out[0]["us"] == 1704067798000000
+        assert out[1]["us"] == 1704067798778549
+
+    def test_durations(self, spark):
+        df = spark.createDataFrame([Row(d="30s"), Row(d="5m"), Row(d="2h"), Row(d="250ms")])
+        out = [r["v"] for r in df.select(duration_seconds_from_string("d").alias("v")).collect()]
+        assert out == [30.0, 300.0, 7200.0, 0.25]
+
+
+class TestTextFunctions:
+    def test_empty_text_token_count(self, spark):
+        df = spark.createDataFrame([Row(t=""), Row(t="   "), Row(t="a b")])
+        out = [r["n"] for r in df.select(token_count("t").alias("n")).collect()]
+        assert out == [0, 0, 2]
+
+    def test_word_ngrams_short_doc(self, spark):
+        df = spark.createDataFrame([Row(t="a b")])
+        out = df.select(word_ngrams("t", 3).alias("g")).collect()[0]["g"]
+        assert out == []
+
+    def test_lang_id_stopwords(self, spark):
+        df = spark.createDataFrame(
+            [Row(t="the cat and the dog is in that house"),
+             Row(t="el perro y la casa de los gatos se fue"),
+             Row(t="xyzzy plugh")]
+        )
+        out = [r["l"] for r in df.select(predict_lang("t").alias("l")).collect()]
+        assert out == ["en", "es", "und"]
+
+
+class TestVectors:
+    def test_cosine_known_values(self, spark):
+        df = spark.createDataFrame(
+            [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0]),
+             Row(a=[1.0, 1.0], b=[1.0, 0.0]), Row(a=[0.0, 0.0], b=[1.0, 0.0])]
+        )
+        out = [r["c"] for r in df.select(cosine("a", "b").alias("c")).collect()]
+        assert out[0] == 1.0
+        assert out[1] == 0.0
+        assert math.isclose(out[2], 1 / math.sqrt(2))
+        assert out[3] == 0.0  # zero vector guard

@@ -1,0 +1,150 @@
+"""Port of the reference's filter behavioral spec
+(filter/filter_test.go, filter/filter_factory.go) to the compiled
+Column predicates.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from xmidt_event_streams_spark.config import (
+    FilterConfig,
+    FilterConfigError,
+    load_filter_configs,
+)
+from xmidt_event_streams_spark.routing import (
+    filter_predicate,
+    route,
+    route_union,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(dest=d, source=s) for d, s in rows], "dest string, source string"
+    )
+
+
+def _matched(spark, fc, rows):
+    df = _df(spark, rows).withColumn("m", filter_predicate(fc))
+    return [r["dest"] for r in df.collect() if r["m"]]
+
+
+class TestEventMatching:
+    """filter_test.go:136-204 + :398-483 (prefix handling)."""
+
+    def test_strips_event_prefix(self, spark):
+        fc = FilterConfig("s", events=("device-.*",))
+        assert _matched(spark, fc, [("event:device-status", "x")]) == [
+            "event:device-status"
+        ]
+
+    def test_no_prefix_to_strip(self, spark):
+        # TrimPrefix semantics: absent prefix leaves the string intact
+        fc = FilterConfig("s", events=("device-.*",))
+        assert _matched(spark, fc, [("device-status", "x")]) == ["device-status"]
+
+    def test_empty_destination_matches_dot_star(self, spark):
+        fc = FilterConfig("s", events=(".*",))
+        assert _matched(spark, fc, [("", "x")]) == [""]
+
+    def test_event_prefix_only_matches_dot_star(self, spark):
+        fc = FilterConfig("s", events=(".*",))
+        assert _matched(spark, fc, [("event:", "x")]) == ["event:"]
+
+    def test_unanchored_match(self, spark):
+        # Go MatchString is unanchored; rlike must behave identically
+        fc = FilterConfig("s", events=("status",))
+        assert _matched(spark, fc, [("event:device-status/mac:1/online", "x")])
+
+    def test_or_over_patterns_first_match_wins(self, spark):
+        fc = FilterConfig("s", events=("nope", "device-.*"))
+        assert _matched(spark, fc, [("event:device-status", "x")])
+
+    def test_non_match_is_dropped(self, spark):
+        fc = FilterConfig("s", events=("^other$",))
+        assert _matched(spark, fc, [("event:device-status", "x")]) == []
+
+
+class TestDeviceMatching:
+    """filter_test.go:206-293 (metadata/device-id matching)."""
+
+    def test_empty_matcher_list_passes_all(self, spark):
+        fc = FilterConfig("s", events=(".*",), device_ids=())
+        assert _matched(spark, fc, [("event:e", "any-source")])
+
+    def test_matches_source(self, spark):
+        fc = FilterConfig("s", events=(".*",), device_ids=("mac:11.*",))
+        assert _matched(spark, fc, [("event:e", "mac:112233445566")])
+
+    def test_matches_stripped_destination(self, spark):
+        # device regex may match the destination too (filter.go:87)
+        fc = FilterConfig("s", events=(".*",), device_ids=("device-status.*",))
+        assert _matched(spark, fc, [("event:device-status/mac:1", "dns:other")])
+
+    def test_no_match_either_side_drops(self, spark):
+        fc = FilterConfig("s", events=(".*",), device_ids=("^uuid:.*",))
+        assert _matched(spark, fc, [("event:e", "mac:112233445566")]) == []
+
+    def test_wildcard_elision(self, spark):
+        # filter_factory.go:145-151: a literal ".*" clears the list
+        fc = FilterConfig("s", events=(".*",), device_ids=(".*", "^uuid:.*"))
+        assert fc.effective_device_ids == ()
+        assert _matched(spark, fc, [("event:e", "anything")])
+
+
+class TestConfigValidation:
+    """filter_factory.go:129-168 plan-time errors."""
+
+    def test_empty_events_rejected(self):
+        with pytest.raises(FilterConfigError):
+            FilterConfig("s", events=())
+
+    def test_invalid_regex_rejected(self):
+        with pytest.raises(FilterConfigError):
+            FilterConfig("s", events=("[invalid",))
+
+    def test_unknown_dest_type_rejected(self):
+        with pytest.raises(FilterConfigError):
+            load_filter_configs([{"stream_name": "s", "events": [".*"], "dest_type": "webhook"}])
+
+    def test_yaml_shape_loading(self):
+        cfgs = load_filter_configs(
+            {
+                "filter_manager": {
+                    "filters": [
+                        {
+                            "stream_name": "a",
+                            "events": ["device-status.*"],
+                            "metadata": {"device_ids": ["mac:.*"]},
+                            "alt_streams": ["a-alt"],
+                        }
+                    ]
+                }
+            }
+        )
+        assert cfgs[0].stream_name == "a"
+        assert cfgs[0].device_ids == ("mac:.*",)
+        assert cfgs[0].streams_in_order == ("a", "a-alt")
+
+
+class TestFanOut:
+    """filter_manager.go:136-138: every message offered to every filter."""
+
+    def test_message_reaches_all_matching_streams(self, spark):
+        filters = [
+            FilterConfig("all", events=(".*",)),
+            FilterConfig("dev", events=("device-.*",)),
+            FilterConfig("none", events=("^zzz$",)),
+        ]
+        routed = route(_df(spark, [("event:device-status", "m")]), filters)
+        assert routed["all"].count() == 1
+        assert routed["dev"].count() == 1
+        assert routed["none"].count() == 0
+
+    def test_route_union_tags_stream(self, spark):
+        filters = [
+            FilterConfig("all", events=(".*",)),
+            FilterConfig("dev", events=("device-.*",)),
+        ]
+        out = route_union(_df(spark, [("event:device-status", "m")]), filters)
+        assert sorted(r["stream_name"] for r in out.collect()) == ["all", "dev"]

@@ -46,7 +46,7 @@ from xmidt_event_streams_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash16,
+    simhash16_df,
 )
 from xmidt_event_streams_spark.operators.sessions import latest_per_key, sessionize
 from xmidt_event_streams_spark.operators.similarity import (
@@ -419,8 +419,7 @@ FROM sh a JOIN sh b
 
 def q_simhash(spark, sf_dir):
     """16-bit SimHash signature per document."""
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", simhash16("text").alias("simhash"))
+    return simhash16_df(_docs(spark, sf_dir))
 
 
 def _simhash_sql() -> str:

@@ -60,18 +60,23 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     Expressed with sequence+transform (no UDF): positions 1..len-n+1.
     """
     norm = normalize_text(col)
-    cnt = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), cnt), lambda i: norm.substr(i, F.lit(n)))
+    cnt = F.length(norm) - F.lit(n - 1)
+    # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
+    return F.when(cnt >= 1,
+                  F.transform(F.sequence(F.lit(1), cnt),
+                              lambda i: norm.substr(i, F.lit(n)))
+                  ).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (space-joined)."""
     toks = tokens(col)
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    cnt = F.size(toks) - F.lit(n - 1)
+    # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
+    return F.when(cnt >= 1,
+                  F.transform(F.sequence(F.lit(1), cnt),
+                              lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+                  ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -90,6 +90,37 @@ def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Signature relation (id, h0..h{k-1}) via explode + hash-agg.
+
+    Shape matters at scale: computing k array_min(transform(...))
+    columns inline duplicates the tokenize/shingle/md5 expression tree
+    k x bands times (Catalyst's projection collapse inlines aliases),
+    which measured ~400x slower at sf0.1. Exploding shingles once and
+    hash-aggregating min(md5(i|s)) computes every md5 exactly once,
+    combines map-side, and shuffles only (id, k mins) -- the plan that
+    survives 100 TB.
+
+    Docs with no shingles (fewer than shingle_n tokens) are absent
+    from the output (they cannot be near-dup candidates).
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s")
+    )
+    return shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -100,18 +131,23 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
 
-    Plan: narrow signature compute -> explode band keys -> self-join on
-    bucket (shuffle on uniformly-distributed md5 keys) -> distinct
+    Plan: explode+agg signatures -> band keys -> explode -> self-join
+    on bucket (shuffle on uniformly-distributed md5 keys) -> distinct
     pairs. Returns (id_a, id_b) with id_a < id_b.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_n)
-    keyed = (
-        df.select(F.col(id_col), minhash_band_keys(sig, bands, r).alias("band_keys"))
-        .filter(~F.array_contains(F.transform(F.col("band_keys"), F.isnull), True))
-        .select(F.col(id_col), F.explode("band_keys").alias("bucket"))
-    )
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
+    band_keys = [
+        F.md5(
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)]),
+            )
+        )
+        for b in range(bands)
+    ]
+    keyed = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bucket"))
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -147,6 +183,43 @@ def simhash16(text: Column | str) -> Column:
         )
         bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def simhash16_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash as a relation (id, simhash) via explode + hash-agg --
+    the 16 per-bit majority votes become 16 sum() aggregates over one
+    exploded token stream (each token md5'd once; map-side partials).
+    Docs with zero tokens get the all-ones signature (empty majority
+    >= 0), preserved via left join."""
+    from xmidt_event_streams_spark.functions.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    hashed = tok.select(F.col(id_col), F.md5("t").alias("h"))
+    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", p, 1).isin(*hexhi), 1).otherwise(-1)
+            ).alias(f"v{p}")
+            for p in range(1, 17)
+        ]
+    )
+    sig = votes.select(
+        F.col(id_col),
+        F.concat(
+            *[
+                F.when(F.col(f"v{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for p in range(1, 17)
+            ]
+        ).alias("simhash"),
+    )
+    return (
+        df.select(id_col)
+        .join(sig, id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit("1" * 16)).alias("simhash"))
+    )
 
 
 def hamming_bitstr(a: Column, b: Column) -> Column:
