@@ -1,0 +1,102 @@
+"""Msgpack edge decoder (V1/V2) and the as-of join operator."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from xmidt_event_streams_spark.operators.asof import asof_join
+from xmidt_event_streams_spark.sources.msgpack_wrp import (
+    MsgpackError,
+    decode_wrp_msgpack,
+    msgpack_decode,
+    msgpack_encode,
+)
+
+
+WRP = {
+    "msg_type": 4,
+    "source": "mac:112233445566",
+    "dest": "event:device-status/mac:112233445566/online",
+    "transaction_uuid": "txn-1",
+    "content_type": "application/json",
+    "session_id": "2mXioSTpZ9wKJSqDpVCRQ5cbd2P",
+    "partner_ids": ["comcast"],
+    "metadata": {"/hw-model": "m1", "/fw-name": "f1"},
+    "payload": b'{"ts":"2024-01-01T00:00:00Z"}',
+}
+
+
+class TestMsgpackCodec:
+    def test_roundtrip(self):
+        assert msgpack_decode(msgpack_encode(WRP)) == WRP
+
+    def test_scalars(self):
+        for v in (None, True, False, 0, 1, 127, -1, -32, 255, 1 << 40, -(1 << 40),
+                  "", "x" * 100, b"\x00\xff", [], [1, "a"], {}, {"k": [1, 2]}):
+            assert msgpack_decode(msgpack_encode(v)) == v
+
+    def test_truncated_rejected(self):
+        with pytest.raises(MsgpackError):
+            msgpack_decode(msgpack_encode(WRP)[:10])
+
+    def test_trailing_bytes_rejected(self):
+        with pytest.raises(MsgpackError):
+            msgpack_decode(msgpack_encode(1) + b"\x01")
+
+
+class TestDecodeWrpMsgpack:
+    def test_decode_and_poison_containment(self, spark):
+        rows = [
+            Row(raw=msgpack_encode(WRP)),
+            Row(raw=b"\xc1garbage"),  # 0xc1 is the never-used type byte
+            Row(raw=msgpack_encode({**WRP, "msg_type": 3, "session_id": "other"})),
+        ]
+        out = decode_wrp_msgpack(spark.createDataFrame(rows)).collect()
+        by_sess = {r["session_id"]: r for r in out}
+        good = by_sess[WRP["session_id"]]
+        assert good["msg_type"] == 4
+        assert good["dest"] == WRP["dest"]
+        assert good["metadata"]["/hw-model"] == "m1"
+        assert bytes(good["payload"]) == WRP["payload"]
+        assert good["decode_error"] is None
+        bad = by_sess[None]
+        assert bad["msg_type"] == -1 and "0xc1" in bad["decode_error"]
+
+
+def _t(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+class TestAsofJoin:
+    def test_basic_and_tie_semantics(self, spark):
+        left = spark.createDataFrame(
+            [Row(id=1, k="a", ts=_t(10)), Row(id=2, k="a", ts=_t(20)),
+             Row(id=3, k="a", ts=_t(5)), Row(id=4, k="b", ts=_t(10))]
+        )
+        right = spark.createDataFrame(
+            [Row(k="a", ts=_t(10), v="r10"), Row(k="a", ts=_t(15), v="r15"),
+             Row(k="b", ts=_t(30), v="r30")]
+        )
+        out = {r["id"]: r["v"] for r in
+               asof_join(left, right, "k", value_cols=("v",)).collect()}
+        assert out[1] == "r10"   # equal ts included (>= semantics)
+        assert out[2] == "r15"   # latest preceding
+        assert out[3] is None    # nothing precedes
+        assert out[4] is None    # right row is later
+
+    def test_matches_duckdb_asof(self, spark, sf_dir):
+        from xmidt_event_streams_spark.catalog import QUERIES
+        import duckdb
+
+        sdf = QUERIES["asof_last_click"].fn(spark, sf_dir)
+        srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        drows = sorted(
+            tuple(str(x) for x in r)
+            for r in con.execute(QUERIES["asof_last_click"].sql).fetchall()
+        )
+        assert srows == drows

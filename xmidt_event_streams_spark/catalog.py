@@ -758,6 +758,229 @@ SELECT event_id, CAST(octet_length(props::BLOB) AS BIGINT) AS payload_len,
 FROM events
 """
 
+# ------------------------------------------- relational breadth + as-of
+
+
+def q_partner_overlap(spark, sf_dir):
+    """R6: partner-id set-intersection gate (arrays_overlap) -- the
+    reference's vestigial `overlaps` helper (filter/filter.go:52-61)
+    as a real predicate."""
+    allowed = F.array(F.lit("partner-1"), F.lit("partner-3"))
+    w = _wrp(spark, sf_dir)
+    return w.filter(F.arrays_overlap("partner_ids", allowed)).select(
+        "event_id", "partner_ids"
+    )
+
+
+SQL_PARTNER_OVERLAP = f"""
+WITH {WRP_CTE}
+SELECT event_id, partner_ids FROM wrp
+WHERE list_has_any(partner_ids, ['partner-1', 'partner-3'])
+"""
+
+
+def q_asof_last_click(spark, sf_dir):
+    """As-of join: each purchase event joined to the user's most
+    recent click at-or-before it (point-in-time correctness, the
+    feature-store primitive)."""
+    from xmidt_event_streams_spark.operators.asof import asof_join
+
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=("click_id",),
+    ).select("event_id", "user_id", "click_id")
+
+
+SQL_ASOF_LAST_CLICK = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, c.click_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (fixed column set so
+    the plan is a single pass of conditional aggregates)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click') AS n_click,
+  count(*) FILTER (event_type = 'view') AS n_view,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup') AS n_signup,
+  count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP (event_type, day): hierarchical subtotals in one pass
+    (value sums exact via decimal)."""
+    ev = _ev(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return ev.rollup("event_type", day).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY ROLLUP (event_type, day)
+"""
+
+
+def q_distinct_users_per_type(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per group (two-phase partial aggregation
+    under the hood -- the scalable exact-distinct plan)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_top_users_per_type(spark, sf_dir):
+    """Top-3 users by spend per event type: agg + ranked window, the
+    canonical grouped top-k."""
+    ev = _ev(spark, sf_dir)
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+        ).alias("total_value")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+SQL_TOP_USERS = """
+SELECT event_type, user_id, total_value, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT event_type, user_id,
+    round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value,
+    row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) DESC, user_id
+    ) AS rnk
+  FROM events GROUP BY event_type, user_id
+) WHERE rnk <= 3
+"""
+
+
+def q_clicked_not_purchased(spark, sf_dir):
+    """Set difference: users who clicked but never purchased
+    (EXCEPT == left-anti join; Spark plans the anti-join)."""
+    ev = _ev(spark, sf_dir)
+    clicked = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicked.subtract(purchased)
+
+
+SQL_CLICKED_NOT_PURCHASED = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_doc_fingerprint_rolling(spark, sf_dir):
+    """Rolling-hash (Karp-Rabin) document fingerprint -- the cheap
+    numeric tier next to the md5 fingerprint."""
+    from xmidt_event_streams_spark.functions.text import rolling_hash
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_hash("text").alias("rhash")
+    )
+
+
+SQL_DOC_FINGERPRINT_ROLLING = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+SELECT doc_id,
+  CASE WHEN length(t) > 0 THEN
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(1, length(t)),
+                       i -> CAST(ascii(t[i]) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % 1000000007)
+  ELSE 0 END AS rhash
+FROM n
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.4; data has
+    no planted dups so this is the high-similarity tail). Brute-force
+    within the benchmark scale; the LSH-bucketed variant
+    (similarity.lsh_topk) is the 100 TB path."""
+    emb = _emb(spark, sf_dir)
+    from xmidt_event_streams_spark.functions.vectors import cosine
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+    THEN list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    ELSE 0 END, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+    THEN list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    ELSE 0 END, 6) >= 0.4
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES: dict[str, QuerySpec] = {
@@ -789,4 +1012,15 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q5ish": QuerySpec(q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "events_windowed": QuerySpec(q_events_windowed, SQL_EVENTS_WINDOWED),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
+    "partner_overlap": QuerySpec(q_partner_overlap, SQL_PARTNER_OVERLAP),
+    "asof_last_click": QuerySpec(q_asof_last_click, SQL_ASOF_LAST_CLICK, True),
+    "events_pivot": QuerySpec(q_events_pivot, SQL_EVENTS_PIVOT),
+    "events_rollup": QuerySpec(q_events_rollup, SQL_EVENTS_ROLLUP),
+    "distinct_users_per_type": QuerySpec(q_distinct_users_per_type, SQL_DISTINCT_USERS),
+    "top_users_per_type": QuerySpec(q_top_users_per_type, SQL_TOP_USERS),
+    "clicked_not_purchased": QuerySpec(q_clicked_not_purchased, SQL_CLICKED_NOT_PURCHASED),
+    "doc_fingerprint_rolling": QuerySpec(
+        q_doc_fingerprint_rolling, SQL_DOC_FINGERPRINT_ROLLING
+    ),
+    "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
 }

@@ -85,6 +85,28 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+ROLLING_HASH_BASE = 31
+ROLLING_HASH_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash (Karp-Rabin) of normalized text:
+    fold h = (h*31 + codepoint) mod 1e9+7. Engine-portable (pure
+    int64 arithmetic, no overflow: h < 1e9, h*31+c < 2^63) --
+    the cheap numeric fingerprint tier next to md5."""
+    norm = normalize_text(col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"),
+    )
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_HASH_BASE + c) % ROLLING_HASH_MOD,
+    )
+    return F.when(F.length(norm) > 0, folded).otherwise(F.lit(0).cast("long"))
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
     toks = tokens(col)
     sw = F.array(*[F.lit(s) for s in stopwords])

@@ -85,6 +85,10 @@ def wrp_view(events: DataFrame) -> DataFrame:
         F.when(F.col("event_id") % 7 == 0, F.lit("")).otherwise(
             F.lit("application/json")
         ).alias("content_type"),
+        F.array(
+            F.lit("comcast"),
+            F.concat(F.lit("partner-"), (F.col("user_id") % 5).cast("string")),
+        ).alias("partner_ids"),
     )
 
 
@@ -102,6 +106,7 @@ SELECT
   'mac:' || lpad(CAST(user_id AS VARCHAR), 12, '0') AS source,
   'session-' || CAST(user_id AS VARCHAR) AS session_id,
   CASE WHEN event_id % 10 = 0 THEN '' ELSE 'txn-' || CAST(event_id AS VARCHAR) END AS transaction_uuid,
-  CASE WHEN event_id % 7 = 0 THEN '' ELSE 'application/json' END AS content_type
+  CASE WHEN event_id % 7 = 0 THEN '' ELSE 'application/json' END AS content_type,
+  ['comcast', 'partner-' || CAST(user_id % 5 AS VARCHAR)] AS partner_ids
 FROM events
 """
