@@ -23,6 +23,23 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def let_bind(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE per row and pass it to ``body`` as a
+    lambda variable.
+
+    Spark has no let-binding in its expression language: a non-trivial
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated PER ARRAY ELEMENT (the lambda body is evaluated per
+    element, and only lambda variables are cheap references). E.g. the
+    naive ``transform(sequence(1, n), i -> slice(tokens(text), i, 3))``
+    re-tokenizes the document once per shingle position -- measured 8x
+    slower at sf0.1. ``get(transform(array(value), v -> body(v)), 0)``
+    wraps the value in a 1-element array so the inner lambda sees a
+    bound variable; Catalyst evaluates ``value`` exactly once per row.
+    """
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lowercase + collapse whitespace + trim: canonical form for
     fingerprints and shingles."""
@@ -58,25 +75,34 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Character n-gram shingles of normalized text -> array<string>.
 
     Expressed with sequence+transform (no UDF): positions 1..len-n+1.
+    The normalized string is let-bound so it is computed once per row,
+    not once per character position.
     """
-    norm = normalize_text(col)
-    cnt = F.length(norm) - F.lit(n - 1)
-    # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
-    return F.when(cnt >= 1,
-                  F.transform(F.sequence(F.lit(1), cnt),
-                              lambda i: norm.substr(i, F.lit(n)))
-                  ).otherwise(F.array().cast("array<string>"))
+    def body(norm: Column) -> Column:
+        cnt = F.length(norm) - F.lit(n - 1)
+        # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
+        return F.when(cnt >= 1,
+                      F.transform(F.sequence(F.lit(1), cnt),
+                                  lambda i: norm.substr(i, F.lit(n)))
+                      ).otherwise(F.array().cast("array<string>"))
+
+    return let_bind(normalize_text(col), body)
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles -> array<string> (space-joined)."""
-    toks = tokens(col)
-    cnt = F.size(toks) - F.lit(n - 1)
-    # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
-    return F.when(cnt >= 1,
-                  F.transform(F.sequence(F.lit(1), cnt),
-                              lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-                  ).otherwise(F.array().cast("array<string>"))
+    """Word n-gram shingles -> array<string> (space-joined).
+
+    The token array is let-bound: tokenization runs once per row, not
+    once per shingle position (8x at sf0.1, more on longer docs)."""
+    def body(toks: Column) -> Column:
+        cnt = F.size(toks) - F.lit(n - 1)
+        # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
+        return F.when(cnt >= 1,
+                      F.transform(F.sequence(F.lit(1), cnt),
+                                  lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+                      ).otherwise(F.array().cast("array<string>"))
+
+    return let_bind(tokens(col), body)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -94,24 +120,29 @@ def rolling_hash(col: Column | str) -> Column:
     fold h = (h*31 + codepoint) mod 1e9+7. Engine-portable (pure
     int64 arithmetic, no overflow: h < 1e9, h*31+c < 2^63) --
     the cheap numeric fingerprint tier next to md5."""
-    norm = normalize_text(col)
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(norm)),
-        lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"),
-    )
-    folded = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * ROLLING_HASH_BASE + c) % ROLLING_HASH_MOD,
-    )
-    return F.when(F.length(norm) > 0, folded).otherwise(F.lit(0).cast("long"))
+    def body(norm: Column) -> Column:
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(norm)),
+            lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"),
+        )
+        folded = F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * ROLLING_HASH_BASE + c) % ROLLING_HASH_MOD,
+        )
+        return F.when(F.length(norm) > 0, folded).otherwise(F.lit(0).cast("long"))
+
+    return let_bind(normalize_text(col), body)
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
-    toks = tokens(col)
     sw = F.array(*[F.lit(s) for s in stopwords])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+    def body(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+    return let_bind(tokens(col), body)
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:
@@ -151,20 +182,33 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def predict_lang(col: Column | str) -> Column:
     """Heuristic language-ID: argmax of stopword hits, ties broken by
-    language code order, 'und' when all scores are zero."""
-    scores = lang_scores(col)
-    ordered = sorted(scores.items())  # lang code asc
+    language code order, 'und' when all scores are zero.
+
+    The token array is let-bound: one tokenization per row shared by
+    all per-language scores (was once per language)."""
+    ordered = sorted(LANG_STOPWORDS.items())  # lang code asc
     n = len(ordered)
-    # max over (score, reversed-rank): earlier lang code wins ties.
-    pairs = F.array(
-        *[
-            F.struct(
-                score.alias("score"),
-                F.lit(n - 1 - i).alias("rank"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, (lang, score) in enumerate(ordered)
-        ]
-    )
-    best = F.array_max(pairs)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    def body(toks: Column) -> Column:
+        # max over (score, reversed-rank): earlier lang code wins ties.
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.filter(
+                            toks,
+                            lambda t: F.array_contains(
+                                F.array(*[F.lit(s) for s in words]), t
+                            ),
+                        )
+                    ).alias("score"),
+                    F.lit(n - 1 - i).alias("rank"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, (lang, words) in enumerate(ordered)
+            ]
+        )
+        best = F.array_max(pairs)
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return let_bind(tokens(col), body)

@@ -45,7 +45,28 @@ def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> C
 
     ``planes`` is a plan-time constant (deterministic pseudo-random
     hyperplanes); the result is an LSH bucket key for cosine similarity.
+    The input vector is let-bound so the array<double> cast happens once
+    per row, not once per hyperplane.
     """
-    bits = [F.when(dot(a, F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
-            for p in planes]
-    return F.concat(*bits)
+    from xmidt_event_streams_spark.functions.text import let_bind
+
+    def body(v: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in p]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                "1",
+            ).otherwise("0")
+            for p in planes
+        ]
+        return F.concat(*bits)
+
+    return let_bind(as_double(a), body)

@@ -168,21 +168,26 @@ def simhash16(text: Column | str) -> Column:
     tokens (>= 0 balance -> 1). Deterministic and portable: only
     md5, substring, and comparisons.
     """
-    from xmidt_event_streams_spark.functions.text import tokens
+    from xmidt_event_streams_spark.functions.text import let_bind, tokens
 
-    toks = tokens(text)
-    hashes = F.transform(toks, F.md5)
-    bits = []
-    for p in range(1, 17):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                     F.lit(1)).otherwise(F.lit(-1)),
-        )
-        bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    def body(hashes: Column) -> Column:
+        bits = []
+        for p in range(1, 17):
+            votes = F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.substring(h, p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    # let-bind the md5'd token array: one tokenize+hash pass per row
+    # shared by all 16 per-bit majority votes (was once per bit).
+    return let_bind(F.transform(tokens(text), F.md5), body)
 
 
 def simhash16_df(
