@@ -981,6 +981,388 @@ WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b
 """
 
 
+# ------------------------------------------- relational breadth, round 2
+
+
+def q_tpch_q6(spark, sf_dir):
+    """Forecast-revenue (TPC-H Q6 shape): tight filter + single sum.
+    The pushdown showcase: all three predicates reach the parquet
+    scan (PushedFilters), only 4 columns read."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q6 = f"""
+SELECT round(CAST(sum({_dec2('l_extendedprice')} * {_dec4('l_discount')}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q4_semi(spark, sf_dir):
+    """Late-shipment orders (TPC-H Q4 shape): EXISTS == left-semi
+    join with a non-equi conjunct (hash join on the equi key, range
+    filter on top)."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    late = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .join(
+            t["lineitem"],
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+SQL_TPCH_Q4_SEMI = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q10ish(spark, sf_dir):
+    """Returned-item revenue per customer (TPC-H Q10 shape): 3-way
+    join, agg, deterministic top-20."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10ISH = f"""
+SELECT c_custkey, c_name,
+  round(CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q14ish(spark, sf_dir):
+    """Promo-revenue share (TPC-H Q14 shape): join + conditional
+    aggregate -> one row."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    j = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01"))
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14ISH = f"""
+SELECT round(
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+    THEN {_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+  / CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})) AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def q_tpch_q18ish(spark, sf_dir):
+    """Large-volume orders (TPC-H Q18 shape): agg-HAVING subquery
+    joined back to orders+customer, deterministic top-20."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select(
+            F.col("l_orderkey"), F.round(F.col("_sq").cast("double"), 4).alias("sum_qty")
+        )
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q18ISH = f"""
+SELECT c_name, o_orderkey, o_orderdate, sum_qty FROM (
+  SELECT l_orderkey, round(CAST(sum({_dec2('l_quantity')}) AS DOUBLE), 4) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum({_dec2('l_quantity')}) > 250
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q_range_join_clicks(spark, sf_dir):
+    """Interval join: clicks in the hour strictly before each
+    purchase, per user (binned-bucket rewrite -> equi-join; see
+    operators/rangejoin.py)."""
+    from xmidt_event_streams_spark.operators.rangejoin import range_join
+
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = range_join(
+        purchases, clicks, key="user_id", window_seconds=3600, strict_before=True
+    )
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+
+
+SQL_RANGE_JOIN_CLICKS = """
+SELECT p.event_id, count(*) AS n_clicks
+FROM events p
+JOIN events c ON c.user_id = p.user_id
+  AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 1 HOUR
+  AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+def q_session_gaps(spark, sf_dir):
+    """LAG window: per-user mean inter-event gap. Integer-µs sums
+    keep the aggregate exact across engines; one division at the end."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = ev.select("user_id", gap.alias("gap_us"))
+    return g.groupBy("user_id").agg(
+        F.round(
+            (F.sum("gap_us").cast("double") / F.count("gap_us")) / 1e6, 6
+        ).alias("avg_gap_s"),
+        F.count("gap_us").alias("n_gaps"),
+    )
+
+
+SQL_SESSION_GAPS = """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+  round((CAST(sum(gap_us) AS DOUBLE) / count(gap_us)) / 1e6, 6) AS avg_gap_s,
+  count(gap_us) AS n_gaps
+FROM g GROUP BY user_id
+"""
+
+
+def q_running_user_value(spark, sf_dir):
+    """Cumulative window sum: per-user running spend in event order.
+    Partitioned by user -> embarrassingly parallel (no global sort)."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double"), 4
+        ).alias("running_value"),
+    )
+
+
+SQL_RUNNING_USER_VALUE = """
+SELECT event_id, user_id,
+  round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_value
+FROM events
+"""
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median/p90/p99) per event type
+    -- Spark `percentile` == ANSI percentile_cont == DuckDB
+    quantile_cont. At 100 TB swap for approx_percentile and relax the
+    oracle to tolerance."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_cube(spark, sf_dir):
+    """CUBE (month, event_type): all 4 grouping-set combinations in
+    one pass (partial-agg friendly; NULL = subtotal rows)."""
+    ev = _ev(spark, sf_dir)
+    month = F.date_trunc("month", F.col("ts")).alias("month")
+    return ev.cube(month, "event_type").agg(F.count("*").alias("n"))
+
+
+SQL_EVENTS_CUBE = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type, count(*) AS n
+FROM events GROUP BY CUBE (month, event_type)
+"""
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ approximate distinct users per event type.
+    Sketch values are engine-specific -- rows-only check (the exact
+    twin is distinct_users_per_type)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+IVF_N_CELLS = 8
+IVF_N_PROBE = 2
+IVF_TOPK = 5
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN: coarse centroids (first 8 corpus vectors by id --
+    deterministic stand-in for a k-means fit), narrow cell
+    assignment, queries (vec_id < 3) probe their 2 nearest cells,
+    top-5 within probed cells. See operators/ivf.py."""
+    from xmidt_event_streams_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    centroids = [
+        row[0]
+        for row in emb.filter(F.col("vec_id") < IVF_N_CELLS)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, centroids, k=IVF_TOPK, n_probe=IVF_N_PROBE)
+
+
+_COS_SQL = (
+    "round(CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+    "THEN list_dot_product({a}, {b}) "
+    "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+    "ELSE 0 END, 6)"
+)
+
+SQL_IVF_ANN = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {IVF_N_CELLS}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS (
+  SELECT c.vec_id, cent.cell, {_COS_SQL.format(a='c.v', b='cent.cv')} AS sim
+  FROM c CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM sims
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM sims WHERE vec_id < 3
+  ) WHERE rn <= {IVF_N_PROBE}
+), scored AS (
+  SELECT q.query_id, a.vec_id, {_COS_SQL.format(a='cv2.v', b='qv.v')} AS cos_sim
+  FROM qprobe q
+  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+  JOIN c cv2 ON cv2.vec_id = a.vec_id
+  JOIN c qv ON qv.vec_id = q.query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {IVF_TOPK}
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES: dict[str, QuerySpec] = {
@@ -1023,4 +1405,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_fingerprint_rolling, SQL_DOC_FINGERPRINT_ROLLING
     ),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6, True),
+    "tpch_q4_semi": QuerySpec(q_tpch_q4_semi, SQL_TPCH_Q4_SEMI),
+    "tpch_q10ish": QuerySpec(q_tpch_q10ish, SQL_TPCH_Q10ISH),
+    "tpch_q14ish": QuerySpec(q_tpch_q14ish, SQL_TPCH_Q14ISH),
+    "tpch_q18ish": QuerySpec(q_tpch_q18ish, SQL_TPCH_Q18ISH),
+    "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),
+    "session_gaps": QuerySpec(q_session_gaps, SQL_SESSION_GAPS),
+    "running_user_value": QuerySpec(q_running_user_value, SQL_RUNNING_USER_VALUE),
+    "value_percentiles": QuerySpec(q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "events_cube": QuerySpec(q_events_cube, SQL_EVENTS_CUBE),
+    "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
+    "ivf_ann": QuerySpec(q_ivf_ann, SQL_IVF_ANN, True),
 }
