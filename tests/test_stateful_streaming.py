@@ -1,0 +1,177 @@
+"""Stateful streaming: hybrid size/time flush (B2/B3 parity via
+applyInPandasWithState), watermark late-data policy, and
+dropDuplicatesWithinWatermark (the §2.8 at-least-once fix)."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.streaming.stateful import hybrid_flush
+
+
+def _write_items(path, items):
+    with open(path, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+
+def _read_stream(spark, src, schema):
+    return spark.readStream.schema(schema).json(str(src))
+
+
+def _run_available_now(df, ckpt, out_rows):
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out_rows.extend(b.collect()))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _run_stateful(df, ckpt, out_rows, expect_rows, max_wait=60.0):
+    """For stateful-timeout queries: neither availableNow nor
+    processAllAvailable terminates while a processing-time timeout is
+    pending (Spark spins empty micro-batches until it fires). Poll
+    the collected output until ``expect_rows`` arrive (or the
+    deadline), then stop the query."""
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out_rows.extend(b.collect()))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    deadline = time.time() + max_wait
+    while time.time() < deadline and len(out_rows) < expect_rows:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+
+
+def test_hybrid_flush_size_arm(spark, tmp_path):
+    """5 items, batch_size=2 -> two 'size' flushes, 1 item held in
+    state (no time flush yet)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_items(
+        src / "b1.json",
+        [{"stream_name": "s1", "item": f"m{i}"} for i in range(5)],
+    )
+    stream = _read_stream(spark, src, "stream_name string, item string")
+    out: list = []
+    _run_stateful(
+        hybrid_flush(stream, batch_size=2, time_limit_ms=60_000),
+        tmp_path / "ckpt",
+        out,
+        expect_rows=2,
+    )
+    assert [(r.n, r.flush_reason) for r in out] == [(2, "size"), (2, "size")]
+    assert sorted(x for r in out for x in r["items"]) == ["m0", "m1", "m2", "m3"]
+
+
+def test_hybrid_flush_time_arm(spark, tmp_path):
+    """An under-sized buffer flushes via ProcessingTimeTimeout once
+    the key goes idle past the limit (the 15 s-ticker analog,
+    queue.go:169-172): flush_reason 'time' proves the size arm never
+    triggered for it."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_items(src / "b1.json", [{"stream_name": "s1", "item": "m0"}])
+    schema = "stream_name string, item string"
+    out: list = []
+    _run_stateful(
+        hybrid_flush(
+            _read_stream(spark, src, schema), batch_size=10, time_limit_ms=500
+        ),
+        tmp_path / "ckpt",
+        out,
+        expect_rows=1,
+        max_wait=45.0,
+    )
+    assert [(r.stream_name, r.n, r.flush_reason) for r in out] == [("s1", 1, "time")]
+    assert out[0]["items"] == ["m0"]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Windowed streaming agg with watermark: rows older than
+    (max event time - delay) are dropped in later micro-batches."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    schema = "ts timestamp, k string"
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+            .agg(F.count("*").alias("n"))
+        )
+
+    # batch 1: watermark advances to 12:00 - 10min = 11:50
+    _write_items(
+        src / "b1.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "k": "a"},
+            {"ts": "2024-01-01 12:00:00", "k": "a"},
+        ],
+    )
+    out: list = []
+    _run_available_now(agg(_read_stream(spark, src, schema)), ckpt, out)
+
+    # batch 2: 10:05 is behind the checkpointed watermark -> dropped;
+    # 13:00 advances the watermark past the 12:00 window's end
+    _write_items(
+        src / "b2.json",
+        [
+            {"ts": "2024-01-01 10:05:00", "k": "a"},  # late: dropped
+            {"ts": "2024-01-01 13:00:00", "k": "a"},
+        ],
+    )
+    _run_available_now(agg(_read_stream(spark, src, schema)), ckpt, out)
+    # close remaining windows
+    _write_items(src / "b3.json", [{"ts": "2024-01-01 15:00:00", "k": "a"}])
+    _run_available_now(agg(_read_stream(spark, src, schema)), ckpt, out)
+
+    counts = {r.w.start.hour: r.n for r in out}
+    assert counts[10] == 1  # the late 10:05 row did NOT land
+    assert counts[12] == 1
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Cross-micro-batch dedup by transaction_uuid within the
+    watermark: the at-least-once duplicate (SURVEY.md §2.8) is
+    eliminated upstream of delivery."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    schema = "ts timestamp, transaction_uuid string"
+
+    def dedup(df):
+        return df.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["transaction_uuid"]
+        )
+
+    _write_items(
+        src / "b1.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "transaction_uuid": "t1"},
+            {"ts": "2024-01-01 10:00:05", "transaction_uuid": "t1"},  # dup in-batch
+            {"ts": "2024-01-01 10:01:00", "transaction_uuid": "t2"},
+        ],
+    )
+    out: list = []
+    _run_available_now(dedup(_read_stream(spark, src, schema)), ckpt, out)
+
+    # redelivery of t1 in a later micro-batch (the K5 whole-batch retry)
+    _write_items(
+        src / "b2.json",
+        [
+            {"ts": "2024-01-01 10:00:10", "transaction_uuid": "t1"},  # dup
+            {"ts": "2024-01-01 10:02:00", "transaction_uuid": "t3"},
+        ],
+    )
+    _run_available_now(dedup(_read_stream(spark, src, schema)), ckpt, out)
+
+    assert sorted(r.transaction_uuid for r in out) == ["t1", "t2", "t3"]
