@@ -953,14 +953,14 @@ def q_embedding_near_dup(spark, sf_dir):
     within the benchmark scale; the LSH-bucketed variant
     (similarity.lsh_topk) is the 100 TB path."""
     emb = _emb(spark, sf_dir)
-    from xmidt_event_streams_spark.functions.vectors import cosine
+    from xmidt_event_streams_spark.functions.vectors import cosine_pairs
 
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+            "id_a", "id_b", F.round(cosine_pairs("va", "vb"), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= 0.4)
     )

@@ -1,14 +1,36 @@
 """Vector column functions over array<float|double> embeddings.
 
-Built-in higher-order functions only (zip_with/aggregate run inside
-codegen; no Python in the hot path). Inputs are cast to double before
-accumulation so results are deterministic and engine-comparable.
+Two tiers:
+
+  * Built-in higher-order functions (`dot`, `cosine`, `l2_distance`,
+    `random_projection_sign_bits`) -- pure Catalyst expressions, no
+    Python anywhere. These define the portable semantics (sequential
+    left-to-right fold, `when(den > 0)` zero-guard) and are fine for
+    per-row use, but Spark evaluates HOF lambdas interpreted
+    per-element, which is slow in O(pairs) join hot paths.
+
+  * Arrow-batched numpy kernels (`cosine_pairs`, `sign_bits`,
+    `nearest_cells`) -- `pandas_udf`s whose bodies are single BLAS
+    matrix ops per Arrow batch. This is the idiomatic Spark answer for
+    dense linear algebra the expression language can't vectorize:
+    stays narrow (no shuffle), scales linearly with partitions, and
+    constant side-inputs (hyperplanes, centroids) ride along in the
+    UDF closure -- the moral equivalent of a broadcast variable.
+    float64 summation order differs from the sequential fold only at
+    the ~1e-15 relative level; every consumer rounds scores to 6dp
+    before comparison/ranking, so results are engine-stable.
+
+Inputs are cast to double before accumulation so results are
+deterministic and engine-comparable (oracle SQL casts `::DOUBLE[]`).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _c(col: Column | str) -> Column:
@@ -40,13 +62,83 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
 
 
+# ------------------------------------------------- numpy batch kernels
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.vstack(s.to_numpy())
+
+
+def cosine_pairs(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two vector columns, one Arrow batch at a
+    time: three einsum reductions over the stacked batch matrix. Same
+    zero-denominator semantics as `cosine` (den > 0 else 0.0)."""
+
+    @pandas_udf("double")
+    def _cos(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        if len(pa) == 0:
+            return pd.Series([], dtype="float64")
+        av, bv = _stack(pa), _stack(pb)
+        num = np.einsum("ij,ij->i", av, bv)
+        den = np.sqrt(np.einsum("ij,ij->i", av, av)) * np.sqrt(
+            np.einsum("ij,ij->i", bv, bv)
+        )
+        out = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        return pd.Series(out)
+
+    return _cos(as_double(a), as_double(b))
+
+
+def sign_bits(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Cosine-LSH bucket key: sign bit per hyperplane, as a '01'
+    string. One (batch x dim) @ (dim x planes) matmul per Arrow batch;
+    the plane matrix is a plan-time constant in the UDF closure."""
+    pm = np.asarray(planes, dtype=np.float64)
+
+    @pandas_udf("string")
+    def _bits(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        signs = _stack(v) @ pm.T >= 0
+        chars = np.where(signs, "1", "0")
+        return pd.Series(["".join(row) for row in chars])
+
+    return _bits(as_double(vec))
+
+
+def nearest_cells(
+    vec: Column | str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest centroid indices (array<int>) by cosine,
+    rounded to 6dp before ranking so ordering matches any engine that
+    rounds the same way; ties broken by lowest cell index (stable
+    argsort). One matmul against the centroid matrix per Arrow batch."""
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = _stack(v)
+        vn = np.sqrt(np.einsum("ij,ij->i", m, m))
+        den = np.outer(vn, cn)
+        sims = np.where(den > 0, (m @ cm.T) / np.where(den > 0, den, 1.0), 0.0)
+        # order by (sim desc, cell asc): stable argsort of -sim keeps
+        # equal-sim cells in ascending index order
+        order = np.argsort(-np.round(sims, 6), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype(np.int32)))
+
+    return _cells(as_double(vec))
+
+
 def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
     """SimHash-for-vectors: sign bit per hyperplane -> bucket id string.
 
-    ``planes`` is a plan-time constant (deterministic pseudo-random
-    hyperplanes); the result is an LSH bucket key for cosine similarity.
-    The input vector is let-bound so the array<double> cast happens once
-    per row, not once per hyperplane.
+    Pure-expression twin of `sign_bits` (reference semantics; slow in
+    hot paths). ``planes`` is a plan-time constant; the input vector is
+    let-bound so the array<double> cast happens once per row, not once
+    per hyperplane.
     """
     from xmidt_event_streams_spark.functions.text import let_bind
 

@@ -13,8 +13,10 @@ Two tiers:
     the scale path (bucket count ~ 2^planes; data bucketed/partitioned
     by key on write).
 
-Deterministic hyperplanes are derived from md5 (seeded), so plans are
-reproducible run-to-run without Math.random.
+Pair scoring and bucket keys use the Arrow-batched numpy kernels from
+functions.vectors (one BLAS op per batch; see that module for the
+determinism story). Deterministic hyperplanes are derived from md5
+(seeded), so plans are reproducible run-to-run without Math.random.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from xmidt_event_streams_spark.functions.vectors import cosine, random_projection_sign_bits
+from xmidt_event_streams_spark.functions.vectors import cosine_pairs, sign_bits
 
 
 def deterministic_planes(n_planes: int, dim: int, seed: str = "xes") -> list[list[float]]:
@@ -46,6 +48,19 @@ def deterministic_planes(n_planes: int, dim: int, seed: str = "xes") -> list[lis
     return planes
 
 
+def _topk_by_query(scored: DataFrame, k: int, query_id_col: str, id_col: str) -> DataFrame:
+    """Per-query top-k: shuffle only the scored pairs (query_id, id,
+    sim) -- never the vectors -- then window rank."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,16 +79,9 @@ def brute_force_topk(
     scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(vec_col, "_qvec"), 6).alias("cos_sim"),
+        F.round(cosine_pairs(vec_col, "_qvec"), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
-    )
+    return _topk_by_query(scored, k, query_id_col, id_col)
 
 
 def lsh_bucket(
@@ -86,7 +94,7 @@ def lsh_bucket(
 ) -> DataFrame:
     """Attach the cosine-LSH sign-bucket key (narrow transformation)."""
     planes = deterministic_planes(n_planes, dim, seed)
-    return df.withColumn(bucket_col, random_projection_sign_bits(vec_col, planes))
+    return df.withColumn(bucket_col, sign_bits(vec_col, planes))
 
 
 def lsh_topk(
@@ -112,23 +120,17 @@ def lsh_topk(
         n_planes,
         dim,
         "_qvec",
+        bucket_col="_qbucket",
     )
     scored = cb.join(
         F.broadcast(qb),
-        (F.col("bucket") == qb["bucket"]) & (F.col(id_col) != F.col(query_id_col)),
+        (F.col("bucket") == F.col("_qbucket")) & (F.col(id_col) != F.col(query_id_col)),
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(vec_col, "_qvec"), 6).alias("cos_sim"),
+        F.round(cosine_pairs(vec_col, "_qvec"), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
-    )
+    return _topk_by_query(scored, k, query_id_col, id_col)
 
 
 def centroids_by(
