@@ -53,6 +53,7 @@ from xmidt_event_streams_spark.operators.similarity import (
     brute_force_topk,
     deterministic_planes,
     lsh_bucket,
+    lsh_topk,
 )
 from xmidt_event_streams_spark.routing import route_union, routing_oracle_sql
 from xmidt_event_streams_spark.schema import WRP_VIEW_SQL, wrp_view
@@ -586,6 +587,49 @@ def _lsh_buckets_sql() -> str:
 
 
 SQL_LSH_BUCKETS = _lsh_buckets_sql()
+
+
+def q_lsh_ann(spark, sf_dir):
+    """LSH ANN end-to-end: queries (vec_id < 5) score only corpus
+    vectors sharing their sign bucket; cosine top-10 within. Approx
+    twin of embedding_topk (recall < 1 by construction); the bucket
+    equi-join is the 100 TB path -- see operators/similarity.lsh_topk."""
+    emb = _emb(spark, sf_dir)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=8, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _lsh_ann_sql() -> str:
+    planes = deterministic_planes(8, 64)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in p)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    cos = (
+        "round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) > 0 "
+        "THEN list_dot_product(e.v, q.v) "
+        "/ (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) "
+        "ELSE 0 END, 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bits} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v, bucket FROM e WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cos_sim
+  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM s
+) WHERE rnk <= 10
+"""
+
+
+SQL_LSH_ANN = _lsh_ann_sql()
 
 # ------------------------------------------------------ relational (TPC-H)
 
@@ -1389,6 +1433,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_topk": QuerySpec(q_embedding_topk, SQL_EMBEDDING_TOPK, True),
     "embedding_centroids": QuerySpec(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
+    "lsh_ann": QuerySpec(q_lsh_ann, SQL_LSH_ANN),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1, True),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3, True),
     "tpch_q5ish": QuerySpec(q_tpch_q5ish, SQL_TPCH_Q5ISH),
