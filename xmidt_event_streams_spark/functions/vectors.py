@@ -86,7 +86,12 @@ def cosine_pairs(a: Column | str, b: Column | str) -> Column:
         out = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
         return pd.Series(out)
 
-    return _cos(as_double(a), as_double(b))
+    # asNondeterministic: results ARE deterministic, but this stops
+    # Catalyst from substituting the UDF into pushed-down filters
+    # (e.g. a threshold on the rounded score), which would evaluate
+    # the kernel twice per row (observed in .explain as a second
+    # ArrowEvalPython below the Filter)
+    return _cos.asNondeterministic()(as_double(a), as_double(b))
 
 
 def sign_bits(vec: Column | str, planes: list[list[float]]) -> Column:
@@ -103,7 +108,9 @@ def sign_bits(vec: Column | str, planes: list[list[float]]) -> Column:
         chars = np.where(signs, "1", "0")
         return pd.Series(["".join(row) for row in chars])
 
-    return _bits(as_double(vec))
+    # see cosine_pairs: prevents double evaluation under the bucket
+    # equi-join's implied isnotnull pushdown
+    return _bits.asNondeterministic()(as_double(vec))
 
 
 def nearest_cells(
@@ -129,7 +136,9 @@ def nearest_cells(
         order = np.argsort(-np.round(sims, 6), axis=1, kind="stable")
         return pd.Series(list(order[:, :n_probe].astype(np.int32)))
 
-    return _cells(as_double(vec))
+    # see cosine_pairs: prevents double evaluation under the cell
+    # equi-join's implied isnotnull pushdown
+    return _cells.asNondeterministic()(as_double(vec))
 
 
 def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
