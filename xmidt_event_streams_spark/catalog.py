@@ -364,7 +364,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
     r = num_hashes // bands
     sig_items = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT))"
         for i in range(num_hashes)
     )
     key_items = ", ".join(

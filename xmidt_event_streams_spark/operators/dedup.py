@@ -60,20 +60,34 @@ def dedup_by_key(df: DataFrame, key_col: str = "transaction_uuid") -> DataFrame:
     return df.dropDuplicates([key_col])
 
 
+def _minhash_term(i: int, s: Column) -> Column:
+    """One MinHash draw: the first 15 hex chars (60 bits) of
+    md5('<i>|' || shingle) as a bigint. Fixed-width numeric rather
+    than the hex string so the min-aggregate keeps a mutable buffer
+    (HashAggregate with map-side partials; min(string) would fall
+    back to SortAggregate + per-partition sorts). Lexicographic order
+    of fixed-length hex == numeric order, so this is the same
+    permutation family."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 8, shingle_n: int = 3
 ) -> Column:
-    """MinHash signature: array of ``num_hashes`` hex strings.
+    """MinHash signature: array of ``num_hashes`` 60-bit bigints.
 
-    hash_i(doc) = min over shingles of md5('<i>|' || shingle).
-    Empty shingle set -> array of nulls (doc too short; callers filter).
+    hash_i(doc) = min over shingles of md5('<i>|' || shingle)
+    (truncated to 15 hex chars, read as an integer). Empty shingle
+    set -> array of nulls (doc too short; callers filter).
     """
     shingles = word_ngrams(text, shingle_n)
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            ).alias(f"h{i}")
+            F.array_min(F.transform(shingles, lambda s: _minhash_term(i, s))).alias(
+                f"h{i}"
+            )
             for i in range(num_hashes)
         ]
     )
@@ -86,7 +100,8 @@ def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     keys = []
     for b in range(bands):
         sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
-        keys.append(F.md5(F.concat(F.lit(f"b{b}:"), F.concat_ws("|", sl))))
+        joined = F.concat_ws("|", F.transform(sl, lambda x: x.cast("string")))
+        keys.append(F.md5(F.concat(F.lit(f"b{b}:"), joined)))
     return F.array(*keys)
 
 
@@ -103,9 +118,11 @@ def minhash_signatures_df(
     columns inline duplicates the tokenize/shingle/md5 expression tree
     k x bands times (Catalyst's projection collapse inlines aliases),
     which measured ~400x slower at sf0.1. Exploding shingles once and
-    hash-aggregating min(md5(i|s)) computes every md5 exactly once,
-    combines map-side, and shuffles only (id, k mins) -- the plan that
-    survives 100 TB.
+    hash-aggregating min(term(i|s)) computes every md5 exactly once,
+    combines map-side, and shuffles only (id, k mins). The min terms
+    are 60-bit bigints (see _minhash_term) so the aggregate keeps a
+    fixed-width mutable buffer -> HashAggregate, no sort -- the plan
+    that survives 100 TB.
 
     Docs with no shingles (fewer than shingle_n tokens) are absent
     from the output (they cannot be near-dup candidates).
@@ -115,7 +132,7 @@ def minhash_signatures_df(
     )
     return shingled.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            F.min(_minhash_term(i, F.col("s"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -134,6 +151,12 @@ def minhash_lsh_candidates(
     Plan: explode+agg signatures -> band keys -> explode -> self-join
     on bucket (shuffle on uniformly-distributed md5 keys) -> distinct
     pairs. Returns (id_a, id_b) with id_a < id_b.
+
+    The self-join is hinted shuffle-hash: both sides then shuffle on
+    the same canonical plan and the second side becomes a
+    ReusedExchange -- the whole shingle/md5/agg pipeline runs ONCE
+    (a broadcast join would rebuild it for the build side; at 100 TB
+    the signature relation doesn't broadcast anyway).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -142,14 +165,16 @@ def minhash_lsh_candidates(
         F.md5(
             F.concat(
                 F.lit(f"b{b}:"),
-                F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)]),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
+                ),
             )
         )
         for b in range(bands)
     ]
     keyed = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bucket"))
     a = keyed.alias("a")
-    b = keyed.alias("b")
+    b = keyed.hint("shuffle_hash").alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
