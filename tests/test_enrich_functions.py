@@ -132,3 +132,45 @@ class TestVectors:
         assert out[1] == 0.0
         assert math.isclose(out[2], 1 / math.sqrt(2))
         assert out[3] == 0.0  # zero vector guard
+
+    def test_cosine_pairs_matches_expression_cosine(self, spark):
+        from xmidt_event_streams_spark.functions.vectors import cosine_pairs
+
+        df = spark.createDataFrame(
+            [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0]),
+             Row(a=[1.0, 1.0], b=[1.0, 0.0]), Row(a=[0.0, 0.0], b=[1.0, 0.0]),
+             Row(a=[0.5, -2.5], b=[-1.5, 3.25])]
+        )
+        rows = df.select(
+            F.round(cosine("a", "b"), 9).alias("expr"),
+            F.round(cosine_pairs("a", "b"), 9).alias("np"),
+        ).collect()
+        assert all(r["expr"] == r["np"] for r in rows)
+
+    def test_sign_bits_matches_expression_bits(self, spark):
+        from xmidt_event_streams_spark.functions.vectors import (
+            random_projection_sign_bits,
+            sign_bits,
+        )
+        from xmidt_event_streams_spark.operators.similarity import (
+            deterministic_planes,
+        )
+
+        planes = deterministic_planes(6, 4)
+        df = spark.createDataFrame(
+            [Row(v=[float(i) - 1.7, 0.3 * i, -float(i * i), 2.0]) for i in range(20)]
+        )
+        rows = df.select(
+            random_projection_sign_bits("v", planes).alias("expr"),
+            sign_bits("v", planes).alias("np"),
+        ).collect()
+        assert all(r["expr"] == r["np"] for r in rows)
+
+    def test_nearest_cells_tie_breaks_to_lowest_cell(self, spark):
+        from xmidt_event_streams_spark.functions.vectors import nearest_cells
+
+        # centroids 1 and 2 are identical -> equal sims; lowest cell wins
+        cents = [[0.0, 1.0], [1.0, 0.0], [1.0, 0.0]]
+        df = spark.createDataFrame([Row(v=[2.0, 0.1])])
+        top = df.select(nearest_cells("v", cents, 3).alias("c")).collect()[0]["c"]
+        assert list(top) == [1, 2, 0]
