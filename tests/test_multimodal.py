@@ -47,3 +47,15 @@ def test_frame_sampling_shape(spark):
     )
     frames = frame_sample_plan(df, every_n=30).collect()
     assert [r["frame_no"] for r in frames] == [0, 30, 60, 90]
+
+
+def test_resize_shape_and_poison(spark):
+    from xmidt_event_streams_spark.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(_media_df(spark), 32, 16).collect()}
+    assert out["img-1"]["width"] == 32 and out["img-1"]["height"] == 16
+    assert out["img-1"]["resized"] is not None
+    assert out["img-bad"]["resized"] is None  # poison contained, task alive
+    # deterministic: same payload + size -> same bytes
+    again = {r["media_id"]: r for r in resize_images(_media_df(spark), 32, 16).collect()}
+    assert bytes(again["img-1"]["resized"]) == bytes(out["img-1"]["resized"])

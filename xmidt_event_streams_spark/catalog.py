@@ -796,6 +796,29 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched decode/feature-extract + resize over binary
+    payloads (events props bytes standing in for media). The decode
+    kernels are deterministic stubs (no codec libs in this container)
+    -- not SQL-expressible, so rows-only: the check pins the
+    mapInPandas schema, batch iteration, and poison-row containment."""
+    from xmidt_event_streams_spark.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+
+    ev = _ev(spark, sf_dir)
+    media = ev.select(
+        F.col("event_id").cast("string").alias("media_id"),
+        F.encode(F.col("props"), "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(media)
+    resized = resize_images(media, 64, 64).select(
+        "media_id", F.octet_length("resized").alias("resized_len")
+    )
+    return feats.join(resized, "media_id")
+
+
 SQL_MULTIMODAL_META = """
 SELECT event_id, CAST(octet_length(props::BLOB) AS BIGINT) AS payload_len,
        md5(props) AS payload_md5
@@ -1439,6 +1462,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q5ish": QuerySpec(q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "events_windowed": QuerySpec(q_events_windowed, SQL_EVENTS_WINDOWED),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_features": QuerySpec(q_multimodal_features, None),
     "partner_overlap": QuerySpec(q_partner_overlap, SQL_PARTNER_OVERLAP),
     "asof_last_click": QuerySpec(q_asof_last_click, SQL_ASOF_LAST_CLICK, True),
     "events_pivot": QuerySpec(q_events_pivot, SQL_EVENTS_PIVOT),

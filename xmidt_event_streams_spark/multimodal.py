@@ -110,6 +110,57 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resized", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """mapInPandas resize to a fixed (width, height) -- the standard
+    pre-embedding normalization step. Decode/re-encode is STUBBED
+    (no PIL in this container): the output bytes are a deterministic
+    function of (payload, target size) with the right shape and
+    nullability, so partitioning, batch iteration, and schema are
+    exercised for real; swap ``_resize_stub`` for PIL at deploy.
+    Poison rows (empty payload) yield null bytes, not task failure.
+    """
+    import hashlib
+
+    def _resize_stub(payload: bytes) -> bytes:
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        seed = hashlib.md5(payload[:256] + f"|{width}x{height}".encode()).digest()
+        # deterministic fake pixel buffer, truncated (real output would
+        # be width*height*3; keep test payloads small)
+        return (seed * ((width * height * 3) // len(seed) + 1))[:4096]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for payload in pdf["payload"]:
+                try:
+                    resized.append(
+                        _resize_stub(bytes(payload) if payload is not None else b"")
+                    )
+                except ValueError:
+                    resized.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     index (decode stubbed; the explode/partition shape is the real
