@@ -78,3 +78,19 @@ def test_oracle_parity(spark, sf_dir, name):
 def test_rows_only(spark, sf_dir, name):
     sdf = QUERIES[name].fn(spark, sf_dir)
     assert sdf.count() >= 0
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join must be row-identical to the straight equi-join."""
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.operators.skew import salted_join
+    from xmidt_event_streams_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    orders = t["orders"].withColumnRenamed("o_custkey", "c_custkey")
+    plain = orders.join(t["customer"], ["c_custkey"]).select("o_orderkey", "c_name")
+    salted = salted_join(
+        orders, t["customer"], ["c_custkey"], salt_from="o_orderkey", n_salts=4
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

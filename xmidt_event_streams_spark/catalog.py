@@ -941,6 +941,24 @@ FROM events GROUP BY event_type
 """
 
 
+def q_distinct_users_salted(spark, sf_dir):
+    """Exact distinct via value-space salting (operators/skew.py):
+    hash(user_id)%8 partitions the value domain, per-salt distincts
+    are disjoint, SUM merges exactly. Same answer as the straight
+    plan -- the shape that survives one event_type owning most of
+    100 TB."""
+    from xmidt_event_streams_spark.operators.skew import salted_count_distinct
+
+    ev = _ev(spark, sf_dir)
+    return salted_count_distinct(ev, ["event_type"], "user_id", 8, out_col="n_users")
+
+
+SQL_DISTINCT_USERS_SALTED = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_top_users_per_type(spark, sf_dir):
     """Top-3 users by spend per event type: agg + ranked window, the
     canonical grouped top-k."""
@@ -1468,6 +1486,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_pivot": QuerySpec(q_events_pivot, SQL_EVENTS_PIVOT),
     "events_rollup": QuerySpec(q_events_rollup, SQL_EVENTS_ROLLUP),
     "distinct_users_per_type": QuerySpec(q_distinct_users_per_type, SQL_DISTINCT_USERS),
+    "distinct_users_salted": QuerySpec(
+        q_distinct_users_salted, SQL_DISTINCT_USERS_SALTED
+    ),
     "top_users_per_type": QuerySpec(q_top_users_per_type, SQL_TOP_USERS),
     "clicked_not_purchased": QuerySpec(q_clicked_not_purchased, SQL_CLICKED_NOT_PURCHASED),
     "doc_fingerprint_rolling": QuerySpec(
