@@ -1212,6 +1212,77 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 """
 
 
+def q_tpch_q12ish(spark, sf_dir):
+    """Shipping-priority classes (TPC-H Q12 shape, adapted: this
+    lineitem has no shipmode/receiptdate, so classify by order
+    priority over a shipdate year): join + conditional counts.
+    Conditional agg stays map-side partial; the join broadcasts
+    orders' 2 needed columns at this SF (AQE re-plans at scale)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+SQL_TPCH_Q12ISH = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q19ish(spark, sf_dir):
+    """Discounted revenue under OR-of-ANDs (TPC-H Q19 shape, adapted
+    to available columns: brand/size/quantity bands). Exercises
+    disjunctive predicate handling: the part-side conjuncts can't
+    individually push to the scan, but the common join key does, and
+    codegen short-circuits the disjunction per row."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    j = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    return j.filter(band).agg(
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue")
+    )
+
+
+SQL_TPCH_Q19ISH = f"""
+SELECT round(CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 def q_tpch_q18ish(spark, sf_dir):
     """Large-volume orders (TPC-H Q18 shape): agg-HAVING subquery
     joined back to orders+customer, deterministic top-20."""
@@ -1499,6 +1570,8 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q4_semi": QuerySpec(q_tpch_q4_semi, SQL_TPCH_Q4_SEMI),
     "tpch_q10ish": QuerySpec(q_tpch_q10ish, SQL_TPCH_Q10ISH),
     "tpch_q14ish": QuerySpec(q_tpch_q14ish, SQL_TPCH_Q14ISH),
+    "tpch_q12ish": QuerySpec(q_tpch_q12ish, SQL_TPCH_Q12ISH),
+    "tpch_q19ish": QuerySpec(q_tpch_q19ish, SQL_TPCH_Q19ISH),
     "tpch_q18ish": QuerySpec(q_tpch_q18ish, SQL_TPCH_Q18ISH),
     "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),
     "session_gaps": QuerySpec(q_session_gaps, SQL_SESSION_GAPS),
