@@ -100,3 +100,26 @@ class TestAsofJoin:
             for r in con.execute(QUERIES["asof_last_click"].sql).fetchall()
         )
         assert srows == drows
+
+
+class TestKMeans:
+    def test_converges_to_planted_clusters_and_deterministic(self, spark):
+        from pyspark.sql import Row
+
+        from xmidt_event_streams_spark.operators.ivf import assign_cells, kmeans_fit
+
+        # two tight planted clusters around orthogonal axes
+        rows = []
+        for i in range(10):
+            rows.append(Row(vec_id=i, embedding=[10.0 + i * 0.1, float(i % 2)]))
+        for i in range(10, 20):
+            rows.append(Row(vec_id=i, embedding=[float(i % 2), 10.0 + i * 0.1]))
+        df = spark.createDataFrame(rows)
+        c1 = kmeans_fit(df, k=2, n_iters=4)
+        c2 = kmeans_fit(df, k=2, n_iters=4)
+        assert c1 == c2  # deterministic
+        out = assign_cells(df, c1).collect()
+        cells = {r["vec_id"]: r["cell"] for r in out}
+        first = {cells[i] for i in range(10)}
+        second = {cells[i] for i in range(10, 20)}
+        assert len(first) == 1 and len(second) == 1 and first != second

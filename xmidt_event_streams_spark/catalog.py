@@ -1478,6 +1478,21 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_topk(emb, queries, centroids, k=IVF_TOPK, n_probe=IVF_N_PROBE)
 
 
+def q_ivf_ann_kmeans(spark, sf_dir):
+    """IVF ANN with LEARNED coarse centroids: distributed spherical
+    k-means (operators/ivf.kmeans_fit -- corpus never leaves the
+    executors; driver holds k x dim floats), then the same probed
+    search as ivf_ann. Rows-only: the iterative fit is not
+    SQL-expressible (oracle-checked twin with fixed centroids:
+    ivf_ann)."""
+    from xmidt_event_streams_spark.operators.ivf import ivf_topk, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    centroids = kmeans_fit(emb, k=IVF_N_CELLS, n_iters=3)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, centroids, k=IVF_TOPK, n_probe=IVF_N_PROBE)
+
+
 _COS_SQL = (
     "round(CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
     "THEN list_dot_product({a}, {b}) "
@@ -1580,4 +1595,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_cube": QuerySpec(q_events_cube, SQL_EVENTS_CUBE),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
     "ivf_ann": QuerySpec(q_ivf_ann, SQL_IVF_ANN, True),
+    "ivf_ann_kmeans": QuerySpec(q_ivf_ann_kmeans, None),
 }

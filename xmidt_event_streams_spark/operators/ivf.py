@@ -32,6 +32,54 @@ from pyspark.sql import functions as F
 from xmidt_event_streams_spark.functions.vectors import cosine_pairs, nearest_cells
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed spherical k-means for IVF coarse centroids.
+
+    Lloyd iterations, Spark-shaped: each round is one NARROW cell
+    assignment (Arrow matmul against the current centroids) plus one
+    aggregate of per-(cell, dim) means (posexplode -> groupBy -- the
+    same k x dim-bounded shuffle as similarity.centroids_by). The
+    driver only ever materializes k x dim floats per round; the corpus
+    never leaves the executors, so the fit scales to any corpus size.
+
+    Deterministic: init = first ``k`` vectors by id; assignment ties
+    break to the lowest cell (nearest_cells). Cells that lose all
+    members keep their previous centroid. Cosine assignment + mean
+    update = spherical k-means (cosine is scale-invariant, so the
+    un-normalized mean is an equivalent representative).
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    cents = [
+        r[0]
+        for r in df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    ]
+    for _ in range(n_iters):
+        assigned = assign_cells(df, cents, vec_col)
+        per_dim = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("v"))
+            .collect()
+        )
+        new = {c: list(cents[c]) for c in range(k)}
+        for row in per_dim:
+            new[row["cell"]][row["pos"]] = row["v"]
+        cents = [new[c] for c in range(k)]
+    return cents
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
