@@ -57,6 +57,8 @@ def start_routing(
     watermark: tuple[str, str] | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     availableNow: bool = False,
+    query_name: str | None = None,
+    observe_gauges: bool = True,
 ):
     """Start the routing query over a streaming DataFrame.
 
@@ -64,6 +66,10 @@ def start_routing(
     reference's at-least-once duplication, fixed upstream of the sink).
     ``transform`` applies the validate/enrich stage (batch-identical
     Columns). Returns the StreamingQuery.
+
+    ``observe_gauges`` attaches the M4/M5 queue gauges
+    (streaming/metrics.py): register a ``GaugeListener`` on the
+    SparkSession to collect them per trigger.
     """
     filters = tuple(filters)
     if transform is not None:
@@ -75,12 +81,19 @@ def start_routing(
     elif dedup_key:
         df = df.dropDuplicates([dedup_key])
 
+    if observe_gauges:
+        from xmidt_event_streams_spark.streaming.metrics import with_gauges
+
+        df = with_gauges(df, name=query_name or "queue")
+
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         route_and_deliver(batch_df, filters, sender_factory)
 
     writer = df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
     )
+    if query_name:
+        writer = writer.queryName(query_name)
     if availableNow:
         writer = writer.trigger(availableNow=True)
     else:
