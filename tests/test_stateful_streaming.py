@@ -94,6 +94,93 @@ def test_hybrid_flush_time_arm(spark, tmp_path):
     assert out[0]["items"] == ["m0"]
 
 
+def test_hybrid_flush_idle_arm(spark, tmp_path):
+    """B4 SubmitOnEmptyQueue (queue.go:209-216; spec
+    queue_test.go:444-483): batch_size=10 but a single arrival flushes
+    immediately once the channel drains -- reason 'idle', no state
+    held (so availableNow terminates cleanly, proving nothing is
+    buffered)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_items(src / "b1.json", [{"stream_name": "s1", "item": "m0"}])
+    stream = _read_stream(spark, src, "stream_name string, item string")
+    out: list = []
+    _run_available_now(
+        hybrid_flush(
+            stream, batch_size=10, time_limit_ms=60_000,
+            submit_on_empty_queue=True,
+        ),
+        tmp_path / "ckpt",
+        out,
+    )
+    assert [(r.stream_name, r.n, r.flush_reason) for r in out] == [("s1", 1, "idle")]
+    assert out[0]["items"] == ["m0"]
+
+
+def test_hybrid_flush_idle_after_size(spark, tmp_path):
+    """B4 composes with B2: 5 items at batch_size=2 emit two full
+    'size' batches and the drained remainder as 'idle' (the reference
+    drains the channel one item at a time, submitting a full batch
+    whenever reached, then the leftovers when empty)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_items(
+        src / "b1.json",
+        [{"stream_name": "s1", "item": f"m{i}"} for i in range(5)],
+    )
+    stream = _read_stream(spark, src, "stream_name string, item string")
+    out: list = []
+    _run_available_now(
+        hybrid_flush(
+            stream, batch_size=2, time_limit_ms=60_000,
+            submit_on_empty_queue=True,
+        ),
+        tmp_path / "ckpt",
+        out,
+    )
+    assert [(r.n, r.flush_reason) for r in out] == [
+        (2, "size"), (2, "size"), (1, "idle")
+    ]
+    assert sorted(x for r in out for x in r["items"]) == [f"m{i}" for i in range(5)]
+
+
+def test_hybrid_flush_timer_anchored_at_first_item(spark, tmp_path):
+    """B3 divergence fix: a later arrival must NOT reset the flush
+    clock. First item at t0, second ~3 s later, limit 6 s: both flush
+    together as 'time' close to t0+limit. Under reset-on-arrival
+    semantics the flush would land near t0+3s+limit -- the upper
+    bound asserted here would be blown."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_items(src / "b1.json", [{"stream_name": "s1", "item": "m0"}])
+    stream = _read_stream(spark, src, "stream_name string, item string")
+    out: list = []
+    t0 = time.time()
+    q = (
+        hybrid_flush(stream, batch_size=10, time_limit_ms=6_000)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        time.sleep(3.0)
+        _write_items(src / "b2.json", [{"stream_name": "s1", "item": "m1"}])
+        deadline = t0 + 20.0
+        while time.time() < deadline and not out:
+            time.sleep(0.2)
+        elapsed = time.time() - t0
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert out, "time flush never fired"
+    assert out[0]["flush_reason"] == "time"
+    assert sorted(out[0]["items"]) == ["m0", "m1"]
+    # anchored: fires ~t0+6s (+micro-batch latency); reset-on-arrival
+    # would be >= t0+9s.
+    assert elapsed < 8.8, f"flush at +{elapsed:.1f}s -- timer was reset"
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Windowed streaming agg with watermark: rows older than
     (max event time - delay) are dropped in later micro-batches."""

@@ -4,7 +4,9 @@ size-OR-time micro-batch flush as applyInPandasWithState.
 The reference's per-filter queue loop (internal/queue/queue.go:142-207)
 accumulates matched messages and flushes when EITHER
   * the buffer reaches ``batch_size``   (B2, queue.go:177-182), or
-  * the 15 s ticker fires               (B3, queue.go:169-172).
+  * the 15 s ticker fires               (B3, queue.go:169-172), or
+  * the incoming channel drains with ``SubmitOnEmptyQueue`` set
+                                        (B4, queue.go:209-216).
 
 Structured Streaming's triggers are time-based only, so the size arm
 needs state: this operator keeps the per-stream buffer in the state
@@ -56,7 +58,7 @@ FLUSH_OUTPUT_SCHEMA = StructType(
         StructField("stream_name", StringType()),
         StructField("items", ArrayType(StringType())),
         StructField("n", IntegerType()),
-        StructField("flush_reason", StringType()),  # 'size' | 'time'
+        StructField("flush_reason", StringType()),  # 'size' | 'time' | 'idle'
     ]
 )
 
@@ -64,6 +66,7 @@ _STATE_SCHEMA = StructType(
     [
         StructField("buffered", ArrayType(StringType())),
         StructField("emitted_batches", LongType()),
+        StructField("first_buffered_ms", LongType()),
     ]
 )
 
@@ -74,11 +77,25 @@ def hybrid_flush(
     key_col: str = "stream_name",
     batch_size: int = DEFAULT_BATCH_SIZE,
     time_limit_ms: int = DEFAULT_TIME_LIMIT_MS,
+    submit_on_empty_queue: bool = False,
 ) -> DataFrame:
     """Group ``routed`` (a streaming DF with a serialized ``item_col``)
     by ``key_col`` and emit delivery batches under size-OR-time flush.
 
     Output rows: (stream_name, items array<string>, n, flush_reason).
+
+    B3 latency bound: the timeout is anchored at the FIRST buffered
+    item's processing time -- an arrival does not reset the clock, so
+    no item waits longer than ``time_limit_ms`` even under a steady
+    trickle (the reference's free-running 15 s ticker, queue.go:169,
+    gives the same bound; anchoring differs only in phase).
+
+    ``submit_on_empty_queue`` is B4 (``SubmitOnEmptyQueue``,
+    queue.go:209-216; spec queue_test.go:444-483): once the incoming
+    channel drains, the remainder submits immediately instead of
+    waiting for size/time. A micro-batch IS the drain here, so with
+    this flag each invocation's leftover flushes with reason
+    ``'idle'`` and no state is carried.
     """
 
     def flush(
@@ -89,14 +106,18 @@ def hybrid_flush(
         import pandas as pd
 
         if state.exists:
-            (buffered, emitted) = state.get
+            (buffered, emitted, first_ms) = state.get
             buf = list(buffered)
         else:
-            buf, emitted = [], 0
+            buf, emitted, first_ms = [], 0, None
 
+        now_ms = state.getCurrentProcessingTimeMs()
         if not state.hasTimedOut:
+            was_empty = not buf
             for pdf in pdfs:
                 buf.extend(pdf[item_col].tolist())
+            if buf and was_empty:
+                first_ms = now_ms
 
         flushed: list[tuple[list, str]] = []
         while len(buf) >= batch_size:  # B2 size arm
@@ -105,10 +126,17 @@ def hybrid_flush(
         if state.hasTimedOut and buf:  # B3 ticker arm
             flushed.append((buf, "time"))
             buf = []
+        if submit_on_empty_queue and buf:  # B4: the batch drained
+            flushed.append((buf, "idle"))
+            buf = []
 
         if buf:
-            state.update((buf, emitted + len(flushed)))
-            state.setTimeoutDuration(time_limit_ms)
+            state.update((buf, emitted + len(flushed), first_ms))
+            # remaining time until the oldest buffered item reaches
+            # the limit -- never a fresh full interval
+            state.setTimeoutDuration(
+                max(1, time_limit_ms - (now_ms - (first_ms or now_ms)))
+            )
         elif state.exists:
             state.remove()
 
