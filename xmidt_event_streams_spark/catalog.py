@@ -383,21 +383,35 @@ FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 SQL_MINHASH = _minhash_sql()
 
 
+NGRAM_MAX_BUCKET = 200
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-bigram Jaccard for all pairs within (lang, source)
-    buckets."""
+    buckets, capped at NGRAM_MAX_BUCKET docs per bucket (deterministic
+    lowest-id survivors) so one skewed bucket cannot go quadratic;
+    operators/dedup.bucket_cap_drops is the drop ledger. The cap is a
+    no-op at sf0.01 bucket sizes -- its bound is proven in
+    tests/test_msgpack_asof.py with an oversized bucket."""
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), ("lang", "source"), shingle_n=2
+        _docs(spark, sf_dir), ("lang", "source"), shingle_n=2,
+        max_bucket_size=NGRAM_MAX_BUCKET,
     )
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH {_WORDS_CTE},
-sh AS (
+sh0 AS (
   SELECT doc_id, lang, source,
     list_distinct(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
                                  i -> array_to_string(w[i:i+1], ' '))) AS sh
   FROM words
+),
+sh AS (
+  SELECT doc_id, lang, source, sh FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+    FROM sh0
+  ) WHERE rn <= {NGRAM_MAX_BUCKET}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
@@ -970,37 +984,94 @@ FROM n
 """
 
 
-def q_embedding_near_dup(spark, sf_dir):
+# portable cosine for DuckDB twins (6dp rounding + zero-denominator
+# guard match functions/vectors.py kernels)
+_COS_SQL = (
+    "round(CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+    "THEN list_dot_product({a}, {b}) "
+    "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+    "ELSE 0 END, 6)"
+)
+
+NEARDUP_N_CELLS = 32
+NEARDUP_N_PROBE = 4
+NEARDUP_THRESHOLD = 0.4
+
+
+def _neardup_centroids() -> list[list[float]]:
+    return deterministic_planes(NEARDUP_N_CELLS, 64, seed="ivf-centroids")
+
+
+def q_embedding_near_dup(spark, sf_dir, exact=False):
     """Embedding-cosine near-duplicate pairs (threshold 0.4; data has
-    no planted dups so this is the high-similarity tail). Brute-force
-    within the benchmark scale; the LSH-bucketed variant
-    (similarity.lsh_topk) is the 100 TB path."""
+    no planted dups so this is the high-similarity tail).
+
+    Default plan: cluster-then-verify (SemDeDup shape,
+    similarity.clustered_near_dup_pairs) -- multi-probe cell
+    assignment, equi-join on cell, exact cosine verify. Sub-quadratic:
+    no BroadcastNestedLoopJoin over the corpus. Measured at sf0.01
+    with these 32 constant cells / 4 probes: recall 0.80 of the
+    brute-force pair set, candidates 42% of all pairs (the synthetic
+    embeddings are near-isotropic -- the worst case; clustered real
+    data and kmeans_fit centroids separate far better, and cell count
+    grows ~sqrt(n) at scale). The oracle twin replicates the full
+    composition, so the check is exact over the approximate operator.
+
+    ``exact=True`` keeps the O(n^2) brute-force (bench/debug only).
+    """
     emb = _emb(spark, sf_dir)
     from xmidt_event_streams_spark.functions.vectors import cosine_pairs
+    from xmidt_event_streams_spark.operators.similarity import (
+        clustered_near_dup_pairs,
+    )
 
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine_pairs("va", "vb"), 6).alias("cos_sim")
+    if exact:
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.round(cosine_pairs("va", "vb"), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
         )
-        .filter(F.col("cos_sim") >= 0.4)
+    return clustered_near_dup_pairs(
+        emb,
+        _neardup_centroids(),
+        threshold=NEARDUP_THRESHOLD,
+        n_probe=NEARDUP_N_PROBE,
     )
 
 
-SQL_EMBEDDING_NEAR_DUP = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
-    THEN list_dot_product(a.v, b.v)
-         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-    ELSE 0 END, 6) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
-    THEN list_dot_product(a.v, b.v)
-         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-    ELSE 0 END, 6) >= 0.4
+_NEARDUP_CENT_VALUES = ", ".join(
+    "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+    for i, c in enumerate(_neardup_centroids())
+)
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH cent AS (
+  SELECT * FROM (VALUES {_NEARDUP_CENT_VALUES}) AS t(cell, cv)
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS (
+  SELECT c.vec_id, cent.cell, {_COS_SQL.format(a='c.v', b='cent.cv')} AS sim
+  FROM c CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM sims
+  ) WHERE rn <= {NEARDUP_N_PROBE}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT cand.id_a, cand.id_b,
+  {_COS_SQL.format(a='va.v', b='vb.v')} AS cos_sim
+FROM cand
+JOIN c va ON va.vec_id = cand.id_a
+JOIN c vb ON vb.vec_id = cand.id_b
+WHERE {_COS_SQL.format(a='va.v', b='vb.v')} >= {NEARDUP_THRESHOLD}
 """
 
 
@@ -1457,13 +1528,6 @@ def q_ivf_ann_kmeans(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3)
     return ivf_topk(emb, queries, centroids, k=IVF_TOPK, n_probe=IVF_N_PROBE)
 
-
-_COS_SQL = (
-    "round(CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
-    "THEN list_dot_product({a}, {b}) "
-    "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
-    "ELSE 0 END, 6)"
-)
 
 _IVF_CENT_VALUES = ", ".join(
     "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"

@@ -269,18 +269,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     threshold: float = 0.0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs within each bucket.
 
     Jaccard = |A ∩ B| / |A ∪ B| over *distinct* shingle sets.
     Bucketing (e.g. by lang/source, or by LSH band) keeps the pair
     blow-up bounded; the join shuffles on the bucket columns only.
+
+    ``max_bucket_size`` bounds the per-bucket blow-up: only the first
+    N docs per bucket (by ``id_col`` -- deterministic survivors)
+    participate in pairing, so one skewed bucket costs at most
+    N^2/2 comparisons instead of going quadratic in the bucket.
+    Account for what the cap excluded with
+    :func:`bucket_cap_drops` (pair it in any production job -- a
+    silent cap reads as full coverage). The row_number shuffle
+    partitions on the same keys as the pair join, so the cap adds no
+    extra exchange of the big side.
     """
     sh = df.select(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
         F.array_distinct(word_ngrams(text_col, shingle_n)).alias("sh"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*bucket_cols).orderBy(id_col)
+        sh = (
+            sh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in bucket_cols:
@@ -299,3 +319,24 @@ def ngram_jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def bucket_cap_drops(
+    df: DataFrame,
+    bucket_cols: tuple[str, ...],
+    max_bucket_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket counts of docs excluded by ``max_bucket_size`` --
+    the drop ledger for the capped :func:`ngram_jaccard_pairs`.
+    One hash-agg over the bucket keys; returns only buckets that
+    actually dropped. Output: (bucket cols..., n_docs, n_dropped)."""
+    return (
+        df.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(F.count(F.col(id_col)).alias("n_docs"))
+        .withColumn(
+            "n_dropped",
+            F.greatest(F.lit(0), F.col("n_docs") - F.lit(max_bucket_size)),
+        )
+        .filter(F.col("n_dropped") > 0)
+    )

@@ -133,6 +133,63 @@ def lsh_topk(
     return _topk_by_query(scored, k, query_id_col, id_col)
 
 
+def clustered_near_dup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic near-duplicate pairs: cluster-then-verify
+    (the SemDeDup shape -- Abbas et al. 2023, arXiv:2303.09540:
+    k-means-cluster the corpus, compare only within clusters).
+
+    Each vector multi-assigns to its ``n_probe`` nearest coarse cells
+    (narrow Arrow matmul against the plan-time-constant centroid
+    matrix -- functions.vectors.nearest_cells), candidates are pairs
+    sharing >= 1 cell (shuffle-hash equi-join on cell; at 100 TB the
+    corpus is written partitioned by primary cell and co-located), and
+    each candidate is exact-verified with the cosine kernel. No
+    nested-loop join anywhere; candidate volume is sum over cells of
+    n_cell^2, bounded by growing ``len(centroids)`` ~ sqrt(n) and by
+    AQE skew splitting for hot cells.
+
+    Recall < 1 by construction (a pair straddling cell sets is
+    missed); it rises with n_probe and centroid quality (use
+    operators.ivf.kmeans_fit for learned cells). Exact results:
+    brute-force via the ``exact`` arm of the catalog query.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded
+    to 6dp, >= threshold.
+    """
+    from xmidt_event_streams_spark.functions.vectors import nearest_cells
+
+    cells = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(nearest_cells(vec_col, centroids, n_probe)).alias("cell"),
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    return (
+        a.hint("shuffle_hash")
+        .join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_pairs("_va", "_vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()  # a pair may share several probed cells
+    )
+
+
 def centroids_by(
     df: DataFrame,
     group_col: str = "label",
