@@ -127,6 +127,120 @@ class TestConfigValidation:
         assert cfgs[0].streams_in_order == ("a", "a-alt")
 
 
+# the reference's full config-file layout (streams_only.yaml:26-77):
+# filter_manager defaults + a filters list whose stream entry nests
+# stream_name and config_items key/value pairs
+_REFERENCE_SHAPE_YAML = """
+filter_manager:
+  delivery_retries: 3
+  default_queue_size: 1000
+  default_batch_size: 100
+  default_max_workers: 1000
+
+  filters:
+      - stream:
+          stream_name: "comcast-cl.device-status.local"
+          config_items:
+              - key: "endpoint"
+                value: "http://localhost:4567"
+              - key: "region"
+                value: "local"
+              - key: "version"
+                value: "1.0"
+        alt_streams: []
+        events:
+          - "device-status.*"
+        metadata:
+          device_ids: []
+        dest_type: "kinesis"
+        stream_version: "1.0"
+        queue_size: 100
+        batch_size: 1
+        max_workers: 100
+      - stream:
+          stream_name: "boot-time.local"
+          config_items: []
+        alt_streams: ["boot-time-alt.local"]
+        events:
+          - "boot-time"
+        metadata:
+          device_ids: ["mac:.*"]
+        dest_type: "kinesis"
+"""
+
+
+class TestYamlFileLoading:
+    """load_filter_configs_yaml against the reference's exact
+    streams_only.yaml layout (loaded by install/config.go:99-151)."""
+
+    def _load(self, tmp_path, text):
+        from xmidt_event_streams_spark.config import load_filter_configs_yaml
+
+        p = tmp_path / "cfg.yaml"
+        p.write_text(text)
+        return load_filter_configs_yaml(str(p))
+
+    def test_reference_shape_roundtrip(self, tmp_path):
+        cfgs = self._load(tmp_path, _REFERENCE_SHAPE_YAML)
+        assert len(cfgs) == 2
+
+        c0 = cfgs[0]
+        assert c0.stream_name == "comcast-cl.device-status.local"
+        assert c0.events == ("device-status.*",)
+        assert c0.device_ids == ()          # empty = pass-all
+        assert c0.alt_streams == ()
+        assert c0.dest_type == "kinesis"
+        assert c0.stream_version == "1.0"
+        # per-filter tuning overrides win over filter_manager defaults
+        assert (c0.queue_size, c0.batch_size, c0.max_workers) == (100, 1, 100)
+        # config_items land in options
+        assert c0.options["endpoint"] == "http://localhost:4567"
+        assert c0.options["region"] == "local"
+
+        c1 = cfgs[1]
+        assert c1.stream_name == "boot-time.local"
+        assert c1.streams_in_order == ("boot-time.local", "boot-time-alt.local")
+        assert c1.device_ids == ("mac:.*",)
+        # no overrides -> filter_manager default_* apply
+        assert (c1.queue_size, c1.batch_size, c1.max_workers) == (1000, 100, 1000)
+
+    def test_default_filters_equivalent_from_yaml(self, tmp_path):
+        """A YAML document compiling to exactly DEFAULT_FILTERS."""
+        from xmidt_event_streams_spark.config import DEFAULT_FILTERS
+
+        cfgs = self._load(
+            tmp_path,
+            """
+filter_manager:
+  filters:
+    - stream: "purchases-stream"
+      events: ["purchase.*", "checkout"]
+    - stream: "engagement-stream"
+      events: ["click", "view"]
+      metadata:
+        device_ids: ["user-1.*"]
+      alt_streams: ["engagement-stream-alt"]
+    - stream: "firehose-stream"
+      events: [".*"]
+      metadata:
+        device_ids: [".*"]
+""",
+        )
+        assert tuple(cfgs) == DEFAULT_FILTERS
+
+    def test_invalid_regex_in_yaml_fails_eagerly(self, tmp_path):
+        with pytest.raises(FilterConfigError):
+            self._load(
+                tmp_path,
+                """
+filter_manager:
+  filters:
+    - stream: "s"
+      events: ["[broken"]
+""",
+            )
+
+
 class TestFanOut:
     """filter_manager.go:136-138: every message offered to every filter."""
 

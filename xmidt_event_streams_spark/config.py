@@ -74,16 +74,43 @@ class FilterConfig:
         return (self.stream_name, *self.alt_streams)
 
 
-def load_filter_configs(obj) -> list[FilterConfig]:
+def load_filter_configs(obj, defaults: dict | None = None) -> list[FilterConfig]:
     """Compile a config mapping (parsed YAML/JSON/dict) to FilterConfigs.
 
-    Accepts the shape of the reference's ``filter_manager.filters`` list
-    (streams_only.yaml:26-77): a list of dicts, or a dict with a
-    ``filters`` key. Unknown dest types fail eagerly
+    Accepts the shape of the reference's config document
+    (streams_only.yaml:26-77, unmarshalled by
+    internal/install/config.go:99-151):
+
+      * a full document with ``filter_manager`` carrying
+        ``default_queue_size`` / ``default_batch_size`` /
+        ``default_max_workers`` (applied to filters that don't
+        override them) and a ``filters`` list;
+      * each filter item's ``stream`` either a plain name or the
+        nested dict ``{stream_name, config_items: [{key, value}]}``
+        (config_items land in ``options`` -- endpoint, region,
+        credentials...);
+      * ``events`` regex list, ``metadata.device_ids`` regex list,
+        ``alt_streams``, ``dest_type``, ``stream_version``, and the
+        per-filter ``queue_size``/``batch_size``/``max_workers``
+        tuning knobs.
+
+    Unknown dest types fail eagerly
     (reference: filter/dispatcher_factory.go:115-118).
     """
+    defaults = dict(defaults or {})
     if isinstance(obj, dict):
-        obj = obj.get("filters", obj.get("filter_manager", {}).get("filters"))
+        fm = obj.get("filter_manager", obj)
+        if isinstance(fm, dict):
+            for src, dst in (
+                ("default_queue_size", "queue_size"),
+                ("default_batch_size", "batch_size"),
+                ("default_max_workers", "max_workers"),
+            ):
+                if src in fm:
+                    defaults.setdefault(dst, fm[src])
+            obj = fm.get("filters", obj.get("filters"))
+        else:
+            obj = None
     if not isinstance(obj, (list, tuple)):
         raise FilterConfigError("expected a list of filter configs")
     out = []
@@ -91,25 +118,58 @@ def load_filter_configs(obj) -> list[FilterConfig]:
         dest_type = str(raw.get("dest_type", "dir")).lower()
         if dest_type not in ("dir", "kinesis", "memory"):
             raise FilterConfigError(f"unknown dest_type {dest_type!r}")
+        stream = raw.get("stream", "")
+        options = dict(raw.get("options", {}))
+        if isinstance(stream, dict):
+            # nested reference shape: stream.stream_name + config_items
+            stream_name = stream.get("stream_name", "")
+            for item in stream.get("config_items") or ():
+                options[item["key"]] = item["value"]
+        else:
+            stream_name = raw.get("stream_name", stream)
+        metadata = raw.get("metadata", {})
+        device_ids = tuple(
+            raw.get(
+                "device_ids",
+                (metadata or {}).get("device_ids", ())
+                if isinstance(metadata, dict)
+                else (),
+            )
+            or ()
+        )
         out.append(
             FilterConfig(
-                stream_name=raw.get("stream_name", raw.get("stream", "")),
-                events=tuple(raw.get("events", ())),
-                device_ids=tuple(
-                    raw.get("device_ids", raw.get("metadata", {}).get("device_ids", ()))
-                    if isinstance(raw.get("metadata", {}), dict)
-                    else raw.get("device_ids", ())
-                ),
-                alt_streams=tuple(raw.get("alt_streams", ())),
+                stream_name=stream_name,
+                events=tuple(raw.get("events") or ()),
+                device_ids=device_ids,
+                alt_streams=tuple(raw.get("alt_streams") or ()),
                 dest_type=dest_type,
-                batch_size=int(raw.get("batch_size", 100)),
-                queue_size=int(raw.get("queue_size", 1000)),
-                max_workers=int(raw.get("max_workers", 1000)),
+                batch_size=int(raw.get("batch_size", defaults.get("batch_size", 100))),
+                queue_size=int(raw.get("queue_size", defaults.get("queue_size", 1000))),
+                max_workers=int(
+                    raw.get("max_workers", defaults.get("max_workers", 1000))
+                ),
                 stream_version=str(raw.get("stream_version", "1.0")),
-                options=dict(raw.get("options", {})),
+                options=options,
             )
         )
     return out
+
+
+def load_filter_configs_yaml(path) -> list[FilterConfig]:
+    """File entry point: the reference's query language IS its YAML
+    config (streams_only.yaml, loaded by internal/install/config.go:
+    99-151) -- parse it with ``yaml.safe_load`` and compile to
+    FilterConfigs, defaults and validation included."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover
+        raise FilterConfigError(
+            "PyYAML is required for load_filter_configs_yaml"
+        ) from exc
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    return load_filter_configs(doc)
 
 
 # A default config used by tests / the flagship query: two realistic

@@ -96,30 +96,45 @@ class MemorySender(Sender):
         return 0
 
 
-try:  # boto3 is not in this container; real deployments have it
-    import boto3  # type: ignore
+class KinesisSender(Sender):
+    """AWS Kinesis PutRecords sink (chunking/retry handled by
+    deliver_batch; this is one put call translating the AWS response
+    shape -- FailedRecordCount + per-record ErrorCode, cf.
+    internal/kinesis/kinesis.go:43-47 -- into the Sender contract).
 
-    class KinesisSender(Sender):
-        """AWS Kinesis PutRecords sink (chunking/retry handled by
-        deliver_batch; this is one put call)."""
+    ``client`` injection makes the response handling unit-testable
+    without AWS (tests/test_kinesis_sender.py ports the scripted-mock
+    cases from internal/sender/kinesis_sender_test.go:227-345); when
+    omitted, a real boto3 client is built (boto3 is not in this
+    container -- real deployments have it)."""
 
-        def __init__(self, region: str, endpoint_url: str | None = None):
-            self._client = boto3.client(
+    def __init__(
+        self,
+        region: str | None = None,
+        endpoint_url: str | None = None,
+        client=None,
+    ):
+        if client is None:
+            try:
+                import boto3  # type: ignore
+            except ImportError as exc:  # pragma: no cover
+                raise RuntimeError(
+                    "boto3 is required unless a client is injected"
+                ) from exc
+            client = boto3.client(
                 "kinesis", region_name=region, endpoint_url=endpoint_url
             )
+        self._client = client
 
-        def put_records(self, items, stream):
-            resp = self._client.put_records(
-                Records=[
-                    {"PartitionKey": pk, "Data": payload.encode()}
-                    for pk, payload in items
-                ],
-                StreamName=stream,
-            )
-            return int(resp.get("FailedRecordCount", 0))
-
-except ImportError:  # pragma: no cover
-    KinesisSender = None  # type: ignore
+    def put_records(self, items, stream):
+        resp = self._client.put_records(
+            Records=[
+                {"PartitionKey": pk, "Data": payload.encode()}
+                for pk, payload in items
+            ],
+            StreamName=stream,
+        )
+        return int(resp.get("FailedRecordCount", 0))
 
 
 class DirSenderFactory:
