@@ -174,3 +174,48 @@ class TestVectors:
         df = spark.createDataFrame([Row(v=[2.0, 0.1])])
         top = df.select(nearest_cells("v", cents, 3).alias("c")).collect()[0]["c"]
         assert list(top) == [1, 2, 0]
+
+    def test_kernels_null_out_poison_rows(self, spark):
+        """NULL and ragged-length vectors must NULL the kernel output,
+        never crash the task (poison containment parity with the
+        expression twins, which also keep the task alive)."""
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, StructField, StructType,
+        )
+
+        from xmidt_event_streams_spark.functions.vectors import (
+            cosine_pairs, nearest_cells, sign_bits,
+        )
+
+        schema = StructType(
+            [
+                StructField("a", ArrayType(DoubleType())),
+                StructField("b", ArrayType(DoubleType())),
+            ]
+        )
+        df = spark.createDataFrame(
+            [
+                ([1.0, 0.0], [1.0, 0.0]),      # healthy
+                (None, [1.0, 0.0]),            # null left
+                ([1.0, 0.0], None),            # null right
+                ([1.0, 0.0, 5.0], [1.0, 0.0]), # ragged pair
+                ([2.0, 2.0], [1.0, 1.0]),      # healthy
+            ],
+            schema,
+        )
+        cos = [r["c"] for r in df.select(cosine_pairs("a", "b").alias("c")).collect()]
+        assert cos[0] == 1.0 and cos[4] is not None
+        assert cos[1] is None and cos[2] is None and cos[3] is None
+
+        planes = [[1.0, 0.0], [0.0, 1.0]]
+        bits = [
+            r["s"] for r in df.select(sign_bits("a", planes).alias("s")).collect()
+        ]
+        assert bits[0] == "11" and bits[1] is None
+        assert bits[3] is None  # len 3 vs plane dim 2
+
+        cells = [
+            r["c"]
+            for r in df.select(nearest_cells("a", planes, 1).alias("c")).collect()
+        ]
+        assert cells[0] is not None and cells[1] is None and cells[3] is None

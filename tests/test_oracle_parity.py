@@ -94,3 +94,20 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         orders, t["customer"], ["c_custkey"], salt_from="o_orderkey", n_salts=4
     ).select("o_orderkey", "c_name")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    """right/full joins would emit unmatched small rows once per salt
+    replica -- plan-time rejection, not silent corruption."""
+    import pytest
+
+    from xmidt_event_streams_spark.operators.skew import salted_join
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(a, b, ["k"], salt_from="k", how=how)
+    # safe modes still construct
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(a, b, ["k"], salt_from="k", how=how)

@@ -65,26 +65,69 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 # ------------------------------------------------- numpy batch kernels
 
 
-def _stack(s: pd.Series) -> np.ndarray:
-    return np.vstack(s.to_numpy())
+def _stack_masked(s: pd.Series, dim: int | None = None):
+    """Stack a series of vector cells, masking out rows a dense matrix
+    can't hold: NULL cells and cells whose length deviates from
+    ``dim`` (the constant matrix's dim when given, else the batch's
+    modal length). Returns (matrix_of_valid_rows, valid_bool_array).
+    Poison rows become NULL in the kernel output instead of killing
+    the task (same containment story as multimodal.py)."""
+    vals = s.tolist()
+    lens = np.array([len(v) if v is not None else -1 for v in vals])
+    if dim is None:
+        pos = lens[lens >= 0]
+        dim = int(np.bincount(pos).argmax()) if len(pos) else 0
+    valid = lens == dim
+    if valid.any():
+        m = np.vstack([vals[i] for i in np.nonzero(valid)[0]]).astype(np.float64)
+    else:
+        m = np.zeros((0, max(dim, 1)), dtype=np.float64)
+    return m, valid
+
+
+def _scatter(values: np.ndarray, valid: np.ndarray) -> pd.Series:
+    """Re-expand kernel outputs over the valid mask; invalid -> None."""
+    out = np.full(len(valid), np.nan, dtype="float64")
+    out[valid] = values
+    s = pd.Series(out)
+    return s.where(valid, None)
 
 
 def cosine_pairs(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two vector columns, one Arrow batch at a
     time: three einsum reductions over the stacked batch matrix. Same
-    zero-denominator semantics as `cosine` (den > 0 else 0.0)."""
+    zero-denominator semantics as `cosine` (den > 0 else 0.0); NULL
+    cells, length-mismatched pairs, and rows deviating from the
+    batch's modal dim yield NULL (masked before the stack -- a poison
+    row must not fail the task)."""
 
     @pandas_udf("double")
     def _cos(pa: pd.Series, pb: pd.Series) -> pd.Series:
         if len(pa) == 0:
             return pd.Series([], dtype="float64")
-        av, bv = _stack(pa), _stack(pb)
+        va_list, vb_list = pa.tolist(), pb.tolist()
+        valid = np.array(
+            [
+                x is not None and y is not None and len(x) == len(y)
+                for x, y in zip(va_list, vb_list)
+            ],
+            dtype=bool,
+        )
+        dims = np.array([len(x) if v else -1 for x, v in zip(va_list, valid)])
+        if valid.any():
+            modal = int(np.bincount(dims[dims >= 0]).argmax())
+            valid &= dims == modal
+        if not valid.any():
+            return pd.Series([None] * len(pa), dtype="object")
+        idx = np.nonzero(valid)[0]
+        av = np.vstack([va_list[i] for i in idx]).astype(np.float64)
+        bv = np.vstack([vb_list[i] for i in idx]).astype(np.float64)
         num = np.einsum("ij,ij->i", av, bv)
         den = np.sqrt(np.einsum("ij,ij->i", av, av)) * np.sqrt(
             np.einsum("ij,ij->i", bv, bv)
         )
         out = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
-        return pd.Series(out)
+        return _scatter(out, valid)
 
     # asNondeterministic: results ARE deterministic, but this stops
     # Catalyst from substituting the UDF into pushed-down filters
@@ -104,9 +147,13 @@ def sign_bits(vec: Column | str, planes: list[list[float]]) -> Column:
     def _bits(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        signs = _stack(v) @ pm.T >= 0
+        m, valid = _stack_masked(v, dim=pm.shape[1])
+        signs = m @ pm.T >= 0
         chars = np.where(signs, "1", "0")
-        return pd.Series(["".join(row) for row in chars])
+        joined = ["".join(row) for row in chars]
+        out = pd.Series([None] * len(v), dtype="object")
+        out.iloc[np.nonzero(valid)[0]] = joined
+        return out
 
     # see cosine_pairs: prevents double evaluation under the bucket
     # equi-join's implied isnotnull pushdown
@@ -127,14 +174,17 @@ def nearest_cells(
     def _cells(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        m = _stack(v)
+        m, valid = _stack_masked(v, dim=cm.shape[1])
         vn = np.sqrt(np.einsum("ij,ij->i", m, m))
         den = np.outer(vn, cn)
         sims = np.where(den > 0, (m @ cm.T) / np.where(den > 0, den, 1.0), 0.0)
         # order by (sim desc, cell asc): stable argsort of -sim keeps
         # equal-sim cells in ascending index order
         order = np.argsort(-np.round(sims, 6), axis=1, kind="stable")
-        return pd.Series(list(order[:, :n_probe].astype(np.int32)))
+        cells = list(order[:, :n_probe].astype(np.int32))
+        out = pd.Series([None] * len(v), dtype="object")
+        out.iloc[np.nonzero(valid)[0]] = cells
+        return out
 
     # see cosine_pairs: prevents double evaluation under the cell
     # equi-join's implied isnotnull pushdown

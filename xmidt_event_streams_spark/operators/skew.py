@@ -45,7 +45,19 @@ def salted_join(
     key's rows now spread over ``n_salts`` tasks; shuffle volume of
     the small side grows n_salts x (the price of the technique --
     size n_salts to the observed skew, or let AQE handle mild skew).
+
+    Only joins that never emit an unmatched SMALL-side row are safe:
+    with ``right``/``full``/``right_semi``/``right_anti`` an unmatched
+    small row would surface once per salt replica (n_salts duplicate
+    rows), silently corrupting results -- rejected here at plan time.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "semi",
+            "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace(" ", "") not in safe:
+        raise ValueError(
+            f"salted_join(how={how!r}): unmatched small-side rows would "
+            f"be replicated n_salts times; use one of {sorted(safe)}"
+        )
     b = with_salt(big, salt_from, n_salts)
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
