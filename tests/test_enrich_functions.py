@@ -219,3 +219,25 @@ class TestVectors:
             for r in df.select(nearest_cells("a", planes, 1).alias("c")).collect()
         ]
         assert cells[0] is not None and cells[1] is None and cells[3] is None
+
+
+class TestSanitizeUtf8:
+    """F7 strings.ToValidUTF8 (filter/filter_factory.go:52)."""
+
+    def test_invalid_bytes_replaced(self, spark):
+        from xmidt_event_streams_spark.functions.text import sanitize_utf8
+
+        df = spark.createDataFrame(
+            [(bytearray(b"ok \xff\xfe end"),), (bytearray(b"plain"),), (None,)],
+            "b binary",
+        )
+        got = [r.s for r in df.select(sanitize_utf8("b", from_binary=True).alias("s")).collect()]
+        assert got == ["ok �� end", "plain", None]
+
+    def test_valid_string_is_identity(self, spark):
+        from pyspark.sql import functions as F
+
+        from xmidt_event_streams_spark.functions.text import sanitize_utf8
+
+        df = spark.createDataFrame([("héllo wörld",), ("",)], "s string")
+        assert df.filter(sanitize_utf8("s") != F.col("s")).count() == 0

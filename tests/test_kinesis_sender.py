@@ -125,3 +125,82 @@ def test_recovery_mid_chunks():
     res = deliver_batch(_items(700), ("s",), sender)
     assert (res.delivered, res.dropped) == (700, 0)
     assert fake.calls == [("s", 500), ("s", 500), ("s", 200)]
+
+
+class _FakeClock:
+    def __init__(self, t=0.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+def test_refreshing_factory_rebuilds_near_expiry():
+    """K8 (kinesis.go:115-193, 323-337): the client is cached until
+    creds come within the 3-min margin of expiry, then rebuilt from a
+    fresh assume-role call."""
+    from xmidt_event_streams_spark.sinks.writer import RefreshingClientFactory
+
+    clock = _FakeClock(0.0)
+    issued = []
+
+    def provider():
+        issued.append(clock.t)
+        return {"token": f"tok-{len(issued)}"}, clock.t + 600  # 10-min creds
+
+    built = []
+
+    def build(creds):
+        built.append(creds["token"])
+        return FakeKinesisClient({"s": [0]})
+
+    fac = RefreshingClientFactory(build, provider, refresh_margin_s=180, clock=clock)
+    c0 = fac.get()
+    assert built == ["tok-1"]
+    clock.t = 100.0
+    assert fac.get() is c0  # 500 s left > margin: cached
+    clock.t = 421.0  # 179 s left <= 180 margin: refresh
+    c1 = fac.get()
+    assert c1 is not c0
+    assert built == ["tok-1", "tok-2"]
+    assert issued == [0.0, 421.0]
+
+
+def test_refreshing_factory_non_expiring_builds_once():
+    from xmidt_event_streams_spark.sinks.writer import RefreshingClientFactory
+
+    clock = _FakeClock(0.0)
+    built = []
+
+    def build(creds):
+        built.append(1)
+        return object()
+
+    fac = RefreshingClientFactory(build, lambda: ({}, None), clock=clock)
+    c0 = fac.get()
+    clock.t = 1e9
+    assert fac.get() is c0 and built == [1]
+
+
+def test_sender_puts_through_refreshed_client():
+    """KinesisSender with a factory picks up the rebuilt client: puts
+    before and after expiry land on different clients."""
+    from xmidt_event_streams_spark.sinks.writer import RefreshingClientFactory
+
+    clock = _FakeClock(0.0)
+    clients = []
+
+    def build(_creds):
+        c = FakeKinesisClient({"test-stream": [0]})
+        clients.append(c)
+        return c
+
+    fac = RefreshingClientFactory(
+        build, lambda: ({}, clock.t + 600), refresh_margin_s=180, clock=clock
+    )
+    sender = KinesisSender(client_factory=fac)
+    deliver_batch(_items(2), ("test-stream",), sender)
+    clock.t = 500.0  # within margin -> next put rebuilds
+    deliver_batch(_items(2), ("test-stream",), sender)
+    assert len(clients) == 2
+    assert [len(c.seen_records.get("test-stream", [])) for c in clients] == [2, 2]

@@ -181,6 +181,73 @@ def test_hybrid_flush_timer_anchored_at_first_item(spark, tmp_path):
     assert elapsed < 8.8, f"flush at +{elapsed:.1f}s -- timer was reset"
 
 
+def test_hybrid_flush_drop_on_full(spark, tmp_path):
+    """B1 bounded buffer (MyQueue.AddItem, queue.go:133-140): capacity
+    3, five arrivals -> the two overflow items are dropped (newest
+    shed, matching AddItem rejecting the arrival) and counted on the
+    output row as dropped_total."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_items(
+        src / "b1.json",
+        [{"stream_name": "s1", "item": f"m{i}"} for i in range(5)],
+    )
+    stream = _read_stream(spark, src, "stream_name string, item string")
+    out: list = []
+    _run_available_now(
+        hybrid_flush(
+            stream, batch_size=10, time_limit_ms=60_000,
+            submit_on_empty_queue=True, queue_size=3,
+        ),
+        tmp_path / "ckpt",
+        out,
+    )
+    assert [(r.n, r.flush_reason, r.dropped_total) for r in out] == [(3, "idle", 2)]
+    assert out[0]["items"] == ["m0", "m1", "m2"]
+
+
+def test_hybrid_flush_drop_counter_cumulative(spark, tmp_path):
+    """The B1 drop counter is a per-key cumulative gauge (the M2
+    queue_full metric twin): drops in a later micro-batch add to the
+    checkpointed count rather than resetting it."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_items(
+        src / "b1.json",
+        [{"stream_name": "s1", "item": f"a{i}"} for i in range(5)],
+    )
+    stream = (
+        spark.readStream.schema("stream_name string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out: list = []
+    q = (
+        hybrid_flush(
+            stream, batch_size=10, time_limit_ms=60_000,
+            submit_on_empty_queue=True, queue_size=3,
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(out) < 1:
+            time.sleep(0.2)
+        _write_items(
+            src / "b2.json",
+            [{"stream_name": "s1", "item": f"b{i}"} for i in range(4)],
+        )
+        while time.time() < deadline and len(out) < 2:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert [(r.n, r.dropped_total) for r in out] == [(3, 2), (3, 3)]
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Windowed streaming agg with watermark: rows older than
     (max event time - delay) are dropped in later micro-batches."""

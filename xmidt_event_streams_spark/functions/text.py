@@ -40,6 +40,23 @@ def let_bind(value: Column, body) -> Column:
     return F.get(F.transform(F.array(value), body), 0)
 
 
+def sanitize_utf8(col: Column | str, from_binary: bool = False) -> Column:
+    """F7 ``strings.ToValidUTF8`` (filter/filter_factory.go:52):
+    replace invalid UTF-8 sequences with U+FFFD.
+
+    Spark STRING columns are UTF-8 by construction from real sources,
+    so the sanitizer matters at the binary->string boundary (raw
+    payload bytes, ``from_binary=True``) and after a reinterpreting
+    cast. ``make_valid_utf8`` is the JVM-side built-in with exactly
+    the Go semantics (replacement, null-propagating); the strict
+    alternative ``validate_utf8`` raises MALFORMED_CHARACTER_CODING
+    instead — we sanitize, like the reference."""
+    c = F.col(col) if isinstance(col, str) else col
+    if from_binary:
+        c = c.cast("string")  # reinterpret bytes, then repair
+    return F.make_valid_utf8(c)
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lowercase + collapse whitespace + trim: canonical form for
     fingerprints and shingles."""

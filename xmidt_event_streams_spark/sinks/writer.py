@@ -38,6 +38,48 @@ from xmidt_event_streams_spark.operators.batching import (
 
 DEFAULT_RETRIES = 3  # internal/sender/kinesis_sender.go:20
 DEFAULT_RETRY_INTERVAL_S = 0.01  # 10 ms
+REFRESH_MARGIN_S = 180  # rebuild within 3 min of cred expiry, kinesis.go:323-337
+
+
+class RefreshingClientFactory:
+    """K8: STS assume-role credential refresh
+    (internal/kinesis/kinesis.go:115-193 getClient, :323-337
+    refreshClient): the sink client is rebuilt whenever the cached
+    credentials are within ``refresh_margin_s`` of expiry, so a
+    long-lived executor partition writer never puts with stale creds.
+
+    ``credentials_provider()`` returns ``(credentials, expiry_epoch)``
+    — in a real deployment it calls ``sts.assume_role`` for the
+    cross-account role and reads ``Credentials.Expiration``;
+    ``build_client(credentials)`` constructs the boto3 client from
+    them. Both are injected (and ``clock``) so the refresh window is
+    unit-testable without AWS, matching the MemorySender pattern.
+    ``expiry_epoch`` of ``None`` means non-expiring creds: built once.
+    """
+
+    def __init__(
+        self,
+        build_client,
+        credentials_provider,
+        refresh_margin_s: float = REFRESH_MARGIN_S,
+        clock=time.time,
+    ):
+        self._build = build_client
+        self._provider = credentials_provider
+        self._margin = refresh_margin_s
+        self._clock = clock
+        self._client = None
+        self._expiry: float | None = None
+
+    def get(self):
+        stale = self._client is None or (
+            self._expiry is not None
+            and self._expiry - self._clock() <= self._margin
+        )
+        if stale:
+            creds, self._expiry = self._provider()
+            self._client = self._build(creds)
+        return self._client
 
 
 class Sender:
@@ -113,13 +155,15 @@ class KinesisSender(Sender):
         region: str | None = None,
         endpoint_url: str | None = None,
         client=None,
+        client_factory: "RefreshingClientFactory | None" = None,
     ):
-        if client is None:
+        self._factory = client_factory
+        if client is None and client_factory is None:
             try:
                 import boto3  # type: ignore
             except ImportError as exc:  # pragma: no cover
                 raise RuntimeError(
-                    "boto3 is required unless a client is injected"
+                    "boto3 is required unless a client or factory is injected"
                 ) from exc
             client = boto3.client(
                 "kinesis", region_name=region, endpoint_url=endpoint_url
@@ -127,7 +171,8 @@ class KinesisSender(Sender):
         self._client = client
 
     def put_records(self, items, stream):
-        resp = self._client.put_records(
+        client = self._factory.get() if self._factory is not None else self._client
+        resp = client.put_records(
             Records=[
                 {"PartitionKey": pk, "Data": payload.encode()}
                 for pk, payload in items

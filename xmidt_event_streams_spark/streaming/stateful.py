@@ -52,6 +52,7 @@ from pyspark.sql.types import (
 
 DEFAULT_BATCH_SIZE = 100  # default_batch_size, install/config.go:232
 DEFAULT_TIME_LIMIT_MS = 15_000  # DefaultBatchTimeLimitSeconds, queue.go:25
+DEFAULT_QUEUE_SIZE = 1000  # default_queue_size, install/config.go:231
 
 FLUSH_OUTPUT_SCHEMA = StructType(
     [
@@ -59,6 +60,7 @@ FLUSH_OUTPUT_SCHEMA = StructType(
         StructField("items", ArrayType(StringType())),
         StructField("n", IntegerType()),
         StructField("flush_reason", StringType()),  # 'size' | 'time' | 'idle'
+        StructField("dropped_total", LongType()),  # B1 counter (0 if unbounded)
     ]
 )
 
@@ -67,6 +69,7 @@ _STATE_SCHEMA = StructType(
         StructField("buffered", ArrayType(StringType())),
         StructField("emitted_batches", LongType()),
         StructField("first_buffered_ms", LongType()),
+        StructField("dropped_total", LongType()),
     ]
 )
 
@@ -78,6 +81,7 @@ def hybrid_flush(
     batch_size: int = DEFAULT_BATCH_SIZE,
     time_limit_ms: int = DEFAULT_TIME_LIMIT_MS,
     submit_on_empty_queue: bool = False,
+    queue_size: int | None = None,
 ) -> DataFrame:
     """Group ``routed`` (a streaming DF with a serialized ``item_col``)
     by ``key_col`` and emit delivery batches under size-OR-time flush.
@@ -96,6 +100,18 @@ def hybrid_flush(
     waiting for size/time. A micro-batch IS the drain here, so with
     this flag each invocation's leftover flushes with reason
     ``'idle'`` and no state is carried.
+
+    ``queue_size`` is B1 (bounded buffer with drop-on-full:
+    ``MyQueue.AddItem``, queue.go:133-140; default capacity
+    ``default_queue_size`` 1000, install/config.go:231): when set,
+    arrivals beyond ``queue_size`` buffered items are DROPPED (newest
+    shed first, matching AddItem's reject-the-arrival) and counted;
+    the cumulative per-key counter rides every output row as
+    ``dropped_total`` (the M2 ``queue_full`` metric twin). Default
+    ``None`` keeps the Spark-native semantic upgrade: Structured
+    Streaming back-pressures at the durable source and never sheds
+    (SURVEY.md §2.4 B1 note) — use the bound only for reference
+    parity or when a key's backlog must be capped at any cost.
     """
 
     def flush(
@@ -106,16 +122,22 @@ def hybrid_flush(
         import pandas as pd
 
         if state.exists:
-            (buffered, emitted, first_ms) = state.get
+            (buffered, emitted, first_ms, dropped) = state.get
             buf = list(buffered)
         else:
-            buf, emitted, first_ms = [], 0, None
+            buf, emitted, first_ms, dropped = [], 0, None, 0
 
         now_ms = state.getCurrentProcessingTimeMs()
         if not state.hasTimedOut:
             was_empty = not buf
             for pdf in pdfs:
-                buf.extend(pdf[item_col].tolist())
+                items = pdf[item_col].tolist()
+                if queue_size is not None:  # B1 drop-on-full
+                    room = queue_size - len(buf)
+                    if len(items) > room:
+                        dropped += len(items) - max(room, 0)
+                        items = items[: max(room, 0)]
+                buf.extend(items)
             if buf and was_empty:
                 first_ms = now_ms
 
@@ -130,13 +152,17 @@ def hybrid_flush(
             flushed.append((buf, "idle"))
             buf = []
 
-        if buf:
-            state.update((buf, emitted + len(flushed), first_ms))
-            # remaining time until the oldest buffered item reaches
-            # the limit -- never a fresh full interval
-            state.setTimeoutDuration(
-                max(1, time_limit_ms - (now_ms - (first_ms or now_ms)))
-            )
+        # keep state while anything is buffered, and keep the B1
+        # counter alive once a drop has happened (Prometheus-counter
+        # lifetime: one tiny row per key)
+        if buf or dropped:
+            state.update((buf, emitted + len(flushed), first_ms, dropped))
+            if buf:
+                # remaining time until the oldest buffered item
+                # reaches the limit -- never a fresh full interval
+                state.setTimeoutDuration(
+                    max(1, time_limit_ms - (now_ms - (first_ms or now_ms)))
+                )
         elif state.exists:
             state.remove()
 
@@ -147,6 +173,7 @@ def hybrid_flush(
                     "items": [items for items, _ in flushed],
                     "n": [len(items) for items, _ in flushed],
                     "flush_reason": [reason for _, reason in flushed],
+                    "dropped_total": [dropped] * len(flushed),
                 }
             )
 
