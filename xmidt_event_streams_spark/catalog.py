@@ -353,10 +353,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+    from xmidt_event_streams_spark.operators.dedup import _MH_P, _mh_coeffs
+
     r = num_hashes // bands
+    coeffs = _mh_coeffs(num_hashes)
+    # shb: ONE md5 base draw per shingle (mirrors _minhash_base);
+    # each signature slot is the universal-hash min (a*x+b) % P
     sig_items = ", ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT))"
-        for i in range(num_hashes)
+        f"list_min(list_transform(shb, x -> ({a} * x + {b}) % {_MH_P}))"
+        for a, b in coeffs
     )
     key_items = ", ".join(
         f"md5('b{b}:' || array_to_string(sig[{b * r + 1}:{b * r + r}], '|'))"
@@ -370,8 +375,13 @@ sh AS (
                    i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')) AS sh
   FROM words
 ),
+shb AS (
+  SELECT doc_id,
+    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_P}) AS shb
+  FROM sh WHERE len(sh) > 0
+),
 sig AS (
-  SELECT doc_id, [{sig_items}] AS sig FROM sh WHERE len(sh) > 0
+  SELECT doc_id, [{sig_items}] AS sig FROM shb
 ),
 keys AS (SELECT doc_id, [{key_items}] AS ks FROM sig),
 ex AS (SELECT doc_id, unnest(ks) AS bucket FROM keys)

@@ -7,12 +7,15 @@ bit-for-bit):
   * exact            -- fingerprint (md5 of normalized text) groupBy.
   * minhash + LSH    -- word-shingle MinHash signature; banding; a
                         band-bucket self-join yields candidate pairs.
-                        MinHash here is the *lexicographic min of
-                        md5(seed|shingle)* per hash function: the md5
-                        hex string is a uniform draw, so min over
-                        shingles is a valid MinHash permutation and is
-                        identical across engines (no engine-specific
-                        integer hashing).
+                        MinHash here is a universal-hash family over a
+                        single md5 base draw per shingle: x =
+                        md5(shingle) truncated to 60 bits, then
+                        h_i = (a_i * (x mod P) + b_i) mod P with
+                        P = 2^31 - 1 and fixed (a_i, b_i). ONE md5 per
+                        shingle instead of one per (shingle, hash) --
+                        8x less hashing on the scan-dominated path --
+                        and pure bigint arithmetic that every SQL
+                        engine reproduces bit-for-bit.
   * simhash (16-bit) -- per-token md5 nibble high-bits, majority vote
                         per bit position -> 16-char bitstring.
   * n-gram Jaccard   -- exact Jaccard over word n-gram shingle sets
@@ -60,36 +63,66 @@ def dedup_by_key(df: DataFrame, key_col: str = "transaction_uuid") -> DataFrame:
     return df.dropDuplicates([key_col])
 
 
-def _minhash_term(i: int, s: Column) -> Column:
-    """One MinHash draw: the first 15 hex chars (60 bits) of
-    md5('<i>|' || shingle) as a bigint. Fixed-width numeric rather
-    than the hex string so the min-aggregate keeps a mutable buffer
-    (HashAggregate with map-side partials; min(string) would fall
-    back to SortAggregate + per-partition sorts). Lexicographic order
-    of fixed-length hex == numeric order, so this is the same
-    permutation family."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 15), 16, 10
-    ).cast("bigint")
+_MH_P = (1 << 31) - 1  # Mersenne prime: products stay < 2^62, no overflow
+
+
+def _mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal hash family,
+    derived from md5 so both engines can embed the same literals."""
+    import hashlib
+
+    def draw(tag: str, lo: int) -> int:
+        return lo + int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) % (
+            _MH_P - lo
+        )
+
+    return [(draw(f"mh-a-{i}", 1), draw(f"mh-b-{i}", 0)) for i in range(num_hashes)]
+
+
+def _minhash_base(s: Column) -> Column:
+    """The single md5 draw per shingle: first 15 hex chars (60 bits)
+    as a bigint, reduced mod P. Fixed-width numeric so downstream
+    min-aggregates keep a mutable buffer (HashAggregate with map-side
+    partials; min(string) would fall back to SortAggregate)."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % _MH_P
+    )
+
+
+def _minhash_term(i: int, base: Column, coeffs=None) -> Column:
+    """Draw i of the universal family over the shared base draw:
+    (a_i * base + b_i) mod P -- two bigint ops instead of an md5."""
+    a, b = (coeffs or _mh_coeffs(i + 1))[i]
+    return (F.lit(a) * base + F.lit(b)) % _MH_P
 
 
 def minhash_signature(
     text: Column | str, num_hashes: int = 8, shingle_n: int = 3
 ) -> Column:
-    """MinHash signature: array of ``num_hashes`` 60-bit bigints.
+    """MinHash signature: array of ``num_hashes`` bigints in [0, P).
 
-    hash_i(doc) = min over shingles of md5('<i>|' || shingle)
-    (truncated to 15 hex chars, read as an integer). Empty shingle
-    set -> array of nulls (doc too short; callers filter).
+    hash_i(doc) = min over shingles of (a_i * base(shingle) + b_i)
+    mod P, base = 60 bits of md5(shingle). The base array is
+    materialized once (one md5 per shingle), then each draw is two
+    bigint ops. Empty shingle set -> array of nulls (doc too short;
+    callers filter).
     """
-    shingles = word_ngrams(text, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: _minhash_term(i, s))).alias(
-                f"h{i}"
-            )
-            for i in range(num_hashes)
-        ]
+    from xmidt_event_streams_spark.functions.text import let_bind
+
+    coeffs = _mh_coeffs(num_hashes)
+    bases = F.transform(word_ngrams(text, shingle_n), _minhash_base)
+    # let-bind the base array: referenced in num_hashes sub-expressions,
+    # Catalyst would otherwise inline (and re-md5) it per hash
+    return let_bind(
+        bases,
+        lambda bs: F.array(
+            *[
+                F.array_min(
+                    F.transform(bs, lambda x: _minhash_term(i, x, coeffs))
+                )
+                for i in range(num_hashes)
+            ]
+        ),
     )
 
 
@@ -118,21 +151,24 @@ def minhash_signatures_df(
     columns inline duplicates the tokenize/shingle/md5 expression tree
     k x bands times (Catalyst's projection collapse inlines aliases),
     which measured ~400x slower at sf0.1. Exploding shingles once and
-    hash-aggregating min(term(i|s)) computes every md5 exactly once,
-    combines map-side, and shuffles only (id, k mins). The min terms
-    are 60-bit bigints (see _minhash_term) so the aggregate keeps a
-    fixed-width mutable buffer -> HashAggregate, no sort -- the plan
-    that survives 100 TB.
+    projecting ONE md5 base draw per shingle row computes every md5
+    exactly once; the k universal-hash draws are two bigint ops each,
+    aggregated as mins that combine map-side and shuffle only
+    (id, k mins). Bigint terms keep the aggregate on a fixed-width
+    mutable buffer -> HashAggregate, no sort -- the plan that
+    survives 100 TB.
 
     Docs with no shingles (fewer than shingle_n tokens) are absent
     from the output (they cannot be near-dup candidates).
     """
+    coeffs = _mh_coeffs(num_hashes)
     shingled = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s")
-    )
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, shingle_n)).alias("s"),
+    ).select(F.col(id_col), _minhash_base(F.col("s")).alias("x"))
     return shingled.groupBy(id_col).agg(
         *[
-            F.min(_minhash_term(i, F.col("s"))).alias(f"h{i}")
+            F.min(_minhash_term(i, F.col("x"), coeffs)).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
