@@ -1,0 +1,111 @@
+"""Training-data operators vs DuckDB twins (same md5-arithmetic
+assignment formulas), plus determinism/partition-invariance checks."""
+
+from pyspark.sql import functions as F
+
+from tests.test_oracle_parity import _rowset, duck_run
+from xmidt_event_streams_spark.operators.traindata import (
+    assign_split,
+    pack_sequences,
+    stratified_sample,
+)
+
+_BUCKET_SQL = (
+    "('0x' || substr(md5('{salt}|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000"
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_assign_split_matches_duckdb(spark, sf_dir):
+    sdf = assign_split(
+        _docs(spark, sf_dir), weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    b = _BUCKET_SQL.format(salt="split-v1")
+    cols, rows = duck_run(
+        f"""SELECT doc_id, CASE WHEN {b} < 9000 THEN 'train'
+            WHEN {b} < 9500 THEN 'val' ELSE 'test' END AS split
+            FROM documents""",
+        sf_dir,
+    )
+    assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
+        cols, rows
+    )
+
+
+def test_assign_split_proportions_and_determinism(spark, sf_dir):
+    df = assign_split(_docs(spark, sf_dir))
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.85 < counts["train"] / total < 0.95
+    # partition-invariant: repartitioning does not move rows between splits
+    again = assign_split(_docs(spark, sf_dir).repartition(7))
+    assert (
+        df.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_stratified_sample_matches_duckdb(spark, sf_dir):
+    sdf = stratified_sample(
+        _docs(spark, sf_dir), "lang", {"en": 0.5, "es": 0.1}
+    ).select("doc_id")
+    b = _BUCKET_SQL.format(salt="sample-v1")
+    cols, rows = duck_run(
+        f"""SELECT doc_id FROM documents
+            WHERE {b} < CASE lang WHEN 'en' THEN 5000
+                        WHEN 'es' THEN 1000 ELSE 0 END""",
+        sf_dir,
+    )
+    assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
+        cols, rows
+    )
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    base = _docs(spark, sf_dir)
+    en_total = base.filter("lang = 'en'").count()
+    kept = stratified_sample(base, "lang", {"en": 0.5})
+    en_kept = kept.filter("lang = 'en'").count()
+    assert kept.filter("lang != 'en'").count() == 0  # default fraction 0
+    assert 0.4 < en_kept / en_total < 0.6
+
+
+def test_pack_sequences_matches_duckdb(spark, sf_dir):
+    sdf = pack_sequences(
+        _docs(spark, sf_dir).withColumn("tok", F.col("n_chars")),
+        token_col="tok",
+        order_col="doc_id",
+        budget=50_000,
+        shard_cols=["lang"],
+    ).select("doc_id", "pack_id")
+    cols, rows = duck_run(
+        """SELECT doc_id,
+             (COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // 50000)::BIGINT AS pack_id
+           FROM documents""",
+        sf_dir,
+    )
+    assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
+        cols, rows
+    )
+
+
+def test_pack_sequences_budget_semantics(spark):
+    """Packs fill greedily: overflow by at most one document; an
+    oversized document sits alone in its own pack."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([40, 40, 40, 250, 10, 90, 90])],
+        "id long, tok long",
+    )
+    got = {
+        r.id: r.pack_id
+        for r in pack_sequences(df, "tok", "id", budget=100).collect()
+    }
+    # prefix sums: 0,40,80,120,370,380,470 -> floor/100
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 3, 5: 3, 6: 4}

@@ -1,0 +1,131 @@
+"""Training-data assembly operators: deterministic splits, stratified
+sampling, sequence packing.
+
+The reference engine stops at delivery; a training-data pipeline at
+100 TB additionally needs to carve the corpus into reproducible
+train/val/test partitions, downsample strata, and pack documents into
+fixed token budgets. All three are expressed so that
+
+  * assignment is a PURE FUNCTION of the row (md5 arithmetic, no
+    rand()): task retries, speculative execution, and re-runs agree,
+    and any SQL engine reproduces the assignment bit-for-bit (the
+    pytest oracle runs the same formula in DuckDB);
+  * nothing shuffles unless the semantics demand it (split/sample are
+    narrow projections; packing shuffles once on its shard key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000  # assignment resolution: 0.01% granularity
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 10000) from md5(salt|id): 60 bits, mod
+    buckets. Engine-portable (DuckDB: ('0x'||substr(md5(..),1,15))::
+    BIGINT % 10000)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % _BUCKETS
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test'/...) by
+    deterministic hash bucket, proportional to ``weights``.
+
+    Narrow (no shuffle, no state): the split of a row never depends on
+    other rows, so it survives incremental ingestion — tomorrow's new
+    documents don't reshuffle today's test set. Change ``salt`` to
+    draw a fresh partition.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each
+    stratum (e.g. downsample dominant languages). Unlisted strata keep
+    ``default_fraction``.
+
+    Unlike ``df.sampleBy`` (per-partition RNG: the kept set depends on
+    partitioning and retries), the hash draw is a row property —
+    stable across runs, re-partitioning, and engines.
+    """
+    bucket = _hash_bucket(F.col(id_col), salt)
+    thresh = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        t = F.lit(int(round(frac * _BUCKETS)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(round(default_fraction * _BUCKETS)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_fraction * _BUCKETS)))
+    )
+    return df.filter(bucket < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each document a ``pack_id`` so consecutive documents
+    (in ``order_col`` order, within each shard) fill ~``budget``
+    tokens per pack — the sequence-packing step before writing
+    training shards.
+
+    Greedy contiguous fill: pack_id = floor(exclusive-prefix-sum /
+    budget). Documents are never split; a pack may overflow by less
+    than one document (and a single document longer than ``budget``
+    occupies its pack alone). This is the streaming-friendly
+    approximation of bin packing — one window over one shuffle.
+
+    Scale: the window partitions by ``shard_cols`` (one shuffle on the
+    shard key, packs computed independently per shard — the 100 TB
+    path; shards are what you'd write anyway). With no shard_cols the
+    window is global = a single-task sort: correct, but only for
+    small corpora or final single-shard assembly.
+    """
+    w = (
+        Window.partitionBy(*[F.col(c) for c in shard_cols])
+        if shard_cols
+        else Window.partitionBy()
+    ).orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return df.withColumn(
+        "pack_id", F.floor(prefix / F.lit(budget)).cast("bigint")
+    )
