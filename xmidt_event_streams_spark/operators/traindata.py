@@ -126,6 +126,9 @@ def pack_sequences(
         else Window.partitionBy()
     ).orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, -1)
     prefix = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
-    return df.withColumn(
-        "pack_id", F.floor(prefix / F.lit(budget)).cast("bigint")
+    # integer `div`, not floor(double/double): exact past 2^53 tokens
+    return (
+        df.withColumn("_prefix", prefix.cast("bigint"))
+        .withColumn("pack_id", F.expr(f"_prefix div {int(budget)}"))
+        .drop("_prefix")
     )
