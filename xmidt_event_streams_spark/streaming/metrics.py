@@ -46,7 +46,15 @@ _OBS_PREFIX = "xes_gauges_"
 def with_gauges(df: DataFrame, name: str = "queue") -> DataFrame:
     """Attach the M5 batch-size observation to a (streaming or batch)
     DataFrame. The observed count is evaluated inline by the sink
-    stage -- zero extra jobs, zero extra shuffles."""
+    stage -- zero extra jobs, zero extra shuffles.
+
+    Semantics: ``observe`` counts rows MATERIALIZED through the node,
+    accumulated per trigger. A ``foreachBatch`` body that runs
+    multiple actions over an unpersisted batch re-executes the scan
+    and multiplies the gauge (8 rows consumed by two actions reads as
+    16). Persist the batch before fanning out -- the cached relation
+    replaces the subtree and the gauge counts once
+    (tests/test_pipeline_e2e.py demonstrates both)."""
     return df.observe(
         _OBS_PREFIX + name, F.count(F.lit(1)).alias(GAUGE_BATCH_SIZE)
     )
