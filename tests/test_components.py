@@ -1,0 +1,83 @@
+"""Connected components / duplicate clustering, plus oracle parity
+for catalog shapes rotated off the 50-entry driver registry (the
+driver checks at most 50 queries; rotated-out shapes keep their DuckDB
+parity here so the coverage claim stays verified, not aspirational).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.components import (
+    connected_components,
+    dup_cluster_survivors,
+)
+
+
+def _cc(edges_df, **kw):
+    return sorted(tuple(r) for r in connected_components(edges_df, **kw).collect())
+
+
+class TestConnectedComponents:
+    def test_chain_and_second_component(self, spark):
+        """Chain 1-2-3-4 (diameter 3 -> multi-round convergence) plus
+        disjoint pair {10,11}; parallel/reversed edges and self-loops
+        are tolerated."""
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (2, 1), (5, 5)],
+            "id_a: long, id_b: long",
+        )
+        assert _cc(edges) == [
+            (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+        ]
+
+    def test_clique_converges_in_one_round(self, spark):
+        """A clique (the LSH near-dup shape) has diameter 1; a chain
+        of length > max_rounds must raise, not return partial labels."""
+        clique = spark.createDataFrame(
+            [(i, j) for i in range(5) for j in range(i + 1, 5)],
+            "id_a: long, id_b: long",
+        )
+        assert _cc(clique, max_rounds=2) == [(i, 0) for i in range(5)]
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a: long, id_b: long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_rounds=2)
+
+    def test_survivors_label_singletons(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(6)], "doc_id: long"
+        )
+        pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a: long, id_b: long")
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+            for r in dup_cluster_survivors(docs, pairs).collect()
+        }
+        assert out == {
+            0: (0, True), 1: (1, True), 2: (2, True),
+            3: (1, False), 4: (4, True), 5: (1, False),
+        }
+        # retention: exactly one survivor per cluster
+        survivors = [d for d, (_, s) in out.items() if s]
+        assert sorted(survivors) == [0, 1, 2, 4]
+
+
+# -- oracle parity for rotated-off-registry catalog shapes ------------
+
+OFF_REGISTRY = ["tpch_q12ish"]
+
+
+@pytest.mark.parametrize("name", OFF_REGISTRY)
+def test_off_registry_parity(spark, sf_dir, name):
+    import xmidt_event_streams_spark.catalog as cat
+    from tests.test_oracle_parity import _rowset, duck_run
+
+    fn = getattr(cat, f"q_{name}")
+    sql = getattr(cat, f"SQL_{name.upper()}")
+    sdf = fn(spark, sf_dir)
+    dcols, drows = duck_run(sql, sf_dir)
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
+        dcols, drows
+    )

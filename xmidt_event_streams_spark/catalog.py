@@ -42,6 +42,7 @@ from xmidt_event_streams_spark.operators.aggregates import (
     event_type_counts,
 )
 from xmidt_event_streams_spark.operators.batching import assign_batches
+from xmidt_event_streams_spark.operators.components import connected_components
 from xmidt_event_streams_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -352,7 +353,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+def _minhash_ctes(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+    """The shared CTE chain ending in ``ex`` (doc_id, band bucket) --
+    reused by SQL_MINHASH and SQL_DUP_CLUSTERS."""
     from xmidt_event_streams_spark.operators.dedup import _MH_P, _mh_coeffs
 
     r = num_hashes // bands
@@ -367,8 +370,7 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str
         f"md5('b{b}:' || array_to_string(sig[{b * r + 1}:{b * r + r}], '|'))"
         for b in range(bands)
     )
-    return f"""
-WITH {_WORDS_CTE},
+    return f"""{_WORDS_CTE},
 sh AS (
   SELECT doc_id,
     list_transform(generate_series(1, greatest(len(w) - {shingle_n - 1}, 0)),
@@ -384,13 +386,46 @@ sig AS (
   SELECT doc_id, [{sig_items}] AS sig FROM shb
 ),
 keys AS (SELECT doc_id, [{key_items}] AS ks FROM sig),
-ex AS (SELECT doc_id, unnest(ks) AS bucket FROM keys)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ex AS (SELECT doc_id, unnest(ks) AS bucket FROM keys)"""
+
+
+_MINHASH_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+SQL_MINHASH = f"WITH {_minhash_ctes()}\n{_MINHASH_PAIRS_SELECT}"
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the minhash_lsh_pairs candidate graph closed
+    under transitivity (a~b, b~c => {a,b,c} one cluster) via
+    distributed min-label propagation -- the retention-decision step
+    of the dedup pipeline (operators/components.py). cluster_id = min
+    doc_id of the component = the canonical survivor."""
+    pairs = minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+    )
+    return connected_components(pairs)
+
+
+# Oracle: same candidate-pair CTEs, then transitive closure as a
+# recursive CTE (UNION dedups -> terminates); min reachable id per
+# vertex = component label. Exponential-ish at large scale but exact
+# at the sf0.01 gate; the Spark side is the log-diameter loop.
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(u, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+)
+SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
 """
-
-
-SQL_MINHASH = _minhash_sql()
 
 
 NGRAM_MAX_BUCKET = 200
@@ -1595,6 +1630,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_by_txn": QuerySpec(q_dedup_by_txn, SQL_DEDUP_BY_TXN),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, True),
     "minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, SQL_MINHASH, True),
+    "dup_clusters": QuerySpec(q_dup_clusters, SQL_DUP_CLUSTERS),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": QuerySpec(q_simhash, SQL_SIMHASH),
     "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
@@ -1625,7 +1661,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q4_semi": QuerySpec(q_tpch_q4_semi, SQL_TPCH_Q4_SEMI),
     "tpch_q10ish": QuerySpec(q_tpch_q10ish, SQL_TPCH_Q10ISH),
     "tpch_q14ish": QuerySpec(q_tpch_q14ish, SQL_TPCH_Q14ISH),
-    "tpch_q12ish": QuerySpec(q_tpch_q12ish, SQL_TPCH_Q12ISH),
     "tpch_q19ish": QuerySpec(q_tpch_q19ish, SQL_TPCH_Q19ISH),
     "tpch_q18ish": QuerySpec(q_tpch_q18ish, SQL_TPCH_Q18ISH),
     "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),

@@ -1,0 +1,131 @@
+"""Distributed connected components over duplicate-candidate pairs.
+
+The missing last step of every dedup pipeline: LSH/verification tiers
+emit PAIRS (a~b, b~c), but retention decisions need CLUSTERS ({a,b,c}
+-> keep one canonical survivor). Transitivity is what makes this a
+graph problem rather than another join.
+
+Algorithm: min-label propagation (Pregel-style, expressed as DataFrame
+joins). Every vertex starts labeled with its own id; each round every
+vertex takes the min of its own and its neighbors' labels; fixpoint =
+every vertex labeled with the min id of its component (that min id IS
+the cluster id and the deterministic canonical survivor).
+
+Scale shape (the part that matters at 100 TB):
+
+  * per round: one equi-join (edges x labels, shuffle on vertex id)
+    + one hash-agg (min label per vertex, map-side partials). No
+    broadcast of anything unbounded, no driver materialization — the
+    driver sees ONE scalar per round (the early-exit convergence
+    probe).
+  * rounds = component diameter. Near-dup graphs are the favorable
+    case: LSH clusters are near-cliques (every member collides with
+    most others in some band), so diameter is 1-3 and the loop runs
+    2-4 rounds regardless of corpus size. The adversarial case (long
+    chains) is bounded by ``max_rounds``; non-convergence raises
+    rather than returning silently-partial clusters.
+  * lineage per round is truncated by materializing each round's
+    label relation (persist + the probe count); the loop carries no
+    growing plan tree into the next round's optimizer pass.
+
+Reference has no graph/dedup surface (SURVEY.md §2.8) — this is part
+of the beyond-reference LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    out_id: str = "doc_id",
+    out_label: str = "cluster_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Label every vertex of the pair graph with the min vertex id of
+    its connected component.
+
+    Parameters
+    ----------
+    edges : undirected pair relation (``src``, ``dst``); parallel
+        edges and self-loops are tolerated (deduped / no-ops).
+    max_rounds : upper bound on propagation rounds (= max component
+        diameter handled). Raises ``RuntimeError`` if the fixpoint is
+        not reached — a silently partial clustering is worse than a
+        loud failure.
+
+    Returns (``out_id``, ``out_label``) for every vertex that appears
+    in ``edges`` (singleton documents never enter the pair graph; the
+    caller left-joins if it wants them labeled with themselves).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("u").alias("v"), F.col("u").alias("lbl")).distinct()
+    labels = labels.persist()
+    labels.count()  # materialize round-0 labels
+
+    converged = False
+    for _ in range(max_rounds):
+        # propagate: u's label reaches each neighbor v; keep-own via union
+        nbr = sym.join(labels.withColumnRenamed("v", "u"), "u").select(
+            "v", "lbl"
+        )
+        new_labels = (
+            nbr.union(labels).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        # early-exit probe: any vertex improved? (limit(1) short-circuits)
+        improved = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if improved == 0:
+            converged = True
+            break
+    sym.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds)"
+        )
+    return labels.select(
+        F.col("v").alias(out_id), F.col("lbl").alias(out_label)
+    )
+
+
+def dup_cluster_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retention verdict per document: its cluster id and whether it
+    is the canonical survivor (the min-id member; singletons survive
+    trivially). One left join of the corpus against the (small)
+    cluster relation — the shape you'd run right before writing the
+    deduplicated corpus."""
+    clusters = connected_components(pairs, out_id=id_col)
+    return (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias(
+                "is_survivor"
+            ),
+        )
+    )
