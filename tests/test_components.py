@@ -65,7 +65,7 @@ class TestConnectedComponents:
 
 # -- oracle parity for rotated-off-registry catalog shapes ------------
 
-OFF_REGISTRY = ["tpch_q12ish"]
+OFF_REGISTRY = ["tpch_q12ish", "tpch_q18ish", "tpch_q19ish"]
 
 
 @pytest.mark.parametrize("name", OFF_REGISTRY)

@@ -43,6 +43,8 @@ from xmidt_event_streams_spark.operators.aggregates import (
 )
 from xmidt_event_streams_spark.operators.batching import assign_batches
 from xmidt_event_streams_spark.operators.components import connected_components
+from xmidt_event_streams_spark.operators.contamination import contamination
+from xmidt_event_streams_spark.operators.relevance import bm25_scores
 from xmidt_event_streams_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -570,6 +572,96 @@ FROM b
 
 
 SQL_LANG_ID = _lang_id_sql()
+
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 relevance of every document against a fixed query
+    vocabulary (operators/relevance.py): one token pass -> tf; dl/df/
+    corpus stats derived from it; stats broadcast."""
+    return bm25_scores(
+        _docs(spark, sf_dir), list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n_docs FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+          WHERE term IN ({terms}) GROUP BY 1)
+SELECT tf.doc_id,
+  round(sum(
+    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    * tf * {k1 + 1.0!r} / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))
+  ), 6) AS bm25
+FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+WHERE tf.term IN ({terms})
+GROUP BY 1
+"""
+
+
+SQL_BM25 = _bm25_sql()
+
+
+_BENCH_BUCKETS = 200  # 2% of the 10000-bucket hash space = benchmark set
+
+
+def _bench_bucket_col():
+    from xmidt_event_streams_spark.operators.traindata import _hash_bucket
+
+    return _hash_bucket(F.col("doc_id"), "bench-v1")
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check (operators/contamination.py):
+    the corpus splits deterministically (md5 bucket, same formula as
+    traindata.assign_split) into a ~2% benchmark set and the training
+    rest; each training doc reports the fraction of its distinct word
+    5-grams that occur anywhere in the benchmark set."""
+    docs = _docs(spark, sf_dir)
+    bkt = _bench_bucket_col()
+    return contamination(
+        docs.filter(bkt >= _BENCH_BUCKETS),
+        docs.filter(bkt < _BENCH_BUCKETS),
+        ngram_n=5,
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH {_WORDS_CTE},
+tagged AS (
+  SELECT doc_id, w,
+    ('0x' || substr(md5('bench-v1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 10000 AS bkt
+  FROM words
+),
+gr AS (
+  SELECT doc_id, bkt,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 4, 0)),
+      i -> md5(array_to_string(w[i:i+4], ' ')))) AS gs
+  FROM tagged
+),
+tr AS (SELECT doc_id, unnest(gs) AS h FROM gr WHERE bkt >= {_BENCH_BUCKETS}),
+bench AS (SELECT DISTINCT unnest(gs) AS h FROM gr WHERE bkt < {_BENCH_BUCKETS}),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams FROM tr GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hit FROM tr
+  WHERE h IN (SELECT h FROM bench) GROUP BY 1
+)
+SELECT t.doc_id, t.n_ngrams, coalesce(n_hit, 0) AS n_hit,
+  round(coalesce(n_hit, 0) / t.n_ngrams::DOUBLE, 6) AS contamination
+FROM totals t LEFT JOIN hits USING (doc_id)
+"""
 
 # ----------------------------------------------------------- embeddings
 
@@ -1636,6 +1728,8 @@ QUERIES: dict[str, QuerySpec] = {
     "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": QuerySpec(q_lang_id, SQL_LANG_ID),
+    "bm25_scores": QuerySpec(q_bm25_scores, SQL_BM25),
+    "contamination_check": QuerySpec(q_contamination, SQL_CONTAMINATION),
     "embedding_topk": QuerySpec(q_embedding_topk, SQL_EMBEDDING_TOPK, True),
     "embedding_centroids": QuerySpec(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "lsh_ann": QuerySpec(q_lsh_ann, SQL_LSH_ANN),
@@ -1661,8 +1755,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q4_semi": QuerySpec(q_tpch_q4_semi, SQL_TPCH_Q4_SEMI),
     "tpch_q10ish": QuerySpec(q_tpch_q10ish, SQL_TPCH_Q10ISH),
     "tpch_q14ish": QuerySpec(q_tpch_q14ish, SQL_TPCH_Q14ISH),
-    "tpch_q19ish": QuerySpec(q_tpch_q19ish, SQL_TPCH_Q19ISH),
-    "tpch_q18ish": QuerySpec(q_tpch_q18ish, SQL_TPCH_Q18ISH),
     "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),
     "session_gaps": QuerySpec(q_session_gaps, SQL_SESSION_GAPS),
     "running_user_value": QuerySpec(q_running_user_value, SQL_RUNNING_USER_VALUE),
