@@ -62,39 +62,68 @@ def connected_components(
     in ``edges`` (singleton documents never enter the pair graph; the
     caller left-joins if it wants them labeled with themselves).
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
-    )
-    labels = sym.select(F.col("u").alias("v"), F.col("u").alias("lbl")).distinct()
-    labels = labels.persist()
-    labels.count()  # materialize round-0 labels
+    # Materialize the INPUT pair relation first, at the session's own
+    # DOP: upstream of the edges is typically the expensive part (an
+    # LSH candidate pipeline over the whole corpus) and must keep its
+    # full parallelism. Everything after this point operates on the
+    # pair graph, which is orders of magnitude smaller.
+    pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    n_edges = pairs.count()
+
+    # Size the graph-machinery DOP from the MEASURED pair count: an
+    # iterative loop pays the partition count as fixed scheduling cost
+    # EVERY round (a 200-partition vanilla session spends seconds of
+    # pure task scheduling per round on a 1k-row graph). AQE coalesces
+    # reducers within one job but not the per-round map parallelism.
+    spark = edges.sparkSession
+    prev_dop = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_dop = max(1, min(int(prev_dop), n_edges // 500_000 + 1))
+
+    def _label_sum(lab: DataFrame):
+        # exact decimal sum: labels only ever DECREASE, so the sum is
+        # strictly monotone while any vertex improves -- an unchanged
+        # sum IS convergence. One single-row agg over the relation
+        # being materialized anyway, vs. a new-vs-old join probe
+        # (2 extra exchanges per round, measured ~2x round latency).
+        return lab.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
 
     converged = False
-    for _ in range(max_rounds):
-        # propagate: u's label reaches each neighbor v; keep-own via union
-        nbr = sym.join(labels.withColumnRenamed("v", "u"), "u").select(
-            "v", "lbl"
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_dop))
+    try:
+        sym = (
+            pairs.union(pairs.select(F.col("v"), F.col("u")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
         )
-        new_labels = (
-            nbr.union(labels).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        sym.count()
+        pairs.unpersist()
+
+        labels = (
+            sym.select(F.col("u").alias("v"), F.col("u").alias("lbl")).distinct()
         ).persist()
-        # early-exit probe: any vertex improved? (limit(1) short-circuits)
-        improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if improved == 0:
-            converged = True
-            break
+        prev_sum = _label_sum(labels)  # also materializes round-0 labels
+
+        for _ in range(max_rounds):
+            # propagate: u's label reaches each neighbor v; keep-own
+            # via union
+            nbr = sym.join(labels.withColumnRenamed("v", "u"), "u").select(
+                "v", "lbl"
+            )
+            new_labels = (
+                nbr.union(labels).groupBy("v").agg(F.min("lbl").alias("lbl"))
+            ).persist()
+            new_sum = _label_sum(new_labels)
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_dop)
     sym.unpersist()
     if not converged:
         labels.unpersist()
