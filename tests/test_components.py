@@ -63,6 +63,43 @@ class TestConnectedComponents:
         assert sorted(survivors) == [0, 1, 2, 4]
 
 
+def test_semdedup_pipeline_on_embeddings(spark, sf_dir):
+    """Full SemDeDup composition over the driver's embeddings table:
+    every corpus row is labeled, exactly one survivor per cluster,
+    survivor = min id, and every near-dup pair is intra-cluster."""
+    from xmidt_event_streams_spark.catalog import (
+        NEARDUP_N_PROBE,
+        NEARDUP_THRESHOLD,
+        _emb,
+        _neardup_centroids,
+    )
+    from xmidt_event_streams_spark.operators.components import semdedup_survivors
+    from xmidt_event_streams_spark.operators.similarity import (
+        clustered_near_dup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    out = semdedup_survivors(
+        emb, _neardup_centroids(), NEARDUP_THRESHOLD, NEARDUP_N_PROBE
+    ).collect()
+    assert len(out) == emb.count()
+    label = {r["vec_id"]: r["cluster_id"] for r in out}
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        survivors = [r["vec_id"] for r in rows if r["is_survivor"]]
+        assert survivors == [min(r["vec_id"] for r in rows)] and min(
+            r["vec_id"] for r in rows
+        ) == cid
+    pairs = clustered_near_dup_pairs(
+        emb, _neardup_centroids(), NEARDUP_THRESHOLD, NEARDUP_N_PROBE
+    ).collect()
+    assert pairs, "expected a non-empty high-similarity tail"
+    for p in pairs:
+        assert label[p["id_a"]] == label[p["id_b"]]
+
+
 # -- oracle parity for rotated-off-registry catalog shapes ------------
 
 OFF_REGISTRY = ["tpch_q12ish", "tpch_q18ish", "tpch_q19ish"]

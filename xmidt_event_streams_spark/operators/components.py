@@ -136,6 +136,34 @@ def connected_components(
     )
 
 
+def semdedup_survivors(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full SemDeDup retention pipeline (Abbas et al. 2023,
+    arXiv:2303.09540) as one composition: cluster-then-verify
+    near-duplicate pairs (similarity.clustered_near_dup_pairs; no
+    nested-loop join) -> transitive closure (connected_components) ->
+    one canonical survivor per semantic cluster.
+
+    Returns (``id_col``, cluster_id, is_survivor) for every corpus
+    row; downstream keeps ``is_survivor`` rows. Every stage is the
+    documented 100 TB shape of its operator.
+    """
+    from xmidt_event_streams_spark.operators.similarity import (
+        clustered_near_dup_pairs,
+    )
+
+    pairs = clustered_near_dup_pairs(
+        df, centroids, threshold, n_probe, id_col, vec_col
+    )
+    return dup_cluster_survivors(df, pairs, id_col=id_col)
+
+
 def dup_cluster_survivors(
     df: DataFrame,
     pairs: DataFrame,
