@@ -326,14 +326,15 @@ _WORDS_CTE = r"""
 words AS (
   SELECT doc_id, lang, source, text,
     list_filter(
-      string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '),
       t -> t <> ''
     ) AS w
   FROM documents
 )
 """
 
-_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# explicit whitespace class: Java \s includes \x0B, RE2 \s does not
+_NORM_SQL = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
 
 
 def q_dedup_exact(spark, sf_dir):

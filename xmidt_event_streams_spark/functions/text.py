@@ -59,9 +59,16 @@ def sanitize_utf8(col: Column | str, from_binary: bool = False) -> Column:
 
 def normalize_text(col: Column | str) -> Column:
     """Lowercase + collapse whitespace + trim: canonical form for
-    fingerprints and shingles."""
+    fingerprints and shingles.
+
+    The whitespace class is spelled out instead of ``\\s`` because the
+    shorthand is DIALECT-DEPENDENT: Java regex ``\\s`` includes
+    vertical tab (0x0B), RE2 (DuckDB, Go -- the reference's dialect,
+    SURVEY.md §7 'regex drift') does not. An explicit class means
+    every engine computes the same fingerprints
+    (tests/test_text_properties.py pins this property)."""
     col = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def tokens(col: Column | str) -> Column:

@@ -97,6 +97,77 @@ def lsh_bucket(
     return df.withColumn(bucket_col, sign_bits(vec_col, planes))
 
 
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: str = "xes",
+) -> None:
+    """Materialize the ANN index: corpus written PARTITIONED BY its
+    LSH sign bucket. This turns the docstring claim into a layout:
+    probing a bucket becomes directory pruning at the scan (the plan
+    carries ``PartitionFilters`` on ``bucket`` and touches only the
+    probed directories), so a query reads ~1/2^n_planes of a 100 TB
+    corpus with zero shuffle and zero full-scan.
+
+    One shuffle at write time (repartition by bucket, one writer task
+    per bucket -- no small-file explosion); the probe-side reader is
+    :func:`probe_lsh_index`. The bucket key is stored as a BIGINT
+    (binary value of the sign bits): partition-directory values are
+    type-inferred on read, and an integer key survives that losslessly
+    where a '01...' bitstring would drop leading zeros.
+    """
+    (
+        lsh_bucket(df, n_planes, dim, vec_col, seed=seed)
+        .withColumn("bucket", F.conv("bucket", 2, 10).cast("bigint"))
+        .repartition(F.col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: str = "xes",
+) -> DataFrame:
+    """ANN top-k against a materialized LSH index: the bucket
+    equi-join against the partition column prunes the scan to the
+    probed directories (dynamic partition pruning / broadcast-join
+    filter); only those buckets' vectors are ever read or scored."""
+    corpus = spark.read.parquet(path)
+    qb = lsh_bucket(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        ),
+        n_planes,
+        dim,
+        "_qvec",
+        bucket_col="_qbucket",
+        seed=seed,
+    ).withColumn("_qbucket", F.conv("_qbucket", 2, 10).cast("bigint"))
+    scored = corpus.join(
+        F.broadcast(qb),
+        (F.col("bucket") == F.col("_qbucket"))
+        & (F.col(id_col) != F.col(query_id_col)),
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_pairs(vec_col, "_qvec"), 6).alias("cos_sim"),
+    )
+    return _topk_by_query(scored, k, query_id_col, id_col)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -96,6 +96,56 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    shard_col: str | None = None,
+    n_shards: int = 16,
+    pack_budget: int | None = None,
+    salt: str = "split-v1",
+) -> None:
+    """Assemble and write the training corpus: deterministic split ->
+    (optional) per-shard sequence packing -> parquet partitioned by
+    (split, shard).
+
+    The write layout IS the access pattern: a trainer reads
+    ``split=train/shard=N/*`` as one sequential scan per worker, and
+    partition pruning serves val/test without touching train files.
+
+    Scale shape: split assignment and shard assignment are narrow md5
+    projections (no shuffle); packing adds the one per-shard window
+    shuffle documented on :func:`pack_sequences`. The writer
+    repartitions by (split, shard) so each output partition is
+    written by exactly one task -- no small-file explosion, no global
+    sort. ``n_shards`` scales with the cluster at 100 TB; re-running
+    after corpus growth appends new docs to stable shards (pure
+    row-hash assignment, ingestion-stable like assign_split).
+    """
+    out = assign_split(df, id_col=id_col, weights=weights, salt=salt)
+    if shard_col is None:
+        shard_col = "shard"
+        out = out.withColumn(
+            shard_col, _hash_bucket(F.col(id_col), salt + "-shard") % n_shards
+        )
+    if pack_budget is not None:
+        out = pack_sequences(
+            out,
+            token_col=token_col,
+            order_col=id_col,
+            budget=pack_budget,
+            shard_cols=["split", shard_col],
+        )
+    (
+        out.repartition(F.col("split"), F.col(shard_col))
+        .write.partitionBy("split", shard_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
