@@ -6,13 +6,15 @@ line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
 Each query is forced with the noop sink (full computation, no collect
 overhead, no result materialization on the driver).
 
-Timings are STEADY-STATE: before the timed pass, every headline plan
-runs once at sf0.001 (sibling dir of the bench SF, skipped if absent)
-to compile whole-stage codegen and spawn the Arrow Python-UDF worker
-pool. First-ever-call overhead (JIT, worker fork, ~3-4 s across the
-suite) is a per-process constant, not per-query work: on a long-lived
-cluster it amortizes to zero, so including it in per-query numbers
-would misrank the queries the 100 TB design actually cares about.
+Timings are STEADY-STATE and the JSON says so: two passes run at the
+bench SF; the first (cold: whole-stage-codegen JIT, Arrow worker
+fork) is reported as ``cold_total_sec``, the second (warm) is the
+headline ``value`` with ``"warm": true``. First-ever-call overhead is
+a per-process constant, not per-query work: on a long-lived cluster
+it amortizes to zero, so ranking queries by cold numbers would
+misrank the ones the 100 TB design actually cares about — but the
+cold total stays in the artifact so cross-round comparisons are
+self-describing (a methodology change can't masquerade as a speedup).
 """
 
 from __future__ import annotations
@@ -39,21 +41,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [name for name, spec in QUERIES.items() if spec.headline]
-    # steady-state warmup: run every headline plan once at the small
-    # sibling SF (same generated code, same worker pool; different data)
-    warm_dir = str(Path(sf_dir).parent / "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
-    for name in headline:
-        QUERIES[name].fn(spark, warm_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_pass() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in headline:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t[name] = round(time.perf_counter() - t0, 3)
+        return t
+
+    # pass 1 = cold (codegen JIT + Arrow worker fork); pass 2 = warm
+    cold = run_pass()
+    timings = run_pass()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -62,6 +63,8 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "warm": True,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "queries": timings,
                 "sf": sf,
             }

@@ -45,6 +45,36 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(chain, max_rounds=2)
 
+    def test_error_path_releases_caches_and_conf(self, spark):
+        """A mid-loop abort (max_rounds too small for the diameter)
+        must leave NOTHING cached for the session's lifetime and must
+        not touch session conf (components.py round-2 defect: sym /
+        labels unpersist sat outside the finally, and the loop DOP was
+        set via session-global spark.sql.shuffle.partitions)."""
+        import time
+
+        def cached_rdd_count():
+            return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+        baseline = cached_rdd_count()
+        conf_before = spark.conf.get("spark.sql.shuffle.partitions")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "id_a: long, id_b: long"
+        )
+        for rounds in (0, 1):
+            with pytest.raises(RuntimeError, match="did not converge"):
+                connected_components(chain, max_rounds=rounds)
+            # conf untouched at every point (the fix computes the loop
+            # DOP per-operation via repartition, never via conf)
+            assert (
+                spark.conf.get("spark.sql.shuffle.partitions") == conf_before
+            )
+            # unpersist is async; poll briefly before declaring a leak
+            deadline = time.monotonic() + 10
+            while cached_rdd_count() > baseline and time.monotonic() < deadline:
+                time.sleep(0.2)
+            assert cached_rdd_count() <= baseline
+
     def test_survivors_label_singletons(self, spark):
         docs = spark.createDataFrame(
             [(i,) for i in range(6)], "doc_id: long"

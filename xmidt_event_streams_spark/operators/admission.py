@@ -23,11 +23,18 @@ Two modes, mirroring the reference's own precision trade-off:
   100 TB path — just like a single atomic counter isn't.
 * ``best_effort`` — per-partition quota via ``mapInPandas``: no
   shuffle, no coordination; admits at most
-  ``ceil(max_outstanding / num_partitions)`` rows per partition. The
+  ``ceil(max_outstanding / n_shards)`` rows per partition. The
   reference's own check is racy (``len(chan) < cap(chan)`` is
   non-atomic across goroutines — SURVEY.md §2.4 B1 note), so
   best-effort shedding is faithful, and it is the shape that scales:
-  each task decides locally.
+  each task decides locally. ``n_shards`` defaults to the session's
+  ``defaultParallelism`` (how many tasks can race concurrently — the
+  direct analog of the reference's racing goroutines) rather than the
+  DataFrame's partition count: resolving the latter needs an RDD plan
+  conversion, which is both wasted work and ILLEGAL on a streaming
+  DataFrame — and ingress shedding is inherently a streaming concern.
+  Pass ``n_shards`` explicitly to pin the aggregate cap when the
+  partition count is known and differs from the parallelism.
 """
 
 from __future__ import annotations
@@ -50,6 +57,7 @@ def admission_mark(
     max_outstanding: int = DEFAULT_MAX_OUTSTANDING,
     order_col: str | None = None,
     mode: str = "best_effort",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Add a boolean ``admitted`` column: True for rows within the
     ``max_outstanding`` cap, False for shed rows.
@@ -57,7 +65,10 @@ def admission_mark(
     ``order_col`` (exact mode) fixes WHICH rows are admitted
     (ascending order wins); best-effort mode admits each partition's
     first rows in partition order, like the reference admits whichever
-    requests raced in before the counter tripped.
+    requests raced in before the counter tripped. ``n_shards``
+    (best-effort) divides the cap into per-partition quotas; defaults
+    to the session's ``defaultParallelism`` so the operator works
+    unchanged on batch and streaming DataFrames (no RDD conversion).
     """
     if mode == "exact":
         order = F.col(order_col) if order_col else F.monotonically_increasing_id()
@@ -68,7 +79,9 @@ def admission_mark(
     if mode != "best_effort":
         raise ValueError(f"mode must be 'exact' or 'best_effort', got {mode!r}")
 
-    quota = max(1, math.ceil(max_outstanding / max(1, df.rdd.getNumPartitions())))
+    if n_shards is None:
+        n_shards = df.sparkSession.sparkContext.defaultParallelism
+    quota = max(1, math.ceil(max_outstanding / max(1, n_shards)))
     out_schema = StructType(df.schema.fields + [StructField(ADMITTED_COL, BooleanType())])
 
     def mark(batches: Iterator) -> Iterator:
@@ -88,11 +101,12 @@ def admission_control(
     max_outstanding: int = DEFAULT_MAX_OUTSTANDING,
     order_col: str | None = None,
     mode: str = "best_effort",
+    n_shards: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(admitted, rejected) split; rejected rows carry
     ``reject_status`` 503 for the rejects sink, mirroring the
     reference's HTTP answer."""
-    marked = admission_mark(df, max_outstanding, order_col, mode)
+    marked = admission_mark(df, max_outstanding, order_col, mode, n_shards)
     admitted = marked.filter(F.col(ADMITTED_COL)).drop(ADMITTED_COL)
     rejected = (
         marked.filter(~F.col(ADMITTED_COL))

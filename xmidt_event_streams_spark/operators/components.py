@@ -68,16 +68,8 @@ def connected_components(
     # full parallelism. Everything after this point operates on the
     # pair graph, which is orders of magnitude smaller.
     pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
-    n_edges = pairs.count()
-
-    # Size the graph-machinery DOP from the MEASURED pair count: an
-    # iterative loop pays the partition count as fixed scheduling cost
-    # EVERY round (a 200-partition vanilla session spends seconds of
-    # pure task scheduling per round on a 1k-row graph). AQE coalesces
-    # reducers within one job but not the per-round map parallelism.
-    spark = edges.sparkSession
-    prev_dop = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_dop = max(1, min(int(prev_dop), n_edges // 500_000 + 1))
+    cached: list[DataFrame] = [pairs]  # everything persisted by this call
+    keep: DataFrame | None = None  # the one relation the result needs
 
     def _label_sum(lab: DataFrame):
         # exact decimal sum: labels only ever DECREASE, so the sum is
@@ -89,48 +81,85 @@ def connected_components(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
 
-    converged = False
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_dop))
     try:
+        n_edges = pairs.count()
+
+        # Size the graph-machinery DOP from the MEASURED pair count: an
+        # iterative loop pays the partition count as fixed scheduling
+        # cost EVERY round (a 200-partition vanilla session spends
+        # seconds of pure task scheduling per round on a 1k-row graph).
+        # The DOP is applied per-operation via repartition(loop_dop, key)
+        # -- never by mutating session conf, which would re-plan any
+        # concurrent query on a shared session at the loop's tiny DOP.
+        spark = edges.sparkSession
+        session_dop = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        loop_dop = max(1, min(session_dop, n_edges // 500_000 + 1))
+
+        # sym hash-partitioned on the join key u at loop_dop: every
+        # round's edges-x-labels equi-join then needs no exchange on
+        # the (persisted, larger) edge side.
         sym = (
             pairs.union(pairs.select(F.col("v"), F.col("u")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .repartition(loop_dop, "u")
             .persist()
         )
+        cached.append(sym)
         sym.count()
         pairs.unpersist()
+        cached.remove(pairs)
 
         labels = (
-            sym.select(F.col("u").alias("v"), F.col("u").alias("lbl")).distinct()
-        ).persist()
+            sym.select(F.col("u").alias("v"), F.col("u").alias("lbl"))
+            .distinct()
+            .repartition(loop_dop, "v")
+            .persist()
+        )
+        cached.append(labels)
         prev_sum = _label_sum(labels)  # also materializes round-0 labels
 
+        converged = False
         for _ in range(max_rounds):
             # propagate: u's label reaches each neighbor v; keep-own
             # via union
             nbr = sym.join(labels.withColumnRenamed("v", "u"), "u").select(
                 "v", "lbl"
             )
+            # one explicit exchange per round: co-locate on v at
+            # loop_dop; the min-agg then runs exchange-free on the
+            # already-clustered input.
             new_labels = (
-                nbr.union(labels).groupBy("v").agg(F.min("lbl").alias("lbl"))
-            ).persist()
+                nbr.union(labels)
+                .repartition(loop_dop, "v")
+                .groupBy("v")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()
+            )
+            cached.append(new_labels)
             new_sum = _label_sum(new_labels)
             labels.unpersist()
+            cached.remove(labels)
             labels = new_labels
             if new_sum == prev_sum:
                 converged = True
                 break
             prev_sum = new_sum
+
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds "
+                "(component diameter exceeds max_rounds)"
+            )
+        # The final label relation stays persisted on success: it IS the
+        # materialized result the returned DataFrame reads from (callers
+        # unpersist via the session when done). Everything else -- and
+        # everything, on any error -- is released in the finally.
+        keep = labels
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_dop)
-    sym.unpersist()
-    if not converged:
-        labels.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds "
-            "(component diameter exceeds max_rounds)"
-        )
+        for df_ in cached:
+            if df_ is not keep:
+                df_.unpersist()
     return labels.select(
         F.col("v").alias(out_id), F.col("lbl").alias(out_label)
     )
