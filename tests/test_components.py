@@ -101,7 +101,7 @@ def test_semdedup_pipeline_on_embeddings(spark, sf_dir):
         NEARDUP_N_PROBE,
         NEARDUP_THRESHOLD,
         _emb,
-        _neardup_centroids,
+        neardup_centroids,
     )
     from xmidt_event_streams_spark.operators.components import semdedup_survivors
     from xmidt_event_streams_spark.operators.similarity import (
@@ -109,8 +109,9 @@ def test_semdedup_pipeline_on_embeddings(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
+    cents = neardup_centroids(emb)
     out = semdedup_survivors(
-        emb, _neardup_centroids(), NEARDUP_THRESHOLD, NEARDUP_N_PROBE
+        emb, cents, NEARDUP_THRESHOLD, NEARDUP_N_PROBE
     ).collect()
     assert len(out) == emb.count()
     label = {r["vec_id"]: r["cluster_id"] for r in out}
@@ -123,11 +124,69 @@ def test_semdedup_pipeline_on_embeddings(spark, sf_dir):
             r["vec_id"] for r in rows
         ) == cid
     pairs = clustered_near_dup_pairs(
-        emb, _neardup_centroids(), NEARDUP_THRESHOLD, NEARDUP_N_PROBE
+        emb, cents, NEARDUP_THRESHOLD, NEARDUP_N_PROBE
     ).collect()
     assert pairs, "expected a non-empty high-similarity tail"
     for p in pairs:
         assert label[p["id_a"]] == label[p["id_b"]]
+
+
+def test_neardup_autosized_recall_and_candidates(spark):
+    """The shipped near-dup default must be measured, not asserted:
+    at sf0.01 (near-isotropic synthetic embeddings -- the worst case
+    for any clustering scheme) the learned auto-sized centroids must
+    (a) return a strict subset of the exact pair set (the verify tier
+    is exact), (b) recall >= 0.95 of it (the old 32 fixed md5 cells
+    measured 0.80), and (c) keep the candidate join within the
+    16/sqrt(n) law the auto-sizing rule promises (<= 5% of all pairs
+    once the corpus exceeds ~102k rows; at n=500 the floor is ~55%)."""
+    import math
+
+    from xmidt_event_streams_spark.catalog import (
+        NEARDUP_N_PROBE,
+        _emb,
+        neardup_centroids,
+        neardup_k,
+        q_embedding_near_dup,
+    )
+    from xmidt_event_streams_spark.functions.vectors import nearest_cells
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in q_embedding_near_dup(spark, sf, exact=True).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in q_embedding_near_dup(spark, sf).collect()
+    }
+    assert approx <= exact  # exact verify => no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} below target"
+
+    emb = _emb(spark, sf)
+    n = emb.count()
+    cents = neardup_centroids(emb)
+    cells = emb.select(
+        F.col("vec_id"),
+        F.explode(
+            nearest_cells("embedding", cents, NEARDUP_N_PROBE)
+        ).alias("cell"),
+    )
+    a = cells.select(F.col("vec_id").alias("ia"), "cell")
+    b = cells.select(F.col("vec_id").alias("ib"), "cell")
+    n_cand = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+        .count()
+    )
+    frac = n_cand / (n * (n - 1) / 2)
+    k = neardup_k(n)
+    assert k == math.ceil(math.sqrt(n))  # the rule actually sizes k
+    assert frac <= min(1.0, 1.2 * NEARDUP_N_PROBE**2 / k), (
+        f"candidate fraction {frac:.3f} breaks the p^2/k bound"
+    )
 
 
 # -- oracle parity for rotated-off-registry catalog shapes ------------

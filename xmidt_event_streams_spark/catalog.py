@@ -1131,13 +1131,35 @@ _COS_SQL = (
     "ELSE 0 END, 6)"
 )
 
-NEARDUP_N_CELLS = 32
 NEARDUP_N_PROBE = 4
 NEARDUP_THRESHOLD = 0.4
+NEARDUP_KMEANS_ITERS = 5
+NEARDUP_GRID_DP = 4
+NEARDUP_DIM = 64
 
 
-def _neardup_centroids() -> list[list[float]]:
-    return deterministic_planes(NEARDUP_N_CELLS, 64, seed="ivf-centroids")
+def neardup_k(n: int) -> int:
+    """Auto-sized coarse cell count: k ~ sqrt(corpus size), the rule
+    that keeps candidate volume sub-quadratic as the corpus grows
+    (candidate fraction ~ n_probe^2 / k -> 16/sqrt(n), under 5% once
+    n >= ~102k rows)."""
+    import math
+
+    return min(n, max(8, math.ceil(math.sqrt(n))))
+
+
+def neardup_centroids(emb) -> list[list[float]]:
+    """Learned, auto-sized coarse centroids for the near-dup default:
+    portable spherical k-means (operators.ivf.kmeans_fit_portable) at
+    k = neardup_k(corpus size). Deterministic AND engine-replayable --
+    the oracle twin replays the identical fit in SQL (grid-quantized
+    sums; see kmeans_fit_portable's determinism contract)."""
+    from xmidt_event_streams_spark.operators.ivf import kmeans_fit_portable
+
+    n = emb.count()
+    return kmeans_fit_portable(
+        emb, neardup_k(n), NEARDUP_KMEANS_ITERS, grid_dp=NEARDUP_GRID_DP
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir, exact=False):
@@ -1145,15 +1167,21 @@ def q_embedding_near_dup(spark, sf_dir, exact=False):
     no planted dups so this is the high-similarity tail).
 
     Default plan: cluster-then-verify (SemDeDup shape,
-    similarity.clustered_near_dup_pairs) -- multi-probe cell
-    assignment, equi-join on cell, exact cosine verify. Sub-quadratic:
-    no BroadcastNestedLoopJoin over the corpus. Measured at sf0.01
-    with these 32 constant cells / 4 probes: recall 0.80 of the
-    brute-force pair set, candidates 42% of all pairs (the synthetic
-    embeddings are near-isotropic -- the worst case; clustered real
-    data and kmeans_fit centroids separate far better, and cell count
-    grows ~sqrt(n) at scale). The oracle twin replicates the full
-    composition, so the check is exact over the approximate operator.
+    similarity.clustered_near_dup_pairs) with LEARNED, AUTO-SIZED
+    coarse cells: portable spherical k-means centroids (k ~ sqrt(n),
+    5 Lloyd rounds; ivf.kmeans_fit_portable), multi-probe cell
+    assignment, equi-join on cell, exact cosine verify. Sub-quadratic
+    with a scale rule, not constants: candidate fraction ~
+    n_probe^2/k = 16/sqrt(n) (vanishes as the corpus grows). Measured
+    at sf0.01 (near-isotropic synthetic embeddings -- the worst case
+    for any clustering: tests/test_components.py asserts both
+    numbers): recall 0.97 of the brute-force pair set (was 0.80 with
+    the old 32 fixed md5 cells), candidates 55% of all pairs at
+    n=500 -- small-n floor of the 16/sqrt(n) law, <=5% from ~102k
+    rows. The oracle twin replays the full composition INCLUDING the
+    k-means fit (grid-quantized arithmetic makes the fit bit-portable
+    across engines), so the check is exact over the approximate
+    operator.
 
     ``exact=True`` keeps the O(n^2) brute-force (bench/debug only).
     """
@@ -1175,25 +1203,59 @@ def q_embedding_near_dup(spark, sf_dir, exact=False):
         )
     return clustered_near_dup_pairs(
         emb,
-        _neardup_centroids(),
+        neardup_centroids(emb),
         threshold=NEARDUP_THRESHOLD,
         n_probe=NEARDUP_N_PROBE,
     )
 
 
-_NEARDUP_CENT_VALUES = ", ".join(
-    "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
-    for i, c in enumerate(_neardup_centroids())
-)
-
-SQL_EMBEDDING_NEAR_DUP = f"""
-WITH cent AS (
-  SELECT * FROM (VALUES {_NEARDUP_CENT_VALUES}) AS t(cell, cv)
-), c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), sims AS (
-  SELECT c.vec_id, cent.cell, {_COS_SQL.format(a='c.v', b='cent.cv')} AS sim
-  FROM c CROSS JOIN cent
+def _neardup_sql() -> str:
+    """DuckDB twin of q_embedding_near_dup, INCLUDING the k-means fit:
+    NEARDUP_KMEANS_ITERS unrolled (assign -> summed-centroid) stages
+    over 4dp-quantized vectors, then the multi-probe / candidate /
+    exact-verify tail. Every arithmetic step matches
+    kmeans_fit_portable's grid contract, so both engines derive
+    bit-identical centroids and the comparison is exact."""
+    cos_fit = _COS_SQL.format(a="c.qv", b="ct.cv")
+    g = NEARDUP_GRID_DP
+    parts = [
+        f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> round(x, {g})) AS qv
+  FROM embeddings
+), nn AS (
+  SELECT CAST(greatest(8, ceil(sqrt(count(*)))) AS BIGINT) AS k FROM c
+), cent0 AS (
+  SELECT r.cell, r.qv AS cv
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv FROM c) r, nn
+  WHERE r.cell < nn.k
+)"""
+    ]
+    for i in range(1, NEARDUP_KMEANS_ITERS + 1):
+        parts.append(
+            f""", asg{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.cell,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos_fit} DESC, ct.cell) AS rn
+    FROM c CROSS JOIN cent{i - 1} ct
+  ) WHERE rn = 1
+), sum{i} AS (
+  SELECT a.cell, gs.pos, round(sum(c.qv[gs.pos]), {g}) AS s
+  FROM asg{i} a JOIN c USING (vec_id), generate_series(1, {NEARDUP_DIM}) AS gs(pos)
+  GROUP BY a.cell, gs.pos
+), cent{i} AS (
+  SELECT p.cell, coalesce(s.cv, p.cv) AS cv
+  FROM cent{i - 1} p LEFT JOIN (
+    SELECT cell, list(s ORDER BY pos) AS cv FROM sum{i} GROUP BY cell
+  ) s USING (cell)
+)"""
+        )
+    last = f"cent{NEARDUP_KMEANS_ITERS}"
+    parts.append(
+        f""", sims AS (
+  SELECT c.vec_id, ct.cell, {_COS_SQL.format(a='c.v', b='ct.cv')} AS sim
+  FROM c CROSS JOIN {last} ct
 ), assign AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
@@ -1211,6 +1273,11 @@ JOIN c va ON va.vec_id = cand.id_a
 JOIN c vb ON vb.vec_id = cand.id_b
 WHERE {_COS_SQL.format(a='va.v', b='vb.v')} >= {NEARDUP_THRESHOLD}
 """
+    )
+    return "".join(parts)
+
+
+SQL_EMBEDDING_NEAR_DUP = _neardup_sql()
 
 
 # ------------------------------------------- relational breadth, round 2

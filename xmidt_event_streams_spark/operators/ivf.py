@@ -80,6 +80,69 @@ def kmeans_fit(
     return cents
 
 
+def kmeans_fit_portable(
+    df: DataFrame,
+    k: int,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid_dp: int = 4,
+) -> list[list[float]]:
+    """Spherical k-means whose result is bit-reproducible across
+    engines (the fit an exact SQL oracle can replay), unlike
+    :func:`kmeans_fit`, whose float means depend on partition-level
+    summation order.
+
+    The trick is keeping every intermediate value on a decimal grid
+    coarse enough that float noise cannot move it:
+
+      * inputs are quantized to ``grid_dp`` decimals (round half-up:
+        identical in any engine, since raw values never sit exactly on
+        a half-grid boundary);
+      * each centroid update is the per-dimension SUM of its members'
+        quantized components, rounded back to ``grid_dp``. The true
+        sum lies exactly on the grid, and double summation error
+        (~1e-13) is far below half a grid step (5e-5), so the rounded
+        sum is the exact decimal regardless of summation order. The
+        un-normalized sum points the same direction as the mean, and
+        cosine assignment is scale-invariant — so skipping the divide
+        loses nothing and avoids decimal-division rule mismatches;
+      * assignments rank cosine rounded to 6dp, ties to the lowest
+        cell (nearest_cells' contract, same as SQL
+        ``ORDER BY sim DESC, cell``).
+
+    Same Spark shape as kmeans_fit: per round one narrow Arrow
+    cell-assignment plus one k x dim-bounded aggregate; the driver
+    holds k x dim floats. Init = first ``k`` quantized vectors by id;
+    cells that lose all members keep their previous centroid.
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: F.round(x, grid_dp)
+        ).alias("_qv"),
+    ).persist()
+    try:
+        cents = [
+            list(r[0]) for r in q.orderBy("_id").limit(k).select("_qv").collect()
+        ]
+        for _ in range(n_iters):
+            assigned = q.withColumn("_cell", nearest_cells("_qv", cents, 1)[0])
+            per_dim = (
+                assigned.select("_cell", F.posexplode("_qv"))
+                .groupBy("_cell", "pos")
+                .agg(F.round(F.sum("col"), grid_dp).alias("s"))
+                .collect()
+            )
+            new = {c: list(cents[c]) for c in range(len(cents))}
+            for row in per_dim:
+                new[row["_cell"]][row["pos"]] = row["s"]
+            cents = [new[c] for c in range(len(cents))]
+    finally:
+        q.unpersist()
+    return cents
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
