@@ -921,9 +921,14 @@ def q_multimodal_meta(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched decode/feature-extract + resize over binary
     payloads (events props bytes standing in for media). The decode
-    kernels are deterministic stubs (no codec libs in this container)
-    -- not SQL-expressible, so rows-only: the check pins the
-    mapInPandas schema, batch iteration, and poison-row containment."""
+    kernels are deterministic stubs (no codec libs in this container);
+    BECAUSE they are deterministic byte arithmetic, every output
+    column is SQL-expressible and the DuckDB twin replays them
+    exactly (width/height from the byte-sum stub, feature_hash =
+    md5(first 256 bytes), resized_len = the stub's truncation cap) --
+    so this row gets a full value-hash check, while still pinning the
+    mapInPandas schema, batch iteration, and poison-row containment
+    on the Spark side."""
     from xmidt_event_streams_spark.multimodal import (
         extract_image_features,
         resize_images,
@@ -939,6 +944,38 @@ def q_multimodal_features(spark, sf_dir):
         "media_id", F.octet_length("resized").alias("resized_len")
     )
     return feats.join(resized, "media_id")
+
+
+# DuckDB twin of the deterministic decode stubs (multimodal.py):
+#   _decode_image_stub: h = sum(payload[:64]); width = 64 + h % 512,
+#     height = 64 + (h // 7) % 512, channels = 3
+#   extract_image_features: feature_hash = md5(payload[:256])
+#   _resize_stub at 64x64: 16-byte md5 seed tiled to 64*64*3 then
+#     truncated to 4096 -> resized_len is the constant cap 4096
+# Empty/NULL payloads take the poison-row path -> all-NULL features.
+# The twin works on VARCHAR (this DuckDB's md5 takes no BLOB): valid
+# because props is pure ASCII in every generated table (verified
+# max(octet_length - length) = 0), so char positions ARE byte offsets
+# and ascii(c) IS the byte value. Non-ASCII payloads would mismatch
+# loudly rather than silently pass.
+SQL_MULTIMODAL_FEATURES = """
+WITH s AS (
+  SELECT CAST(event_id AS VARCHAR) AS media_id, props,
+    coalesce(length(props), 0) AS blen,
+    CASE WHEN coalesce(length(props), 0) > 0 THEN
+      list_sum(list_transform(generate_series(1, least(64, length(props))),
+                              i -> ascii(props[i])))
+    ELSE NULL END AS hsum
+  FROM events
+)
+SELECT media_id,
+  CAST(CASE WHEN blen > 0 THEN 64 + hsum % 512 END AS INTEGER) AS width,
+  CAST(CASE WHEN blen > 0 THEN 64 + (hsum // 7) % 512 END AS INTEGER) AS height,
+  CAST(CASE WHEN blen > 0 THEN 3 END AS INTEGER) AS n_channels,
+  CASE WHEN blen > 0 THEN md5(substr(props, 1, 256)) END AS feature_hash,
+  CAST(CASE WHEN blen > 0 THEN 4096 END AS INTEGER) AS resized_len
+FROM s
+"""
 
 
 SQL_MULTIMODAL_META = """
@@ -1806,7 +1843,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q5ish": QuerySpec(q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "events_windowed": QuerySpec(q_events_windowed, SQL_EVENTS_WINDOWED),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
-    "multimodal_features": QuerySpec(q_multimodal_features, None),
+    "multimodal_features": QuerySpec(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "partner_overlap": QuerySpec(q_partner_overlap, SQL_PARTNER_OVERLAP),
     "asof_last_click": QuerySpec(q_asof_last_click, SQL_ASOF_LAST_CLICK, True),
     "events_pivot": QuerySpec(q_events_pivot, SQL_EVENTS_PIVOT),
