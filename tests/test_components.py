@@ -193,6 +193,44 @@ def test_neardup_autosized_recall_and_candidates(spark):
 
 OFF_REGISTRY = ["tpch_q12ish", "tpch_q18ish", "tpch_q19ish"]
 
+# every catalog q_* not in the 50-entry driver registry must appear
+# here, mapped to where its parity evidence lives (README "Registry
+# rotation policy"); test_off_registry_set_is_fully_covered enforces it
+OFF_REGISTRY_EVIDENCE = {
+    "tpch_q12ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q18ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q19ish": "tests/test_components.py::test_off_registry_parity",
+    "ivf_ann_kmeans": "tests/test_msgpack_asof.py::TestIvfKmeansQuery",
+}
+
+
+def test_off_registry_set_is_fully_covered():
+    """Rotation-policy gate: derive the off-registry set from the
+    catalog source and fail if a future rotation leaves a catalog
+    shape without documented parity evidence (or leaves stale
+    evidence entries behind)."""
+    import re
+
+    import xmidt_event_streams_spark.catalog as cat
+
+    defined = set(
+        re.findall(r"^def q_(\w+)\(", open(cat.__file__).read(), re.M)
+    )
+    registered = set(cat.QUERIES)
+    # alias-registered functions count as on-registry (e.g.
+    # q_contamination -> "contamination_check")
+    aliased = {
+        spec.fn.__name__.removeprefix("q_") for spec in cat.QUERIES.values()
+    }
+    off = defined - registered - aliased
+    assert off == set(OFF_REGISTRY_EVIDENCE), (
+        f"off-registry set changed: missing evidence for "
+        f"{sorted(off - set(OFF_REGISTRY_EVIDENCE))}, stale entries "
+        f"{sorted(set(OFF_REGISTRY_EVIDENCE) - off)} -- update "
+        f"OFF_REGISTRY_EVIDENCE and README's rotation-policy table"
+    )
+    assert len(cat.QUERIES) <= 50, "driver registry cap exceeded"
+
 
 @pytest.mark.parametrize("name", OFF_REGISTRY)
 def test_off_registry_parity(spark, sf_dir, name):

@@ -81,6 +81,54 @@ def test_streaming_gauges_listener(spark, tmp_path):
     assert got[GAUGE_WAITING] == float(n)
 
 
+def test_streaming_gauge_tracks_backlog_across_triggers(spark, tmp_path):
+    """M4 under backlog (queue.go:165-166 analog): ``numInputRows``
+    equals the waiting depth only when the SOURCE caps each trigger.
+    Pre-load a 4-file backlog and drain with maxFilesPerTrigger=1:
+    the stream runs 4 data triggers, and the waiting gauge reports
+    each trigger's drained slice (per-file row count) while the rest
+    of the backlog keeps waiting -- one gauge sample per drain, with
+    monotonically increasing batch ids, exactly like the reference
+    gauge sampled on each queue drain."""
+    src = tmp_path / "in"
+    src.mkdir()
+    sizes = [3, 5, 2, 7]
+    for fno, sz in enumerate(sizes):
+        with open(src / f"b{fno}.json", "w") as f:
+            for i in range(sz):
+                f.write(
+                    json.dumps(_wrp_event(fno * 100 + i, "event:a/x", f"s{fno}"))
+                    + "\n"
+                )
+
+    listener = GaugeListener()
+    spark.streams.addListener(listener)
+    try:
+        q = start_routing(
+            read_wrp_stream(spark, str(src), max_files_per_trigger=1),
+            (FilterConfig("all", events=(".*",)),),
+            DirSenderFactory(str(tmp_path / "out")),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            availableNow=True,
+            query_name="backlog-test",
+        )
+        q.awaitTermination(180)
+        waiting = [
+            r
+            for r in listener.wait_for(GAUGE_WAITING, min_records=len(sizes))
+            if r.value > 0
+        ]
+    finally:
+        spark.streams.removeListener(listener)
+
+    # one drain per file; each gauge sample = that drain's depth
+    assert sorted(r.value for r in waiting) == sorted(float(s) for s in sizes)
+    # drains are successive triggers (distinct, increasing batch ids)
+    batch_ids = [r.batch_id for r in sorted(waiting, key=lambda r: r.batch_id)]
+    assert len(set(batch_ids)) == len(sizes)
+    assert batch_ids == sorted(batch_ids)
+
+
 def test_streaming_gauge_reflects_validation_drops(spark, tmp_path):
     """Batch-size gauge counts post-validation survivors when the
     observation is placed after the transform (the reference gauge

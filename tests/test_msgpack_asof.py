@@ -171,7 +171,10 @@ class TestClusteredNearDup:
             for r in q_embedding_near_dup(spark, sf_dir, exact=True).collect()
         }
         assert got <= exact
-        assert len(got) >= 0.5 * len(exact)  # measured ~0.8 recall
+        # measured ~0.97 recall with the learned auto-sized centroids
+        # (tests/test_components.py asserts >= 0.95 at sf0.01); the
+        # loose floor here guards the sf0.001 fixture too
+        assert len(got) >= 0.5 * len(exact)
 
 
 class TestIvfKmeansQuery:

@@ -159,3 +159,76 @@ def test_write_training_shards_layout_and_readback(spark, sf_dir, tmp_path):
         )
     )
     assert a == b
+
+
+def test_write_training_shards_sf01_budgets_and_append_stability(spark, tmp_path):
+    """The full write path at sf0.1 with REAL variable token counts:
+    (a) partitioned layout present, (b) every (split, shard, pack)
+    token sum stays under budget + its largest member (greedy
+    contiguous fill never overflows by a whole document), (c) a
+    second run over a GROWN corpus (append simulation) leaves every
+    previously-assigned doc in its original (split, shard) -- the
+    ingestion-stability contract that rand()/sampleBy-based
+    assignment cannot give."""
+    import os
+
+    from xmidt_event_streams_spark.operators.traindata import (
+        write_training_shards,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+    )
+    budget = 2048
+    out = str(tmp_path / "shards_full")
+    write_training_shards(
+        docs, out, token_col="n_tokens", n_shards=8, pack_budget=budget
+    )
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    splits = {d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")}
+    assert "train" in splits and len(splits) >= 2
+    shard_dirs = [
+        d
+        for d in os.listdir(os.path.join(out, "split=train"))
+        if d.startswith("shard=")
+    ]
+    assert len(shard_dirs) == 8
+
+    # greedy-fill budget invariant, on real token counts
+    packs = (
+        back.groupBy("split", "shard", "pack_id")
+        .agg(
+            F.sum("n_tokens").alias("tok_sum"),
+            F.max("n_tokens").alias("tok_max"),
+        )
+        .collect()
+    )
+    assert packs
+    for r in packs:
+        assert r["tok_sum"] < budget + r["tok_max"], (
+            f"pack {r['split']}/{r['shard']}/{r['pack_id']} overflows: "
+            f"{r['tok_sum']} vs budget {budget} + max {r['tok_max']}"
+        )
+
+    # append simulation: first run saw only half the corpus
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    out_half = str(tmp_path / "shards_half")
+    write_training_shards(
+        half, out_half, token_col="n_tokens", n_shards=8, pack_budget=budget
+    )
+    first = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in spark.read.parquet(out_half)
+        .select("doc_id", "split", "shard")
+        .collect()
+    }
+    second = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in back.select("doc_id", "split", "shard").collect()
+    }
+    moved = [d for d in first if first[d] != second[d]]
+    assert not moved, f"{len(moved)} docs changed (split, shard) after growth"
