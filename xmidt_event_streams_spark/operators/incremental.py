@@ -1,0 +1,283 @@
+"""Incremental deduplication against a materialized MinHash index.
+
+The batch operators in operators/dedup.py answer "which pairs in THIS
+corpus are near-dups". A production training-data pipeline asks a
+different question every day: "which of TODAY'S documents duplicate
+anything already ingested" -- and recomputing signatures over 100 TB
+of history per batch is not an option. The index decouples the two:
+
+  * :func:`write_minhash_index` materializes the (band-bucket, doc_id,
+    signature) relation ONCE per corpus, partitioned by a bucket
+    prefix so a probe is a pruned scan;
+  * :func:`incremental_dedup_candidates` signatures only the NEW batch
+    (same md5/universal-hash pipeline as dedup.py -- bit-identical
+    signatures), broadcasts its band keys against the index (the big
+    side never shuffles), and unions the new-vs-new self-join;
+  * :func:`append_to_minhash_index` folds the deduplicated batch into
+    the index (append, no rewrite), so tomorrow's probe sees today's
+    survivors. Assignment is a pure row function, so an append never
+    perturbs existing rows (the ingestion-stability property shared
+    with operators/traindata.py).
+
+Verification tier: signature agreement (fraction of equal MinHash
+components) is an unbiased estimator of shingle-set Jaccard; the index
+stores the full signature so candidates verify WITHOUT re-reading old
+document text. Exact-text confirmation (ngram_jaccard over the pair
+list) remains available when the raw corpus is reachable.
+
+Equivalence contract (pytest-enforced, tests/test_incremental.py):
+probing batch B against index(A) plus B's self-pairs yields EXACTLY
+the pairs touching B that a from-scratch batch run over A ∪ B yields
+-- incremental is an execution strategy, not a semantics change.
+
+Reference has no dedup surface (SURVEY.md §2.8); this extends the
+beyond-reference LLM-pipeline mandate to the incremental-ingest shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.dedup import (
+    minhash_signatures_df,
+)
+
+_META_FILE = "_xes_minhash_index_meta.json"
+_PREFIX_LEN = 2  # 256 bucket-prefix partitions
+
+
+def _band_key_cols(num_hashes: int, bands: int) -> list:
+    r = num_hashes // bands
+    return [
+        F.md5(
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * r + j}").cast("string") for j in range(r)],
+                ),
+            )
+        )
+        for b in range(bands)
+    ]
+
+
+def _keyed_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(bucket, bp, id, h0..h{k-1}): one row per (doc, band)."""
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
+    return (
+        sig.withColumn(
+            "bucket", F.explode(F.array(*_band_key_cols(num_hashes, bands)))
+        )
+        .withColumn("bp", F.substring("bucket", 1, _PREFIX_LEN))
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the corpus MinHash index: (bucket, doc_id,
+    signature) partitioned by the 2-hex-char bucket prefix (256
+    directories -- md5 keys are uniform, so partitions are balanced).
+
+    A probe with a broadcast new-batch key set prunes to the matching
+    prefixes (dynamic partition pruning); each partition is written by
+    one task (repartition on the prefix), so no small-file explosion.
+    Banding parameters are stamped into a meta file and re-checked at
+    probe time: a probe with mismatched parameters would silently find
+    nothing, so it raises instead.
+    """
+    assert num_hashes % bands == 0
+    keyed = _keyed_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
+    (
+        keyed.repartition(F.col("bp"))
+        .write.partitionBy("bp")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "id_col": id_col,
+            },
+            f,
+        )
+
+
+def _check_meta(path: str, num_hashes: int, bands: int, shingle_n: int) -> None:
+    meta_path = os.path.join(path, _META_FILE)
+    if not os.path.exists(meta_path):
+        return  # foreign index; caller owns parameter agreement
+    with open(meta_path) as f:
+        meta = json.load(f)
+    got = (meta["num_hashes"], meta["bands"], meta["shingle_n"])
+    want = (num_hashes, bands, shingle_n)
+    if got != want:
+        raise ValueError(
+            f"minhash index at {path} was built with "
+            f"(num_hashes, bands, shingle_n)={got}, probe asked {want}"
+        )
+
+
+def append_to_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Fold a new batch into an existing index (append-only: existing
+    files are never rewritten -- signatures are pure row functions, so
+    prior rows cannot change)."""
+    _check_meta(path, num_hashes, bands, shingle_n)
+    keyed = _keyed_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
+    (
+        keyed.repartition(F.col("bp"))
+        .write.partitionBy("bp")
+        .mode("append")
+        .parquet(path)
+    )
+
+
+def _sig_agreement(num_hashes: int, a: str, b: str) -> F.Column:
+    """Fraction of equal MinHash components between two signature row
+    aliases -- the unbiased Jaccard estimate used as the verify tier."""
+    agree = None
+    for i in range(num_hashes):
+        term = F.when(
+            F.col(f"{a}.h{i}") == F.col(f"{b}.h{i}"), 1
+        ).otherwise(0)
+        agree = term if agree is None else agree + term
+    return F.round(agree.cast("double") / num_hashes, 6)
+
+
+def incremental_dedup_candidates(
+    spark: SparkSession,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs touching the NEW batch: new-vs-index
+    plus new-vs-new, verified by signature agreement.
+
+    Output: (new_id, dup_id, agreement) -- dup_id is an indexed corpus
+    doc or a new-batch peer; agreement in [0, 1] is the fraction of
+    equal signature components (Jaccard estimate). Each pair appears
+    once (min distinct over shared buckets).
+
+    Scale shape: only the new batch is signatured (index rows ride
+    as-is); with ``broadcast_new`` the index side joins against a
+    broadcast of the (small) new key set -- the 100 TB index never
+    shuffles and the scan prunes to the probed bucket prefixes. Set
+    ``broadcast_new=False`` for bulk backfills where the "new" batch
+    is itself huge; the join degrades to a shuffled equi-join on the
+    uniform bucket key.
+    """
+    _check_meta(index_path, num_hashes, bands, shingle_n)
+    new_keyed = _keyed_signatures(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    idx = spark.read.parquet(index_path)
+
+    n = new_keyed.alias("n")
+    o = (F.broadcast(new_keyed) if broadcast_new else new_keyed).alias("n")
+    # bp term is redundant with the bucket equi-key (bp is a prefix of
+    # bucket) but makes the partition column a join key, so dynamic
+    # partition pruning drops index directories no probe key touches
+    vs_old = (
+        idx.alias("o")
+        .join(
+            o,
+            (F.col("o.bucket") == F.col("n.bucket"))
+            & (F.col("o.bp") == F.col("n.bp")),
+        )
+        .filter(F.col("o." + id_col) != F.col("n." + id_col))
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"o.{id_col}").alias("dup_id"),
+            _sig_agreement(num_hashes, "n", "o").alias("agreement"),
+        )
+    )
+    n2 = new_keyed.alias("m")
+    vs_new = (
+        n.join(
+            n2,
+            (F.col("n.bucket") == F.col("m.bucket"))
+            & (F.col(f"n.{id_col}") > F.col(f"m.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"m.{id_col}").alias("dup_id"),
+            _sig_agreement(num_hashes, "n", "m").alias("agreement"),
+        )
+    )
+    return vs_old.unionByName(vs_new).distinct()
+
+
+def incremental_dedup_mark(
+    spark: SparkSession,
+    index_path: str,
+    new_df: DataFrame,
+    min_agreement: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Retention verdict for every new-batch doc: ``is_unique`` and
+    ``dup_of`` (the smallest id it duplicates -- an indexed doc, or a
+    new-batch peer with a smaller id; null when unique).
+
+    A doc survives iff nothing at or above ``min_agreement`` precedes
+    it: indexed docs always precede; within the batch the min id wins
+    (deterministic, matching exact_dedup's survivor rule). One left
+    join of the batch against its own candidate relation.
+    """
+    cands = incremental_dedup_candidates(
+        spark,
+        index_path,
+        new_df,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_n,
+    ).filter(F.col("agreement") >= min_agreement)
+    dup_of = cands.groupBy("new_id").agg(F.min("dup_id").alias("dup_of"))
+    return (
+        new_df.select(id_col)
+        .join(dup_of, F.col(id_col) == F.col("new_id"), "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("is_unique"),
+            "dup_of",
+        )
+    )
