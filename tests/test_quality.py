@@ -1,0 +1,210 @@
+"""Repetition detection, Gopher-style quality filtering, PII scrub --
+DuckDB twins (same normalization/tokenization formulas as the catalog
+oracles) plus constructed-data semantics checks."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.functions.quality import (
+    GOPHER_RULES,
+    PII_PATTERNS,
+    dup_ngram_frac,
+    dup_token_frac,
+    gopher_keep,
+    gopher_quality_columns,
+    pii_counts,
+    scrub_pii,
+    top_ngram_frac,
+)
+
+_NORM = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
+# word bigrams over the token list (1-based list slicing)
+_BIGRAMS = (
+    f"CASE WHEN len({_TOKS}) >= 2 THEN "
+    f"list_transform(generate_series(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]) "
+    f"ELSE [] END"
+)
+
+
+def _duck_docs(sql_select: str, sf="/root/testdata/sf0.01"):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf}/documents.parquet')"
+    )
+    return con.execute(sql_select).fetchall()
+
+
+def test_repetition_stats_match_duckdb(spark):
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["dtf"], r["dbf"], r["tbf"])
+        for r in docs.select(
+            "doc_id",
+            dup_token_frac("text").alias("dtf"),
+            dup_ngram_frac("text", 2).alias("dbf"),
+            top_ngram_frac("text", 2).alias("tbf"),
+        ).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in _duck_docs(
+            f"""
+            SELECT doc_id,
+              CASE WHEN len({_TOKS}) > 0 THEN
+                round(1.0 - len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 6)
+              ELSE 0.0 END AS dtf,
+              CASE WHEN len({_BIGRAMS}) > 0 THEN
+                round(1.0 - len(list_distinct({_BIGRAMS}))::DOUBLE
+                      / len({_BIGRAMS}), 6)
+              ELSE 0.0 END AS dbf,
+              CASE WHEN len({_BIGRAMS}) > 0 THEN
+                round(list_max(list_transform(list_distinct({_BIGRAMS}),
+                  d -> len(list_filter({_BIGRAMS}, x -> x = d))))::DOUBLE
+                  / len({_BIGRAMS}), 6)
+              ELSE 0.0 END AS tbf
+            FROM documents
+            """,
+            sf,
+        )
+    }
+    assert got == want
+    # the synthetic word-stream docs genuinely repeat: the stats move
+    assert max(v[0] for v in got.values()) > 0.3
+
+
+def test_repetition_semantics_constructed(spark):
+    rows = [
+        (0, "a b c d e f g h"),            # no repetition
+        (1, "spam spam spam spam spam"),   # total repetition
+        (2, ""),                           # empty
+        (3, "x y x y x y x y"),            # one dominant bigram chain
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_token_frac("text").alias("dtf"),
+            top_ngram_frac("text", 2).alias("tbf"),
+        ).collect()
+    }
+    assert out[0]["dtf"] == 0.0
+    assert out[1]["dtf"] == pytest.approx(0.8)  # 5 tokens, 1 distinct
+    assert out[2]["dtf"] == 0.0
+    # "x y" appears 4 of 7 bigrams
+    assert out[3]["tbf"] == pytest.approx(round(4 / 7, 6))
+
+
+def test_gopher_filter_reasons_and_ledger(spark):
+    rows = [
+        (0, "short"),                                   # too few tokens
+        (1, " ".join("tok%d" % i for i in range(40))),  # clean
+        (2, " ".join(["dup"] * 40)),                    # repetition
+        (3, " ".join(["ab"] * 5 + ["a" * 30] * 25)),    # avg len high
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    keep, reason = gopher_keep("text")
+    out = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in df.select(
+            "doc_id", keep.alias("keep"), reason.alias("reason")
+        ).collect()
+    }
+    assert out[0] == (False, "too_few_tokens")
+    assert out[1] == (True, None)
+    assert out[2] == (False, "excessive_token_repetition")
+    assert out[3] == (False, "avg_token_len_out_of_range")
+    # ledger: reasons aggregate instead of vanishing
+    ledger = (
+        df.select(reason.alias("reason"))
+        .filter(F.col("reason").isNotNull())
+        .groupBy("reason")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in ledger) == 3
+
+
+def test_gopher_keep_rate_on_corpus(spark):
+    """On the real documents table most docs pass (the rules are
+    drop-the-tail, not drop-the-corpus), and the columns agree with
+    gopher_quality_columns."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    keep, _ = gopher_keep("text")
+    kept = docs.select(keep.alias("k")).filter("k").count()
+    total = docs.count()
+    assert kept / total > 0.5
+    cols = gopher_quality_columns("text")
+    stats = docs.select(
+        F.max(cols["dup_token_frac"]).alias("mx"),
+        F.min(cols["n_tokens"]).alias("mn"),
+    ).collect()[0]
+    assert 0 <= stats["mx"] <= 1
+    assert stats["mn"] >= 0
+    assert set(GOPHER_RULES) == {
+        "too_few_tokens", "too_many_tokens", "avg_token_len_out_of_range",
+        "excessive_token_repetition", "excessive_bigram_repetition",
+        "dominant_bigram",
+    }
+
+
+PII_SAMPLES = [
+    (0, "contact jane.doe+spam@example.co.uk or call +1 415 555 0100 now"),
+    (1, "server at 192.168.1.254 answered; fallback 10.0.0.1"),
+    (2, "dial 415-555-0100 or 415.555.0100"),
+    (3, "no pii here, just text with numbers 42 and 3.14"),
+    (4, None),
+]
+
+
+def test_scrub_pii_and_counts(spark):
+    df = spark.createDataFrame(PII_SAMPLES, "doc_id: long, text: string")
+    counts = pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            scrub_pii("text").alias("scrubbed"),
+            *[c.alias(f"n_{name}") for name, c in counts.items()],
+        ).collect()
+    }
+    assert "<EMAIL>" in out[0]["scrubbed"] and "<PHONE>" in out[0]["scrubbed"]
+    assert "jane" not in out[0]["scrubbed"]
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert out[1]["scrubbed"].count("<IP>") == 2 and out[1]["n_ipv4"] == 2
+    assert out[2]["n_phone"] == 2
+    assert out[3]["scrubbed"] == PII_SAMPLES[3][1]  # untouched
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+    assert out[4]["scrubbed"] is None  # null propagates
+
+
+def test_scrub_pii_matches_duckdb(spark):
+    """Dialect pin: the same patterns produce the same scrub in RE2
+    (DuckDB regexp_replace with 'g') -- guards against Java-only
+    regex constructs sneaking into PII_PATTERNS."""
+    df = spark.createDataFrame(
+        [r for r in PII_SAMPLES if r[1] is not None],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r["scrubbed"]
+        for r in df.select("doc_id", scrub_pii("text").alias("scrubbed")).collect()
+    }
+    con = duckdb.connect()
+    expr = "text"
+    for _, pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in [r for r in PII_SAMPLES if r[1] is not None]
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {expr} FROM (VALUES {vals}) AS t(doc_id, text)"
+        ).fetchall()
+    )
+    assert got == want
