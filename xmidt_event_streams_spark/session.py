@@ -79,21 +79,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     return out
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): surfaced as int64 under
-# nanosAsLong; converted here (floor-div truncates to micros, matching
-# DuckDB's TIMESTAMP_NS -> TIMESTAMP coercion).
+# The driver has generated events.ts under two physical types across
+# rounds: parquet TIMESTAMP(NANOS) (surfaces as int64 under
+# nanosAsLong) and plain timestamp[us] with isAdjustedToUTC=false
+# (surfaces as TIMESTAMP_NTZ). Both normalize to session TIMESTAMP so
+# every downstream expression (unix_micros, windows, date_trunc) sees
+# one type. The session timezone is pinned to UTC (get_spark and the
+# __spark_entry__ wrapper), so the NTZ cast is value-preserving and
+# matches DuckDB's naive-timestamp reading.
 _NANOS_TS_COLS = {"ts"}
 
 
 def normalize_nanos(df):
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for f in df.schema.fields:
-        if f.name in _NANOS_TS_COLS and isinstance(f.dataType, LongType):
+        if f.name not in _NANOS_TS_COLS:
+            continue
+        if isinstance(f.dataType, LongType):
             # integer `div` -- a double division would lose precision at
             # 1e18-nanosecond magnitudes (2^53 < epoch-nanos)
             df = df.withColumn(
                 f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
             )
+        elif isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
