@@ -241,3 +241,41 @@ class TestSanitizeUtf8:
 
         df = spark.createDataFrame([("héllo wörld",), ("",)], "s string")
         assert df.filter(sanitize_utf8("s") != F.col("s")).count() == 0
+
+
+class TestTsRepresentations:
+    """The driver has shipped events.ts as parquet TIMESTAMP(NANOS)
+    (int64 under nanosAsLong) and as plain timestamp[us]
+    (TIMESTAMP_NTZ) across data refreshes; load_tables must normalize
+    BOTH to session TIMESTAMP with identical values (r3 regression:
+    the us-NTZ refresh broke every unix_micros/window query)."""
+
+    def test_both_physical_types_normalize_identically(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from xmidt_event_streams_spark.session import normalize_nanos
+
+        micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+        t_us = pa.table(
+            {"ts": pa.array(micros, pa.timestamp("us"))}
+        )
+        t_ns = pa.table(
+            {"ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}
+        )
+        pq.write_table(t_us, str(tmp_path / "us.parquet"))
+        pq.write_table(
+            t_ns, str(tmp_path / "ns.parquet"), coerce_timestamps=None
+        )
+
+        out = {}
+        for name in ("us", "ns"):
+            df = normalize_nanos(
+                spark.read.parquet(str(tmp_path / f"{name}.parquet"))
+            )
+            assert dict(df.dtypes)["ts"] == "timestamp"
+            out[name] = sorted(
+                r[0] for r in df.select(F.unix_micros("ts")).collect()
+            )
+        assert out["us"] == out["ns"] == sorted(micros)
