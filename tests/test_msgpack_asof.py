@@ -217,3 +217,50 @@ class TestKMeans:
         first = {cells[i] for i in range(10)}
         second = {cells[i] for i in range(10, 20)}
         assert len(first) == 1 and len(second) == 1 and first != second
+
+
+class TestIvfIndex:
+    def test_probe_equals_in_memory_and_prunes_partitions(self, spark, tmp_path, sf_dir):
+        """write_ivf_index + probe_ivf_index: (a) results identical to
+        the in-memory ivf_topk (same ties, same rounding), (b) the
+        probe plan prunes the index scan to the probed cells (dynamic
+        partition pruning from the broadcast query side), (c) layout =
+        one directory per cell."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from xmidt_event_streams_spark.operators.ivf import (
+            ivf_topk,
+            probe_ivf_index,
+            write_ivf_index,
+        )
+        from xmidt_event_streams_spark.operators.similarity import (
+            deterministic_planes,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = deterministic_planes(16, 64, seed="ivf-centroids")
+        queries = emb.orderBy("vec_id").limit(5)
+
+        idx = str(tmp_path / "ivf")
+        write_ivf_index(emb, idx, cents)
+        cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+        assert 1 < len(cells) <= 16
+        assert all(
+            sum(f.endswith(".parquet") for f in os.listdir(os.path.join(idx, c))) == 1
+            for c in cells
+        )
+
+        got = probe_ivf_index(spark, idx, queries, cents, k=3, n_probe=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # the probed-cell IN-list reaches the index scan as a STATIC
+        # partition filter (plan-time pruning; stronger than DPP)
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+        assert pf and " IN " in pf.group(1), plan[:1500]
+        want = ivf_topk(emb, queries, cents, k=3, n_probe=2)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )

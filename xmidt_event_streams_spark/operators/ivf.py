@@ -166,6 +166,98 @@ def probe_cells(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus written PARTITIONED BY its
+    coarse cell (one directory per cell, one writer task per cell via
+    the repartition -- no small-file explosion). This is the layout
+    that makes the n_probe/n_cells cost claim physical: a probe reads
+    only the probed cells' directories (partition pruning), the other
+    (n_cells - n_probe)/n_cells of a 100 TB corpus is never scanned.
+    Mirrors similarity.write_lsh_index; the centroid list is the
+    index's sidecar (persist it next to the data in production)."""
+    (
+        assign_cells(df, centroids, vec_col)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _nearest_cells_driver(vecs, centroids, n_probe):
+    """Driver-side twin of functions.vectors.nearest_cells (same 6dp
+    rounding, same stable-argsort tie-to-lowest-cell rule) for the
+    collected query set."""
+    import numpy as np
+
+    m = np.asarray(vecs, dtype=np.float64)
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    vn = np.sqrt(np.einsum("ij,ij->i", m, m))
+    den = np.outer(vn, cn)
+    sims = np.where(den > 0, (m @ cm.T) / np.where(den > 0, den, 1.0), 0.0)
+    order = np.argsort(-np.round(sims, 6), axis=1, kind="stable")
+    return order[:, :n_probe].tolist()
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k against a materialized index with a STATIC
+    partition filter: the query set is small by contract (it is
+    broadcast for scoring anyway), so its vectors are collected once
+    and probe cells computed driver-side -- the probed cell set then
+    prunes the index scan at PLAN time (``PartitionFilters`` carries
+    the IN-list; pytest asserts it). Plan-time pruning is strictly
+    stronger than dynamic partition pruning here, which the
+    nondeterministic-marked Arrow kernel on the probe side would
+    block anyway. Only the probed cells' directories are read or
+    scored. Same semantics and tie rules as :func:`ivf_topk` (pytest
+    pins the equivalence)."""
+    rows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
+    cells_per_q = _nearest_cells_driver([r[1] for r in rows], centroids, n_probe)
+    qb = spark.createDataFrame(
+        [
+            (r[0], r[1], int(c))
+            for r, cs in zip(rows, cells_per_q)
+            for c in cs
+        ],
+        f"{query_id_col} long, _qvec array<double>, probe_cell int",
+    )
+    probed = sorted({c for cs in cells_per_q for c in cs})
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    scored = corpus.join(
+        F.broadcast(qb),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col(id_col) != F.col(query_id_col)),
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_pairs(vec_col, "_qvec"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
