@@ -550,6 +550,50 @@ FROM words
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Per-document repetition detection (functions/quality.py): the
+    self-duplication signal cross-doc dedup cannot see. Zero-exchange
+    narrow projection (Gopher rule family, arXiv:2112.11446 §A1.1)."""
+    from xmidt_event_streams_spark.functions.quality import (
+        dup_ngram_frac,
+        dup_token_frac,
+        top_ngram_frac,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        dup_token_frac("text").alias("dup_token_frac"),
+        dup_ngram_frac("text", 2).alias("dup_2gram_frac"),
+        top_ngram_frac("text", 2).alias("top_2gram_frac"),
+    )
+
+
+_BIGRAMS_SQL = (
+    "CASE WHEN len(w) >= 2 THEN "
+    "list_transform(generate_series(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1]) "
+    "ELSE [] END"
+)
+
+SQL_REPETITION_STATS = f"""
+WITH {_WORDS_CTE}, g AS (
+  SELECT doc_id, w, {_BIGRAMS_SQL} AS bg FROM words
+)
+SELECT doc_id,
+  CASE WHEN len(w) > 0 THEN
+    round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6)
+  ELSE 0.0 END AS dup_token_frac,
+  CASE WHEN len(bg) > 0 THEN
+    round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+  ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN len(bg) > 0 THEN
+    round(list_max(list_transform(list_distinct(bg),
+      d -> len(list_filter(bg, x -> x = d))))::DOUBLE / len(bg), 6)
+  ELSE 0.0 END AS top_2gram_frac
+FROM g
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic stopword-based language identification."""
     d = _docs(spark, sf_dir)
@@ -1859,7 +1903,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6, True),
     "tpch_q4_semi": QuerySpec(q_tpch_q4_semi, SQL_TPCH_Q4_SEMI),
     "tpch_q10ish": QuerySpec(q_tpch_q10ish, SQL_TPCH_Q10ISH),
-    "tpch_q14ish": QuerySpec(q_tpch_q14ish, SQL_TPCH_Q14ISH),
+    "repetition_stats": QuerySpec(q_repetition_stats, SQL_REPETITION_STATS),
     "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),
     "session_gaps": QuerySpec(q_session_gaps, SQL_SESSION_GAPS),
     "running_user_value": QuerySpec(q_running_user_value, SQL_RUNNING_USER_VALUE),
