@@ -131,6 +131,52 @@ def test_semdedup_pipeline_on_embeddings(spark, sf_dir):
         assert label[p["id_a"]] == label[p["id_b"]]
 
 
+def test_neardup_sampled_fit_scale_path(spark):
+    """The 100 TB fit path: centroids learned on a deterministic
+    md5-sample of the corpus (k still sized by the full count) must be
+    (a) deterministic across runs, (b) fitted from roughly the asked
+    fraction, (c) still useful -- recall within 10 points of the
+    full-fit default at sf0.01."""
+    from xmidt_event_streams_spark.catalog import (
+        NEARDUP_N_PROBE,
+        NEARDUP_THRESHOLD,
+        _emb,
+        neardup_centroids,
+        q_embedding_near_dup,
+    )
+    from xmidt_event_streams_spark.operators.similarity import (
+        clustered_near_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = _emb(spark, sf)
+    c1 = neardup_centroids(emb, fit_fraction=0.5)
+    c2 = neardup_centroids(emb, fit_fraction=0.5)
+    assert c1 == c2  # pure-row-function sample + portable fit
+    full = neardup_centroids(emb)
+    assert len(c1) == len(full)  # k sized by the FULL corpus count
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in q_embedding_near_dup(spark, sf, exact=True).collect()
+    }
+    sampled_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in clustered_near_dup_pairs(
+            emb, c1, NEARDUP_THRESHOLD, NEARDUP_N_PROBE
+        ).collect()
+    }
+    full_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in clustered_near_dup_pairs(
+            emb, full, NEARDUP_THRESHOLD, NEARDUP_N_PROBE
+        ).collect()
+    }
+    r_sampled = len(sampled_pairs & exact) / len(exact)
+    r_full = len(full_pairs & exact) / len(exact)
+    assert r_sampled >= r_full - 0.10, (r_sampled, r_full)
+
+
 def test_neardup_autosized_recall_and_candidates(spark):
     """The shipped near-dup default must be measured, not asserted:
     at sf0.01 (near-isotropic synthetic embeddings -- the worst case

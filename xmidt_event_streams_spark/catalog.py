@@ -1229,17 +1229,42 @@ def neardup_k(n: int) -> int:
     return min(n, max(8, math.ceil(math.sqrt(n))))
 
 
-def neardup_centroids(emb) -> list[list[float]]:
+def neardup_centroids(emb, fit_fraction: float | None = None) -> list[list[float]]:
     """Learned, auto-sized coarse centroids for the near-dup default:
     portable spherical k-means (operators.ivf.kmeans_fit_portable) at
     k = neardup_k(corpus size). Deterministic AND engine-replayable --
     the oracle twin replays the identical fit in SQL (grid-quantized
-    sums; see kmeans_fit_portable's determinism contract)."""
+    sums; see kmeans_fit_portable's determinism contract).
+
+    ``fit_fraction`` is the 100 TB path: the fit costs n_iters+1
+    corpus passes, so fit on a deterministic md5-bucket sample (the
+    same ingestion-stable draw as traindata.stratified_sample -- a
+    pure row function any engine replays) while k stays sized by the
+    FULL corpus count and assignment stays full-corpus. The registered
+    sf0.01 query keeps the full fit (trivial at that scale; keeps the
+    oracle simple)."""
     from xmidt_event_streams_spark.operators.ivf import kmeans_fit_portable
 
     n = emb.count()
+    fit_df = emb
+    if fit_fraction is not None:
+        if not 0 < fit_fraction <= 1:
+            raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("neardup-fit|"), F.col("vec_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10_000
+        )
+        fit_df = emb.filter(bucket < int(round(fit_fraction * 10_000)))
     return kmeans_fit_portable(
-        emb, neardup_k(n), NEARDUP_KMEANS_ITERS, grid_dp=NEARDUP_GRID_DP
+        fit_df, neardup_k(n), NEARDUP_KMEANS_ITERS, grid_dp=NEARDUP_GRID_DP
     )
 
 
