@@ -138,3 +138,127 @@ def test_index_layout_prefix_partitioned(spark, tmp_path):
     # each partition dir written by one task -> exactly one data file
     inside = os.listdir(os.path.join(idx, prefixes[0]))
     assert sum(1 for f in inside if f.endswith(".parquet")) == 1
+
+
+def test_cold_start_empty_index(spark, tmp_path):
+    """An index initialized with zero data files is a valid empty
+    relation (meta-derived explicit schema), not an inference error --
+    the first probe of a cold-start ingest stream must work."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        init_minhash_index,
+    )
+
+    idx = str(tmp_path / "cold_index")
+    init_minhash_index(spark, idx, id_type="bigint")
+
+    batch = _docs(spark).limit(20)
+    cands = incremental_dedup_candidates(spark, idx, batch)
+    # vs_old is empty; only new-vs-new pairs can appear
+    ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    for r in cands.collect():
+        assert r["new_id"] in ids and r["dup_id"] in ids
+
+    marks = incremental_dedup_mark(spark, idx, batch)
+    assert marks.count() == 20
+
+    # first append folds the first batch in; a re-probe of the same
+    # docs now sees them as indexed dups
+    append_to_minhash_index(batch, idx)
+    verdicts = incremental_dedup_mark(
+        spark,
+        idx,
+        batch.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+    )
+    assert verdicts.filter("is_unique").count() == 0
+
+
+def test_cold_start_via_empty_frame_write(spark, tmp_path):
+    """The documented alternative: write_minhash_index over an empty
+    frame produces a probe-able empty index."""
+    empty = _docs(spark).limit(0)
+    idx = str(tmp_path / "cold_index2")
+    write_minhash_index(empty, idx)
+    batch = _docs(spark).limit(5)
+    assert incremental_dedup_mark(spark, idx, batch).count() == 5
+
+
+def test_meta_guard_on_hadoop_scheme_path(spark, tmp_path):
+    """The parameter-mismatch guard must survive non-local-FS path
+    handling: write and probe through an explicit file:-scheme URI
+    (exercising the Hadoop FileSystem API, the same code path as
+    hdfs:/s3a:) and assert the guard still raises."""
+    docs = _docs(spark).limit(50)
+    idx = "file://" + str(tmp_path / "mh_index_uri")
+    write_minhash_index(docs, idx, num_hashes=8, bands=4)
+
+    # meta went through the Hadoop FS: no plain-python artifact check,
+    # the sidecar must be discoverable via the same scheme
+    from xmidt_event_streams_spark.operators.incremental import _read_meta
+
+    meta = _read_meta(spark, idx)
+    assert meta is not None and meta["num_hashes"] == 8
+    assert meta["id_type"] == "bigint"
+
+    with pytest.raises(ValueError, match="was built with"):
+        incremental_dedup_candidates(spark, idx, docs, num_hashes=8, bands=2)
+
+    # matched-parameter probe works through the URI too
+    assert incremental_dedup_mark(spark, idx, docs).count() == 50
+
+
+def test_compaction_preserves_probe_results(spark, tmp_path):
+    """compact_minhash_index drops replay-duplicate band rows (and
+    tombstoned ids) without changing any probe verdict."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        compact_minhash_index,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx)
+    # simulate replayed appends: the same day-1 batch folded twice
+    day1 = corpus.limit(100)
+    append_to_minhash_index(day1, idx)
+    append_to_minhash_index(day1, idx)
+
+    before = _norm(incremental_dedup_candidates(spark, idx, batch).collect())
+    stats = compact_minhash_index(spark, idx)
+    after = _norm(incremental_dedup_candidates(spark, idx, batch).collect())
+
+    assert after == before
+    assert stats["rows_after"] < stats["rows_before"]
+    assert stats["files_after"] < stats["files_before"]
+
+    # meta survives the swap: the guard still raises post-compaction
+    with pytest.raises(ValueError, match="was built with"):
+        incremental_dedup_candidates(spark, idx, batch, bands=2)
+
+
+def test_compaction_tombstones(spark, tmp_path):
+    """Tombstoned ids vanish from probe results after compaction."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        compact_minhash_index,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx)
+
+    before = incremental_dedup_candidates(spark, idx, batch).collect()
+    hit_ids = {r["dup_id"] for r in before} - {
+        r["doc_id"] for r in batch.select("doc_id").collect()
+    }
+    assert hit_ids, "fixture should have index-side hits"
+    dead = sorted(hit_ids)[:2]
+
+    compact_minhash_index(spark, idx, tombstones=dead)
+    after = incremental_dedup_candidates(spark, idx, batch).collect()
+    want = {
+        (r["new_id"], r["dup_id"]) for r in before if r["dup_id"] not in dead
+    }
+    assert {(r["new_id"], r["dup_id"]) for r in after} == want

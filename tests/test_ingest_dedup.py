@@ -84,3 +84,169 @@ def test_ingest_dedup_stream(spark, tmp_path):
     )
     verdict = incremental_dedup_mark(spark, idx, probe).collect()[0]
     assert not verdict["is_unique"] and verdict["dup_of"] == 202
+
+
+def _write_batch_file(src, fname, rows):
+    with open(src / fname, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _run_ingest(spark, src, idx, corpus_out, rejects_out, ckpt):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    return start_ingest_dedup(
+        stream,
+        idx,
+        corpus_out,
+        rejects_out,
+        checkpoint_dir=ckpt,
+        availableNow=True,
+    )
+
+
+def _verdicts(spark, corpus_out, rejects_out):
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    }
+    rejects = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(rejects_out).collect()
+    }
+    return kept, rejects
+
+
+def test_restart_from_checkpoint_resumes_not_repeats(spark, tmp_path):
+    """Kill the stream between micro-batches, restart from the
+    checkpoint with MORE input waiting, and assert the final corpus /
+    rejects / index state is identical to an uninterrupted run: no
+    doc processed twice (checkpointed offsets), no doc skipped, no
+    verdict changed, and row counts exact (idempotent per-batch
+    sinks). The reference's integration suite asserts the same
+    end-to-end read-back shape (integrationTests/integration_test.go:
+    226-236)."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        incremental_dedup_mark,
+        write_minhash_index,
+    )
+
+    prior = spark.createDataFrame(
+        [(i, _text(f"corp{i}")) for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    idx = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "corpus")
+    rejects_out = str(tmp_path / "rejects")
+    ckpt = str(tmp_path / "ckpt")
+    write_minhash_index(prior, idx)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batch1 = [(100, _text("corp0")), (101, _text("new101"))]
+    _write_batch_file(src, "b1.json", batch1)
+
+    # run 1: drain what's available (batch1 only), then stop -- the
+    # checkpoint now holds committed offsets through b1.json
+    q1 = _run_ingest(spark, src, idx, corpus_out, rejects_out, ckpt)
+    q1.awaitTermination(300)
+    kept1, rejects1 = _verdicts(spark, corpus_out, rejects_out)
+    assert kept1 == {101} and rejects1 == {100: 0}
+
+    # more input lands while the stream is down; 200 dups a RUN-1
+    # survivor (cross-restart state lives in the index), 202 is new
+    batch2 = [(200, _text("new101")), (201, _text("corp5")), (202, _text("new202"))]
+    _write_batch_file(src, "b2.json", batch2)
+
+    # run 2: restart from the same checkpoint -- must process ONLY
+    # b2.json (offsets say b1 is done)
+    q2 = _run_ingest(spark, src, idx, corpus_out, rejects_out, ckpt)
+    q2.awaitTermination(300)
+
+    kept, rejects = _verdicts(spark, corpus_out, rejects_out)
+    assert kept == {101, 202}
+    assert rejects == {100: 0, 200: 101, 201: 5}
+
+    # exact-count check: idempotent sinks mean one physical row per
+    # doc even across the restart boundary
+    assert spark.read.parquet(corpus_out).count() == 2
+    assert spark.read.parquet(rejects_out).count() == 3
+
+    # index state matches an uninterrupted run bit-for-bit: rebuild
+    # from scratch in one pass and compare probe verdicts
+    idx2 = str(tmp_path / "index2")
+    corpus2 = str(tmp_path / "corpus2")
+    rejects2 = str(tmp_path / "rejects2")
+    write_minhash_index(prior, idx2)
+    q3 = _run_ingest(
+        spark, src, idx2, corpus2, rejects2, str(tmp_path / "ckpt2")
+    )
+    q3.awaitTermination(300)
+    kept_u, rejects_u = _verdicts(spark, corpus2, rejects2)
+    assert (kept, rejects) == (kept_u, rejects_u)
+
+    probe = spark.createDataFrame(
+        [(900, _text("new202")), (901, _text("new101")), (902, _text("fresh"))],
+        "doc_id: long, text: string",
+    )
+    v_restarted = {
+        r["doc_id"]: (r["is_unique"], r["dup_of"])
+        for r in incremental_dedup_mark(spark, idx, probe).collect()
+    }
+    v_uninterrupted = {
+        r["doc_id"]: (r["is_unique"], r["dup_of"])
+        for r in incremental_dedup_mark(spark, idx2, probe).collect()
+    }
+    assert v_restarted == v_uninterrupted
+    assert v_restarted[900] == (False, 202)
+    assert v_restarted[902] == (True, None)
+
+
+def test_cold_start_stream(spark, tmp_path):
+    """A stream over a just-initialized EMPTY index must not crash on
+    its first micro-batch (the r3 cold-start defect: schema inference
+    over a data-file-less index raised UNABLE_TO_INFER_SCHEMA)."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        init_minhash_index,
+    )
+
+    idx = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "corpus")
+    rejects_out = str(tmp_path / "rejects")
+    init_minhash_index(spark, idx, id_type="bigint")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch_file(src, "b1.json", [(1, _text("alpha")), (2, _text("beta"))])
+    _write_batch_file(src, "b2.json", [(3, _text("alpha")), (4, _text("gamma"))])
+
+    q = _run_ingest(spark, src, idx, corpus_out, rejects_out, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    kept, rejects = _verdicts(spark, corpus_out, rejects_out)
+    assert kept == {1, 2, 4}
+    assert rejects == {3: 1}
+
+
+def test_idempotent_batch_append_replay(spark, tmp_path):
+    """The at-least-once replay case directly: writing the SAME batch
+    id twice leaves exactly one physical copy; other batches'
+    partitions are untouched."""
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        idempotent_batch_append,
+    )
+
+    path = str(tmp_path / "sink")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id: long, text: string")
+    b1 = spark.createDataFrame([(3, "c")], "doc_id: long, text: string")
+
+    idempotent_batch_append(b0, 0, path)
+    idempotent_batch_append(b1, 1, path)
+    # replay batch 1 (e.g. crash after write, before checkpoint commit)
+    idempotent_batch_append(b1, 1, path)
+
+    rows = spark.read.parquet(path).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+    assert {r["_ingest_batch_id"] for r in rows} == {0, 1}

@@ -37,10 +37,10 @@ beyond-reference LLM-pipeline mandate to the incremental-ingest shape.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from xmidt_event_streams_spark.operators.dedup import (
     minhash_signatures_df,
@@ -48,6 +48,71 @@ from xmidt_event_streams_spark.operators.dedup import (
 
 _META_FILE = "_xes_minhash_index_meta.json"
 _PREFIX_LEN = 2  # 256 bucket-prefix partitions
+
+
+# ---------------------------------------------------------------------------
+# Meta sidecar, through the Hadoop FileSystem API.
+#
+# The sidecar stamps the banding parameters (and the id column's name +
+# type) into the index directory so a probe with mismatched parameters
+# raises instead of silently finding nothing. It is read/written via
+# Hadoop's FileSystem -- NOT local open()/os.path -- so the guard works
+# identically on file:, hdfs: and s3a: paths (the 100 TB deployment
+# stores the index on an object store; local-FS I/O there would silently
+# degrade to the unchecked "foreign index" branch). The leading
+# underscore keeps the file invisible to Spark's data-file listing.
+# ---------------------------------------------------------------------------
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _meta_path(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _META_FILE)
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    fs, _, jvm = _fs_and_path(spark, path)
+    out = fs.create(_meta_path(jvm, path), True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict | None:
+    """The index's stamped parameters, or None for a foreign index
+    (a bucket/signature layout produced by some other writer)."""
+    fs, _, jvm = _fs_and_path(spark, path)
+    mp = _meta_path(jvm, path)
+    if not fs.exists(mp):
+        return None
+    ins = fs.open(mp)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(ins, "UTF-8")
+    finally:
+        ins.close()
+    return json.loads(text)
+
+
+def _index_schema(meta: dict) -> StructType:
+    """The index relation's exact schema, reconstructed from the meta
+    sidecar. Reading with an explicit schema (a) skips file-listing
+    schema inference and (b) makes the COLD-START case work: an index
+    initialized over an empty corpus has a meta sidecar but zero
+    parquet files, and a schema-less read would fail with
+    UNABLE_TO_INFER_SCHEMA on the very first probe."""
+    id_col, id_type = meta["id_col"], meta.get("id_type", "bigint")
+    ddl = ", ".join(
+        [f"`{id_col}` {id_type}"]
+        + [f"h{i} bigint" for i in range(meta["num_hashes"])]
+        + ["bucket string", "bp string"]
+    )
+    return StructType.fromDDL(ddl)
 
 
 def _band_key_cols(num_hashes: int, bands: int) -> list:
@@ -112,24 +177,58 @@ def write_minhash_index(
         .mode("overwrite")
         .parquet(path)
     )
-    with open(os.path.join(path, _META_FILE), "w") as f:
-        json.dump(
-            {
-                "num_hashes": num_hashes,
-                "bands": bands,
-                "shingle_n": shingle_n,
-                "id_col": id_col,
-            },
-            f,
-        )
+    _write_meta(
+        df.sparkSession,
+        path,
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "id_col": id_col,
+            "id_type": df.schema[id_col].dataType.simpleString(),
+        },
+    )
 
 
-def _check_meta(path: str, num_hashes: int, bands: int, shingle_n: int) -> None:
-    meta_path = os.path.join(path, _META_FILE)
-    if not os.path.exists(meta_path):
-        return  # foreign index; caller owns parameter agreement
-    with open(meta_path) as f:
-        meta = json.load(f)
+def init_minhash_index(
+    spark: SparkSession,
+    path: str,
+    id_type: str = "bigint",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Cold-start initializer: stamp an EMPTY index (meta sidecar, no
+    data files). The first probe reads it with the meta-derived schema
+    and sees an empty relation; the first append folds the first batch
+    in. Equivalent to write_minhash_index over an empty frame, without
+    needing to construct one."""
+    assert num_hashes % bands == 0
+    fs, hpath, _ = _fs_and_path(spark, path)
+    fs.mkdirs(hpath)
+    _write_meta(
+        spark,
+        path,
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "id_col": id_col,
+            "id_type": id_type,
+        },
+    )
+
+
+def _check_meta(
+    spark: SparkSession, path: str, num_hashes: int, bands: int, shingle_n: int
+) -> dict | None:
+    """Validate probe/append parameters against the stamped meta;
+    returns the meta (None for a foreign index, where the caller owns
+    parameter agreement)."""
+    meta = _read_meta(spark, path)
+    if meta is None:
+        return None
     got = (meta["num_hashes"], meta["bands"], meta["shingle_n"])
     want = (num_hashes, bands, shingle_n)
     if got != want:
@@ -137,6 +236,16 @@ def _check_meta(path: str, num_hashes: int, bands: int, shingle_n: int) -> None:
             f"minhash index at {path} was built with "
             f"(num_hashes, bands, shingle_n)={got}, probe asked {want}"
         )
+    return meta
+
+
+def _read_index(spark: SparkSession, path: str, meta: dict | None) -> DataFrame:
+    """Index relation: explicit meta-derived schema when stamped (cold
+    -start safe -- zero data files is a valid empty index), schema
+    inference only for foreign indexes."""
+    if meta is not None:
+        return spark.read.schema(_index_schema(meta)).parquet(path)
+    return spark.read.parquet(path)
 
 
 def append_to_minhash_index(
@@ -150,8 +259,11 @@ def append_to_minhash_index(
 ) -> None:
     """Fold a new batch into an existing index (append-only: existing
     files are never rewritten -- signatures are pure row functions, so
-    prior rows cannot change)."""
-    _check_meta(path, num_hashes, bands, shingle_n)
+    prior rows cannot change). Re-appending the same docs (e.g. a
+    replayed streaming micro-batch) adds byte-identical rows; probe
+    verdicts are unaffected (candidates are distinct pairs) and
+    :func:`compact_minhash_index` reclaims the space."""
+    _check_meta(df.sparkSession, path, num_hashes, bands, shingle_n)
     keyed = _keyed_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
     (
         keyed.repartition(F.col("bp"))
@@ -200,11 +312,11 @@ def incremental_dedup_candidates(
     is itself huge; the join degrades to a shuffled equi-join on the
     uniform bucket key.
     """
-    _check_meta(index_path, num_hashes, bands, shingle_n)
+    meta = _check_meta(spark, index_path, num_hashes, bands, shingle_n)
     new_keyed = _keyed_signatures(
         new_df, text_col, id_col, num_hashes, bands, shingle_n
     )
-    idx = spark.read.parquet(index_path)
+    idx = _read_index(spark, index_path, meta)
 
     n = new_keyed.alias("n")
     o = (F.broadcast(new_keyed) if broadcast_new else new_keyed).alias("n")
@@ -281,3 +393,85 @@ def incremental_dedup_mark(
             "dup_of",
         )
     )
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    path: str,
+    tombstones: DataFrame | list | None = None,
+) -> dict:
+    """Rewrite the index in place, dropping (a) duplicate band rows --
+    the residue of replayed/overlapping appends (signatures are pure
+    row functions, so re-appended rows are byte-identical; one
+    (bucket, id) row carries all the information) -- and (b) rows for
+    tombstoned ids (docs deleted upstream). Probe results over live
+    ids are EXACTLY preserved (pytest-enforced).
+
+    Mechanics: read with the meta-derived schema, dedup on
+    (bucket, id), anti-join the broadcast tombstone set, rewrite
+    prefix-partitioned into a sibling temp directory (one file per
+    prefix again), re-stamp the meta, then swap via FileSystem
+    delete + rename. The swap is atomic on HDFS/local; on S3 rename
+    is copy+delete, so schedule compaction in a maintenance window
+    there (standard practice for any non-transactional table format).
+
+    Returns {"rows_before", "rows_after", "files_before",
+    "files_after"} so operators can alert on compaction yield.
+    """
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"cannot compact a foreign index (no {_META_FILE} at {path})"
+        )
+    id_col = meta["id_col"]
+    idx = _read_index(spark, path, meta)
+
+    def _count_files(p: str) -> int:
+        fs, hp, _ = _fs_and_path(spark, p)
+        n = 0
+        for status in fs.listStatus(hp):
+            if status.isDirectory():
+                n += sum(
+                    1
+                    for s in fs.listStatus(status.getPath())
+                    if s.getPath().getName().endswith(".parquet")
+                )
+        return n
+
+    rows_before = idx.count()
+    files_before = _count_files(path)
+
+    compacted = idx.dropDuplicates(["bucket", id_col])
+    if tombstones is not None:
+        if isinstance(tombstones, DataFrame):
+            tomb = tombstones.select(
+                F.col(tombstones.columns[0]).alias(id_col)
+            )
+        else:
+            id_type = meta.get("id_type", "bigint")
+            tomb = spark.createDataFrame(
+                [(t,) for t in tombstones], f"`{id_col}` {id_type}"
+            )
+        compacted = compacted.join(F.broadcast(tomb), id_col, "left_anti")
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    (
+        compacted.repartition(F.col("bp"))
+        .write.partitionBy("bp")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    _write_meta(spark, tmp, meta)
+    rows_after = spark.read.schema(_index_schema(meta)).parquet(tmp).count()
+    files_after = _count_files(tmp)
+
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    fs.delete(hpath, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        raise IOError(f"compaction swap failed: rename({tmp} -> {path})")
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -9,16 +9,28 @@ land in a rejects sink with the id they duplicate (the same
 never-silently-drop posture as validation rejects and admission
 shedding).
 
-Exactly-once story: the source offsets are checkpointed, and BOTH
-writes inside the batch (corpus append + index append) are idempotent
-per doc id at the read layer — a replayed batch re-appends the same
-rows, and every downstream consumer of the corpus/index already
-dedups by id (min-id survivor rules), so replays cannot change any
-retention verdict. A doc that duplicates something seen in ANY prior
-trigger is caught by the index probe, which is what
-``dropDuplicatesWithinWatermark`` cannot do: its state is bounded by
-the watermark, while the index IS the unbounded state, kept on
-storage instead of in executor memory.
+Delivery semantics, precisely: ``foreachBatch`` is at-least-once — a
+crash between a sink write and the checkpoint commit replays the
+batch. The corpus and rejects sinks are made IDEMPOTENT per batch:
+rows are partitioned by the deterministic ``_ingest_batch_id`` and a
+replay dynamically overwrites exactly its own partition, so reading
+``corpus_path`` (row counts, training-shard writes) never
+double-counts. The index append is not partition-overwritten (it is
+bucket-prefix-partitioned for probe pruning); a replay re-appends
+byte-identical signature rows, which cannot change any retention
+verdict (candidate pairs are distinct, survivor rules are min-id) and
+which ``compact_minhash_index`` reclaims. Net: retention verdicts are
+exactly-once; the index is at-least-once-with-stable-verdicts. A doc
+that duplicates something seen in ANY prior trigger is caught by the
+index probe, which is what ``dropDuplicatesWithinWatermark`` cannot
+do: its state is bounded by the watermark, while the index IS the
+unbounded state, kept on storage instead of in executor memory.
+
+Cold start: initialize the index with
+``operators.incremental.init_minhash_index`` (or write_minhash_index
+over an empty frame) — probes read the meta-derived explicit schema,
+so an index with zero data files is a valid empty relation, not an
+inference error.
 
 Scale shape per trigger: signature the batch only (narrow), broadcast
 its band keys against the prefix-partitioned index (big side never
@@ -35,6 +47,22 @@ from xmidt_event_streams_spark.operators.incremental import (
     append_to_minhash_index,
     incremental_dedup_mark,
 )
+
+
+def idempotent_batch_append(df: DataFrame, batch_id: int, path: str) -> None:
+    """Per-batch idempotent sink write: partition by the
+    (checkpoint-deterministic) batch id and dynamically overwrite ONLY
+    that partition, so an at-least-once replay of batch N rewrites
+    rows ``_ingest_batch_id=N`` in place instead of duplicating them.
+    Other batches' partitions are untouched (dynamic overwrite mode is
+    scoped to the partitions present in the write)."""
+    (
+        df.withColumn("_ingest_batch_id", F.lit(batch_id))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_batch_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
 
 
 def start_ingest_dedup(
@@ -57,12 +85,13 @@ def start_ingest_dedup(
     DataFrame. Returns the StreamingQuery.
 
     The index at ``index_path`` must exist (write_minhash_index over
-    the prior corpus, or over an empty frame for a cold start).
-    Uniques append to ``corpus_path``; duplicates append to
-    ``rejects_path`` with their ``dup_of`` id.
+    the prior corpus, or init_minhash_index for a cold start).
+    Uniques land in ``corpus_path``; duplicates land in
+    ``rejects_path`` with their ``dup_of`` id; both sinks are
+    partitioned by ``_ingest_batch_id`` and per-batch idempotent.
     """
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # one probe per batch; persist so marks feed both sinks
         # without re-running the index join
@@ -89,8 +118,8 @@ def start_ingest_dedup(
                     marks.filter("NOT is_unique").select(id_col, "dup_of"),
                     id_col,
                 )
-                uniques.write.mode("append").parquet(corpus_path)
-                rejects.write.mode("append").parquet(rejects_path)
+                idempotent_batch_append(uniques, batch_id, corpus_path)
+                idempotent_batch_append(rejects, batch_id, rejects_path)
                 # survivors join the index so later triggers (and
                 # later batches' intra-stream dups) see them
                 append_to_minhash_index(
