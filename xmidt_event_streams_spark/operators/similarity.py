@@ -8,10 +8,13 @@ Two tiers:
     never shuffles; queries are tiny and broadcast.
   * LSH-bucketed ANN -- random-hyperplane sign buckets (cosine LSH):
     corpus vectors get a plan-time-constant bucket key (narrow);
-    queries probe only their own bucket (+ Hamming-1 neighbors for
-    recall). Turns the scan into an equi-join on bucket key; this is
-    the scale path (bucket count ~ 2^planes; data bucketed/partitioned
-    by key on write).
+    queries probe their own bucket, or with ``multi_probe=True`` also
+    the n_planes Hamming-1 neighbor buckets (one sign bit flipped --
+    the buckets a near-neighbor most likely straddled into; recall
+    rises sharply for ~(n_planes+1)x the candidate volume, still
+    ~(n_planes+1)/2^n_planes of the corpus). Either way the scan is
+    an equi-join on bucket key; this is the scale path (bucket count
+    ~ 2^planes; data bucketed/partitioned by key on write).
 
 Pair scoring and bucket keys use the Arrow-batched numpy kernels from
 functions.vectors (one BLAS op per batch; see that module for the
@@ -97,6 +100,27 @@ def lsh_bucket(
     return df.withColumn(bucket_col, sign_bits(vec_col, planes))
 
 
+def _probe_buckets(bits, n_planes: int):
+    """The query's probe set: its exact bucket plus the ``n_planes``
+    Hamming-1 neighbors (each one sign bit flipped). A true near
+    neighbor that landed one hyperplane-side away is in exactly one of
+    these; each corpus vector lives in ONE bucket, so the exploded
+    probe join produces no duplicate (query, id) pairs."""
+    variants = [bits]
+    for i in range(n_planes):
+        flipped = F.when(
+            F.substring(bits, i + 1, 1) == "0", F.lit("1")
+        ).otherwise(F.lit("0"))
+        variants.append(
+            F.concat(
+                F.substring(bits, 1, i),
+                flipped,
+                F.substring(bits, i + 2, n_planes - i - 1),
+            )
+        )
+    return F.array(*variants)
+
+
 def write_lsh_index(
     df: DataFrame,
     path: str,
@@ -140,11 +164,14 @@ def probe_lsh_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: str = "xes",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """ANN top-k against a materialized LSH index: the bucket
     equi-join against the partition column prunes the scan to the
     probed directories (dynamic partition pruning / broadcast-join
-    filter); only those buckets' vectors are ever read or scored."""
+    filter); only those buckets' vectors are ever read or scored.
+    ``multi_probe`` widens each query to its Hamming-1 neighbor
+    buckets too -- (n_planes+1) pruned directories instead of 1."""
     corpus = spark.read.parquet(path)
     qb = lsh_bucket(
         queries.select(
@@ -155,7 +182,12 @@ def probe_lsh_index(
         "_qvec",
         bucket_col="_qbucket",
         seed=seed,
-    ).withColumn("_qbucket", F.conv("_qbucket", 2, 10).cast("bigint"))
+    )
+    if multi_probe:
+        qb = qb.withColumn(
+            "_qbucket", F.explode(_probe_buckets(F.col("_qbucket"), n_planes))
+        )
+    qb = qb.withColumn("_qbucket", F.conv("_qbucket", 2, 10).cast("bigint"))
     scored = corpus.join(
         F.broadcast(qb),
         (F.col("bucket") == F.col("_qbucket"))
@@ -177,8 +209,11 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multi_probe: bool = False,
 ) -> DataFrame:
-    """ANN top-k: score only corpus vectors in the query's bucket.
+    """ANN top-k: score only corpus vectors in the query's bucket --
+    plus, with ``multi_probe=True``, its Hamming-1 neighbor buckets
+    (recall-lift assertion: tests/test_msgpack_asof.py).
 
     Recall < 1.0 by construction; raise recall with fewer planes or
     multi-probe. The join is an equi-join on bucket key -- at scale,
@@ -193,6 +228,10 @@ def lsh_topk(
         "_qvec",
         bucket_col="_qbucket",
     )
+    if multi_probe:
+        qb = qb.withColumn(
+            "_qbucket", F.explode(_probe_buckets(F.col("_qbucket"), n_planes))
+        )
     scored = cb.join(
         F.broadcast(qb),
         (F.col("bucket") == F.col("_qbucket")) & (F.col(id_col) != F.col(query_id_col)),
