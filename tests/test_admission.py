@@ -37,13 +37,12 @@ def test_admission_best_effort_quota(spark):
 
 
 def test_admission_best_effort_default_shards(spark):
-    # default n_shards = defaultParallelism: per-partition quota is
-    # ceil(cap / parallelism); total admitted never exceeds
-    # quota * actual_partitions (the documented best-effort bound)
-    par = spark.sparkContext.defaultParallelism
+    # batch default: n_shards = the ACTUAL partition count, so the
+    # per-partition quota is ceil(cap / num_partitions) and the
+    # aggregate cap is exact (within per-partition rounding)
     df = spark.range(10_000).repartition(4)
     marked = admission_mark(df, max_outstanding=64, mode="best_effort")
-    quota = -(-64 // par)
+    quota = -(-64 // 4)
     per_part = (
         marked.groupBy(F.spark_partition_id().alias("p"))
         .agg(F.sum(F.col("admitted").cast("int")).alias("a"))
@@ -88,3 +87,20 @@ def test_admission_under_cap_admits_all(spark):
     admitted, rejected = admission_control(df, max_outstanding=10_000)
     assert admitted.count() == 50
     assert rejected.count() == 0
+
+
+def test_batch_quota_exact_with_many_partitions(spark):
+    """Batch inputs derive the shard count from the ACTUAL partition
+    count: with more partitions than defaultParallelism the aggregate
+    admitted total must still respect max_outstanding (the r3 default
+    overshot by partitions/parallelism)."""
+    from xmidt_event_streams_spark.operators.admission import admission_mark
+
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    df = spark.range(0, 10_000).repartition(n_parts)
+    marked = admission_mark(df, max_outstanding=1_000, mode="best_effort")
+    admitted = marked.filter("admitted").count()
+    # quota = ceil(1000 / n_parts); aggregate <= quota * n_parts,
+    # which is within one-per-partition rounding of the cap
+    assert admitted <= 1_000 + n_parts
+    assert admitted >= 1_000 - n_parts

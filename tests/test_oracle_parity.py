@@ -74,10 +74,17 @@ def test_oracle_parity(spark, sf_dir, name):
         )
 
 
-@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if not s.sql])
-def test_rows_only(spark, sf_dir, name):
-    sdf = QUERIES[name].fn(spark, sf_dir)
-    assert sdf.count() >= 0
+def test_every_registry_query_ships_an_oracle():
+    """Regression guard: the rows-only set (registry queries with no
+    DuckDB oracle) reached empty in round 3 and must STAY empty -- a
+    new query shipped without an oracle silently downgrades the
+    driver's correctness gate to a rows-only check, so fail loudly
+    here instead."""
+    rows_only = sorted(n for n, s in QUERIES.items() if not s.sql)
+    assert rows_only == [], (
+        f"registry queries missing oracle_sql: {rows_only} -- every "
+        "queries() entry needs a DuckDB oracle twin (see SURVEY.md §5)"
+    )
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):

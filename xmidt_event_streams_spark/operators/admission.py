@@ -27,14 +27,18 @@ Two modes, mirroring the reference's own precision trade-off:
   reference's own check is racy (``len(chan) < cap(chan)`` is
   non-atomic across goroutines — SURVEY.md §2.4 B1 note), so
   best-effort shedding is faithful, and it is the shape that scales:
-  each task decides locally. ``n_shards`` defaults to the session's
-  ``defaultParallelism`` (how many tasks can race concurrently — the
-  direct analog of the reference's racing goroutines) rather than the
-  DataFrame's partition count: resolving the latter needs an RDD plan
-  conversion, which is both wasted work and ILLEGAL on a streaming
-  DataFrame — and ingress shedding is inherently a streaming concern.
-  Pass ``n_shards`` explicitly to pin the aggregate cap when the
-  partition count is known and differs from the parallelism.
+  each task decides locally. ``n_shards`` defaults to the DataFrame's
+  actual partition count for BATCH inputs (each partition is one
+  quota shard, so the aggregate cap is exact at
+  quota*num_partitions ≈ max_outstanding regardless of how many
+  partitions the plan produced) and to the session's
+  ``defaultParallelism`` for STREAMING inputs, where resolving the
+  partition count would need an RDD plan conversion that is ILLEGAL
+  on a streaming DataFrame — there, parallelism is how many tasks
+  can race concurrently, the direct analog of the reference's racing
+  goroutines. If a streaming micro-batch arrives with more partitions
+  than ``defaultParallelism``, the aggregate cap loosens by that
+  ratio; pass ``n_shards`` explicitly to pin it.
 """
 
 from __future__ import annotations
@@ -67,8 +71,9 @@ def admission_mark(
     first rows in partition order, like the reference admits whichever
     requests raced in before the counter tripped. ``n_shards``
     (best-effort) divides the cap into per-partition quotas; defaults
-    to the session's ``defaultParallelism`` so the operator works
-    unchanged on batch and streaming DataFrames (no RDD conversion).
+    to the input's partition count for batch DataFrames (exact
+    aggregate cap) and to the session's ``defaultParallelism`` for
+    streaming ones (no RDD conversion is possible there).
     """
     if mode == "exact":
         order = F.col(order_col) if order_col else F.monotonically_increasing_id()
@@ -80,7 +85,13 @@ def admission_mark(
         raise ValueError(f"mode must be 'exact' or 'best_effort', got {mode!r}")
 
     if n_shards is None:
-        n_shards = df.sparkSession.sparkContext.defaultParallelism
+        if df.isStreaming:
+            n_shards = df.sparkSession.sparkContext.defaultParallelism
+        else:
+            # batch: the partition count is knowable, so the cap can be
+            # exact -- quota * num_partitions ~= max_outstanding even
+            # when the plan produced more partitions than parallelism
+            n_shards = df.rdd.getNumPartitions()
     quota = max(1, math.ceil(max_outstanding / max(1, n_shards)))
     out_schema = StructType(df.schema.fields + [StructField(ADMITTED_COL, BooleanType())])
 
