@@ -983,8 +983,10 @@ def q_multimodal_features(spark, sf_dir):
         F.col("event_id").cast("string").alias("media_id"),
         F.encode(F.col("props"), "UTF-8").alias("payload"),
     )
-    feats = extract_image_features(media)
-    resized = resize_images(media, 64, 64).select(
+    # codec pinned to the stub: the DuckDB twin replays the stub's
+    # byte arithmetic, which must not depend on executor codec libs
+    feats = extract_image_features(media, codec="stub")
+    resized = resize_images(media, 64, 64, codec="stub").select(
         "media_id", F.octet_length("resized").alias("resized_len")
     )
     return feats.join(resized, "media_id")

@@ -3,10 +3,18 @@
 Pattern for 100 TB pipelines: media rides as a ``binary`` column next
 to typed metadata columns; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-Python row objects. The codec libraries (PIL/ffmpeg/...) are NOT in
-this container, so the decode kernels are deterministic stubs behind
-the same signatures -- the Spark-side plumbing (schemas, batch
-iteration, partitioning) is real and tested.
+Python row objects.
+
+Decode kernels are CODEC-PLUGGABLE: ``codec="auto"`` (the default)
+attempts a real decoder import (PIL) INSIDE the Arrow worker --
+executors, not the driver, must have the library -- and falls back to
+the deterministic byte-arithmetic stub when absent (this container
+ships no codec libs, so the stub is what CI exercises; a deployment
+with Pillow on the executors gets real JPEG/PNG decode through the
+identical plan/schema/batch shape). ``codec="stub"`` pins the
+deterministic kernel -- the catalog's oracle-checked query uses it so
+DuckDB parity is environment-independent; ``codec="pil"`` requires
+the real decoder and surfaces the ImportError.
 """
 
 from __future__ import annotations
@@ -57,11 +65,10 @@ def attach_binary_metadata(
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: the real implementation would use PIL/libvips.
-
-    Deterministic fake derived from the payload bytes so tests can
-    assert plumbing end-to-end. Raises for empty payloads exactly like
-    a real decoder would raise on truncated files.
+    """STUB decode: deterministic fake derived from the payload bytes
+    so tests (and the DuckDB oracle) can assert plumbing end-to-end.
+    Raises for empty payloads exactly like a real decoder would raise
+    on truncated files.
     """
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")  # poison-row path
@@ -69,16 +76,52 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
     return (64 + h % 512, 64 + (h // 7) % 512, 3)
 
 
-def extract_image_features(df: DataFrame) -> DataFrame:
+def _resolve_image_decoder(codec: str):
+    """Pick the decode kernel INSIDE the worker process (executors own
+    their imports, the driver's environment is irrelevant). Returns
+    ``(payload) -> (width, height, n_channels)``; raises ValueError on
+    undecodable payloads in both implementations."""
+    if codec not in ("auto", "stub", "pil"):
+        raise ValueError(f"codec must be auto|stub|pil, got {codec!r}")
+    if codec == "stub":
+        return _decode_image_stub
+    try:
+        import io
+
+        from PIL import Image
+
+        def _decode_pil(payload: bytes) -> tuple[int, int, int]:
+            if payload is None or len(payload) == 0:
+                raise ValueError("empty payload")
+            try:
+                img = Image.open(io.BytesIO(payload))
+                w, h = img.size
+                return (w, h, len(img.getbands()))
+            except Exception as exc:  # truncated/non-image -> poison row
+                raise ValueError(f"undecodable payload: {exc}") from exc
+
+        return _decode_pil
+    except ImportError:
+        if codec == "pil":
+            raise
+        return _decode_image_stub  # auto: container has no codec libs
+
+
+def extract_image_features(df: DataFrame, codec: str = "auto") -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched: each pandas chunk holds many payloads; decode
     failures divert to the rejects pattern (width/height null) instead
     of failing the task (the reference's panic-isolation analog, V9).
+    ``codec``: see module docstring -- "auto" uses PIL when the
+    executor has it, else the deterministic stub.
     """
     import hashlib
 
+    _resolve_image_decoder(codec)  # fail fast on bad codec names
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _resolve_image_decoder(codec)  # worker-side import
         for pdf in it:
             out = {
                 "media_id": pdf["media_id"],
@@ -89,7 +132,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             }
             for payload in pdf["payload"]:
                 try:
-                    w, h, c = _decode_image_stub(
+                    w, h, c = decode(
                         bytes(payload) if payload is not None else b""
                     )
                     out["width"].append(w)
@@ -120,16 +163,16 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """mapInPandas resize to a fixed (width, height) -- the standard
-    pre-embedding normalization step. Decode/re-encode is STUBBED
-    (no PIL in this container): the output bytes are a deterministic
-    function of (payload, target size) with the right shape and
-    nullability, so partitioning, batch iteration, and schema are
-    exercised for real; swap ``_resize_stub`` for PIL at deploy.
-    Poison rows (empty payload) yield null bytes, not task failure.
-    """
+def _resolve_image_resizer(codec: str, width: int, height: int):
+    """Worker-side resize kernel: ``(payload) -> bytes``. The stub
+    output is a deterministic function of (payload, target size) with
+    the right shape and nullability; the PIL path decodes, converts to
+    RGB and emits the raw width*height*3 pixel buffer (the standard
+    pre-embedding normalization)."""
     import hashlib
+
+    if codec not in ("auto", "stub", "pil"):
+        raise ValueError(f"codec must be auto|stub|pil, got {codec!r}")
 
     def _resize_stub(payload: bytes) -> bytes:
         if payload is None or len(payload) == 0:
@@ -139,13 +182,48 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
         # be width*height*3; keep test payloads small)
         return (seed * ((width * height * 3) // len(seed) + 1))[:4096]
 
+    if codec == "stub":
+        return _resize_stub
+    try:
+        import io
+
+        from PIL import Image
+
+        def _resize_pil(payload: bytes) -> bytes:
+            if payload is None or len(payload) == 0:
+                raise ValueError("empty payload")
+            try:
+                img = Image.open(io.BytesIO(payload)).convert("RGB")
+                return img.resize((width, height)).tobytes()
+            except Exception as exc:
+                raise ValueError(f"undecodable payload: {exc}") from exc
+
+        return _resize_pil
+    except ImportError:
+        if codec == "pil":
+            raise
+        return _resize_stub
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, codec: str = "auto"
+) -> DataFrame:
+    """mapInPandas resize to a fixed (width, height) -- the standard
+    pre-embedding normalization step. ``codec``: see module docstring
+    ("auto" = real PIL decode when the executor has it, else the
+    deterministic stub; "stub" pins oracle-reproducible bytes).
+    Poison rows (empty payload) yield null bytes, not task failure.
+    """
+    _resolve_image_resizer(codec, width, height)  # fail fast
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = _resolve_image_resizer(codec, width, height)
         for pdf in it:
             resized = []
             for payload in pdf["payload"]:
                 try:
                     resized.append(
-                        _resize_stub(bytes(payload) if payload is not None else b"")
+                        resize(bytes(payload) if payload is not None else b"")
                     )
                 except ValueError:
                     resized.append(None)
