@@ -329,3 +329,56 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     _run_available_now(dedup(_read_stream(spark, src, schema)), ckpt, out)
 
     assert sorted(r.transaction_uuid for r in out) == ["t1", "t2", "t3"]
+
+
+def test_hybrid_flush_under_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB stateful config: hybrid_flush on the RocksDB state
+    store provider (state bounded by executor disk, not heap; see
+    session.ROCKSDB_STATE_CONF). Same size-arm semantics as the
+    default provider, and the query's state-operator metrics prove
+    RocksDB actually backed the store."""
+    from xmidt_event_streams_spark.session import ROCKSDB_STATE_CONF
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_items(
+        src / "b1.json",
+        [{"stream_name": "s1", "item": f"m{i}"} for i in range(4)],
+    )
+    stream = _read_stream(spark, src, "stream_name string, item string")
+
+    saved = {
+        k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF
+    }
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    out: list = []
+    try:
+        q = (
+            hybrid_flush(stream, batch_size=2, time_limit_ms=60_000)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline and len(out) < 2:
+            time.sleep(0.3)
+        progress = q.lastProgress
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert [(r.n, r.flush_reason) for r in out] == [(2, "size"), (2, "size")]
+    assert sorted(x for r in out for x in r["items"]) == ["m0", "m1", "m2", "m3"]
+    ops = (progress or {}).get("stateOperators", [])
+    assert ops, "expected a stateful operator in query progress"
+    rocks_metrics = [
+        k for k in ops[0].get("customMetrics", {}) if k.startswith("rocksdb")
+    ]
+    assert rocks_metrics, "state operator did not run on RocksDB"

@@ -18,6 +18,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+# State-store provider for stateful streaming (hybrid_flush, session
+# windows, dropDuplicatesWithinWatermark). The default HDFS-backed
+# provider keeps every key's state in executor heap -- fine locally,
+# fatal at 100 TB key cardinality. RocksDB spills state to local SSD
+# and checkpoints changelogs instead of full snapshots, so state size
+# is bounded by disk, not heap. Pass as ``extra_conf`` to get_spark
+# (or spark.conf.set before starting the query -- it is a runtime SQL
+# conf read at query start):
+#
+#     get_spark("app", extra_conf=ROCKSDB_STATE_CONF)
+#
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # upload per-batch changelogs, not full SST snapshots, at commit
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
 def get_spark(
     app_name: str = "xmidt-event-streams-spark",
     master: str | None = None,
