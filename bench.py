@@ -61,6 +61,7 @@ def main() -> None:
     timings = {n: min(warm1[n], warm2[n]) for n in warm1}
 
     total = round(sum(timings.values()), 3)
+    skew = skew_bench(spark)
     print(
         json.dumps(
             {
@@ -72,10 +73,83 @@ def main() -> None:
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "queries": timings,
                 "sf": sf,
+                "skew": skew,
             }
         )
     )
     spark.stop()
+
+
+def skew_bench(spark) -> dict:
+    """Sidecar metric: salted vs unsalted join under a zipf-hot key.
+
+    20M-row synthetic fact (half the rows on ONE hot user, rest
+    uniform over 100k) joined to a 100k-row dim with broadcast
+    disabled (the salting scenario: the small side is 'too large to
+    broadcast' at real scale). Three arms, each min-of-2 after a
+    warmup pass:
+
+      * unsalted_noaqe_sec  -- shuffle join, AQE skew-join OFF: the
+        naive plan, one task owns half the fact table;
+      * unsalted_aqe_sec    -- AQE skew-join ON. At this volume the
+        hot partition (~160 MB) sits UNDER AQE's 256 MB split
+        threshold, so AQE does not rescue it -- exactly the regime
+        operators/skew.py exists for;
+      * salted_sec          -- salted_join, 32 deterministic salts:
+        the hot key spreads over 32 tasks.
+
+    ``ratio_unsalted_over_salted`` > 1 is the measured win. Inputs
+    are range()-generated (deterministic, no files), so this runs at
+    any $SPARK_GRAFT_SF_DIR unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.operators.skew import salted_join
+
+    n_rows, n_users = 20_000_000, 100_000
+    big = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        F.when(F.pmod(F.xxhash64("id"), 2) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), n_users))
+        .alias("user_id"),
+    )
+    small = spark.range(n_users).select(
+        F.col("id").alias("user_id"),
+        F.md5(F.col("id").cast("string")).alias("attr"),
+    )
+
+    def run(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    plain = big.join(small, "user_id").select("event_id", "attr")
+    salted = salted_join(
+        big, small, ["user_id"], salt_from="event_id", n_salts=32
+    ).select("event_id", "attr")
+
+    saved_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        run(plain)
+        run(salted)  # warmup (codegen)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        unsalted_noaqe = min(run(plain), run(plain))
+        salted_t = min(run(salted), run(salted))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        unsalted_aqe = min(run(plain), run(plain))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved_skew)
+    return {
+        "unsalted_noaqe_sec": unsalted_noaqe,
+        "unsalted_aqe_sec": unsalted_aqe,
+        "salted_sec": salted_t,
+        "ratio_unsalted_over_salted": round(unsalted_noaqe / salted_t, 2),
+        "rows": n_rows,
+        "n_salts": 32,
+    }
 
 
 if __name__ == "__main__":
