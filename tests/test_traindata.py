@@ -232,3 +232,72 @@ def test_write_training_shards_sf01_budgets_and_append_stability(spark, tmp_path
     }
     moved = [d for d in first if first[d] != second[d]]
     assert not moved, f"{len(moved)} docs changed (split, shard) after growth"
+
+
+def test_mixture_sample_matches_duckdb(spark, sf_dir):
+    """mixture_sample ≡ the same fraction computation + md5-bucket
+    filter replayed in DuckDB (thresholds computed once in Python
+    from mixture_fractions, so both engines filter on identical
+    integer literals)."""
+    from xmidt_event_streams_spark.operators.traindata import (
+        mixture_fractions,
+        mixture_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    weights = {"en": 0.5, "zh": 0.3, "es": 0.2}
+    sdf = mixture_sample(docs, "lang", weights).select("doc_id", "lang")
+
+    fr = mixture_fractions(docs, "lang", weights)
+    b = _BUCKET_SQL.format(salt="mixture-v1")
+    cases = " ".join(
+        f"WHEN '{d}' THEN {int(round(f * 10000))}" for d, f in fr.items()
+    )
+    cols, rows = duck_run(
+        f"""SELECT doc_id, lang FROM documents
+            WHERE {b} < CASE lang {cases} ELSE 0 END""",
+        sf_dir,
+    )
+    assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
+        cols, rows
+    )
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    """Output proportions match the target mixture (within hash-
+    granularity tolerance) and the binding domain keeps 100%."""
+    from xmidt_event_streams_spark.operators.traindata import (
+        mixture_fractions,
+        mixture_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = _docs(spark, sf)
+    raw = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    weights = {"en": 0.4, "zh": 0.3, "es": 0.3}
+    fr = mixture_fractions(docs, "lang", weights)
+    # binding domain (max w/n ratio) keeps everything
+    binding = max(weights, key=lambda d: weights[d] / raw[d])
+    assert fr[binding] == 1.0
+
+    out = mixture_sample(docs, "lang", weights)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) == set(weights)  # untargeted domains dropped
+    total = sum(got.values())
+    for d, w in weights.items():
+        # hash-bucket draw at these corpus sizes: generous tolerance
+        assert abs(got[d] / total - w) < 0.1, (d, got, total)
+    # all kept rows of the binding domain survived exactly
+    assert got[binding] == raw[binding]
+
+
+def test_mixture_sample_rejects_bad_weights(spark, sf_dir):
+    import pytest
+
+    from xmidt_event_streams_spark.operators.traindata import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(docs, "lang", {})
+    with pytest.raises(ValueError, match="absent from corpus"):
+        mixture_sample(docs, "lang", {"klingon": 1.0})

@@ -182,3 +182,73 @@ def pack_sequences(
         .withColumn("pack_id", F.expr(f"_prefix div {int(budget)}"))
         .drop("_prefix")
     )
+
+
+def mixture_fractions(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict[str, float],
+) -> dict[str, float]:
+    """Per-domain keep fractions that resample the corpus to the
+    target mixture while keeping as much data as possible.
+
+    Training recipes fix the PROPORTIONS of each domain (web/books/
+    code, or per-language -- the Pile / DoReMi-style mixture), but the
+    raw corpus arrives with whatever proportions crawling produced.
+    The largest total T satisfying T*w_d <= n_d for every targeted
+    domain is T = min_d(n_d / w_d); the binding domain keeps 100% of
+    its rows and every other targeted domain keeps T*w_d / n_d.
+
+    The groupBy-count collect is bounded by DOMAIN CARDINALITY (a few
+    hundred at most -- languages, sources), never row count: safe at
+    100 TB. Domains absent from ``target_weights`` get fraction 0.
+    """
+    if not target_weights or any(w < 0 for w in target_weights.values()):
+        raise ValueError("target_weights must be non-empty and non-negative")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = [d for d, w in target_weights.items() if w > 0 and not counts.get(d)]
+    if missing:
+        raise ValueError(
+            f"target domains absent from corpus: {sorted(missing)}"
+        )
+    total = min(
+        counts[d] / w for d, w in target_weights.items() if w > 0
+    )
+    return {
+        d: min(1.0, total * w / counts[d])
+        for d, w in target_weights.items()
+        if w > 0
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Deterministically resample ``df`` to the target domain mixture:
+    compute :func:`mixture_fractions`, then keep each row iff its
+    md5 hash bucket falls under its domain's threshold (the same
+    engine-portable draw as stratified_sample -- a row property, so
+    the kept set survives re-partitioning, retries, and incremental
+    re-runs; changing ``salt`` draws a fresh sample).
+
+    Two tiny jobs: one domain-count agg (rows = domain cardinality),
+    then a narrow filter over the corpus. Nothing else shuffles.
+    """
+    fractions = mixture_fractions(df, domain_col, target_weights)
+    return stratified_sample(
+        df,
+        domain_col,
+        fractions,
+        id_col=id_col,
+        default_fraction=0.0,
+        salt=salt,
+    )
