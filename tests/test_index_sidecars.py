@@ -1,0 +1,98 @@
+"""Parameter sidecars for materialized ANN indexes (fsutil): a probe
+with mismatched hash parameters / centroids silently finds nothing or
+searches the wrong directories -- the stamped sidecar turns that into
+a loud ValueError, on any storage scheme (Hadoop FS API)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.ivf import (
+    probe_ivf_index,
+    write_ivf_index,
+)
+from xmidt_event_streams_spark.operators.similarity import (
+    deterministic_planes,
+    probe_lsh_index,
+    write_lsh_index,
+)
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_lsh_probe_rejects_mismatched_params(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb, path, n_planes=8, dim=64, seed="xes")
+
+    q = emb.limit(3)
+    # matched probe works
+    assert probe_lsh_index(spark, path, q, k=3, n_planes=8, dim=64).count() >= 0
+    for bad in (
+        {"n_planes": 6},
+        {"seed": "other"},
+        {"dim": 32},
+    ):
+        kw = {"n_planes": 8, "dim": 64, "seed": "xes", **bad}
+        with pytest.raises(ValueError, match="LSH index .* was built with"):
+            probe_lsh_index(spark, path, q, k=3, **kw)
+
+
+def test_ivf_probe_loads_stamped_centroids(spark, tmp_path):
+    emb = _emb(spark)
+    cents = deterministic_planes(8, 64, seed="ivf-test")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, cents)
+
+    q = emb.orderBy("vec_id").limit(3)
+    explicit = probe_ivf_index(spark, path, q, cents, k=3, n_probe=2)
+    loaded = probe_ivf_index(spark, path, q, None, k=3, n_probe=2)
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, loaded.collect())
+    )
+
+
+def test_ivf_probe_rejects_foreign_centroids(spark, tmp_path):
+    emb = _emb(spark)
+    cents = deterministic_planes(8, 64, seed="ivf-test")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, cents)
+
+    q = emb.limit(2)
+    other = deterministic_planes(8, 64, seed="different-fit")
+    with pytest.raises(ValueError, match="different centroids"):
+        probe_ivf_index(spark, path, q, other, k=3)
+
+
+def test_ivf_probe_without_sidecar_requires_centroids(spark, tmp_path):
+    """Foreign index (bare partitioned parquet, no sidecar):
+    centroids=None must raise, not guess."""
+    emb = _emb(spark)
+    cents = deterministic_planes(4, 64, seed="ivf-test")
+    path = str(tmp_path / "bare")
+    from xmidt_event_streams_spark.operators.ivf import assign_cells
+
+    (
+        assign_cells(emb, cents)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with pytest.raises(ValueError, match="no centroid sidecar"):
+        probe_ivf_index(spark, path, emb.limit(2), None, k=3)
+    # explicit centroids still probe a foreign index fine
+    assert (
+        probe_ivf_index(spark, path, emb.limit(2), cents, k=3).count() >= 0
+    )
+
+
+def test_sidecars_ignored_by_spark_reads(spark, tmp_path):
+    """The `_`-prefixed sidecar must be invisible to the parquet
+    reader (no schema corruption from the JSON file)."""
+    emb = _emb(spark)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb, path, n_planes=4, dim=64)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == set(emb.columns) | {"bucket"}
+    assert back.count() == emb.count()

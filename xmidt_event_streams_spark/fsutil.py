@@ -1,0 +1,87 @@
+"""Hadoop-FileSystem-backed JSON sidecars for materialized indexes.
+
+Every materialized index in this package (MinHash bands, LSH buckets,
+IVF cells) is only probe-able with the EXACT parameters it was built
+with -- a probe with mismatched banding/planes/centroids silently
+finds nothing (or the wrong cells), which is the worst failure mode:
+no error, empty results. Each writer therefore stamps its parameters
+into a JSON sidecar inside the index directory, and each prober
+re-checks them, raising on mismatch.
+
+The sidecar goes through Hadoop's FileSystem API -- NOT local
+``open()``/``os.path`` -- so the guard works identically on
+``file:``, ``hdfs:`` and ``s3a:`` paths (the 100 TB deployment keeps
+indexes on an object store, where local-FS I/O would silently degrade
+to an unchecked probe). Sidecar names start with ``_`` so Spark's
+data-file listing ignores them.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, jvm) for ``path_str`` under the session's
+    Hadoop configuration -- resolves the scheme (file:/hdfs:/s3a:)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def write_json_sidecar(
+    spark: SparkSession, dir_path: str, filename: str, obj: dict
+) -> None:
+    fs, _, jvm = hadoop_fs(spark, dir_path)
+    target = jvm.org.apache.hadoop.fs.Path(
+        dir_path.rstrip("/") + "/" + filename
+    )
+    out = fs.create(target, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_json_sidecar(
+    spark: SparkSession, dir_path: str, filename: str
+) -> dict | None:
+    """The sidecar's content, or None when absent (a foreign index:
+    the caller owns parameter agreement)."""
+    fs, _, jvm = hadoop_fs(spark, dir_path)
+    target = jvm.org.apache.hadoop.fs.Path(
+        dir_path.rstrip("/") + "/" + filename
+    )
+    if not fs.exists(target):
+        return None
+    ins = fs.open(target)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(ins, "UTF-8")
+    finally:
+        ins.close()
+    return json.loads(text)
+
+
+def check_sidecar_params(
+    spark: SparkSession,
+    dir_path: str,
+    filename: str,
+    want: dict,
+    what: str,
+) -> dict | None:
+    """Compare probe parameters against the stamped sidecar; returns
+    the full sidecar dict (None for foreign indexes). Only keys
+    present in ``want`` are compared, so sidecars may carry extra
+    payload (schemas, centroids) beyond the guarded parameters."""
+    meta = read_json_sidecar(spark, dir_path, filename)
+    if meta is None:
+        return None
+    got = {k: meta.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"{what} at {dir_path} was built with {got}, probe asked {want}"
+        )
+    return meta

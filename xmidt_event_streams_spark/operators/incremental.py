@@ -36,12 +36,15 @@ beyond-reference LLM-pipeline mandate to the incremental-ingest shape.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from xmidt_event_streams_spark.fsutil import (
+    hadoop_fs,
+    read_json_sidecar,
+    write_json_sidecar,
+)
 from xmidt_event_streams_spark.operators.dedup import (
     minhash_signatures_df,
 )
@@ -50,53 +53,23 @@ _META_FILE = "_xes_minhash_index_meta.json"
 _PREFIX_LEN = 2  # 256 bucket-prefix partitions
 
 
-# ---------------------------------------------------------------------------
-# Meta sidecar, through the Hadoop FileSystem API.
-#
-# The sidecar stamps the banding parameters (and the id column's name +
-# type) into the index directory so a probe with mismatched parameters
-# raises instead of silently finding nothing. It is read/written via
-# Hadoop's FileSystem -- NOT local open()/os.path -- so the guard works
-# identically on file:, hdfs: and s3a: paths (the 100 TB deployment
-# stores the index on an object store; local-FS I/O there would silently
-# degrade to the unchecked "foreign index" branch). The leading
-# underscore keeps the file invisible to Spark's data-file listing.
-# ---------------------------------------------------------------------------
+# Meta sidecar mechanics live in fsutil (Hadoop FileSystem API, so the
+# parameter-mismatch guard works on file:/hdfs:/s3a: alike); this
+# module stamps (num_hashes, bands, shingle_n, id_col, id_type).
 
 
 def _fs_and_path(spark: SparkSession, path_str: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath, jvm
-
-
-def _meta_path(jvm, path: str):
-    return jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _META_FILE)
+    return hadoop_fs(spark, path_str)
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    fs, _, jvm = _fs_and_path(spark, path)
-    out = fs.create(_meta_path(jvm, path), True)
-    try:
-        out.write(bytearray(json.dumps(meta).encode("utf-8")))
-    finally:
-        out.close()
+    write_json_sidecar(spark, path, _META_FILE, meta)
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict | None:
     """The index's stamped parameters, or None for a foreign index
     (a bucket/signature layout produced by some other writer)."""
-    fs, _, jvm = _fs_and_path(spark, path)
-    mp = _meta_path(jvm, path)
-    if not fs.exists(mp):
-        return None
-    ins = fs.open(mp)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(ins, "UTF-8")
-    finally:
-        ins.close()
-    return json.loads(text)
+    return read_json_sidecar(spark, path, _META_FILE)
 
 
 def _index_schema(meta: dict) -> StructType:

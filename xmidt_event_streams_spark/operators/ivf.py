@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xmidt_event_streams_spark.fsutil import (
+    read_json_sidecar,
+    write_json_sidecar,
+)
 from xmidt_event_streams_spark.functions.vectors import cosine_pairs, nearest_cells
+
+_IVF_META_FILE = "_xes_ivf_index_meta.json"
 
 
 def kmeans_fit(
@@ -178,14 +184,23 @@ def write_ivf_index(
     that makes the n_probe/n_cells cost claim physical: a probe reads
     only the probed cells' directories (partition pruning), the other
     (n_cells - n_probe)/n_cells of a 100 TB corpus is never scanned.
-    Mirrors similarity.write_lsh_index; the centroid list is the
-    index's sidecar (persist it next to the data in production)."""
+    Mirrors similarity.write_lsh_index. The CENTROIDS are stamped into
+    a JSON sidecar (fsutil, Hadoop FS -- object-store safe): cell
+    assignment is meaningless under any other centroid set, so the
+    probe can load them (``centroids=None``) or verify the ones it
+    was handed, instead of silently searching the wrong cells."""
     (
         assign_cells(df, centroids, vec_col)
         .repartition(F.col("cell"))
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
+    )
+    write_json_sidecar(
+        df.sparkSession,
+        path,
+        _IVF_META_FILE,
+        {"centroids": centroids, "vec_col": vec_col},
     )
 
 
@@ -209,7 +224,7 @@ def probe_ivf_index(
     spark,
     path: str,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     k: int = 5,
     n_probe: int = 2,
     id_col: str = "vec_id",
@@ -226,7 +241,29 @@ def probe_ivf_index(
     nondeterministic-marked Arrow kernel on the probe side would
     block anyway. Only the probed cells' directories are read or
     scored. Same semantics and tie rules as :func:`ivf_topk` (pytest
-    pins the equivalence)."""
+    pins the equivalence).
+
+    ``centroids=None`` loads the centroid set stamped by
+    :func:`write_ivf_index`; passing centroids that differ from the
+    stamped set raises (cell ids are meaningless under any other
+    centroids -- the probe would silently search the wrong
+    directories)."""
+    meta = read_json_sidecar(spark, path, _IVF_META_FILE)
+    if centroids is None:
+        if meta is None:
+            raise ValueError(
+                f"no centroid sidecar at {path} (foreign index?): pass "
+                "centroids explicitly"
+            )
+        centroids = meta["centroids"]
+    elif meta is not None and meta["centroids"] != [
+        [float(x) for x in c] for c in centroids
+    ]:
+        raise ValueError(
+            f"IVF index at {path} was built with different centroids "
+            f"(k={len(meta['centroids'])}) than the probe supplied "
+            f"(k={len(centroids)})"
+        )
     rows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
     cells_per_q = _nearest_cells_driver([r[1] for r in rows], centroids, n_probe)
     qb = spark.createDataFrame(

@@ -29,7 +29,13 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xmidt_event_streams_spark.fsutil import (
+    check_sidecar_params,
+    write_json_sidecar,
+)
 from xmidt_event_streams_spark.functions.vectors import cosine_pairs, sign_bits
+
+_LSH_META_FILE = "_xes_lsh_index_meta.json"
 
 
 def deterministic_planes(n_planes: int, dim: int, seed: str = "xes") -> list[list[float]]:
@@ -151,6 +157,15 @@ def write_lsh_index(
         .mode("overwrite")
         .parquet(path)
     )
+    # parameter sidecar (fsutil): a probe with a different plane
+    # count/seed computes different bucket keys and silently finds
+    # NOTHING -- stamp the hash parameters so it raises instead
+    write_json_sidecar(
+        df.sparkSession,
+        path,
+        _LSH_META_FILE,
+        {"n_planes": n_planes, "dim": dim, "seed": seed},
+    )
 
 
 def probe_lsh_index(
@@ -172,6 +187,13 @@ def probe_lsh_index(
     filter); only those buckets' vectors are ever read or scored.
     ``multi_probe`` widens each query to its Hamming-1 neighbor
     buckets too -- (n_planes+1) pruned directories instead of 1."""
+    check_sidecar_params(
+        spark,
+        path,
+        _LSH_META_FILE,
+        {"n_planes": n_planes, "dim": dim, "seed": seed},
+        "LSH index",
+    )
     corpus = spark.read.parquet(path)
     qb = lsh_bucket(
         queries.select(
