@@ -250,3 +250,51 @@ def test_idempotent_batch_append_replay(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
     assert {r["_ingest_batch_id"] for r in rows} == {0, 1}
+
+
+def test_compact_ingest_sink(spark, tmp_path):
+    """Compaction merges finalized batch partitions into coarse groups
+    (row-identical read-back, fewer files) while the NEWEST batch's
+    partition stays untouched so an in-flight replay remains
+    idempotent."""
+    import os
+
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        compact_ingest_sink,
+        idempotent_batch_append,
+    )
+
+    path = str(tmp_path / "sink")
+    for bid in range(7):
+        df = spark.createDataFrame(
+            [(bid * 10 + i, f"t{bid}-{i}") for i in range(5)],
+            "doc_id: long, text: string",
+        ).repartition(4)
+        idempotent_batch_append(df, bid, path)
+
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("doc_id", "text").collect())
+    )
+    stats = compact_ingest_sink(spark, path, batches_per_partition=3)
+    after_df = spark.read.parquet(path)
+    after = sorted(map(tuple, after_df.select("doc_id", "text").collect()))
+
+    assert after == before  # row-identical
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == len(before)
+    parts = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("_ingest_batch_id=")
+    )
+    # batches 0-5 merged into groups 0 and 3; batch 6 (newest) untouched
+    assert parts == [0, 3, 6]
+
+    # replay of the newest batch after compaction: still exactly-once
+    df6 = spark.createDataFrame(
+        [(60 + i, f"t6-{i}") for i in range(5)], "doc_id: long, text: string"
+    )
+    idempotent_batch_append(df6, 6, path)
+    assert sorted(
+        map(tuple, spark.read.parquet(path).select("doc_id", "text").collect())
+    ) == before

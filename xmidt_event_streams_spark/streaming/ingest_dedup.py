@@ -49,15 +49,26 @@ from xmidt_event_streams_spark.operators.incremental import (
 )
 
 
-def idempotent_batch_append(df: DataFrame, batch_id: int, path: str) -> None:
+def idempotent_batch_append(
+    df: DataFrame, batch_id: int, path: str, max_files: int = 4
+) -> None:
     """Per-batch idempotent sink write: partition by the
     (checkpoint-deterministic) batch id and dynamically overwrite ONLY
     that partition, so an at-least-once replay of batch N rewrites
     rows ``_ingest_batch_id=N`` in place instead of duplicating them.
     Other batches' partitions are untouched (dynamic overwrite mode is
-    scoped to the partitions present in the write)."""
+    scoped to the partitions present in the write).
+
+    ``max_files`` coalesces the write: the batch arrives from a join
+    shuffle (spark.sql.shuffle.partitions tasks), and without
+    coalescing every trigger would emit that many near-empty files --
+    months of 15 s triggers at 100 TB means millions of small files.
+    A micro-batch is small by definition, so a handful of writer tasks
+    is the right shape; :func:`compact_ingest_sink` handles the
+    long-horizon file count."""
     (
-        df.withColumn("_ingest_batch_id", F.lit(batch_id))
+        df.coalesce(max_files)
+        .withColumn("_ingest_batch_id", F.lit(batch_id))
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("_ingest_batch_id")
         .mode("overwrite")
@@ -146,3 +157,71 @@ def start_ingest_dedup(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def compact_ingest_sink(
+    spark,
+    path: str,
+    batches_per_partition: int = 1_000,
+) -> dict:
+    """Maintenance-window compaction for an ingest sink: merge
+    fine-grained ``_ingest_batch_id`` partitions into coarse groups
+    (floor(batch_id / batches_per_partition) * batches_per_partition),
+    keeping the partition column -- the running writer's contract is
+    unchanged.
+
+    Replay safety: Structured Streaming can only ever replay the
+    LATEST uncommitted batch, so every batch id below the maximum
+    present is final and safe to merge; the newest batch's partition
+    is left untouched so an in-flight replay still overwrites exactly
+    its own rows. Run while the stream is stopped (same posture as
+    compact_minhash_index): the swap is delete + rename.
+
+    Returns {"files_before", "files_after", "rows"} for alerting.
+    """
+    from xmidt_event_streams_spark.fsutil import hadoop_fs
+
+    df = spark.read.parquet(path)
+    max_id = df.agg(F.max("_ingest_batch_id")).collect()[0][0]
+    if max_id is None:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+
+    def _count_files(p: str) -> int:
+        fs, hp, _ = hadoop_fs(spark, p)
+        n = 0
+        for status in fs.listStatus(hp):
+            if status.isDirectory():
+                n += sum(
+                    1
+                    for s in fs.listStatus(status.getPath())
+                    if s.getPath().getName().endswith(".parquet")
+                )
+        return n
+
+    files_before = _count_files(path)
+    g = batches_per_partition
+    compacted = df.withColumn(
+        "_ingest_batch_id",
+        F.when(
+            F.col("_ingest_batch_id") < max_id,
+            (F.floor(F.col("_ingest_batch_id") / g) * g).cast("long"),
+        ).otherwise(F.col("_ingest_batch_id")),
+    )
+    tmp = path.rstrip("/") + "__compact_tmp"
+    (
+        compacted.repartition(F.col("_ingest_batch_id"))
+        .write.partitionBy("_ingest_batch_id")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    rows = spark.read.parquet(tmp).count()
+    files_after = _count_files(tmp)
+    fs, hpath, jvm = hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        raise IOError(f"compaction swap failed: rename({tmp} -> {path})")
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }
