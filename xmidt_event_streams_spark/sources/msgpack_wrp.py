@@ -172,10 +172,15 @@ _WRP_FIELDS = (
 )
 
 
-def decode_wrp_msgpack(df: DataFrame, payload_col: str = "raw") -> DataFrame:
+def decode_wrp_msgpack(
+    df: DataFrame,
+    payload_col: str = "raw",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Arrow-batched msgpack -> WRP columns. Malformed rows surface
     with msg_type = -1 and the error in decode_error (rejects-sink
-    pattern instead of task failure)."""
+    pattern instead of task failure). ``keep_cols`` ride along
+    unchanged (transport provenance: topic/partition/offset)."""
     from xmidt_event_streams_spark.schema import WRP_SCHEMA
 
     out_schema = (
@@ -186,6 +191,11 @@ def decode_wrp_msgpack(df: DataFrame, payload_col: str = "raw") -> DataFrame:
     assert {f.name for f in WRP_SCHEMA.fields} <= {
         s.split()[0] for s in out_schema.split(", ")
     }
+    if keep_cols:
+        kept = {f.name: f for f in df.schema.fields}
+        out_schema += ", " + ", ".join(
+            f"{c} {kept[c].dataType.simpleString()}" for c in keep_cols
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -220,6 +230,9 @@ def decode_wrp_msgpack(df: DataFrame, payload_col: str = "raw") -> DataFrame:
                         decode_error=str(exc),
                     )
                 rows.append(row)
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            for c in keep_cols:
+                out[c] = pdf[c].values
+            yield out
 
-    return df.select(payload_col).mapInPandas(batches, out_schema)
+    return df.select(payload_col, *keep_cols).mapInPandas(batches, out_schema)
