@@ -1567,6 +1567,85 @@ GROUP BY l_returnflag
 """
 
 
+def q_tpch_q7ish(spark, sf_dir):
+    """Volume shipping (TPC-H Q7 shape): revenue between two nation
+    pairs by ship year -- the 6-relation join exercise (lineitem ⋈
+    supplier ⋈ orders ⋈ customer ⋈ nation×2 with a symmetric
+    nation-pair predicate).
+
+    Plan shape at scale: lineitem (the fact) never shuffles for the
+    joins -- supplier/orders/customer project to 2 columns each and
+    broadcast (orders is the largest; AQE re-plans to shuffle join if
+    it outgrows the threshold, keying on o_orderkey = the fact's
+    sort order); the two nation sides are a 25-row broadcast each.
+    One hash-agg shuffle on (supp_nation, cust_nation, year)."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "supplier", "orders", "customer", "nation")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["orders"].select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7ISH = f"""
+SELECT supp_nation, cust_nation, l_year,
+  round(CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})) AS DOUBLE), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 def q_tpch_q19ish(spark, sf_dir):
     """Discounted revenue under OR-of-ANDs (TPC-H Q19 shape, adapted
     to available columns: brand/size/quantity bands). Exercises
