@@ -208,3 +208,80 @@ def test_scrub_pii_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_c4_clean_lines_semantics(spark):
+    from xmidt_event_streams_spark.functions.quality import c4_clean_lines
+
+    doc = "\n".join(
+        [
+            "This line survives the cleaning rules.",      # kept
+            "Too short.",                                   # < 3 words
+            "No terminal punctuation here",                 # no [.!?"]
+            "Please enable javascript to continue.",        # javascript
+            "function f() { return 1; }",                   # braces
+            '  "A quoted line with enough words."  ',       # kept (trimmed)
+        ]
+    )
+    df = spark.createDataFrame([(doc,)], "text: string")
+    out = df.select(c4_clean_lines("text").alias("t")).collect()[0]["t"]
+    assert out == (
+        "This line survives the cleaning rules.\n"
+        '"A quoted line with enough words."'
+    )
+
+
+def test_c4_keep_reasons(spark):
+    from xmidt_event_streams_spark.functions.quality import c4_keep
+
+    good = "\n".join(
+        f"This is a perfectly ordinary sentence number {i}." for i in range(6)
+    )
+    rows = [
+        (1, good),
+        (2, good + "\nSome Lorem Ipsum filler text appears here."),
+        (3, good + "\nvar x = {a: 1};"),
+        (4, "One fine sentence only, sadly here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    keep, reason = c4_keep("text")
+    got = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in df.select(
+            "doc_id", keep.alias("keep"), reason.alias("reason")
+        ).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (False, "lorem_ipsum")
+    assert got[3] == (False, "curly_brace")
+    assert got[4] == (False, "too_few_sentences")
+
+
+def test_c4_clean_lines_matches_duckdb(spark, sf_dir):
+    """The line filter replayed in DuckDB (list_filter + the same
+    common-dialect regexes) over the real documents table."""
+    from tests.test_oracle_parity import _rowset, duck_run
+    from xmidt_event_streams_spark.functions.quality import c4_clean_lines
+
+    sdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", c4_clean_lines("text").alias("cleaned"))
+    )
+    cols, rows = duck_run(
+        r"""
+        SELECT doc_id, COALESCE(array_to_string(
+          list_transform(
+            list_filter(string_split(text, chr(10)), l ->
+              regexp_matches(trim(l), '[.!?"]$')
+              AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+              AND NOT contains(lower(trim(l)), 'javascript')
+              AND NOT contains(trim(l), '{')
+              AND NOT contains(trim(l), '}')
+            ), l -> trim(l)), chr(10)), '') AS cleaned
+        FROM documents
+        """,
+        sf_dir,
+    )
+    assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
+        cols, rows
+    )

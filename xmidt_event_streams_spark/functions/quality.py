@@ -182,3 +182,63 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         name: F.regexp_count(c, F.lit(pattern))
         for name, pattern, _ in PII_PATTERNS
     }
+
+
+# ---------------------------------------------------- C4 line cleaning
+
+# Line/page rules from C4 (Raffel et al. 2020, arXiv:1910.10683 §2.2),
+# expressed as pure Column ops in the Java-regex ∩ RE2 ∩ DuckDB common
+# dialect so the pytest twin replays them byte-for-byte:
+#   line kept iff: ends in terminal punctuation, has >= 3 words, does
+#   not mention javascript, and has no curly brace (code);
+#   page kept iff: no "lorem ipsum", no "{", and the CLEANED text
+#   retains >= min_sentences sentence terminators.
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_clean_lines(col: Column | str) -> Column:
+    """The surviving lines of a document, rejoined with newlines
+    (lines are trimmed; dropped lines vanish). Narrow higher-order
+    functions -- no explode, no shuffle, codegen'd end-to-end."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        return (
+            t.rlike(_TERMINAL_RE)
+            & (F.size(F.split(t, r"\s+")) >= C4_MIN_WORDS_PER_LINE)
+            & ~F.lower(t).contains("javascript")
+            & ~t.contains("{")
+            & ~t.contains("}")
+        )
+
+    return F.array_join(
+        F.transform(F.filter(F.split(c, "\n"), _keep), lambda x: F.trim(x)),
+        "\n",
+    )
+
+
+def c4_keep(
+    col: Column | str, min_sentences: int = C4_MIN_SENTENCES
+) -> tuple[Column, Column]:
+    """(keep, reason) page verdict after line cleaning -- same drop-
+    ledger contract as :func:`gopher_keep` (reason = first failing
+    rule, null when kept; aggregate it, never silently discard)."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    cleaned = c4_clean_lines(c)
+    n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    checks = [
+        ("lorem_ipsum", low.contains("lorem ipsum")),
+        ("curly_brace", c.contains("{")),
+        ("too_few_sentences", n_sentences < min_sentences),
+    ]
+    reason = None
+    for name, failed in checks:
+        reason = (
+            F.when(failed, name) if reason is None else reason.when(failed, name)
+        )
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return reason.isNull(), reason
