@@ -1,0 +1,81 @@
+"""Exact-substring duplication (repeated window spans): constructed
+semantics plus a DuckDB twin over the real documents table (same
+tokenization CTE as the MinHash oracle, same one-md5-per-window key)."""
+
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.dedup import (
+    duplicated_span_frac,
+    repeated_window_spans,
+)
+
+
+def test_repeated_window_spans_constructed(spark):
+    shared = "alpha beta gamma delta"  # 4 tokens -> one 4-window
+    rows = [
+        (1, f"{shared} unique one tail here"),
+        (2, f"other head words {shared}"),
+        (3, "completely different text with no overlap at all"),
+        (4, "short"),  # under window -> no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    spans = repeated_window_spans(df, window=4).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["n_occurrences"]))
+    # the shared 4-token window starts at token 1 in doc 1, token 4 in doc 2
+    assert by_doc[1] == [(1, 2)]
+    assert by_doc[2] == [(4, 2)]
+    assert 3 not in by_doc and 4 not in by_doc
+
+    fr = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in duplicated_span_frac(df, window=4).collect()
+    }
+    assert fr[1] == (5, 1, 0.2)  # 8 tokens -> 5 windows, 1 duplicated
+    assert fr[3][1] == 0 and fr[3][2] == 0.0
+    assert fr[4] == (0, 0, 0.0)  # shorter than the window
+
+
+def test_within_doc_repeats_flag(spark):
+    text = "la la la la la la la la"  # every 4-window identical
+    df = spark.createDataFrame(
+        [(1, text), (2, "nothing shared here at all okay")],
+        "doc_id: long, text: string",
+    )
+    cross = repeated_window_spans(df, window=4, cross_doc_only=True)
+    assert cross.count() == 0  # repeats are all within one doc
+    within = repeated_window_spans(df, window=4, cross_doc_only=False)
+    assert within.filter("doc_id = 1").count() == 5  # all 5 positions
+    assert within.filter("doc_id = 2").count() == 0
+
+
+def test_repeated_window_spans_matches_duckdb(spark, sf_dir):
+    from tests.test_oracle_parity import _rowset, duck_run
+    from xmidt_event_streams_spark.catalog import _WORDS_CTE
+
+    window = 5
+    sdf = repeated_window_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        window=window,
+        cross_doc_only=True,
+    )
+    cols, rows = duck_run(
+        f"""WITH {_WORDS_CTE},
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i:i+{window - 1}], ' ')) AS whash
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - {window - 1}, 0))) AS t(i)
+),
+hot AS (
+  SELECT whash, count(*) AS n_occurrences
+  FROM wins GROUP BY whash
+  HAVING count(DISTINCT doc_id) > 1
+)
+SELECT doc_id, pos, whash, n_occurrences
+FROM wins JOIN hot USING (whash)""",
+        sf_dir,
+    )
+    assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
+        cols, rows
+    )

@@ -376,3 +376,91 @@ def bucket_cap_drops(
         )
         .filter(F.col("n_dropped") > 0)
     )
+
+
+def repeated_window_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication ledger (the Lee et al. 2021 shape,
+    arXiv:2107.06499: exact repeated spans degrade LMs more than
+    near-dups): every ``window``-token sliding window whose content
+    recurs elsewhere in the corpus, as (doc_id, pos, whash,
+    n_occurrences) -- ``pos`` is the 1-based token offset, so callers
+    can excise or down-weight exactly the duplicated spans instead of
+    dropping whole documents.
+
+    ``cross_doc_only`` counts only windows appearing in >1 distinct
+    document (the training-contamination case); False also reports
+    within-doc repeats (boilerplate).
+
+    Plan shape: explode of the window array (same cost class as the
+    MinHash shingle explode), ONE md5 per window, hash-agg on the
+    uniform md5 key, then a shuffle-hash self-join of the window
+    relation against its >1-occurrence keys. Both sides shuffle on
+    the same skew-free key; the exploded scan runs twice (the agg
+    side's map-side partial combine changes its exchange payload, so
+    Catalyst cannot reuse it) -- at 100 TB either accept 2 scans of
+    the token stream or persist the window relation between the two
+    consumers. No all-pairs shape anywhere.
+    """
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, window)).alias("pos", "win"),
+    ).select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("pos"),
+        F.md5("win").alias("whash"),
+    )
+    counts = wins.groupBy("whash").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    hot = counts.filter(
+        (F.col("n_docs") > 1) if cross_doc_only else (F.col("n_occurrences") > 1)
+    )
+    return wins.hint("shuffle_hash").join(hot, "whash").select(
+        id_col, "pos", "whash", "n_occurrences"
+    )
+
+
+def duplicated_span_frac(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Per-document fraction of window positions that are cross-doc
+    exact repeats: (doc_id, n_windows, n_dup_windows, dup_frac).
+    Docs shorter than ``window`` tokens have n_windows = 0 and
+    dup_frac 0.0 (nothing to repeat). The quality-filter companion to
+    :func:`repeated_window_spans` -- threshold dup_frac instead of
+    excising spans."""
+    wins_per_doc = df.select(
+        F.col(id_col),
+        F.size(word_ngrams(text_col, window)).alias("n_windows"),
+    ).withColumn("n_windows", F.greatest("n_windows", F.lit(0)))
+    dup = (
+        repeated_window_spans(df, text_col, id_col, window)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    return (
+        wins_per_doc.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    / F.col("n_windows"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
