@@ -1455,6 +1455,38 @@ GROUP BY o_orderpriority
 """
 
 
+def q_substring_spans(spark, sf_dir):
+    """Exact-substring duplication ledger (arXiv:2107.06499 shape):
+    every 5-token sliding window recurring across documents, with its
+    1-based token position -- the excision-grade alternative to
+    whole-doc dedup. Plan: explode windows, one md5 per window,
+    hash-agg on the uniform key, shuffle-hash self-join (see
+    operators/dedup.py:repeated_window_spans for the scale notes)."""
+    from xmidt_event_streams_spark.operators.dedup import (
+        repeated_window_spans,
+    )
+
+    return repeated_window_spans(
+        _docs(spark, sf_dir), window=5, cross_doc_only=True
+    )
+
+
+SQL_SUBSTRING_SPANS = f"""WITH {_WORDS_CTE},
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i:i+4], ' ')) AS whash
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+),
+hot AS (
+  SELECT whash, count(*) AS n_occurrences
+  FROM wins GROUP BY whash
+  HAVING count(DISTINCT doc_id) > 1
+)
+SELECT doc_id, pos, whash, n_occurrences
+FROM wins JOIN hot USING (whash)
+"""
+
+
 def q_tpch_q10ish(spark, sf_dir):
     """Returned-item revenue per customer (TPC-H Q10 shape): 3-way
     join, agg, deterministic top-20."""
@@ -2008,7 +2040,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6, True),
     "tpch_q4_semi": QuerySpec(q_tpch_q4_semi, SQL_TPCH_Q4_SEMI),
-    "tpch_q10ish": QuerySpec(q_tpch_q10ish, SQL_TPCH_Q10ISH),
+    "substring_spans": QuerySpec(q_substring_spans, SQL_SUBSTRING_SPANS),
     "repetition_stats": QuerySpec(q_repetition_stats, SQL_REPETITION_STATS),
     "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),
     "session_gaps": QuerySpec(q_session_gaps, SQL_SESSION_GAPS),
