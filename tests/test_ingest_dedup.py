@@ -298,3 +298,73 @@ def test_compact_ingest_sink(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(path).select("doc_id", "text").collect())
     ) == before
+
+
+def test_ingest_with_quality_gate(spark, tmp_path):
+    """quality='gopher+c4': failing docs land in rejects with the
+    failing rule as reject_reason and never enter the index;
+    duplicates keep reject_reason='duplicate'. One ledger."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        incremental_dedup_mark,
+        init_minhash_index,
+    )
+
+    idx = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "corpus")
+    rejects_out = str(tmp_path / "rejects")
+    init_minhash_index(spark, idx, id_type="bigint")
+
+    def good(seed):
+        # passes gopher (>=10 varied tokens, low repetition) and c4
+        # (>=5 terminal-punct sentences of >=3 words); seed-prefixed
+        # tokens never allow 3 consecutive shared tokens, so different
+        # seeds share ZERO 3-gram shingles (no accidental near-dups)
+        return "\n".join(
+            f"Document {seed}{i} carries sentence {seed}word{i} reading fine{seed}{i}."
+            for i in range(6)
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch_file(
+        src,
+        "b1.json",
+        [
+            (1, good("first")),
+            (2, "word " * 30),        # gopher: excessive repetition
+            (3, good("third") + "\nvar x = {1};"),  # c4: curly_brace
+            (4, good("first")),       # duplicate of 1
+        ],
+    )
+    q = _run_ingest_q(spark, src, idx, corpus_out, rejects_out,
+                      str(tmp_path / "ckpt"), quality="gopher+c4")
+    q.awaitTermination(300)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus_out).collect()}
+    rej = {
+        r["doc_id"]: (r["reject_reason"], r["dup_of"])
+        for r in spark.read.parquet(rejects_out).collect()
+    }
+    assert kept == {1}
+    assert rej[2][0] in ("excessive_token_repetition", "dominant_bigram")
+    assert rej[3] == ("curly_brace", None)
+    assert rej[4] == ("duplicate", 1)
+
+    # quality-rejected docs never entered the index: doc 3's text is
+    # still "unseen" for dedup purposes
+    probe = spark.createDataFrame(
+        [(900, good("third") + "\nvar x = {1};")], "doc_id: long, text: string"
+    )
+    assert incremental_dedup_mark(spark, idx, probe).collect()[0]["is_unique"]
+
+
+def _run_ingest_q(spark, src, idx, corpus_out, rejects_out, ckpt, **kw):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    return start_ingest_dedup(
+        stream, idx, corpus_out, rejects_out, checkpoint_dir=ckpt,
+        availableNow=True, **kw,
+    )

@@ -88,6 +88,7 @@ def start_ingest_dedup(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    quality: str | None = None,
     availableNow: bool = False,
     trigger_seconds: int = 15,
     query_name: str | None = None,
@@ -100,7 +101,42 @@ def start_ingest_dedup(
     Uniques land in ``corpus_path``; duplicates land in
     ``rejects_path`` with their ``dup_of`` id; both sinks are
     partitioned by ``_ingest_batch_id`` and per-batch idempotent.
+
+    ``quality`` prepends a quality gate (``"gopher"``, ``"c4"``, or
+    ``"gopher+c4"`` -- functions/quality.py): failing docs go to the
+    rejects sink with ``reject_reason`` = the first failing rule and
+    never reach the index; duplicate rejects carry
+    ``reject_reason='duplicate'``. One sink, one ledger -- the full
+    training-data admission pipeline (quality gate -> dedup gate) in
+    a single checkpointed stream.
     """
+    if quality not in (None, "gopher", "c4", "gopher+c4"):
+        raise ValueError(
+            f"quality must be None|gopher|c4|gopher+c4, got {quality!r}"
+        )
+
+    def _quality_split(batch: DataFrame):
+        """(passing, failing-with-reason); None quality passes all."""
+        if quality is None:
+            return batch, None
+        from xmidt_event_streams_spark.functions.quality import (
+            c4_keep,
+            gopher_keep,
+        )
+
+        reason = F.lit(None).cast("string")
+        if "gopher" in quality:
+            _, g_reason = gopher_keep(text_col)
+            reason = F.coalesce(reason, g_reason)
+        if "c4" in quality:
+            _, c_reason = c4_keep(text_col)
+            reason = F.coalesce(reason, c_reason)
+        marked = batch.withColumn("_q_reason", reason)
+        passing = marked.filter(F.col("_q_reason").isNull()).drop("_q_reason")
+        failing = marked.filter(F.col("_q_reason").isNotNull()).withColumn(
+            "reject_reason", F.col("_q_reason")
+        ).drop("_q_reason")
+        return passing, failing
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -110,10 +146,11 @@ def start_ingest_dedup(
         try:
             if batch.isEmpty():
                 return
+            candidates, q_rejects = _quality_split(batch)
             marks = incremental_dedup_mark(
                 spark,
                 index_path,
-                batch,
+                candidates,
                 min_agreement=min_agreement,
                 text_col=text_col,
                 id_col=id_col,
@@ -122,13 +159,22 @@ def start_ingest_dedup(
                 shingle_n=shingle_n,
             ).persist()
             try:
-                uniques = batch.join(
+                uniques = candidates.join(
                     marks.filter("is_unique").select(id_col), id_col
                 )
-                rejects = batch.join(
+                rejects = candidates.join(
                     marks.filter("NOT is_unique").select(id_col, "dup_of"),
                     id_col,
-                )
+                ).withColumn("reject_reason", F.lit("duplicate"))
+                if q_rejects is not None:
+                    rejects = rejects.unionByName(
+                        q_rejects.withColumn(
+                            "dup_of", F.lit(None).cast(
+                                dict(candidates.dtypes)[id_col]
+                            )
+                        ),
+                        allowMissingColumns=False,
+                    )
                 idempotent_batch_append(uniques, batch_id, corpus_path)
                 idempotent_batch_append(rejects, batch_id, rejects_path)
                 # survivors join the index so later triggers (and
