@@ -12,6 +12,7 @@ from xmidt_event_streams_spark.operators.ivf import (
 )
 from xmidt_event_streams_spark.operators.similarity import (
     deterministic_planes,
+    lsh_topk,
     probe_lsh_index,
     write_lsh_index,
 )
@@ -96,3 +97,33 @@ def test_sidecars_ignored_by_spark_reads(spark, tmp_path):
     back = spark.read.parquet(path)
     assert set(back.columns) == set(emb.columns) | {"bucket"}
     assert back.count() == emb.count()
+
+
+def test_lsh_probe_prunes_partitions_at_plan_time(spark, tmp_path):
+    """The probe scan must carry the probed buckets as a static
+    PartitionFilters IN-list (DPP does not trigger through the
+    nondeterministic Arrow bucket kernel -- without the static filter
+    the probe reads EVERY bucket directory of a 100 TB index)."""
+    emb = _emb(spark)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb, path, n_planes=8, dim=64)
+    q = emb.limit(3)
+
+    for mp in (False, True):
+        out = probe_lsh_index(spark, path, q, k=3, multi_probe=mp)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and "bucket" in pf[0], (mp, pf)
+        assert ("INSET" in pf[0]) or (" IN " in pf[0]), (mp, pf)
+
+    # pruning must not change results: same rows as the full-scan path
+    full = lsh_topk(emb, q, k=3)
+    pruned = probe_lsh_index(spark, path, q, k=3)
+    norm = lambda df: sorted(
+        (r["query_id"], r["vec_id"], r["cos_sim"]) for r in df.collect()
+    )
+    assert norm(full) == norm(pruned)

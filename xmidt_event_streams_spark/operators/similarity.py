@@ -106,6 +106,18 @@ def lsh_bucket(
     return df.withColumn(bucket_col, sign_bits(vec_col, planes))
 
 
+def _sign_bits_driver(vecs, planes) -> list[str]:
+    """Driver-side twin of functions.vectors.sign_bits (same >= 0
+    sign rule) for the collected query set: bucket bitstrings used to
+    compute the PLAN-TIME partition IN-list."""
+    import numpy as np
+
+    m = np.asarray(vecs, dtype=np.float64)
+    pm = np.asarray(planes, dtype=np.float64)
+    signs = m @ pm.T >= 0
+    return ["".join("1" if b else "0" for b in row) for row in signs]
+
+
 def _probe_buckets(bits, n_planes: int):
     """The query's probe set: its exact bucket plus the ``n_planes``
     Hamming-1 neighbors (each one sign bit flipped). A true near
@@ -181,12 +193,19 @@ def probe_lsh_index(
     seed: str = "xes",
     multi_probe: bool = False,
 ) -> DataFrame:
-    """ANN top-k against a materialized LSH index: the bucket
-    equi-join against the partition column prunes the scan to the
-    probed directories (dynamic partition pruning / broadcast-join
-    filter); only those buckets' vectors are ever read or scored.
-    ``multi_probe`` widens each query to its Hamming-1 neighbor
-    buckets too -- (n_planes+1) pruned directories instead of 1."""
+    """ANN top-k against a materialized LSH index with PLAN-TIME
+    partition pruning: the query set is small by contract (it is
+    broadcast for scoring anyway), so its vectors are collected once
+    and bucket keys computed driver-side -- the probed bucket set
+    rides the scan as a static ``PartitionFilters`` IN-list
+    (pytest-asserted), and only those directories are ever read or
+    scored. Plan-time pruning is used because dynamic partition
+    pruning does NOT trigger here (measured: the nondeterministic-
+    marked Arrow bucket kernel on the probe side blocks the DPP
+    subquery, leaving PartitionFilters = [isnotnull] -- a full-index
+    scan). Same rationale as ivf.probe_ivf_index. ``multi_probe``
+    widens each query to its Hamming-1 neighbor buckets --
+    (n_planes+1) pruned directories instead of 1."""
     check_sidecar_params(
         spark,
         path,
@@ -194,7 +213,22 @@ def probe_lsh_index(
         {"n_planes": n_planes, "dim": dim, "seed": seed},
         "LSH index",
     )
-    corpus = spark.read.parquet(path)
+    planes = deterministic_planes(n_planes, dim, seed)
+    qvecs = [
+        r[1]
+        for r in queries.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>")
+        ).collect()
+    ]
+    base_bits = _sign_bits_driver(qvecs, planes)
+    probed_bits = set(base_bits)
+    if multi_probe:
+        for bits in base_bits:
+            for i in range(n_planes):
+                flipped = "1" if bits[i] == "0" else "0"
+                probed_bits.add(bits[:i] + flipped + bits[i + 1 :])
+    probed = sorted(int(b, 2) for b in probed_bits)
+    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
     qb = lsh_bucket(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
