@@ -262,3 +262,25 @@ def test_compaction_tombstones(spark, tmp_path):
         (r["new_id"], r["dup_id"]) for r in before if r["dup_id"] not in dead
     }
     assert {(r["new_id"], r["dup_id"]) for r in after} == want
+
+
+def test_probe_gets_dynamic_partition_pruning(spark, tmp_path):
+    """The index scan must carry a dynamicpruning expression on the
+    bucket-prefix partition column -- the band keys are deterministic
+    built-in md5 expressions, so DPP fires (unlike the Arrow-kernel
+    LSH probe, which needs static pruning; see similarity.py). A
+    regression here means every probe scans all 256 prefix dirs of a
+    100 TB index."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(docs.filter(F.col("doc_id") % 3 != 0), idx)
+    cands = incremental_dedup_candidates(
+        spark, idx, docs.filter(F.col("doc_id") % 3 == 0).limit(20)
+    )
+    plan = cands._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruning" in pf[0], pf
