@@ -1,0 +1,151 @@
+"""End-to-end training-corpus assembly: the one-call recipe chaining
+the package's LLM-pipeline operators in their canonical order, with a
+drop ledger at every stage (nothing is ever silently discarded --
+the same posture as validation rejects and admission shedding).
+
+    quality gate (gopher/C4, reasoned)
+      -> exact dedup (md5 fingerprint, min-id survivor)
+      -> near-dup clusters (MinHash LSH candidates -> connected
+         components -> min-id survivor)
+      -> deterministic split + token-budget packing + sharded write
+
+Every stage is the already-tested operator (functions/quality.py,
+operators/dedup.py, operators/components.py, operators/traindata.py);
+this module only composes them and counts the drops. All assignment
+stays a pure row function, so re-running over a grown corpus never
+reshuffles previously-written shards (ingestion stability) -- and the
+whole chain is the batch twin of the streaming
+``start_ingest_dedup(quality=...)`` path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.functions.quality import c4_keep, gopher_keep
+from xmidt_event_streams_spark.functions.text import fingerprint, token_count
+from xmidt_event_streams_spark.operators.components import (
+    dup_cluster_survivors,
+)
+from xmidt_event_streams_spark.operators.dedup import (
+    minhash_lsh_candidates,
+)
+from xmidt_event_streams_spark.operators.traindata import (
+    write_training_shards,
+)
+
+
+def build_training_corpus(
+    df: DataFrame,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: str | None = "gopher+c4",
+    dedup: str | None = "both",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    split_weights: dict[str, float] | None = None,
+    n_shards: int = 16,
+    pack_budget: int | None = None,
+) -> dict:
+    """Run the full assembly and write the sharded corpus; returns the
+    drop ledger:
+
+        {"input", "quality_dropped": {reason: n, ...},
+         "exact_dups_dropped", "near_dups_dropped", "written"}
+
+    ``quality``: None | "gopher" | "c4" | "gopher+c4" (reason = first
+    failing rule, counted per reason). ``dedup``: None | "exact" |
+    "near" | "both" -- near-dup survivors are the min-id member of
+    each LSH/connected-components cluster, the same verdict the
+    `dup_clusters` oracle checks. Ledger counts are Spark aggregates
+    (driver state is O(#reasons)), never collected row sets.
+
+    Read the ledger before trusting the output: the C4 page rules
+    assume natural prose -- a corpus without sentence punctuation
+    (e.g. synthetic word-soup tables) drops ENTIRELY on
+    too_few_sentences, which the ledger makes loud rather than
+    silent.
+    """
+    if quality not in (None, "gopher", "c4", "gopher+c4"):
+        raise ValueError(f"bad quality {quality!r}")
+    if dedup not in (None, "exact", "near", "both"):
+        raise ValueError(f"bad dedup {dedup!r}")
+
+    ledger: dict = {"input": df.count()}
+    kept = df
+    _persisted = []
+
+    if quality is not None:
+        reason = F.lit(None).cast("string")
+        if "gopher" in quality:
+            _, g = gopher_keep(text_col)
+            reason = F.coalesce(reason, g)
+        if "c4" in quality:
+            _, c = c4_keep(text_col)
+            reason = F.coalesce(reason, c)
+        marked = kept.withColumn("_q_reason", reason).persist()
+        _persisted.append(marked)
+        ledger["quality_dropped"] = {
+            r["_q_reason"]: r["n"]
+            for r in marked.filter(F.col("_q_reason").isNotNull())
+            .groupBy("_q_reason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        kept = marked.filter(F.col("_q_reason").isNull()).drop("_q_reason")
+    else:
+        ledger["quality_dropped"] = {}
+
+    if dedup in ("exact", "both"):
+        # min-id survivor per md5 fingerprint (exact_dedup's rule,
+        # kept inline so full rows survive without a second join)
+        from pyspark.sql import Window
+
+        fp = kept.withColumn("_fp", fingerprint(text_col))
+        survivor = F.min(id_col).over(Window.partitionBy("_fp"))
+        before = ledger["input"] - sum(
+            ledger["quality_dropped"].values()
+        )
+        kept = (
+            fp.withColumn("_surv", survivor)
+            .filter(F.col(id_col) == F.col("_surv"))
+            .drop("_fp", "_surv")
+        )
+        after = kept.count()
+        ledger["exact_dups_dropped"] = before - after
+    else:
+        ledger["exact_dups_dropped"] = 0
+
+    if dedup in ("near", "both"):
+        before = kept.count()
+        pairs = minhash_lsh_candidates(
+            kept, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        verdicts = dup_cluster_survivors(kept, pairs, id_col)
+        kept = kept.join(
+            verdicts.filter("is_survivor").select(id_col), id_col
+        )
+        after = kept.count()
+        ledger["near_dups_dropped"] = before - after
+    else:
+        ledger["near_dups_dropped"] = 0
+
+    try:
+        staged = kept.withColumn("n_tokens", token_count(text_col))
+        write_training_shards(
+            staged,
+            output_path,
+            token_col="n_tokens",
+            id_col=id_col,
+            weights=split_weights,
+            n_shards=n_shards,
+            pack_budget=pack_budget,
+        )
+        ledger["written"] = staged.count()
+    finally:
+        for p in _persisted:
+            p.unpersist()
+    return ledger
