@@ -284,3 +284,26 @@ def test_probe_gets_dynamic_partition_pruning(spark, tmp_path):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "dynamicpruning" in pf[0], pf
+
+
+def test_compaction_through_scheme_path(spark, tmp_path):
+    """Compaction's delete+rename swap must work through an explicit
+    file:-scheme URI (the Hadoop FileSystem code path shared with
+    hdfs:/s3a:), preserving probe results and the meta sidecar."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        compact_minhash_index,
+    )
+
+    docs = _docs(spark).limit(300)
+    idx = "file://" + str(tmp_path / "mh_uri")
+    write_minhash_index(docs, idx)
+    append_to_minhash_index(docs.limit(50), idx)  # replay-style dups
+
+    probe = _docs(spark).filter(F.col("doc_id") % 7 == 0).limit(40)
+    before = _norm(incremental_dedup_candidates(spark, idx, probe).collect())
+    stats = compact_minhash_index(spark, idx)
+    after = _norm(incremental_dedup_candidates(spark, idx, probe).collect())
+    assert after == before
+    assert stats["rows_after"] < stats["rows_before"]
+    with pytest.raises(ValueError, match="was built with"):
+        incremental_dedup_candidates(spark, idx, probe, bands=2)
