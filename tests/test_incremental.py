@@ -307,3 +307,27 @@ def test_compaction_through_scheme_path(spark, tmp_path):
     assert stats["rows_after"] < stats["rows_before"]
     with pytest.raises(ValueError, match="was built with"):
         incremental_dedup_candidates(spark, idx, probe, bands=2)
+
+
+def test_bulk_backfill_arm_matches_broadcast_arm(spark, tmp_path):
+    """broadcast_new=False (the bulk-backfill shape: the 'new' batch
+    is itself huge, so the probe degrades to a shuffled equi-join on
+    the uniform bucket key) must return exactly the broadcast arm's
+    candidates."""
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx)
+
+    a = _norm(
+        incremental_dedup_candidates(
+            spark, idx, batch, broadcast_new=True
+        ).collect()
+    )
+    b = _norm(
+        incremental_dedup_candidates(
+            spark, idx, batch, broadcast_new=False
+        ).collect()
+    )
+    assert a == b and a
