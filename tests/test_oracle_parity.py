@@ -118,3 +118,28 @@ def test_salted_join_rejects_small_side_preserving_joins(spark):
     # safe modes still construct
     for how in ("inner", "left", "left_semi", "left_anti"):
         salted_join(a, b, ["k"], salt_from="k", how=how)
+
+
+def test_hot_keys_finds_planted_skew(spark):
+    """hot_keys must surface a planted zipf-hot key with the right
+    fraction, on both the exact and the sampled path."""
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.operators.skew import hot_keys
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), 10_000))
+        .alias("user_id")
+    )
+    hot = hot_keys(df, "user_id", min_frac=0.01)
+    rows = hot.collect()
+    assert rows and rows[0]["user_id"] == 0
+    assert abs(rows[0]["frac"] - 0.5) < 0.01
+    # every other key is ~1/20000 of the rows: far below the floor
+    assert all(r["user_id"] == 0 for r in rows)
+
+    est = hot_keys(df, "user_id", min_frac=0.01, sample_fraction=0.05).collect()
+    assert est and est[0]["user_id"] == 0
+    assert abs(est[0]["frac"] - 0.5) < 0.05

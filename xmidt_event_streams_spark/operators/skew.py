@@ -84,3 +84,42 @@ def salted_count_distinct(
         F.countDistinct(distinct_col).alias("_pc")
     )
     return partial.groupBy(*group_cols).agg(F.sum("_pc").alias(out_col))
+
+
+def hot_keys(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    min_frac: float = 0.01,
+    top_n: int = 100,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Skew diagnosis: the join/agg keys owning at least ``min_frac``
+    of the rows -- the keys that make a shuffle partition hot and the
+    evidence for reaching for :func:`salted_join` (or AQE skew-join
+    tuning) instead of guessing.
+
+    Output: (key cols..., n_rows, frac), largest first, capped at
+    ``top_n`` (heavy hitters are few by definition -- at most
+    1/min_frac keys can exceed min_frac, so the driver-bound result
+    is tiny by construction).
+
+    ``sample_fraction`` estimates on a Bernoulli sample for the
+    100 TB diagnosis pass: a key at min_frac=1% appears ~frac*N*s
+    times in the sample, so even s=0.001 over 10^9 rows estimates
+    frequencies to well under 1% relative error. One hash-agg
+    shuffle on the key (map-side combined) either way.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    base = df.sample(fraction=sample_fraction, seed=7) if sample_fraction else df
+    counted = base.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    total = base.count()
+    if total == 0:
+        return counted.withColumn("frac", F.lit(0.0)).limit(0)
+    return (
+        counted.withColumn(
+            "frac", F.round(F.col("n_rows") / F.lit(total), 6)
+        )
+        .filter(F.col("frac") >= min_frac)
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(top_n)
+    )
