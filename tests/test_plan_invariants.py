@@ -1,0 +1,48 @@
+"""Physical-plan invariants, self-enforced: the properties PLANS.md
+audits by hand must hold for EVERY registry query, every round --
+a regression here is a query that stops surviving 100 TB, caught at
+plan time without executing anything."""
+
+import pytest
+
+from xmidt_event_streams_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"  # plan shape is SF-independent
+
+
+def _plan(spark, name):
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_scale_antipatterns(spark, name):
+    """No CartesianProduct (unbounded pair blowup), no BatchEvalPython
+    (row-at-a-time Python), no SortAggregate (lost map-side partials)
+    in any registry plan."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct"
+    assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+    assert "SortAggregate" not in plan, f"{name}: SortAggregate"
+
+
+def test_routing_hot_path_is_narrow(spark):
+    """The reference's hot path (validate -> enrich -> serialize) must
+    stay a zero-exchange narrow plan: scan -> filter -> project."""
+    for name in ("route_fanout", "fixwrp_enrich", "json_serialize"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name}: hot path grew a shuffle"
+
+
+def test_dimension_joins_broadcast(spark):
+    """TPC-H dimension joins must broadcast the small side -- a
+    SortMergeJoin here means the fact table started shuffling for a
+    join the dims should absorb."""
+    for name in ("tpch_q3", "tpch_q5ish"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name}: fact-side shuffle join"
