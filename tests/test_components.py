@@ -237,12 +237,25 @@ def test_neardup_autosized_recall_and_candidates(spark):
 
 # -- oracle parity for rotated-off-registry catalog shapes ------------
 
-OFF_REGISTRY = ["tpch_q7ish", "tpch_q10ish", "tpch_q12ish", "tpch_q14ish", "tpch_q18ish", "tpch_q19ish"]
+OFF_REGISTRY = [
+    "tpch_q4_semi",
+    "tpch_q5ish",
+    "tpch_q7ish",
+    "tpch_q10ish",
+    "tpch_q12ish",
+    "tpch_q14ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "clicked_not_purchased",
+]
 
 # every catalog q_* not in the 50-entry driver registry must appear
 # here, mapped to where its parity evidence lives (README "Registry
 # rotation policy"); test_off_registry_set_is_fully_covered enforces it
 OFF_REGISTRY_EVIDENCE = {
+    "tpch_q4_semi": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q5ish": "tests/test_components.py::test_off_registry_parity",
+    "clicked_not_purchased": "tests/test_components.py::test_off_registry_parity",
     "tpch_q7ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q10ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q12ish": "tests/test_components.py::test_off_registry_parity",

@@ -285,3 +285,63 @@ def test_c4_clean_lines_matches_duckdb(spark, sf_dir):
     assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
         cols, rows
     )
+
+
+def test_quality_quantile_filter_approx_arm(spark, sf_dir):
+    """The 100 TB arm: approx_percentile threshold stays within the
+    GK-sketch accuracy contract of the exact percentile, and the
+    approx-filtered set differs from the exact-filtered set only in
+    rows whose score lies between the two thresholds."""
+    from xmidt_event_streams_spark.functions.quality import (
+        composite_quality_score,
+        filter_by_quality_quantile,
+        quality_quantile_threshold,
+    )
+
+    scored = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", composite_quality_score("text").alias("score"))
+        .cache()
+    )
+    try:
+        n = scored.count()
+        exact = quality_quantile_threshold(scored, "score", 0.75).collect()[0][
+            "thr"
+        ]
+        approx = quality_quantile_threshold(
+            scored, "score", 0.75, approx=True
+        ).collect()[0]["thr"]
+        # approx_percentile(accuracy=10000) guarantees rank error
+        # <= n/accuracy; convert to a value bound via the empirical
+        # quantile function (scores at the bounding ranks)
+        ranked = sorted(r["score"] for r in scored.collect())
+        tol_ranks = max(1, n // 10_000)
+        lo_i = max(0, int(0.75 * (n - 1)) - tol_ranks - 1)
+        hi_i = min(n - 1, int(0.75 * (n - 1)) + tol_ranks + 1)
+        assert ranked[lo_i] <= approx <= ranked[hi_i], (
+            exact,
+            approx,
+            ranked[lo_i],
+            ranked[hi_i],
+        )
+
+        kept_exact = {
+            r["doc_id"]
+            for r in filter_by_quality_quantile(scored, "score").collect()
+        }
+        kept_approx = {
+            r["doc_id"]
+            for r in filter_by_quality_quantile(
+                scored, "score", approx=True
+            ).collect()
+        }
+        lo, hi = min(exact, approx), max(exact, approx)
+        boundary = {
+            r["doc_id"]
+            for r in scored.filter(
+                (F.col("score") >= lo) & (F.col("score") < hi)
+            ).collect()
+        }
+        assert kept_exact.symmetric_difference(kept_approx) <= boundary
+    finally:
+        scored.unpersist()

@@ -1992,6 +1992,165 @@ SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
 """
 
 
+# ------------------------------------------------- analytics: trends
+
+
+_TREND_X_SQL = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+
+
+def q_user_value_trend(spark, sf_dir):
+    """Per-user linear trend of event value over time: built-in
+    regression aggregates (regr_slope/intercept/r2 -- JVM-side,
+    partial-agg friendly, one shuffle on user_id, mergeable state of
+    six moments per group so 100 TB costs the same plan shape). The
+    x axis is epoch-day (small integers) so the covariance sums stay
+    far from FP cancellation and 6-dp rounding absorbs cross-engine
+    drift. Groups with a single distinct day have undefined slope ->
+    NULL in both engines."""
+    ev = _ev(spark, sf_dir)
+    x = F.unix_date(F.col("ts").cast("date"))
+    return ev.groupBy("user_id").agg(
+        F.regr_count("value", x).alias("n_obs"),
+        F.round(F.regr_slope("value", x), 6).alias("slope"),
+        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )
+
+
+SQL_USER_VALUE_TREND = f"""
+SELECT user_id,
+  regr_count(value, {_TREND_X_SQL}) AS n_obs,
+  round(regr_slope(value, {_TREND_X_SQL}), 6) AS slope,
+  round(regr_intercept(value, {_TREND_X_SQL}), 6) AS intercept,
+  round(regr_r2(value, {_TREND_X_SQL}), 6) AS r2
+FROM events GROUP BY user_id
+"""
+
+
+# ------------------------------------------------ data profiling
+
+
+_PROFILE_COLS: dict[str, str] = {
+    "event_id": "long",
+    "user_id": "long",
+    "event_type": "string",
+    "value": "double",
+    "ts": "ts",
+}
+
+
+def _canon_stat(col: F.Column, typ: str) -> F.Column:
+    """Canonical cross-engine string form of a min/max: timestamps as
+    epoch-micros, doubles as fixed-scale decimals (both engines print
+    decimal(18,6) identically; raw double->string formatting does
+    not round-trip across engines)."""
+    if typ == "ts":
+        col = F.unix_micros(col)
+    elif typ == "double":
+        col = F.round(col, 6).cast("decimal(18,6)")
+    return col.cast("string")
+
+
+def q_table_profile(spark, sf_dir):
+    """Data profiling: per column the null count, exact distinct
+    count, and canonicalized min/max, unpivoted to a (col_name,
+    stats) long format via stack(). Deliberately TWO column-pruned
+    scans joined as 1-row frames: the null/distinct counts compile to
+    an Expand + HashAggregate (all-bigint buffers, map-side partials),
+    while string min/max cannot use a hash buffer -- folded in a
+    separate KEYLESS SortAggregate (a zero-sort streaming fold;
+    keeping it out of the Expand branch is what prevents a keyed
+    SortAggregate sorting rows-x-n_cols expanded data). At 100 TB
+    swap countDistinct for approx_count_distinct and the Expand
+    factor disappears; the exact form is what the oracle checks."""
+    ev = _ev(spark, sf_dir)
+    cnt_aggs, mm_aggs = [], []
+    for c, t in _PROFILE_COLS.items():
+        cnt_aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+        mm_aggs += [
+            _canon_stat(F.min(c), t).alias(f"{c}__min"),
+            _canon_stat(F.max(c), t).alias(f"{c}__max"),
+        ]
+    one = ev.agg(*cnt_aggs).crossJoin(F.broadcast(ev.agg(*mm_aggs)))
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "as (col_name, n_null, n_distinct, min_str, max_str)"
+        )
+    )
+
+
+def _profile_oracle_arm(c: str, typ: str) -> str:
+    if typ == "ts":
+        mn = f"CAST(min(epoch_us({c})) AS VARCHAR)"
+        mx = f"CAST(max(epoch_us({c})) AS VARCHAR)"
+    elif typ == "double":
+        mn = f"CAST(CAST(round(min({c}), 6) AS DECIMAL(18,6)) AS VARCHAR)"
+        mx = f"CAST(CAST(round(max({c}), 6) AS DECIMAL(18,6)) AS VARCHAR)"
+    else:
+        mn = f"CAST(min({c}) AS VARCHAR)"
+        mx = f"CAST(max({c}) AS VARCHAR)"
+    return (
+        f"SELECT '{c}' AS col_name, count(*) - count({c}) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct, {mn} AS min_str, "
+        f"{mx} AS max_str FROM events"
+    )
+
+
+SQL_TABLE_PROFILE = " UNION ALL ".join(
+    _profile_oracle_arm(c, t) for c, t in _PROFILE_COLS.items()
+)
+
+
+# ------------------------------------- quantile-threshold filtering
+
+
+def q_quality_quantile_filter(spark, sf_dir):
+    """Corpus curation by global quantile: keep documents at or above
+    the 75th percentile of the composite quality score. The threshold
+    is a 1-row aggregate broadcast back over the corpus (the corpus
+    never shuffles -- same shape as bm25's stats join). Exact
+    percentile here for the oracle; functions/quality.py's
+    approx=True arm (mergeable GK sketch) is the 100 TB path,
+    accuracy-pinned in tests/test_quality.py."""
+    from xmidt_event_streams_spark.functions.quality import (
+        composite_quality_score,
+        filter_by_quality_quantile,
+    )
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", composite_quality_score("text").alias("score")
+    )
+    return filter_by_quality_quantile(scored, "score", p=0.75).select(
+        "doc_id", "score", "thr"
+    )
+
+
+SQL_QUALITY_QUANTILE_FILTER = f"""
+WITH {_WORDS_CTE}, scored AS (
+  SELECT doc_id, round(
+    round(CASE WHEN len(w) > 0
+      THEN CAST(len(list_filter(w, t -> list_contains({_EN_SW}, t))) AS DOUBLE) / len(w)
+      ELSE 0 END, 6)
+    - round(CASE WHEN length(text) > 0
+      THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)
+      ELSE 0 END, 6)
+    - round(CASE WHEN length(text) > 0
+      THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+      ELSE 0 END, 6)
+    + least(len(w), 100) / 200.0, 6) AS score
+  FROM words
+), q AS (SELECT round(quantile_cont(score, 0.75), 6) AS thr FROM scored)
+SELECT doc_id, score, thr FROM scored, q WHERE score >= thr
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES: dict[str, QuerySpec] = {
@@ -2022,7 +2181,7 @@ QUERIES: dict[str, QuerySpec] = {
     "lsh_ann": QuerySpec(q_lsh_ann, SQL_LSH_ANN),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1, True),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3, True),
-    "tpch_q5ish": QuerySpec(q_tpch_q5ish, SQL_TPCH_Q5ISH),
+    "user_value_trend": QuerySpec(q_user_value_trend, SQL_USER_VALUE_TREND),
     "events_windowed": QuerySpec(q_events_windowed, SQL_EVENTS_WINDOWED),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": QuerySpec(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
@@ -2033,13 +2192,15 @@ QUERIES: dict[str, QuerySpec] = {
         q_distinct_users_salted, SQL_DISTINCT_USERS_SALTED
     ),
     "top_users_per_type": QuerySpec(q_top_users_per_type, SQL_TOP_USERS),
-    "clicked_not_purchased": QuerySpec(q_clicked_not_purchased, SQL_CLICKED_NOT_PURCHASED),
+    "table_profile": QuerySpec(q_table_profile, SQL_TABLE_PROFILE),
     "doc_fingerprint_rolling": QuerySpec(
         q_doc_fingerprint_rolling, SQL_DOC_FINGERPRINT_ROLLING
     ),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6, True),
-    "tpch_q4_semi": QuerySpec(q_tpch_q4_semi, SQL_TPCH_Q4_SEMI),
+    "quality_quantile_filter": QuerySpec(
+        q_quality_quantile_filter, SQL_QUALITY_QUANTILE_FILTER
+    ),
     "substring_spans": QuerySpec(q_substring_spans, SQL_SUBSTRING_SPANS),
     "repetition_stats": QuerySpec(q_repetition_stats, SQL_REPETITION_STATS),
     "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),

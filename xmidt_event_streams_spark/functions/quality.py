@@ -242,3 +242,54 @@ def c4_keep(
         )
     reason = reason.otherwise(F.lit(None).cast("string"))
     return reason.isNull(), reason
+
+
+def composite_quality_score(col: Column | str) -> Column:
+    """One scalar quality score per document: English stopword ratio
+    (fluency proxy) minus punctuation/digit density penalties plus a
+    saturating length bonus (min(n_tokens,100)/200). Each component
+    is rounded to 6 dp BEFORE combining so the score is bit-identical
+    across engines (the DuckDB twin replays the same rounded
+    arithmetic); the composite is rounded to 6 dp again. Narrow,
+    JVM-side, zero-exchange."""
+    from xmidt_event_streams_spark.functions.text import quality_features
+
+    feats = quality_features(col)
+    return F.round(
+        F.round(feats["stopword_ratio_en"], 6)
+        - F.round(feats["punct_ratio"], 6)
+        - F.round(feats["digit_ratio"], 6)
+        + F.least(feats["n_tokens"], F.lit(100)) / F.lit(200.0),
+        6,
+    )
+
+
+def quality_quantile_threshold(
+    scored, score_col: str = "score", p: float = 0.75, approx: bool = False
+) -> "Column":
+    """1-row DataFrame holding the global p-quantile of ``score_col``.
+
+    ``approx=False`` uses exact interpolated ``percentile`` -- a full
+    global aggregate, fine up to ~10^9 rows and what the oracle
+    checks. ``approx=True`` is the 100 TB arm: ``approx_percentile``
+    (GK sketch, mergeable, one partial-agg pass, driver holds only
+    the sketch); tests pin |approx - exact| within the accuracy
+    contract. Filter with a broadcast of this 1-row frame -- the big
+    side never shuffles (same pattern as bm25's corpus stats)."""
+    if approx:
+        expr = F.approx_percentile(score_col, F.lit(p), F.lit(10_000))
+    else:
+        expr = F.percentile(score_col, F.lit(p))
+    return scored.agg(F.round(expr, 6).alias("thr"))
+
+
+def filter_by_quality_quantile(
+    scored, score_col: str = "score", p: float = 0.75, approx: bool = False
+):
+    """Keep rows at or above the global p-quantile of ``score_col``:
+    threshold-join via a broadcast 1-row relation (BroadcastNestedLoop
+    on a single row -- not a data-sized cartesian)."""
+    thr = quality_quantile_threshold(scored, score_col, p, approx)
+    return scored.crossJoin(F.broadcast(thr)).filter(
+        F.col(score_col) >= F.col("thr")
+    )
