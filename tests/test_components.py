@@ -240,6 +240,8 @@ def test_neardup_autosized_recall_and_candidates(spark):
 OFF_REGISTRY = [
     "tpch_q4_semi",
     "tpch_q5ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
     "tpch_q7ish",
     "tpch_q10ish",
     "tpch_q12ish",
@@ -255,6 +257,8 @@ OFF_REGISTRY = [
 OFF_REGISTRY_EVIDENCE = {
     "tpch_q4_semi": "tests/test_components.py::test_off_registry_parity",
     "tpch_q5ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q21ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q22ish": "tests/test_components.py::test_off_registry_parity",
     "clicked_not_purchased": "tests/test_components.py::test_off_registry_parity",
     "tpch_q7ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q10ish": "tests/test_components.py::test_off_registry_parity",

@@ -1992,6 +1992,120 @@ SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
 """
 
 
+# ------------------------------------- decorrelation shapes (q21/q22)
+
+
+def q_tpch_q21ish(spark, sf_dir):
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, adapted:
+    this lineitem has no commit/receipt dates, so 'late' =
+    l_returnflag = 'R'): the EXISTS / NOT EXISTS pair over lineitem
+    self-joins becomes left-semi + left-anti on (orderkey, suppkey
+    inequality). All three lineitem legs share one scan (Spark reuses
+    the exchange); supplier is broadcast. The anti-join leg is the
+    shape AQE's skew handling must cover at 100 TB -- keys are
+    orderkey, uniform by construction."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+SQL_TPCH_Q21ISH = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22ish(spark, sf_dir):
+    """Dormant high-balance customers (TPC-H Q22 shape, adapted:
+    segment instead of country code, 'no urgent orders' instead of
+    'no orders' -- every synthetic customer has orders): a scalar
+    subquery (global avg of positive balances, 1-row broadcast) plus
+    a NOT EXISTS decorrelated to a left-anti join on custkey.
+    Balance sums exact via decimal."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    urgent = t["orders"].filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22ISH = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 # ------------------------------------------------- analytics: trends
 
 
