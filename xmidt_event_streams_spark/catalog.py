@@ -1999,11 +1999,12 @@ def q_tpch_q21ish(spark, sf_dir):
     """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, adapted:
     this lineitem has no commit/receipt dates, so 'late' =
     l_returnflag = 'R'): the EXISTS / NOT EXISTS pair over lineitem
-    self-joins becomes left-semi + left-anti on (orderkey, suppkey
-    inequality). All three lineitem legs share one scan (Spark reuses
-    the exchange); supplier is broadcast. The anti-join leg is the
-    shape AQE's skew handling must cover at 100 TB -- keys are
-    orderkey, uniform by construction."""
+    self-joins becomes left-semi + left-anti joins, equi on orderkey
+    with the suppkey inequality as a residual condition. At test SF
+    every leg broadcasts; at 100 TB each leg shuffles on orderkey
+    (uniform keys by construction -- no skew salt needed) and the
+    column-pruned 3-column lineitem projection keeps those shuffles
+    cheap. Supplier is broadcast."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
     l1 = (

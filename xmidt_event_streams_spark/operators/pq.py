@@ -1,0 +1,221 @@
+"""Product quantization (PQ): compressed-domain ANN for 100 TB
+embedding corpora.
+
+Brute-force and IVF ANN (operators/similarity.py, operators/ivf.py)
+still read full float vectors: a 1e11-row corpus of 64-dim float32 is
+~25 TB of vector payload per scan. PQ (Jegou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011 --
+implemented from the published formulation) splits each vector into
+``m`` subvectors, k-means-quantizes each subspace independently, and
+stores only the ``m`` one-byte code indices: 64-dim float32 -> 8
+bytes at m=8 (32x). Search runs in the compressed domain via ADC
+(asymmetric distance computation): per query, an m x k lookup table
+of exact subquery-to-centroid distances; a corpus row's approximate
+distance is the sum of m table lookups -- no float vectors touched
+at scan time.
+
+Spark shapes (all corpus-scale steps stay on executors):
+  * fit: per Lloyd round ONE narrow Arrow encode (all m subspaces in
+    one kernel) + ONE (m x k x dsub)-bounded aggregate -- the same
+    plan family as ivf.kmeans_fit; the driver holds only the
+    codebooks (m*k*dsub floats).
+  * encode: narrow Arrow projection -> ``array<int>`` codes column,
+    written next to the id as the compact index.
+  * search: queries are small-by-contract (same contract as
+    ivf.probe_ivf_index) -- LUTs are computed driver-side from the
+    raw query vectors and closure-broadcast; the corpus codes scan
+    is embarrassingly parallel and never shuffles; top-k via the
+    usual rank window.
+
+At 100 TB, compose with IVF: coarse cells prune the scan, PQ codes
+shrink what remains (IVF-ADC). The composition is a filter on the
+cell column before pq_topk -- both operators already speak the same
+(id, vec/codes) schema.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from xmidt_event_streams_spark.functions.vectors import _stack_masked
+
+
+def _as_codebooks(raw) -> np.ndarray:
+    """(m, k, dsub) float64 array from nested lists."""
+    cb = np.asarray(raw, dtype=np.float64)
+    if cb.ndim != 3:
+        raise ValueError(f"codebooks must be (m, k, dsub), got {cb.shape}")
+    return cb
+
+
+def _encode_block(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) argmin-L2 codes. Ties break to the lowest
+    code (np.argmin), mirroring nearest_cells' lowest-cell contract."""
+    n = mat.shape[0]
+    m, k, dsub = cb.shape
+    sub = mat.reshape(n, m, dsub)
+    # squared L2 per subspace: ||x||^2 - 2 x.c + ||c||^2 ; the x^2
+    # term is constant per row and cannot change the argmin
+    dots = np.einsum("nmd,mkd->nmk", sub, cb)
+    c2 = np.einsum("mkd,mkd->mk", cb, cb)
+    return np.argmin(c2[None, :, :] - 2.0 * dots, axis=2).astype(np.int32)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Append the ``array<int>`` PQ codes column (narrow Arrow
+    projection; null/ragged vectors yield null codes)."""
+    cb = _as_codebooks(codebooks)
+    dim = cb.shape[0] * cb.shape[2]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat, valid = _stack_masked(v, dim)
+        out = pd.Series([None] * len(v), dtype="object")
+        if mat.shape[0]:
+            out.iloc[np.nonzero(valid)[0]] = list(_encode_block(mat, cb))
+        return out
+
+    # see vectors.cosine_pairs: deterministic result, but blocks
+    # Catalyst from duplicating the kernel under pushed-down filters
+    return df.withColumn(
+        codes_col,
+        _codes.asNondeterministic()(F.col(vec_col).cast("array<double>")),
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Distributed L2 Lloyd fit of all ``m`` subspace codebooks in
+    one pass per round. Init = subvectors of the first ``k`` rows by
+    id (deterministic); a cell that loses all members keeps its
+    previous centroid. Returns (m, k, dsub) nested lists.
+
+    Per round: one narrow encode of every row (single Arrow kernel
+    covers all m subspaces), then one aggregate keyed by (subspace,
+    cell, dim-in-subspace) -- m*k*dsub output rows regardless of
+    corpus size, so the driver never holds data-sized state. For a
+    100 TB corpus fit on a sample (deterministic md5 bucket, as
+    neardup_centroids does): the codebooks are k*m*dsub floats either
+    way and assignment quality converges long before full-corpus
+    coverage."""
+    first = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if len(first) < k:
+        raise ValueError(f"need at least k={k} rows to initialize")
+    dim = len(first[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    init = np.asarray([r[0] for r in first], dtype=np.float64)
+    cb = np.transpose(init.reshape(k, m, dsub), (1, 0, 2)).copy()
+
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(n_iters):
+        coded = pq_encode(vecs, cb.tolist(), "_v", "_codes")
+        per_dim = (
+            coded.select(F.posexplode("_v").alias("pos", "val"), "_codes")
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("sub"),
+                (F.col("pos") % dsub).alias("dpos"),
+                F.expr(f"_codes[CAST(pos / {dsub} AS INT)]").alias("cell"),
+                "val",
+            )
+            .groupBy("sub", "cell", "dpos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        for row in per_dim:
+            cb[row["sub"], row["cell"], row["dpos"]] = row["mean"]
+    return cb.tolist()
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k_neighbors: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k in the compressed domain.
+
+    ``queries`` is a small-by-contract driver-side list of
+    (query_id, raw_vector) -- the same contract as
+    ivf.probe_ivf_index. LUTs (one m x k exact subdistance table per
+    query) are numpy-built here and closure-broadcast; the corpus
+    codes scan emits (query_id, vec_id, approx_dist) without
+    shuffling, then one rank window takes the top k per query.
+    Output: query_id, vec_id, adc_dist (ascending = nearest)."""
+    cb = _as_codebooks(codebooks)
+    m, kcb, dsub = cb.shape
+    luts = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64).reshape(m, 1, dsub)
+        luts.append((int(qid), ((cb - q) ** 2).sum(axis=2)))  # (m, k)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.arange(m)
+        for pdf in batches:
+            codes = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            for qid, lut in luts:
+                d = lut[rng[None, :], codes].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(ids), qid, dtype=np.int64),
+                        id_col: ids,
+                        "adc_dist": d,
+                    }
+                )
+
+    scored = corpus_codes.select(id_col, codes_col).mapInPandas(
+        _score, out_schema
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", id_col, F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )
