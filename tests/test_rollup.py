@@ -1,0 +1,166 @@
+"""Incremental rollup maintenance (streaming/rollup.py): the merged
+view must equal the batch aggregate over all input, stay correct
+across stream restarts and batch replays, and compact without
+changing the view."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.streaming.rollup import (
+    compact_rollup,
+    read_rollup,
+    rollup_partial,
+    start_rollup,
+)
+
+DIMS = ["event_type"]
+MEASURES = {
+    "n": ("count", "value"),
+    "sum_value": ("sum", "value"),
+    "max_value": ("max", "value"),
+    "avg_value": ("avg", "value"),
+}
+SCHEMA = "event_type string, value double"
+
+
+def _write_items(path, items):
+    with open(path, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+
+def _run(spark, src, rollup_dir, ckpt):
+    q = start_rollup(
+        spark.readStream.schema(SCHEMA).json(str(src)),
+        DIMS,
+        MEASURES,
+        str(rollup_dir),
+        str(ckpt),
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+
+
+def _view(spark, rollup_dir):
+    return {
+        r["event_type"]: (r["n"], r["sum_value"], r["max_value"], r["avg_value"])
+        for r in read_rollup(spark, str(rollup_dir), DIMS, MEASURES).collect()
+    }
+
+
+def test_view_equals_batch_aggregate_across_restarts(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rollup_dir, ckpt = tmp_path / "rollup", tmp_path / "ckpt"
+
+    b1 = [
+        {"event_type": "click", "value": 1.0},
+        {"event_type": "click", "value": 3.0},
+        {"event_type": "view", "value": 10.0},
+    ]
+    b2 = [
+        {"event_type": "click", "value": 5.0},
+        {"event_type": "purchase", "value": 7.0},
+    ]
+    _write_items(src / "b1.json", b1)
+    _run(spark, src, rollup_dir, ckpt)  # run 1
+    _write_items(src / "b2.json", b2)
+    _run(spark, src, rollup_dir, ckpt)  # run 2: restart from ckpt
+
+    got = _view(spark, rollup_dir)
+    want = {
+        r["event_type"]: (r["n"], r["sum_value"], r["max_value"], r["avg_value"])
+        for r in spark.read.json(
+            spark.sparkContext.parallelize(
+                [json.dumps(x) for x in b1 + b2]
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # two triggers -> two batch partitions on storage
+    parts = {
+        p.name
+        for p in rollup_dir.iterdir()
+        if p.name.startswith("_ingest_batch_id=")
+    }
+    assert len(parts) == 2
+
+
+def test_replayed_batch_does_not_double_count(spark, tmp_path):
+    """At-least-once replay: re-running the same (batch, batch_id)
+    through the writer overwrites its own partition -- the view is
+    unchanged."""
+    rollup_dir = tmp_path / "rollup"
+    batch = spark.createDataFrame(
+        [("click", 2.0), ("click", 4.0)], SCHEMA
+    )
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        idempotent_batch_append,
+    )
+
+    partial = rollup_partial(batch, DIMS, MEASURES)
+    idempotent_batch_append(partial, 7, str(rollup_dir), max_files=1)
+    before = _view(spark, rollup_dir)
+    idempotent_batch_append(partial, 7, str(rollup_dir), max_files=1)  # replay
+    assert _view(spark, rollup_dir) == before
+    assert before["click"] == (2, 6.0, 4.0, 3.0)
+
+
+def test_compact_preserves_view_and_composes_with_appends(spark, tmp_path):
+    rollup_dir = tmp_path / "rollup"
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        idempotent_batch_append,
+    )
+
+    for i, rows in enumerate(
+        [[("click", 1.0)], [("click", 2.0), ("view", 9.0)], [("click", 4.0)]]
+    ):
+        partial = rollup_partial(
+            spark.createDataFrame(rows, SCHEMA), DIMS, MEASURES
+        )
+        idempotent_batch_append(partial, i, str(rollup_dir), max_files=1)
+
+    before = _view(spark, rollup_dir)
+    compact_rollup(spark, str(rollup_dir), DIMS, MEASURES)
+    assert _view(spark, rollup_dir) == before
+    parts = {
+        p.name
+        for p in rollup_dir.iterdir()
+        if p.name.startswith("_ingest_batch_id=")
+    }
+    assert parts == {"_ingest_batch_id=-1"}
+
+    # appends after compaction merge correctly (avg pairs survived)
+    partial = rollup_partial(
+        spark.createDataFrame([("click", 9.0)], SCHEMA), DIMS, MEASURES
+    )
+    idempotent_batch_append(partial, 3, str(rollup_dir), max_files=1)
+    after = _view(spark, rollup_dir)
+    assert after["click"] == (4, 16.0, 9.0, 4.0)
+    assert after["view"] == (1, 9.0, 9.0, 9.0)
+
+    # a second compaction folds fold+append
+    compact_rollup(spark, str(rollup_dir), DIMS, MEASURES)
+    assert _view(spark, rollup_dir) == after
+
+
+def test_non_mergeable_measure_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="not re-mergeable"):
+        rollup_partial(
+            spark.createDataFrame([("click", 1.0)], SCHEMA),
+            DIMS,
+            {"p50": ("median", "value")},
+        )

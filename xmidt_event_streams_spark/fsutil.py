@@ -85,3 +85,13 @@ def check_sidecar_params(
             f"{what} at {dir_path} was built with {got}, probe asked {want}"
         )
     return meta
+
+
+def delete_path(spark: SparkSession, path_str: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API (works on
+    file:/hdfs:/s3a: -- the same portability contract as the
+    sidecars). Returns False when the path did not exist."""
+    fs, hpath, _ = hadoop_fs(spark, path_str)
+    if not fs.exists(hpath):
+        return False
+    return fs.delete(hpath, True)

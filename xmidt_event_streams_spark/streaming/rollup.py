@@ -1,0 +1,179 @@
+"""Incremental rollup maintenance: a streaming materialized view for
+additive aggregates.
+
+The reference's only aggregations are its Prometheus counters
+(SURVEY.md §2.6) -- monotone, additive, maintained incrementally.
+This module is the general form: a rollup table over any dimension
+set, maintained per micro-batch, queryable at any time without
+rescanning history.
+
+Design: each micro-batch writes its PARTIAL aggregate (a few rows per
+dimension combination), partitioned by batch id via
+``ingest_dedup.idempotent_batch_append`` -- so an at-least-once
+replay overwrites its own partition instead of double-counting.
+Reading the view merges the partials: COUNT/SUM re-add, MIN/MAX
+re-min/max, AVG derives from (sum, count). Merge cost is bounded by
+(#batches x #groups), not event history; ``compact_rollup`` folds all
+partials into one when the batch count grows (same single-writer
+maintenance posture as ``compact_minhash_index``).
+
+Why not just ``outputMode("complete")`` + a memory/Delta sink? A
+complete-mode streaming agg holds EVERY group in the state store
+forever -- at 100 TB dimension cardinalities that is unbounded state.
+Here the state store holds nothing: partials live on storage, the
+stream stays stateless (append-only foreachBatch), and a restart
+resumes from the checkpoint with no state recovery at all.
+
+Only re-mergeable aggregates are admitted (count/sum/min/max + the
+avg derivation). Non-decomposable aggregates (exact median, exact
+distinct) need a different machine -- see value_percentiles
+(approx_percentile) and approx_distinct_users (HLL sketches, which
+ARE mergeable and compose with this module by storing the sketch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.streaming.ingest_dedup import (
+    idempotent_batch_append,
+)
+
+_MERGEABLE = ("count", "sum", "min", "max", "avg")
+_BATCH_COL = "_ingest_batch_id"
+
+
+def _check_measures(measures: dict[str, tuple[str, str]]) -> None:
+    for out, (fn, _src) in measures.items():
+        if fn not in _MERGEABLE:
+            raise ValueError(
+                f"{out}: '{fn}' is not re-mergeable "
+                f"(supported: {_MERGEABLE})"
+            )
+
+
+def rollup_partial(
+    df: DataFrame, dims: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """One batch's partial aggregate. ``measures`` maps output column
+    -> (fn, source_col); avg is stored as its (sum, count) pair in
+    ``<out>__sum`` / ``<out>__cnt`` hidden columns."""
+    _check_measures(measures)
+    aggs = []
+    for out, (fn, src) in measures.items():
+        if fn == "count":
+            aggs.append(F.count(src).alias(out))
+        elif fn == "avg":
+            aggs.append(F.sum(src).alias(f"{out}__sum"))
+            aggs.append(F.count(src).alias(f"{out}__cnt"))
+        else:
+            aggs.append(getattr(F, fn)(src).alias(out))
+    return df.groupBy(*dims).agg(*aggs)
+
+
+def _merge_exprs(measures: dict[str, tuple[str, str]]) -> list:
+    exprs = []
+    for out, (fn, _src) in measures.items():
+        if fn in ("count", "sum"):
+            exprs.append(F.sum(out).alias(out))
+        elif fn in ("min", "max"):
+            exprs.append(getattr(F, fn)(out).alias(out))
+        else:  # avg
+            exprs.append(
+                (F.sum(f"{out}__sum") / F.sum(f"{out}__cnt")).alias(out)
+            )
+    return exprs
+
+
+def read_rollup(
+    spark: SparkSession,
+    path: str,
+    dims: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """The current view: merge all batch partials. One small shuffle
+    over (#batches x #groups) rows."""
+    _check_measures(measures)
+    return (
+        spark.read.parquet(path)
+        .groupBy(*dims)
+        .agg(*_merge_exprs(measures))
+    )
+
+
+def start_rollup(
+    stream_df: DataFrame,
+    dims: list[str],
+    measures: dict[str, tuple[str, str]],
+    rollup_path: str,
+    checkpoint_dir: str,
+    availableNow: bool = False,
+    trigger_seconds: int = 15,
+    query_name: str | None = None,
+):
+    """Maintain the rollup from a stream. Returns the StreamingQuery.
+
+    The stream itself is STATELESS (plain foreachBatch): each trigger
+    aggregates only its own batch and appends the partial
+    idempotently. Exactly-once view semantics follow from the
+    checkpoint (batch ids are stable on replay) + partition
+    overwrite."""
+    _check_measures(measures)
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        partial = rollup_partial(batch, dims, measures)
+        idempotent_batch_append(partial, batch_id, rollup_path, max_files=1)
+
+    writer = stream_df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if availableNow:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def compact_rollup(
+    spark: SparkSession,
+    path: str,
+    dims: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> None:
+    """Fold every batch partial into a single partial so merge cost
+    stops growing with stream age. Pre-merged avg pairs stay pairs
+    (sums of sums / sums of counts), so compaction composes with
+    later appends. Single-writer maintenance op: run it while the
+    stream is stopped (or accept that a concurrently-appended batch
+    partition is preserved -- the fold rewrites only the partitions
+    it read). The folded partial lands in the reserved batch
+    partition -1, which real triggers (non-negative ids) never
+    touch; an at-least-once replay of a PRE-compaction batch would
+    double-count with the fold, so pair compaction with a stream
+    stop/checkpoint-commit boundary."""
+    _check_measures(measures)
+    cur = spark.read.parquet(path)
+    batch_ids = [r[0] for r in cur.select(_BATCH_COL).distinct().collect()]
+    exprs = []
+    for out, (fn, _src) in measures.items():
+        if fn in ("count", "sum"):
+            exprs.append(F.sum(out).alias(out))
+        elif fn in ("min", "max"):
+            exprs.append(getattr(F, fn)(out).alias(out))
+        else:
+            exprs.append(F.sum(f"{out}__sum").alias(f"{out}__sum"))
+            exprs.append(F.sum(f"{out}__cnt").alias(f"{out}__cnt"))
+    # materialize the fold BEFORE touching the directory it reads
+    # from (writing partition -1 while the lazy plan still scans the
+    # old partition -1 is a self-overwrite)
+    folded = cur.groupBy(*dims).agg(*exprs).localCheckpoint(eager=True)
+    idempotent_batch_append(folded, -1, path, max_files=1)
+
+    from xmidt_event_streams_spark.fsutil import delete_path
+
+    for b in batch_ids:
+        if b != -1:
+            delete_path(spark, f"{path}/{_BATCH_COL}={b}")
