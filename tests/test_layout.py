@@ -1,0 +1,101 @@
+"""Z-order layout (operators/layout.py): the clustering claim is
+MEASURED from the written parquet footers -- a time-sorted layout
+skips nothing for user-targeted scans; the z-ordered layout must
+skip most files for point predicates on BOTH dimensions."""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.layout import (
+    file_skipping_stats,
+    pruning_fraction,
+    zorder_write,
+)
+from xmidt_event_streams_spark.session import load_tables
+
+N_FILES = 16
+COLS = ("user_id", "value")
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("layout")
+    ev = load_tables(spark, "/root/testdata/sf0.01", ("events",))[
+        "events"
+    ].select("event_id", "user_id", "value")
+    zpath, spath = str(base / "z"), str(base / "single")
+    zorder_write(ev, COLS, zpath, n_files=N_FILES)
+    # the single-dimension baseline: sorted by value only
+    (
+        ev.repartitionByRange(N_FILES, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    return ev, zpath, spath
+
+
+def test_zorder_preserves_rows(spark, layouts):
+    ev, zpath, _ = layouts
+    got = spark.read.parquet(zpath)
+    assert got.count() == ev.count()
+    assert (
+        got.agg(F.sum("event_id")).collect()[0][0]
+        == ev.agg(F.sum("event_id")).collect()[0][0]
+    )
+    import glob
+
+    assert len(glob.glob(f"{zpath}/*.parquet")) == N_FILES
+
+
+def _mean_prune(stats, col, points):
+    return statistics.mean(pruning_fraction(stats, col, p) for p in points)
+
+
+def test_both_dimensions_prune(spark, layouts):
+    """Point predicates on EITHER z-dimension must skip most files in
+    the z layout; the value-sorted baseline prunes value but (by
+    construction) almost nothing on user_id."""
+    ev, zpath, spath = layouts
+    zstats = file_skipping_stats(zpath, list(COLS))
+    sstats = file_skipping_stats(spath, list(COLS))
+
+    users = [r[0] for r in ev.select("user_id").distinct().limit(20).collect()]
+    values = [
+        r[0] for r in ev.select("value").orderBy("event_id").limit(20).collect()
+    ]
+
+    z_user = _mean_prune(zstats, "user_id", users)
+    z_value = _mean_prune(zstats, "value", values)
+    s_user = _mean_prune(sstats, "user_id", users)
+    s_value = _mean_prune(sstats, "value", values)
+
+    # the baseline: near-perfect on its sort column, near-zero on the
+    # other -- this is the failure mode z-ordering exists to fix
+    assert s_value >= 0.8
+    assert s_user <= 0.2
+    # z layout: meaningful pruning on BOTH dimensions (16 files in 2-D
+    # -> each dim's per-file range ~ 1/4 of its domain -> ~75% skipped)
+    assert z_user >= 0.5, (z_user, z_value)
+    assert z_value >= 0.5, (z_user, z_value)
+
+
+def test_footer_ranges_shrink_in_both_dims(spark, layouts):
+    """Per-file [min, max] width for each z dimension must average
+    well under the full domain (the footer-level form of the same
+    claim, independent of probe choice)."""
+    ev, zpath, _ = layouts
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    zstats = file_skipping_stats(zpath, list(COLS))
+    widths = {"user_id": [], "value": []}
+    for s in zstats:
+        dom = (hi_u - lo_u) if s["col"] == "user_id" else (hi_v - lo_v)
+        widths[s["col"]].append((s["max"] - s["min"]) / dom)
+    assert statistics.mean(widths["user_id"]) <= 0.5
+    assert statistics.mean(widths["value"]) <= 0.5
