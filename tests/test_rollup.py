@@ -164,3 +164,50 @@ def test_non_mergeable_measure_rejected(spark):
             DIMS,
             {"p50": ("median", "value")},
         )
+
+
+def test_approx_distinct_measure_merges_sketches(spark, tmp_path):
+    """HLL sketches as rollup partials: the merged estimate must
+    track the exact distinct count across batches (including overlap
+    between batches, which additive counts cannot express), survive
+    replay, and survive compaction."""
+    rollup_dir = tmp_path / "rollup"
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        idempotent_batch_append,
+    )
+
+    m = {"users": ("approx_distinct", "user")}
+    schema = "event_type string, user long"
+    batches = [
+        [("click", u) for u in range(0, 60)],
+        [("click", u) for u in range(40, 110)],  # overlaps 40-59
+        [("view", u) for u in range(0, 25)],
+    ]
+    for i, rows in enumerate(batches):
+        partial = rollup_partial(
+            spark.createDataFrame(rows, schema), ["event_type"], m
+        )
+        idempotent_batch_append(partial, i, str(rollup_dir), max_files=1)
+
+    def view():
+        return {
+            r["event_type"]: r["users"]
+            for r in read_rollup(
+                spark, str(rollup_dir), ["event_type"], m
+            ).collect()
+        }
+
+    got = view()
+    # HLL at default lgk is exact-ish at these cardinalities
+    assert abs(got["click"] - 110) <= 110 * 0.05
+    assert abs(got["view"] - 25) <= 25 * 0.05
+
+    # replay batch 1 -> unchanged (a COUNT would have double-added)
+    partial = rollup_partial(
+        spark.createDataFrame(batches[1], schema), ["event_type"], m
+    )
+    idempotent_batch_append(partial, 1, str(rollup_dir), max_files=1)
+    assert view() == got
+
+    compact_rollup(spark, str(rollup_dir), ["event_type"], m)
+    assert view() == got

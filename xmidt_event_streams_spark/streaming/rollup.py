@@ -24,11 +24,13 @@ Here the state store holds nothing: partials live on storage, the
 stream stays stateless (append-only foreachBatch), and a restart
 resumes from the checkpoint with no state recovery at all.
 
-Only re-mergeable aggregates are admitted (count/sum/min/max + the
-avg derivation). Non-decomposable aggregates (exact median, exact
-distinct) need a different machine -- see value_percentiles
-(approx_percentile) and approx_distinct_users (HLL sketches, which
-ARE mergeable and compose with this module by storing the sketch).
+Only re-mergeable aggregates are admitted: count/sum/min/max, the
+avg derivation, and approx_distinct (Datasketches HLL -- the partial
+stored per batch IS the binary sketch, merged with hll_union_agg on
+read, so distinct-count rollups compose across batches without
+keeping member sets anywhere). Non-decomposable aggregates (exact
+median, exact distinct) need a different machine -- see
+value_percentiles (approx_percentile) for the quantile story.
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ from xmidt_event_streams_spark.streaming.ingest_dedup import (
     idempotent_batch_append,
 )
 
-_MERGEABLE = ("count", "sum", "min", "max", "avg")
+_MERGEABLE = ("count", "sum", "min", "max", "avg", "approx_distinct")
 _BATCH_COL = "_ingest_batch_id"
 
 
@@ -67,6 +69,11 @@ def rollup_partial(
         elif fn == "avg":
             aggs.append(F.sum(src).alias(f"{out}__sum"))
             aggs.append(F.count(src).alias(f"{out}__cnt"))
+        elif fn == "approx_distinct":
+            # Datasketches HLL: the partial IS the sketch (binary,
+            # mergeable) -- distinct-count rollups compose across
+            # batches without keeping member sets anywhere
+            aggs.append(F.hll_sketch_agg(src).alias(f"{out}__hll"))
         else:
             aggs.append(getattr(F, fn)(src).alias(out))
     return df.groupBy(*dims).agg(*aggs)
@@ -79,6 +86,12 @@ def _merge_exprs(measures: dict[str, tuple[str, str]]) -> list:
             exprs.append(F.sum(out).alias(out))
         elif fn in ("min", "max"):
             exprs.append(getattr(F, fn)(out).alias(out))
+        elif fn == "approx_distinct":
+            exprs.append(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(f"{out}__hll")
+                ).alias(out)
+            )
         else:  # avg
             exprs.append(
                 (F.sum(f"{out}__sum") / F.sum(f"{out}__cnt")).alias(out)
@@ -163,6 +176,9 @@ def compact_rollup(
             exprs.append(F.sum(out).alias(out))
         elif fn in ("min", "max"):
             exprs.append(getattr(F, fn)(out).alias(out))
+        elif fn == "approx_distinct":
+            # fold sketches into ONE sketch (still mergeable later)
+            exprs.append(F.hll_union_agg(f"{out}__hll").alias(f"{out}__hll"))
         else:
             exprs.append(F.sum(f"{out}__sum").alias(f"{out}__sum"))
             exprs.append(F.sum(f"{out}__cnt").alias(f"{out}__cnt"))
