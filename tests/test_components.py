@@ -249,6 +249,7 @@ OFF_REGISTRY = [
     "tpch_q18ish",
     "tpch_q19ish",
     "clicked_not_purchased",
+    "props_json",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -260,6 +261,7 @@ OFF_REGISTRY_EVIDENCE = {
     "tpch_q21ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q22ish": "tests/test_components.py::test_off_registry_parity",
     "clicked_not_purchased": "tests/test_components.py::test_off_registry_parity",
+    "props_json": "tests/test_components.py::test_off_registry_parity",
     "tpch_q7ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q10ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q12ish": "tests/test_components.py::test_off_registry_parity",

@@ -1992,6 +1992,39 @@ SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
 """
 
 
+# ------------------------------------ semi-structured (JSON / VARIANT)
+
+
+def q_props_json(spark, sf_dir):
+    """Semi-structured querying over the events.props JSON column via
+    the VARIANT type (Spark 4 parse_json/variant_get): parse once,
+    extract a typed path, filter and aggregate on it -- the shredded
+    access pattern an event pipeline needs for payload fields that
+    never got promoted to columns. Narrow parse + one agg shuffle;
+    at 100 TB prefer promoting hot paths to real columns at ingest
+    (V2's from_json) and keep VARIANT for the long tail."""
+    ev = _ev(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hot"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+SQL_PROPS_JSON = """
+SELECT event_type, count(*) AS n_hot,
+  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+GROUP BY event_type
+"""
+
+
 # ------------------------------------- decorrelation shapes (q21/q22)
 
 
