@@ -1,0 +1,85 @@
+"""Drift detection (operators/drift.py) and ordered user sequences
+(operators/traindata.py:build_user_sequences)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.drift import psi, psi_report
+from xmidt_event_streams_spark.operators.traindata import build_user_sequences
+from xmidt_event_streams_spark.session import load_tables
+
+SF = "/root/testdata/sf0.01"
+
+
+class TestDrift:
+    def test_self_psi_is_zero(self, spark):
+        ev = load_tables(spark, SF, ("events",))["events"]
+        assert psi(ev, ev, "value") == pytest.approx(0.0, abs=1e-9)
+
+    def test_detects_injected_shift(self, spark):
+        ev = load_tables(spark, SF, ("events",))["events"]
+        shifted = ev.withColumn("value", F.col("value") * 1.5 + 20)
+        v = psi(ev, shifted, "value")
+        assert v > 0.25, v
+
+    def test_split_halves_are_stable(self, spark):
+        """Two deterministic halves of the same distribution must NOT
+        alarm (the false-positive guard)."""
+        ev = load_tables(spark, SF, ("events",))["events"]
+        a = ev.filter(F.col("event_id") % 2 == 0)
+        b = ev.filter(F.col("event_id") % 2 == 1)
+        assert psi(a, b, "value") < 0.1
+
+    def test_report_labels(self, spark):
+        ev = load_tables(spark, SF, ("events",))["events"]
+        shifted = ev.withColumn("value", F.col("value") + 1000)
+        rep = {r["col"]: r["verdict"] for r in psi_report(ev, shifted, ["value", "user_id"])}
+        assert rep["value"] == "shifted"
+        assert rep["user_id"] == "stable"
+
+    def test_out_of_range_mass_is_counted(self, spark):
+        """Mass entirely outside the reference range must clamp into
+        the end bins and alarm, not vanish."""
+        ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+        cur = spark.range(1000).select((F.col("id") % 100 + 10_000).cast("double").alias("x"))
+        assert psi(ref, cur, "x") > 0.25
+
+
+class TestUserSequences:
+    def test_matches_duckdb_ordered_lists(self, spark):
+        ev = load_tables(spark, SF, ("events",))["events"]
+        got = {
+            r["user_id"]: (
+                r["n_events"],
+                [(str(e["ts"]), e["event_type"]) for e in r["seq"]],
+            )
+            for r in build_user_sequences(ev).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        want = {
+            r[0]: (r[1], [(str(t), e) for t, e in zip(r[2], r[3])])
+            for r in con.execute(
+                """
+                SELECT user_id, count(*) AS n,
+                  list(ts ORDER BY ts, event_type) AS ts_list,
+                  list(event_type ORDER BY ts, event_type) AS et_list
+                FROM events GROUP BY user_id
+                """
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_truncation_keeps_most_recent(self, spark):
+        rows = [(1, f"2024-01-01 10:00:{s:02d}", f"e{s}") for s in range(10)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = build_user_sequences(df, max_len=3).collect()[0]
+        assert out["n_events"] == 10
+        assert [e["event_type"] for e in out["seq"]] == ["e7", "e8", "e9"]

@@ -252,3 +252,47 @@ def mixture_sample(
         default_fraction=0.0,
         salt=salt,
     )
+
+
+def build_user_sequences(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("event_type",),
+    max_len: int | None = None,
+) -> DataFrame:
+    """Ordered per-key event sequences -- the behavioral-model
+    training shape (one row per user: their event history as an
+    array, time-ascending, optionally truncated to the most RECENT
+    ``max_len`` items).
+
+    One hash-agg shuffle on the key: collect_list + array_sort on a
+    (ts, payload...) struct gives deterministic event-time order
+    without a sort exchange (struct comparison orders by ts first;
+    ties break on the payload fields, so the output is stable across
+    retries and partitionings). Truncation keeps the TAIL (most
+    recent) via slice from the end. At 100 TB guard per-key blowup:
+    a key with millions of events makes a giant array -- cap with
+    ``max_len`` (applied post-sort, so it is 'most recent N', not
+    'arbitrary N') and diagnose hot keys first (operators/skew.py:
+    hot_keys).
+
+    Output: key, n_events (pre-truncation count), seq (array of
+    structs ts + payload_cols).
+    """
+    struct_cols = [F.col(ts_col).alias("ts")] + [
+        F.col(c).alias(c) for c in payload_cols
+    ]
+    agg = events.groupBy(key_col).agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("seq"),
+    )
+    if max_len is not None:
+        agg = agg.withColumn(
+            "seq",
+            F.when(
+                F.size("seq") > max_len,
+                F.slice("seq", F.size("seq") - max_len + 1, max_len),
+            ).otherwise(F.col("seq")),
+        )
+    return agg
