@@ -79,3 +79,49 @@ FROM wins JOIN hot USING (whash)""",
     assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
         cols, rows
     )
+
+
+class TestChooseLshParams:
+    def test_midpoints_near_targets(self):
+        from xmidt_event_streams_spark.operators.dedup import choose_lsh_params
+
+        for t in (0.2, 0.3, 0.5, 0.7, 0.8, 0.9):
+            n, b, r = choose_lsh_params(t)
+            mid = (1.0 / b) ** (1.0 / r)
+            assert abs(mid - t) <= 0.02, (t, n, b, r, mid)
+            assert n == b * r and n <= 64
+            # no degenerate near-linear curves once a sharp config
+            # exists in budget
+            assert r >= 2
+
+    def test_sharpness_grows_with_threshold(self):
+        from xmidt_event_streams_spark.operators.dedup import choose_lsh_params
+
+        _, _, r_low = choose_lsh_params(0.3)
+        _, _, r_high = choose_lsh_params(0.9)
+        assert r_high > r_low
+
+    def test_feeds_minhash_config_contract(self, spark):
+        """The chosen config must satisfy minhash_lsh_candidates'
+        num_hashes % bands == 0 contract and actually run."""
+        from xmidt_event_streams_spark.operators.dedup import (
+            choose_lsh_params,
+            minhash_lsh_candidates,
+        )
+
+        n, b, _ = choose_lsh_params(0.7, max_hashes=16)
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q v")],
+            "doc_id long, text string",
+        )
+        pairs = minhash_lsh_candidates(df, num_hashes=n, bands=b)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) not in got
+
+    def test_rejects_bad_threshold(self):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.dedup import choose_lsh_params
+
+        with pytest.raises(ValueError):
+            choose_lsh_params(1.0)

@@ -464,3 +464,41 @@ def duplicated_span_frac(
             ).alias("dup_frac"),
         )
     )
+
+
+def choose_lsh_params(
+    threshold: float, max_hashes: int = 64
+) -> tuple[int, int, int]:
+    """(num_hashes, bands, rows_per_band) whose S-curve midpoint best
+    matches the target Jaccard ``threshold``.
+
+    Banding theory (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets ch.3, public formulation): with b bands of r rows the
+    probability a pair of Jaccard similarity s shares >= 1 band is
+    1 - (1 - s^r)^b, an S-curve with midpoint ~ (1/b)^(1/r) and
+    SHARPNESS growing with r (r=1 degenerates to a near-linear curve
+    -- midpoint alone is a bad objective). Among factorizations
+    b*r <= max_hashes whose midpoint lands within 0.02 of the target,
+    picks the largest r (sharpest cutoff: fewest false positives
+    below / misses above the threshold), tie-broken toward fewer
+    total hashes; if nothing lands in tolerance, falls back to the
+    closest midpoint with the largest r. Returns a config consumable
+    by :func:`minhash_lsh_candidates` (num_hashes = b*r).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    tol = 0.02
+    in_tol, fallback = None, None
+    for r in range(1, max_hashes + 1):
+        for b in range(1, max_hashes // r + 1):
+            mid = (1.0 / b) ** (1.0 / r)
+            dist = abs(mid - threshold)
+            if dist <= tol:
+                key = (-r, b * r, dist)
+                if in_tol is None or key < in_tol[0]:
+                    in_tol = (key, b, r)
+            key = (dist, -r, b * r)
+            if fallback is None or key < fallback[0]:
+                fallback = (key, b, r)
+    _, b, r = in_tol or fallback
+    return b * r, b, r
