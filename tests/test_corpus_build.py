@@ -82,3 +82,116 @@ def test_build_training_corpus_rejects_bad_args(spark, tmp_path):
         build_training_corpus(df, str(tmp_path / "x"), quality="zstd")
     with pytest.raises(ValueError, match="bad dedup"):
         build_training_corpus(df, str(tmp_path / "x"), dedup="fuzzy")
+
+
+class TestRefreshCorpus:
+    """The live-corpus maintenance cycle (corpus.refresh_corpus):
+    quality -> incremental dedup -> upsert -> index append -> drift,
+    one ledger, batch-size-bounded cost."""
+
+    def _seed(self, spark, tmp_path, docs):
+        from xmidt_event_streams_spark.operators.incremental import (
+            write_minhash_index,
+        )
+        from xmidt_event_streams_spark.operators.upsert import (
+            write_keyed_table,
+        )
+
+        corpus = str(tmp_path / "corpus")
+        index = str(tmp_path / "index")
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        write_keyed_table(df, corpus, "doc_id", bucket_hex=1)
+        write_minhash_index(df, index)
+        return corpus, index
+
+    def test_full_cycle_ledger_and_state(self, spark, tmp_path):
+        from xmidt_event_streams_spark.corpus import refresh_corpus
+        from xmidt_event_streams_spark.operators.upsert import (
+            read_keyed_table,
+        )
+
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+                 "golf", "hotel", "india", "juliet"]
+        docs = [
+            (
+                i,
+                f"document about {words[i]} systems. "
+                + " ".join(f"{words[i]} {words[(i + j) % 10]} topic." for j in range(1, 9))
+                + " closing sentence here.",
+            )
+            for i in range(10)
+        ]
+        corpus, index = self._seed(spark, tmp_path, docs)
+
+        new = spark.createDataFrame(
+            [
+                # near-dup of doc 3 -> dropped by the index probe
+                (100, docs[3][1] + "tail. "),
+                # genuinely new -> upserted
+                (101, "completely different content about spark engines "
+                      "processing streams at scale every day. " * 5),
+                # re-crawl of doc 5 (same id, changed text) -> update
+                (5, docs[5][1] + "revised. "),
+                # quality-fail (no sentences, curly brace)
+                (102, "{ " + "word " * 60),
+            ],
+            "doc_id long, text string",
+        )
+        ledger = refresh_corpus(
+            spark, new, corpus, index, quality="c4", drift_cols=()
+        )
+        assert ledger["input"] == 4
+        assert sum(ledger["quality_dropped"].values()) == 1
+        assert ledger["dup_dropped"] == 1
+        assert ledger["upserts"] == 2
+
+        got = {
+            r["doc_id"]: r["text"]
+            for r in read_keyed_table(spark, corpus).collect()
+        }
+        assert 101 in got and 100 not in got and 102 not in got
+        assert got[5].endswith("revised. ")  # re-crawl replaced
+        assert len(got) == 11  # 10 seed + 1 new
+
+    def test_second_cycle_catches_prior_cycle_dups(self, spark, tmp_path):
+        """A doc near-duplicating something ACCEPTED in cycle 1 must
+        be rejected in cycle 2 -- the index, not the batch, is the
+        dedup state."""
+        from xmidt_event_streams_spark.corpus import refresh_corpus
+
+        docs = [(i, f"seed document number {i} with plenty of words "
+                    f"to shingle properly here. " * 4) for i in range(5)]
+        corpus, index = self._seed(spark, tmp_path, docs)
+        fresh = ("novel text about distributed query engines and their "
+                 "optimizers working hard. " * 4)
+        l1 = refresh_corpus(
+            spark,
+            spark.createDataFrame([(200, fresh)], "doc_id long, text string"),
+            corpus, index, quality=None,
+        )
+        assert l1["upserts"] == 1
+        l2 = refresh_corpus(
+            spark,
+            spark.createDataFrame(
+                [(201, fresh + "tiny suffix. ")], "doc_id long, text string"
+            ),
+            corpus, index, quality=None,
+        )
+        assert l2["dup_dropped"] == 1 and l2["upserts"] == 0
+
+    def test_drift_report_on_numeric_cols(self, spark, tmp_path):
+        from xmidt_event_streams_spark.corpus import refresh_corpus
+
+        docs = [(i, f"doc {i} " + "filler words here. " * (5 + i % 3))
+                for i in range(8)]
+        corpus, index = self._seed(spark, tmp_path, docs)
+        new = spark.createDataFrame(
+            [(300 + i, "entirely new subject matter discussed at length "
+                       f"in document {i}. " * (5 + i % 3)) for i in range(4)],
+            "doc_id long, text string",
+        )
+        ledger = refresh_corpus(
+            spark, new, corpus, index, quality=None, drift_cols=("doc_id",)
+        )
+        assert ledger["drift"] and ledger["drift"][0]["col"] == "doc_id"
+        assert ledger["drift"][0]["verdict"] in ("stable", "drifting", "shifted")

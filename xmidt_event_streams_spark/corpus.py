@@ -149,3 +149,119 @@ def build_training_corpus(
         for p in _persisted:
             p.unpersist()
     return ledger
+
+
+def refresh_corpus(
+    spark,
+    new_docs: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: str | None = "gopher+c4",
+    min_agreement: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    drift_cols: tuple[str, ...] = (),
+) -> dict:
+    """One maintenance cycle of a LIVE corpus: the batch composition
+    of the round's operational operators, with one ledger.
+
+        quality gate -> incremental dedup vs the materialized MinHash
+        index -> MERGE upsert of survivors into the keyed corpus
+        table -> index append -> PSI drift report vs the pre-refresh
+        corpus
+
+    vs :func:`build_training_corpus` (one-shot, from-scratch): this
+    never rescans the existing corpus -- dedup probes the
+    prefix-partitioned index (cost tracks batch size), the upsert
+    rewrites only touched buckets, and the drift gate is two
+    bounded aggregates. The corpus at ``corpus_path`` must be a
+    keyed table (operators/upsert.py); the index must exist
+    (write_minhash_index / init_minhash_index).
+
+    A new doc whose id ALREADY EXISTS in the corpus is a re-crawl:
+    it replaces the stored row (upsert semantics) and is not a
+    "duplicate" -- the index marks near-dups of OTHER ids only
+    (``dup_of != id``). Returns the ledger:
+
+        {"input", "quality_dropped": {reason: n}, "dup_dropped",
+         "upserts", "touched_buckets", "drift": [psi_report rows]}
+    """
+    from xmidt_event_streams_spark.operators.incremental import (
+        append_to_minhash_index,
+        incremental_dedup_mark,
+    )
+    from xmidt_event_streams_spark.operators.drift import psi_report
+    from xmidt_event_streams_spark.operators.upsert import (
+        merge_upsert,
+        read_keyed_table,
+    )
+
+    ledger: dict = {"input": new_docs.count()}
+
+    kept = new_docs
+    if quality is not None:
+        reason = F.lit(None).cast("string")
+        if "gopher" in quality:
+            _, g = gopher_keep(text_col)
+            reason = F.coalesce(reason, g)
+        if "c4" in quality:
+            _, c = c4_keep(text_col)
+            reason = F.coalesce(reason, c)
+        marked = kept.withColumn("_q_reason", reason).persist()
+        ledger["quality_dropped"] = {
+            r["_q_reason"]: r["n"]
+            for r in marked.filter(F.col("_q_reason").isNotNull())
+            .groupBy("_q_reason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        kept = marked.filter(F.col("_q_reason").isNull()).drop("_q_reason")
+    else:
+        ledger["quality_dropped"] = {}
+
+    verdicts = incremental_dedup_mark(
+        spark,
+        index_path,
+        kept,
+        min_agreement,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_n,
+    )
+    # a re-crawl (same id, near-identical text) probes as a dup OF
+    # ITS OWN stored row -- that is an update, not a duplicate: keep
+    # it and let the upsert replace the stored version
+    survivors = kept.join(
+        verdicts.filter(
+            F.col("is_unique") | (F.col("dup_of") == F.col(id_col))
+        ).select(id_col),
+        id_col,
+        "left_semi",
+    ).persist()
+    n_surv = survivors.count()
+    ledger["dup_dropped"] = ledger["input"] - sum(
+        ledger["quality_dropped"].values()
+    ) - n_surv
+
+    # drift gate BEFORE mutating the corpus: new accepted docs vs the
+    # current corpus
+    if drift_cols:
+        current = read_keyed_table(spark, corpus_path)
+        ledger["drift"] = psi_report(current, survivors, list(drift_cols))
+    else:
+        ledger["drift"] = []
+
+    stats = merge_upsert(spark, corpus_path, survivors)
+    ledger["upserts"] = stats["upserts"]
+    ledger["touched_buckets"] = len(stats["touched_buckets"])
+
+    append_to_minhash_index(
+        survivors, index_path, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    survivors.unpersist()
+    return ledger
