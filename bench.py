@@ -62,6 +62,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     skew = skew_bench(spark)
+    ann = ann_bench(spark)
     print(
         json.dumps(
             {
@@ -74,6 +75,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "skew": skew,
+                "ann": ann,
             }
         )
     )
@@ -149,6 +151,104 @@ def skew_bench(spark) -> dict:
         "ratio_unsalted_over_salted": round(unsalted_noaqe / salted_t, 2),
         "rows": n_rows,
         "n_salts": 32,
+    }
+
+
+def ann_bench(spark) -> dict:
+    """Sidecar metric: exact brute-force cosine top-k vs PQ/ADC
+    search over a deterministic 200k x 64-dim unit-vector corpus
+    (range()-generated like skew_bench -- no files, any SF).
+
+    Reports the one-time index cost (codebook fit on a 10% sample +
+    full-corpus encode) separately from the per-query search arms:
+    at 100 TB the index is built once and searched forever, so
+    ``speedup_search`` is the recurring win and ``recall_at_10`` the
+    price. Unit vectors make L2-ADC and cosine rank identically, so
+    recall is apples-to-apples; PQ is asked for k+1 and its
+    self-match dropped (brute excludes self by contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from xmidt_event_streams_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+    from xmidt_event_streams_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    n, dim, m, k_codes, topk, n_queries = 200_000, 64, 16, 32, 10, 8
+
+    # NB: no inline type hints -- this module's `from __future__
+    # import annotations` stringifies them, breaking pandas_udf's
+    # signature inference for locally-imported pd
+    def _synth(ids):
+        d = np.arange(1, dim + 1)
+        a = np.sin(np.outer(ids.to_numpy(), d) * 0.7317)
+        a += np.cos(np.outer(ids.to_numpy(), d) * 1.2713)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        return pd.Series(list(a))
+
+    synth_vec = F.pandas_udf(_synth, ArrayType(DoubleType()))
+
+    corpus = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), synth_vec("id").alias("embedding"))
+        .persist()
+    )
+    corpus.count()  # materialize: generation cost out of every arm
+    queries = corpus.filter(
+        F.col("vec_id") % (n // n_queries) == 17
+    ).limit(n_queries)
+    qrows = [(int(r["vec_id"]), list(r["embedding"])) for r in queries.collect()]
+
+    t0 = time.perf_counter()
+    brute_rows = brute_force_topk(corpus, queries, k=topk).collect()
+    brute_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cb = pq_fit(
+        corpus.filter(F.col("vec_id") % 10 == 0), m=m, k=k_codes, n_iters=2
+    )
+    fit_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    codes = pq_encode(corpus, cb).select("vec_id", "codes").persist()
+    codes.count()
+    encode_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pq_rows = pq_topk(codes, qrows, cb, topk + 1).collect()
+    pq_sec = round(time.perf_counter() - t0, 3)
+
+    exact: dict = {}
+    approx: dict = {}
+    for r in brute_rows:
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in pq_rows:
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = round(
+        sum(
+            len(exact[q] & (approx[q] - {q})) / len(exact[q]) for q in exact
+        )
+        / len(exact),
+        3,
+    )
+    corpus.unpersist()
+    codes.unpersist()
+    return {
+        "corpus_rows": n,
+        "dim": dim,
+        "m": m,
+        "k_codes": k_codes,
+        "brute_sec": brute_sec,
+        "pq_fit_sec": fit_sec,
+        "pq_encode_sec": encode_sec,
+        "pq_search_sec": pq_sec,
+        "speedup_search": round(brute_sec / pq_sec, 2),
+        "recall_at_10": recall,
     }
 
 
