@@ -211,3 +211,86 @@ def test_approx_distinct_measure_merges_sketches(spark, tmp_path):
 
     compact_rollup(spark, str(rollup_dir), ["event_type"], m)
     assert view() == got
+
+
+def test_as_of_batch_pins_the_view(spark, tmp_path):
+    rollup_dir = tmp_path / "rollup"
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        idempotent_batch_append,
+    )
+
+    for i, rows in enumerate(
+        [[("click", 1.0)], [("click", 2.0)], [("click", 4.0)]]
+    ):
+        idempotent_batch_append(
+            rollup_partial(spark.createDataFrame(rows, SCHEMA), DIMS, MEASURES),
+            i, str(rollup_dir), max_files=1,
+        )
+    full = _view(spark, rollup_dir)
+    assert full["click"][0] == 3
+
+    def at(b):
+        return {
+            r["event_type"]: r["n"]
+            for r in read_rollup(
+                spark, str(rollup_dir), DIMS, MEASURES, as_of_batch=b
+            ).collect()
+        }
+
+    assert at(0)["click"] == 1
+    assert at(1)["click"] == 2
+    assert at(2) == {k: v[0] for k, v in full.items()}
+    # compaction folds history: as-of behind the fold frontier is
+    # gone (the fold partition always participates)
+    compact_rollup(spark, str(rollup_dir), DIMS, MEASURES)
+    assert at(0)["click"] == 3
+
+
+def test_routed_stream_feeds_rollup(spark, tmp_path, sf_dir):
+    """Composition: the reference's hot path (wrp_view -> route_union)
+    feeding a materialized per-(stream, event_type) count rollup --
+    the M1 metric as a queryable view instead of a Prometheus counter
+    (SURVEY.md S2.6)."""
+    import glob
+
+    from xmidt_event_streams_spark.config import DEFAULT_FILTERS
+    from xmidt_event_streams_spark.enrich import extract_event_type
+    from xmidt_event_streams_spark.routing import route_union
+    from xmidt_event_streams_spark.schema import wrp_view
+    from xmidt_event_streams_spark.session import load_tables
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev.limit(500).write.mode("overwrite").parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src / "b1")).schema
+    ).parquet(str(src) + "/*")
+    routed = route_union(wrp_view(stream), DEFAULT_FILTERS).select(
+        "stream_name", extract_event_type("dest").alias("event_type")
+    )
+    m = {"n": ("count", "event_type")}
+    q = start_rollup(
+        routed, ["stream_name", "event_type"], m,
+        str(tmp_path / "roll"), str(tmp_path / "ck"), availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["stream_name"], r["event_type"]): r["n"]
+        for r in read_rollup(
+            spark, str(tmp_path / "roll"), ["stream_name", "event_type"], m
+        ).collect()
+    }
+    want = {
+        (r["stream_name"], r["event_type"]): r["n"]
+        for r in route_union(
+            wrp_view(spark.read.parquet(*glob.glob(str(src) + "/b1"))),
+            DEFAULT_FILTERS,
+        )
+        .groupBy("stream_name", extract_event_type("dest").alias("event_type"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got and got == want

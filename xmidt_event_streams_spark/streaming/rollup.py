@@ -104,15 +104,25 @@ def read_rollup(
     path: str,
     dims: list[str],
     measures: dict[str, tuple[str, str]],
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """The current view: merge all batch partials. One small shuffle
-    over (#batches x #groups) rows."""
+    over (#batches x #groups) rows.
+
+    ``as_of_batch`` pins the view to triggers <= that batch id (the
+    fold partition -1 always participates -- it summarizes batches
+    that no longer exist individually, so as-of reads only reach
+    BEHIND the last compaction's frontier; pin before compacting if
+    historical as-of matters). Gives reproducibility: a training run
+    records the batch id it read, and the same view is re-derivable
+    until a later compaction folds it."""
     _check_measures(measures)
-    return (
-        spark.read.parquet(path)
-        .groupBy(*dims)
-        .agg(*_merge_exprs(measures))
-    )
+    df = spark.read.parquet(path)
+    if as_of_batch is not None:
+        df = df.filter(
+            (F.col(_BATCH_COL) <= as_of_batch) | (F.col(_BATCH_COL) == -1)
+        )
+    return df.groupBy(*dims).agg(*_merge_exprs(measures))
 
 
 def start_rollup(
