@@ -99,3 +99,37 @@ def test_footer_ranges_shrink_in_both_dims(spark, layouts):
         widths[s["col"]].append((s["max"] - s["min"]) / dom)
     assert statistics.mean(widths["user_id"]) <= 0.5
     assert statistics.mean(widths["value"]) <= 0.5
+
+
+def test_three_dim_zorder(spark, tmp_path):
+    """3-D Morton key: every dimension still prunes (ranges shrink
+    ~ n_files^(-1/3) per dim -- looser per-dim than 2-D with the same
+    file budget, but all three must beat no-clustering)."""
+    ev = load_tables(spark, "/root/testdata/sf0.01", ("events",))[
+        "events"
+    ].select("event_id", "user_id", "value")
+    path = str(tmp_path / "z3")
+    cols3 = ("user_id", "value", "event_id")
+    zorder_write(ev, cols3, path, n_files=27)
+    stats = file_skipping_stats(path, list(cols3))
+    lo, hi = {}, {}
+    for c in cols3:
+        row = ev.agg(F.min(c), F.max(c)).collect()[0]
+        lo[c], hi[c] = row[0], row[1]
+    for c in cols3:
+        widths = [
+            (s["max"] - s["min"]) / (hi[c] - lo[c])
+            for s in stats
+            if s["col"] == c
+        ]
+        assert statistics.mean(widths) <= 0.75, (c, statistics.mean(widths))
+
+
+def test_zorder_guards(spark):
+    from xmidt_event_streams_spark.operators.layout import zorder_key
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_key(ev, ("value",))
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key(ev, ("value", "user_id"), bits=32)

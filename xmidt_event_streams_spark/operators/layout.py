@@ -43,29 +43,55 @@ def _bucketize(col: Column, boundaries: list[float]) -> Column:
     )
 
 
-def _interleave(a: Column, b: Column, bits: int) -> Column:
-    """Morton interleave of two ``bits``-wide bucket indices (a in
-    even positions). Pure bitwise expression tree, 2*bits terms."""
-    z = F.lit(0)
-    for i in range(bits):
-        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
-        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
-            F.shiftleft(bbit, 2 * i + 1)
-        )
-    return z
+def _interleave(keys: list[Column], bits: int) -> Column:
+    """Morton interleave of d ``bits``-wide bucket indices, bit i of
+    key j landing at position i*d + j; fits a long for d*bits <= 63.
+
+    The bucket indices are LET-BOUND (functions/text.let_bind) before
+    the bit extraction: each index feeds ``bits`` bit-extraction
+    terms, and since each index is itself a 2^bits-element fold,
+    naive substitution would inline d * bits copies of the fold --
+    measured to blow past whole-stage codegen's method-size limit and
+    fall back to interpreted evaluation. Binding evaluates each fold
+    once per row; the d*bits OR terms reference cheap lambda-variable
+    element accesses."""
+    from xmidt_event_streams_spark.functions.text import let_bind
+
+    d = len(keys)
+    if d * bits > 63:
+        raise ValueError(f"{d} dims x {bits} bits overflows a long")
+
+    def _body(a: Column) -> Column:
+        z = F.lit(0).cast("long")
+        for j in range(d):
+            k = F.get(a, j)
+            for i in range(bits):
+                bit = F.shiftright(k, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+        return z
+
+    return let_bind(F.array(*[k.cast("long") for k in keys]), _body)
 
 
 def zorder_key(
     df: DataFrame,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     bits: int = Z_BITS_DEFAULT,
     relative_error: float = 0.01,
 ) -> Column:
-    """Morton key over two numeric/timestamp columns. Buckets are
+    """Morton key over 2+ numeric/timestamp columns. Buckets are
     QUANTILE-based (approxQuantile boundaries, one pass, driver holds
-    2 x 2^bits doubles), so skew in either dimension cannot collapse
-    the key space the way linear min/max scaling would."""
+    d x 2^bits doubles), so skew in any dimension cannot collapse the
+    key space the way linear min/max scaling would. Per-file range
+    shrinks ~ n_files^(-1/d) per dimension -- more dims spread the
+    budget thinner, so cluster on the 2-3 columns predicates actually
+    hit."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} dims x {bits} bits overflows a long"
+        )
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
     keys = []
@@ -77,12 +103,12 @@ def zorder_key(
             .approxQuantile(name, qs, relative_error)
         )
         keys.append(_bucketize(cast, boundaries))
-    return _interleave(keys[0], keys[1], bits)
+    return _interleave(keys, bits)
 
 
 def zorder_write(
     df: DataFrame,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     path: str,
     n_files: int = 16,
     bits: int = Z_BITS_DEFAULT,
