@@ -127,3 +127,50 @@ def test_lsh_probe_prunes_partitions_at_plan_time(spark, tmp_path):
         (r["query_id"], r["vec_id"], r["cos_sim"]) for r in df.collect()
     )
     assert norm(full) == norm(pruned)
+
+
+class TestIvfAppend:
+    """append_to_ivf_index: the streaming-corpus arm of the IVF
+    lifecycle (write -> append batches -> probe finds appended rows
+    in the right pruned directories)."""
+
+    def test_append_then_probe_incremental_equals_rebuild(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.ivf import append_to_ivf_index
+
+        emb = _emb(spark)
+        old = emb.filter(F.col("vec_id") < 400)
+        new = emb.filter(F.col("vec_id") >= 400)
+        cents = deterministic_planes(8, 64, seed="ivf-test")
+
+        inc = str(tmp_path / "inc")
+        write_ivf_index(old, inc, cents)
+        append_to_ivf_index(new, inc)
+
+        full = str(tmp_path / "full")
+        write_ivf_index(emb, full, cents)
+
+        q = emb.orderBy("vec_id").limit(3)
+        got = sorted(
+            map(tuple, probe_ivf_index(spark, inc, q, k=5, n_probe=2).collect())
+        )
+        want = sorted(
+            map(tuple, probe_ivf_index(spark, full, q, k=5, n_probe=2).collect())
+        )
+        assert got == want
+        # appended rows really landed (an appended id is retrievable)
+        new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+        assert any(r[1] in new_ids for r in got)
+
+    def test_append_refuses_foreign_or_missing_sidecar(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.ivf import append_to_ivf_index
+
+        emb = _emb(spark)
+        plain = str(tmp_path / "plain")
+        emb.write.parquet(plain)
+        with pytest.raises(ValueError, match="no centroid sidecar"):
+            append_to_ivf_index(emb, plain)
+
+        idx = str(tmp_path / "idx")
+        write_ivf_index(emb, idx, deterministic_planes(8, 64, seed="ivf-test"))
+        with pytest.raises(ValueError, match="stores vec_col"):
+            append_to_ivf_index(emb, idx, vec_col="other_vec")

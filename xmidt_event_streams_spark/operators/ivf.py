@@ -338,3 +338,44 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str | None = None,
+) -> None:
+    """Fold a new vector batch into an existing IVF index (append-only
+    -- existing cell files are never rewritten; cell assignment is a
+    pure function of the stamped centroids, so appended rows land in
+    the same directories probes already prune to).
+
+    The centroids are READ from the index sidecar, never supplied:
+    assigning new vectors under any other centroid set would scatter
+    them into directories probes won't search. Batch-sized cost (one
+    narrow Arrow assignment + a per-cell append); the index grows but
+    is never rescanned. Centroid DRIFT is the operational caveat: the
+    stamped centroids stay frozen while the corpus distribution moves,
+    degrading cell balance over months -- monitor with
+    operators/drift.psi over the assignment histogram and rebuild
+    (write_ivf_index with a re-fit) when it alarms; the probe-side
+    contract (sidecar centroids) makes the rebuild an atomic swap."""
+    meta = read_json_sidecar(df.sparkSession, path, _IVF_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"no centroid sidecar at {path}: initialize with "
+            "write_ivf_index"
+        )
+    vec_col = vec_col or meta["vec_col"]
+    if vec_col != meta["vec_col"]:
+        raise ValueError(
+            f"index at {path} stores vec_col={meta['vec_col']!r}, "
+            f"append supplied {vec_col!r}"
+        )
+    (
+        assign_cells(df, meta["centroids"], vec_col)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )
