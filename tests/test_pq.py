@@ -164,3 +164,37 @@ def test_ivf_pq_composition(spark, emb, codebooks):
     }
     for r in got:
         assert full[r["vec_id"]] == r["adc_dist"]
+
+
+def test_materialized_index_probe_equals_direct(spark, emb, codebooks, tmp_path):
+    from xmidt_event_streams_spark.operators.pq import (
+        probe_pq_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pqidx")
+    write_pq_index(emb, path, codebooks)
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(3).collect()
+    ]
+    direct = pq_topk(
+        pq_encode(emb, codebooks).select("vec_id", "codes"),
+        queries, codebooks, 5,
+    )
+    via_index = probe_pq_index(spark, path, queries, 5)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_index.collect())
+    )
+    # loaded == stamped; a foreign codebook set is refused
+    import numpy as np
+    import pytest
+
+    other = (np.asarray(codebooks) + 0.5).tolist()
+    with pytest.raises(ValueError, match="different codebooks"):
+        probe_pq_index(spark, path, queries, 5, codebooks=other)
+
+    plain = str(tmp_path / "plain")
+    emb.write.parquet(plain)
+    with pytest.raises(ValueError, match="no codebook sidecar"):
+        probe_pq_index(spark, plain, queries, 5)
