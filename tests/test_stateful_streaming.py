@@ -445,3 +445,68 @@ def test_hybrid_flush_state_survives_restart(spark, tmp_path):
     _run_until_rows_committed(out2, expect_input=2)
     assert [(r.n, r.flush_reason) for r in out2] == [(5, "size")]
     assert sorted(out2[0]["items"]) == ["post0", "post1", "pre0", "pre1", "pre2"]
+
+
+def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
+    """operators/sessions.sessionize in a real stream: events of one
+    key arriving in DIFFERENT micro-batches within the gap merge into
+    ONE session, finalized (append-mode emit) only after the
+    watermark passes the session end."""
+    from xmidt_event_streams_spark.operators.sessions import sessionize
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    schema = "ts timestamp, user_id long"
+
+    def run():
+        out: list = []
+        _run_available_now(
+            sessionize(
+                _read_stream(spark, src, schema),
+                gap_minutes=30,
+                watermark="10 minutes",
+            ),
+            ckpt,
+            out,
+        )
+        return out
+
+    # batch 1: two u1 events 10 min apart (one session), u9 frontier
+    _write_items(
+        src / "b1.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "user_id": 1},
+            {"ts": "2024-01-01 10:10:00", "user_id": 1},
+            {"ts": "2024-01-01 10:05:00", "user_id": 2},
+        ],
+    )
+    out1 = run()
+    # batch 2: u2's second event lands within the gap -> must MERGE
+    # into the batch-1 session; u9 pushes event time far ahead
+    _write_items(
+        src / "b2.json",
+        [
+            {"ts": "2024-01-01 10:20:00", "user_id": 2},
+            {"ts": "2024-01-01 15:00:00", "user_id": 9},
+        ],
+    )
+    out2 = run()
+    # batch 3: another frontier push gives the engine a batch in
+    # which the advanced watermark finalizes remaining sessions
+    _write_items(src / "b3.json", [{"ts": "2024-01-01 16:00:00", "user_id": 9}])
+    out3 = run()
+
+    done = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r[
+            "n_events"
+        ]
+        for r in out1 + out2 + out3
+    }
+    assert done[(1, "2024-01-01 10:00:00", "2024-01-01 10:40:00")] == 2
+    # the cross-batch merge: ONE u2 session spanning both batches,
+    # end anchored to the batch-2 event + gap
+    assert done[(2, "2024-01-01 10:05:00", "2024-01-01 10:50:00")] == 2
+    assert not any(
+        k[0] == 2 and k[2] == "2024-01-01 10:35:00" for k in done
+    ), "u2's batch-1 session leaked out unmerged"
