@@ -75,3 +75,66 @@ def test_normalize_tokens_fingerprint_grams_cross_engine(spark, texts):
         assert s["fp"] == fp
         assert list(s["toks"]) == list(toks)
         assert list(s["grams"]) == list(grams)
+
+
+class TestCanonicalText:
+    def test_nfc_parity_with_duckdb(self, spark):
+        import duckdb
+
+        from xmidt_event_streams_spark.functions.text import canonical_text
+
+        rows = [
+            (0, "école"),           # decomposed accent -> école
+            (1, "café"),             # already composed
+            (2, "Å"),               # Å decomposed
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        got = {
+            r["id"]: r["c"]
+            for r in df.select(
+                "id",
+                canonical_text(
+                    "t", form="NFC", casefold=False, collapse_whitespace=False
+                ).alias("c"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            i: (None if t is None else con.execute(
+                "SELECT nfc_normalize(?)", [t]
+            ).fetchone()[0])
+            for i, t in rows
+        }
+        assert got == want
+
+    def test_nfkc_casefold_unifies_dedup_keys(self, spark):
+        """The dedup motivation: compatibility variants + case + runs
+        of whitespace must fingerprint identically after
+        canonicalization, and differently before."""
+        from xmidt_event_streams_spark.functions.text import (
+            canonical_text,
+            fingerprint,
+        )
+
+        rows = [
+            (0, "ﬁle  over\tthere"),   # 'ﬁle' ligature + messy ws
+            (1, "FILE OVER THERE"),
+            (2, "unrelated document"),
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        raw = {r["id"]: r["f"] for r in df.select(
+            "id", fingerprint("t").alias("f")).collect()}
+        canon = {r["id"]: r["f"] for r in df.select(
+            "id", fingerprint(canonical_text("t")).alias("f")).collect()}
+        assert raw[0] != raw[1]
+        assert canon[0] == canon[1]
+        assert canon[0] != canon[2]
+
+    def test_rejects_bad_form(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.functions.text import canonical_text
+
+        with pytest.raises(ValueError, match="bad normalization form"):
+            canonical_text("t", form="NFX")

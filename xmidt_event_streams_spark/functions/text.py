@@ -236,3 +236,48 @@ def predict_lang(col: Column | str) -> Column:
         return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
     return let_bind(tokens(col), body)
+
+
+def canonical_text(
+    col: Column | str,
+    form: str = "NFKC",
+    casefold: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Unicode-canonical text for dedup keys: compatibility-normalize
+    (NFKC folds fullwidth/ligature/compatibility variants -- 'ﬁle' and
+    'file' must fingerprint identically or near-dup recall silently
+    drops on any corpus with mixed encoders), optionally casefold
+    (str.casefold, the Unicode-correct lower()) and collapse runs of
+    whitespace. Arrow-batched UDF: the JVM expression set has no
+    Unicode normalizer, and this runs ONCE per document at ingest --
+    canonicalize, then fingerprint/shingle the canonical form
+    everywhere downstream (exact_dedup, minhash, simhash), never the
+    raw text.
+
+    DuckDB twin for NFC parity testing: ``nfc_normalize()`` (DuckDB
+    has no NFKC, so cross-engine tests pin form='NFC')."""
+    import unicodedata
+
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"bad normalization form {form!r}")
+
+    # explicit pandas_udf form: this module's future-annotations
+    # import stringifies inline type hints, breaking signature
+    # inference for the locally-imported pd
+    def _canon(s):
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            if casefold:
+                t = t.casefold()
+            if collapse_whitespace:
+                t = " ".join(t.split())
+            return t
+
+        return s.map(one)
+
+    udf = F.pandas_udf(_canon, "string").asNondeterministic()
+    return udf(F.col(col) if isinstance(col, str) else col)
