@@ -126,3 +126,28 @@ class _no_broadcast:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+
+
+def test_count_exchanges_ignores_broadcast_and_reuse(spark):
+    """BroadcastExchange and ReusedExchange (incl. a ReusedExchange
+    whose description embeds the reused child's 'Exchange
+    hashpartitioning' text) must not count as shuffles."""
+    agg = (
+        spark.range(10_000)
+        .select((F.col("id") % 7).alias("g"))
+        .groupBy("g")
+        .count()
+    )
+    with _no_broadcast(spark):
+        self_join = agg.alias("x").join(agg.alias("y"), "g")
+        # one logical shuffle feeds both sides (2 at most if reuse
+        # doesn't fire at plan time) -- never 3+, and never counts
+        # the broadcastless plan's Reused node twice
+        n = count_exchanges(self_join)
+        assert 1 <= n <= 2, self_join._jdf.queryExecution().executedPlan().toString()
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    fact = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    bj = fact.join(dim, "k")
+    assert count_exchanges(bj) == 0  # broadcast only

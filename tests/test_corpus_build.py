@@ -195,3 +195,117 @@ class TestRefreshCorpus:
         )
         assert ledger["drift"] and ledger["drift"][0]["col"] == "doc_id"
         assert ledger["drift"][0]["verdict"] in ("stable", "drifting", "shifted")
+
+
+class TestRefreshCorpusHardening:
+    """Review-pass regressions: empty-survivor cycles must not crash,
+    re-crawl signature staleness is either compacted away or
+    ledgered, and caches do not leak."""
+
+    _seed = TestRefreshCorpus._seed
+
+    def test_all_duplicate_batch_returns_ledger(self, spark, tmp_path):
+        from xmidt_event_streams_spark.corpus import refresh_corpus
+
+        docs = [(i, f"stable doc number {i} about subject {i}. " * 4)
+                for i in range(5)]
+        corpus, index = self._seed(spark, tmp_path, docs)
+        resubmit = spark.createDataFrame(
+            [(100 + i, t + "suffix. ") for i, t in docs[:3]],
+            "doc_id long, text string",
+        )
+        ledger = refresh_corpus(
+            spark, resubmit, corpus, index,
+            quality=None, drift_cols=("doc_id",),  # drift on empty: no crash
+        )
+        assert ledger["upserts"] == 0 and ledger["dup_dropped"] == 3
+        assert ledger["drift"] == [] and ledger["touched_buckets"] == 0
+
+    def test_compact_on_recrawl_prevents_stale_false_drop(self, spark, tmp_path):
+        from xmidt_event_streams_spark.corpus import refresh_corpus
+
+        text_a = "original subject alpha beta gamma delta words here. " * 4
+        text_b = "completely rewritten about other matters entirely now. " * 4
+        docs = [(1, text_a), (2, "unrelated filler content for the seed. " * 4)]
+        corpus, index = self._seed(spark, tmp_path, docs)
+
+        def cycle(rows, **kw):
+            return refresh_corpus(
+                spark,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                corpus, index, quality=None, **kw,
+            )
+
+        # re-crawl doc 1: text A -> text B, compacting the stale sig
+        l2 = cycle([(1, text_b)], compact_on_recrawl=True)
+        assert l2["recrawls"] == 1 and l2["stale_signatures"] == 0
+        assert l2["upserts"] == 1
+
+        # a new doc similar to the REPLACED text A must now survive
+        # (nothing like A exists in the corpus anymore)
+        l3 = cycle([(50, text_a + "tiny tail. ")])
+        assert l3["upserts"] == 1 and l3["dup_dropped"] == 0
+
+    def test_default_ledgers_stale_signatures(self, spark, tmp_path):
+        from xmidt_event_streams_spark.corpus import refresh_corpus
+
+        text_a = "original subject alpha beta gamma delta words here. " * 4
+        docs = [(1, text_a)]
+        corpus, index = self._seed(spark, tmp_path, docs)
+        ledger = refresh_corpus(
+            spark,
+            spark.createDataFrame(
+                [(1, "rewritten entirely different content now. " * 4)],
+                "doc_id long, text string",
+            ),
+            corpus, index, quality=None,
+        )
+        assert ledger["recrawls"] == 1 and ledger["stale_signatures"] == 1
+
+    def test_no_cache_leak(self, spark, tmp_path):
+        import time
+
+        from xmidt_event_streams_spark.corpus import refresh_corpus
+
+        def cached():
+            return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+        docs = [(i, f"seed doc {i} about things {i}. " * 4) for i in range(4)]
+        corpus, index = self._seed(spark, tmp_path, docs)
+        baseline = cached()
+        refresh_corpus(
+            spark,
+            spark.createDataFrame(
+                [(10, "fresh content all new here today. " * 4)],
+                "doc_id long, text string",
+            ),
+            corpus, index, quality="c4",
+        )
+        deadline = time.monotonic() + 10
+        while cached() > baseline and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert cached() <= baseline
+
+
+def test_canonicalize_unifies_compat_variants(spark, tmp_path):
+    """canonicalize=True: a fullwidth/ligature/case variant of an
+    existing doc is an exact dup after entry-point canonicalization
+    (and survives as a distinct doc without it)."""
+    from xmidt_event_streams_spark.corpus import build_training_corpus
+
+    base = "final configuration files defined for the first office. " * 3
+    variant = base.replace("fi", "ﬁ")  # ligature: lower() cannot fold it
+    rows = [(1, base), (2, variant), (3, "another unrelated doc entirely. " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = build_training_corpus(
+        df, str(tmp_path / "raw"), quality=None, dedup="exact"
+    )
+    canon = build_training_corpus(
+        df, str(tmp_path / "canon"), quality=None, dedup="exact",
+        canonicalize=True,
+    )
+    assert raw["exact_dups_dropped"] == 0
+    assert canon["exact_dups_dropped"] == 1
+    back = spark.read.parquet(str(tmp_path / "canon"))
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]

@@ -83,3 +83,26 @@ class TestUserSequences:
         out = build_user_sequences(df, max_len=3).collect()[0]
         assert out["n_events"] == 10
         assert [e["event_type"] for e in out["seq"]] == ["e7", "e8", "e9"]
+
+
+class TestDriftNulls:
+    def test_nulls_excluded_from_bins_and_reported(self, spark):
+        """30% nulls in the reference must not masquerade as bin-0
+        mass (self-PSI stays ~0 even with differing null rates); the
+        null rate itself rides on the report."""
+        ref = spark.range(1000).select(
+            F.when(F.col("id") % 10 < 3, None)
+            .otherwise((F.col("id") % 100).cast("double"))
+            .alias("x")
+        )
+        cur = spark.range(1000).select(
+            F.when(F.col("id") % 2 == 0, None)
+            .otherwise((F.col("id") % 100).cast("double"))
+            .alias("x")
+        )
+        assert psi(ref, ref, "x") == pytest.approx(0.0, abs=1e-9)
+        # same value distribution, different null rate: values stable
+        assert psi(ref, cur, "x") < 0.1
+        rep = psi_report(ref, cur, ["x"])[0]
+        assert rep["null_frac_ref"] == pytest.approx(0.3, abs=0.01)
+        assert rep["null_frac_cur"] == pytest.approx(0.5, abs=0.01)

@@ -198,3 +198,29 @@ def test_materialized_index_probe_equals_direct(spark, emb, codebooks, tmp_path)
     emb.write.parquet(plain)
     with pytest.raises(ValueError, match="no codebook sidecar"):
         probe_pq_index(spark, plain, queries, 5)
+
+
+def test_search_and_fit_survive_poison_rows(spark, codebooks):
+    """Null/ragged vectors must not kill the search scan (their null
+    codes are excluded from scoring) nor corrupt the fit (ragged rows
+    are dropped before the codebook update -- numpy would read a NULL
+    cell index as np.newaxis and clobber a centroid)."""
+    import numpy as np
+
+    dim = len(codebooks) * len(codebooks[0][0])
+    rows = [(i, [0.1 * i + 0.01 * d for d in range(dim)]) for i in range(40)]
+    poison = [(100, None), (101, [0.5] * (dim - 3))]
+    df = spark.createDataFrame(
+        rows + poison, "vec_id: long, embedding: array<double>"
+    )
+    coded = pq_encode(df, codebooks).select("vec_id", "codes")
+    got = pq_topk(coded, [(0, rows[0][1])], codebooks, 5).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] not in (100, 101) for r in got)
+
+    clean_cb = pq_fit(
+        spark.createDataFrame(rows, "vec_id: long, embedding: array<double>"),
+        m=M, k=16, n_iters=2,
+    )
+    dirty_cb = pq_fit(df, m=M, k=16, n_iters=2)
+    assert np.allclose(np.asarray(clean_cb), np.asarray(dirty_cb))

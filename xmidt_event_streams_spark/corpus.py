@@ -49,6 +49,7 @@ def build_training_corpus(
     split_weights: dict[str, float] | None = None,
     n_shards: int = 16,
     pack_budget: int | None = None,
+    canonicalize: bool = False,
 ) -> dict:
     """Run the full assembly and write the sharded corpus; returns the
     drop ledger:
@@ -73,6 +74,17 @@ def build_training_corpus(
         raise ValueError(f"bad quality {quality!r}")
     if dedup not in (None, "exact", "near", "both"):
         raise ValueError(f"bad dedup {dedup!r}")
+
+    if canonicalize:
+        # Unicode-canonicalize AT ENTRY so quality rules, both dedup
+        # tiers, and the written corpus all see the same form --
+        # without this, compatibility variants ('file' vs the
+        # fi-ligature) fingerprint differently and near-dup recall
+        # silently drops on mixed-encoder corpora
+        # (functions/text.canonical_text docstring)
+        from xmidt_event_streams_spark.functions.text import canonical_text
+
+        df = df.withColumn(text_col, canonical_text(text_col))
 
     ledger: dict = {"input": df.count()}
     kept = df
@@ -164,6 +176,8 @@ def refresh_corpus(
     bands: int = 4,
     shingle_n: int = 3,
     drift_cols: tuple[str, ...] = (),
+    compact_on_recrawl: bool = False,
+    canonicalize: bool = False,
 ) -> dict:
     """One maintenance cycle of a LIVE corpus: the batch composition
     of the round's operational operators, with one ledger.
@@ -184,13 +198,24 @@ def refresh_corpus(
     A new doc whose id ALREADY EXISTS in the corpus is a re-crawl:
     it replaces the stored row (upsert semantics) and is not a
     "duplicate" -- the index marks near-dups of OTHER ids only
-    (``dup_of != id``). Returns the ledger:
+    (``dup_of != id``). Each re-crawl leaves the OLD text's signature
+    rows in the index (appends never rewrite); a later doc similar to
+    the replaced text would false-drop against that stale signature.
+    ``compact_on_recrawl=True`` closes the gap exactly: re-crawled
+    ids are tombstoned out of the index (full prefix-partition
+    rewrite -- compact_minhash_index) before the new signatures
+    append. The default keeps cycles batch-sized and instead ledgers
+    the exposure as ``stale_signatures`` (cumulative staleness ==
+    the running sum) -- schedule a tombstone compaction when it
+    grows. Returns the ledger:
 
         {"input", "quality_dropped": {reason: n}, "dup_dropped",
-         "upserts", "touched_buckets", "drift": [psi_report rows]}
+         "upserts", "touched_buckets", "recrawls",
+         "stale_signatures", "drift": [psi_report rows]}
     """
     from xmidt_event_streams_spark.operators.incremental import (
         append_to_minhash_index,
+        compact_minhash_index,
         incremental_dedup_mark,
     )
     from xmidt_event_streams_spark.operators.drift import psi_report
@@ -199,69 +224,119 @@ def refresh_corpus(
         read_keyed_table,
     )
 
+    if canonicalize:
+        # same entry-point canonicalization as build_training_corpus;
+        # the seed corpus and index must have been built canonical
+        # too (signatures of raw vs canonical text do not match)
+        from xmidt_event_streams_spark.functions.text import canonical_text
+
+        new_docs = new_docs.withColumn(text_col, canonical_text(text_col))
+
     ledger: dict = {"input": new_docs.count()}
+    _persisted = []
+    try:
+        kept = new_docs
+        if quality is not None:
+            reason = F.lit(None).cast("string")
+            if "gopher" in quality:
+                _, g = gopher_keep(text_col)
+                reason = F.coalesce(reason, g)
+            if "c4" in quality:
+                _, c = c4_keep(text_col)
+                reason = F.coalesce(reason, c)
+            marked = kept.withColumn("_q_reason", reason).persist()
+            _persisted.append(marked)
+            ledger["quality_dropped"] = {
+                r["_q_reason"]: r["n"]
+                for r in marked.filter(F.col("_q_reason").isNotNull())
+                .groupBy("_q_reason")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            kept = marked.filter(F.col("_q_reason").isNull()).drop("_q_reason")
+        else:
+            ledger["quality_dropped"] = {}
 
-    kept = new_docs
-    if quality is not None:
-        reason = F.lit(None).cast("string")
-        if "gopher" in quality:
-            _, g = gopher_keep(text_col)
-            reason = F.coalesce(reason, g)
-        if "c4" in quality:
-            _, c = c4_keep(text_col)
-            reason = F.coalesce(reason, c)
-        marked = kept.withColumn("_q_reason", reason).persist()
-        ledger["quality_dropped"] = {
-            r["_q_reason"]: r["n"]
-            for r in marked.filter(F.col("_q_reason").isNotNull())
-            .groupBy("_q_reason")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        kept = marked.filter(F.col("_q_reason").isNull()).drop("_q_reason")
-    else:
-        ledger["quality_dropped"] = {}
+        verdicts = incremental_dedup_mark(
+            spark,
+            index_path,
+            kept,
+            min_agreement,
+            text_col,
+            id_col,
+            num_hashes,
+            bands,
+            shingle_n,
+        )
+        # a re-crawl (same id, near-identical text) probes as a dup
+        # OF ITS OWN stored row -- that is an update, not a
+        # duplicate: keep it and let the upsert replace the stored
+        # version
+        survivors = kept.join(
+            verdicts.filter(
+                F.col("is_unique") | (F.col("dup_of") == F.col(id_col))
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        ).persist()
+        _persisted.append(survivors)
+        n_surv = survivors.count()
+        ledger["dup_dropped"] = ledger["input"] - sum(
+            ledger["quality_dropped"].values()
+        ) - n_surv
 
-    verdicts = incremental_dedup_mark(
-        spark,
-        index_path,
-        kept,
-        min_agreement,
-        text_col,
-        id_col,
-        num_hashes,
-        bands,
-        shingle_n,
-    )
-    # a re-crawl (same id, near-identical text) probes as a dup OF
-    # ITS OWN stored row -- that is an update, not a duplicate: keep
-    # it and let the upsert replace the stored version
-    survivors = kept.join(
-        verdicts.filter(
-            F.col("is_unique") | (F.col("dup_of") == F.col(id_col))
-        ).select(id_col),
-        id_col,
-        "left_semi",
-    ).persist()
-    n_surv = survivors.count()
-    ledger["dup_dropped"] = ledger["input"] - sum(
-        ledger["quality_dropped"].values()
-    ) - n_surv
+        if n_surv == 0:
+            # an all-duplicate / all-rejected batch is a normal
+            # live-corpus event, not a job failure: nothing to drift-
+            # gate (psi requires a non-empty current), upsert, or
+            # index
+            ledger.update(
+                {
+                    "upserts": 0,
+                    "touched_buckets": 0,
+                    "recrawls": 0,
+                    "stale_signatures": 0,
+                    "drift": [],
+                }
+            )
+            return ledger
 
-    # drift gate BEFORE mutating the corpus: new accepted docs vs the
-    # current corpus
-    if drift_cols:
+        # re-crawled ids: survivors already present in the corpus
+        # (bounded by batch size -- collected for the tombstone path)
         current = read_keyed_table(spark, corpus_path)
-        ledger["drift"] = psi_report(current, survivors, list(drift_cols))
-    else:
-        ledger["drift"] = []
+        recrawled = [
+            r[0]
+            for r in survivors.select(id_col)
+            .join(current.select(id_col), id_col, "left_semi")
+            .collect()
+        ]
+        ledger["recrawls"] = len(recrawled)
 
-    stats = merge_upsert(spark, corpus_path, survivors)
-    ledger["upserts"] = stats["upserts"]
-    ledger["touched_buckets"] = len(stats["touched_buckets"])
+        # drift gate BEFORE mutating the corpus: new accepted docs vs
+        # the current corpus
+        if drift_cols:
+            ledger["drift"] = psi_report(current, survivors, list(drift_cols))
+        else:
+            ledger["drift"] = []
 
-    append_to_minhash_index(
-        survivors, index_path, text_col, id_col, num_hashes, bands, shingle_n
-    )
-    survivors.unpersist()
-    return ledger
+        stats = merge_upsert(spark, corpus_path, survivors)
+        ledger["upserts"] = stats["upserts"]
+        ledger["touched_buckets"] = len(stats["touched_buckets"])
+
+        if recrawled and compact_on_recrawl:
+            # drop the replaced texts' stale signature rows BEFORE
+            # appending the new ones (compact removes every row of a
+            # tombstoned id; the re-crawls' fresh signatures go in
+            # with the append below)
+            compact_minhash_index(spark, index_path, tombstones=recrawled)
+            ledger["stale_signatures"] = 0
+        else:
+            ledger["stale_signatures"] = len(recrawled)
+
+        append_to_minhash_index(
+            survivors, index_path, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        return ledger
+    finally:
+        for df in _persisted:
+            df.unpersist()

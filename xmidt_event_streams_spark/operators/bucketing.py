@@ -70,13 +70,18 @@ def write_bucketed(
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators in the physical plan
-    (broadcast exchanges excluded -- those are not shuffles). Used by
-    tests to prove the co-located path, and by capacity reviews to
-    audit a plan before it ships to the 100 TB cluster."""
+    """Number of shuffle Exchange operators in the physical plan.
+    Used by tests to prove the co-located path, and by capacity
+    reviews to audit a plan before it ships to the 100 TB cluster.
+
+    Counts only nodes whose line BEGINS (after tree art) with
+    ``Exchange`` -- a plain substring test would also count
+    ``BroadcastExchange`` (not a shuffle) and ``ReusedExchange``
+    lines (whose description embeds the reused child's ``Exchange
+    hashpartitioning(...)`` text; reuse is not a second shuffle, and
+    a reused *broadcast* is not a shuffle at all)."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
-    )
+    node = re.compile(r"^[\s:+\-*(\d)]*Exchange\b")
+    return sum(1 for line in plan.splitlines() if node.match(line))

@@ -24,14 +24,20 @@ from pyspark.sql import functions as F
 def _bin_counts(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
     """(bin, n) using half-open quantile bins; values past either
     edge clamp into the end bins (drift often IS out-of-range mass,
-    it must be counted, not dropped)."""
+    it must be counted, not dropped). NULLs are EXCLUDED: the naive
+    when(c >= e).otherwise(0) fold silently lands every null in bin 0
+    (null comparisons take the otherwise branch), conflating a
+    null-rate regression with low-end value drift -- approxQuantile
+    ignores nulls when fitting the edges, so binning must too. The
+    null rate is its own signal: psi_report surfaces it per column."""
     c = F.col(col).cast("double")
     arr = F.array(*[F.lit(float(e)) for e in edges])
     bin_ = F.aggregate(
         arr, F.lit(0), lambda acc, e: acc + F.when(c >= e, 1).otherwise(0)
     )
     return (
-        df.select(bin_.alias("bin"))
+        df.filter(c.isNotNull())
+        .select(bin_.alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("n"))
     )
@@ -73,10 +79,29 @@ def psi_report(
 ) -> list[dict]:
     """PSI per column with the standard verdict labels -- the
     drop-ledger analog for distribution health: log it every
-    ingestion cycle, alert on 'shifted'."""
+    ingestion cycle, alert on 'shifted'. Null rates ride along as
+    their own fields (PSI bins exclude nulls, so a schema-default
+    regression shows up as ``null_frac_cur`` jumping, not as fake
+    bin-0 drift)."""
+    n_ref = reference.count()
+    n_cur = current.count()
+    ref_nulls = reference.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    ).collect()[0]
+    cur_nulls = current.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    ).collect()[0]
     out = []
     for c in cols:
         v = psi(reference, current, c, n_bins)
         verdict = "stable" if v < 0.1 else ("drifting" if v < 0.25 else "shifted")
-        out.append({"col": c, "psi": round(v, 6), "verdict": verdict})
+        out.append(
+            {
+                "col": c,
+                "psi": round(v, 6),
+                "verdict": verdict,
+                "null_frac_ref": round(ref_nulls[c] / n_ref, 6) if n_ref else None,
+                "null_frac_cur": round(cur_nulls[c] / n_cur, 6) if n_cur else None,
+            }
+        )
     return out

@@ -94,15 +94,16 @@ def zorder_key(
         )
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    keys = []
-    for c in cols:
-        cast = F.col(c).cast("double")
-        name = f"__zq_{c}"
-        boundaries = (
-            df.select(cast.alias(name))
-            .approxQuantile(name, qs, relative_error)
-        )
-        keys.append(_bucketize(cast, boundaries))
+    names = [f"__zq_{c}" for c in cols]
+    # ONE multi-column approxQuantile job (a per-column loop would
+    # launch d full-table scans for sketches Spark computes together)
+    all_bounds = df.select(
+        *[F.col(c).cast("double").alias(n) for c, n in zip(cols, names)]
+    ).approxQuantile(names, qs, relative_error)
+    keys = [
+        _bucketize(F.col(c).cast("double"), boundaries)
+        for c, boundaries in zip(cols, all_bounds)
+    ]
     return _interleave(keys, bits)
 
 
@@ -171,11 +172,16 @@ def pruning_fraction(
 ) -> float:
     """Fraction of files a point-equality predicate on ``col`` can
     SKIP given footer stats (the scan reads only files whose
-    [min, max] contains the point)."""
+    [min, max] contains the point). A file with NO stats row for
+    ``col`` (e.g. an all-null chunk) counts as read, not skipped --
+    a real scan cannot skip what it has no bounds for."""
     files = {s["file"] for s in stats}
+    if not files:
+        raise ValueError("no footer stats: nothing to prune against")
+    with_stats = {s["file"] for s in stats if s["col"] == col}
     hit = {
         s["file"]
         for s in stats
         if s["col"] == col and s["min"] <= point <= s["max"]
-    }
+    } | (files - with_stats)
     return 1.0 - len(hit) / len(files)

@@ -139,7 +139,14 @@ def pq_fit(
     init = np.asarray([r[0] for r in first], dtype=np.float64)
     cb = np.transpose(init.reshape(k, m, dsub), (1, 0, 2)).copy()
 
-    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    # ragged/null vectors get null codes from the encode kernel, but
+    # posexplode would still emit their values with a NULL cell --
+    # and numpy interprets a None index as np.newaxis, silently
+    # corrupting the codebook in the update loop. Fit only on
+    # well-formed rows.
+    vecs = df.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).filter(F.size("_v") == dim)
     for _ in range(n_iters):
         coded = pq_encode(vecs, cb.tolist(), "_v", "_codes")
         per_dim = (
@@ -155,6 +162,8 @@ def pq_fit(
             .collect()
         )
         for row in per_dim:
+            if row["cell"] is None:  # unreachable post-filter; guard
+                continue             # against None-as-np.newaxis
             cb[row["sub"], row["cell"], row["dpos"]] = row["mean"]
     return cb.tolist()
 
@@ -194,6 +203,8 @@ def pq_topk(
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rng = np.arange(m)
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             codes = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
             ids = pdf[id_col].to_numpy()
             for qid, lut in luts:
@@ -206,8 +217,14 @@ def pq_topk(
                     }
                 )
 
-    scored = corpus_codes.select(id_col, codes_col).mapInPandas(
-        _score, out_schema
+    # null codes are pq_encode's poison-row containment (null/ragged
+    # vectors) -- they carry no searchable signal and a null cell
+    # inside np.stack would kill the task, so they are excluded here,
+    # not just at encode time
+    scored = (
+        corpus_codes.select(id_col, codes_col)
+        .filter(F.col(codes_col).isNotNull())
+        .mapInPandas(_score, out_schema)
     )
     from pyspark.sql import Window
 
