@@ -76,3 +76,15 @@ def test_dimension_joins_broadcast(spark):
     ):
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
         assert "SortMergeJoin" not in plan, f"{name}: fact-side shuffle join"
+
+
+def test_topk_windows_use_group_limit(spark):
+    """Every rank-<=k window query must plan with WindowGroupLimit
+    (Spark's map-side partial top-k): each partition keeps only k
+    candidates per group BEFORE the shuffle, so the exchange carries
+    O(groups x k), not the whole input. Losing this (e.g. by ranking
+    on a non-supported function or filtering rank != pattern) would
+    silently revert to full per-group sorts at 100 TB."""
+    for name in ("top_users_per_type", "embedding_topk", "ivf_ann", "lsh_ann"):
+        plan = _plan(spark, name)
+        assert "WindowGroupLimit" in plan, f"{name}: no WindowGroupLimit"
