@@ -106,3 +106,97 @@ class TestDriftNulls:
         rep = psi_report(ref, cur, ["x"])[0]
         assert rep["null_frac_ref"] == pytest.approx(0.3, abs=0.01)
         assert rep["null_frac_cur"] == pytest.approx(0.5, abs=0.01)
+
+
+class TestChunkDocuments:
+    def test_matches_duckdb_reconstruction(self, spark):
+        """Chunk windows vs a DuckDB list-slice twin over the real
+        documents table: same chunk texts, counts, and coverage."""
+        import duckdb
+
+        from xmidt_event_streams_spark.operators.traindata import (
+            chunk_documents,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["n_chunks"], r["chunk_start"],
+             r["chunk_n_tokens"], r["chunk_text"])
+            for r in chunk_documents(docs, max_tokens=12, overlap=4).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                r"""
+                WITH t AS (
+                  SELECT doc_id, list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')),
+                    ' '), x -> x <> '') AS w
+                  FROM documents
+                ), meta AS (
+                  SELECT doc_id, w,
+                    greatest(CAST(ceil((len(w) - 4) / 8.0) AS INT), 1) AS n_chunks
+                  FROM t
+                )
+                SELECT doc_id,
+                  CAST(i AS INT) AS chunk_id,
+                  n_chunks,
+                  CAST(i * 8 + 1 AS INT) AS chunk_start,
+                  CAST(len(w[i*8+1 : i*8+12]) AS INT) AS chunk_n_tokens,
+                  array_to_string(w[i*8+1 : i*8+12], ' ') AS chunk_text
+                FROM meta, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+                """
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_coverage_and_overlap_properties(self, spark):
+        from xmidt_event_streams_spark.operators.traindata import (
+            chunk_documents,
+        )
+
+        text = " ".join(f"w{i}" for i in range(25))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, max_tokens=10, overlap=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # stride 7: starts 1,8,15,22 -> 4 chunks
+        assert [r["chunk_start"] for r in rows] == [1, 8, 15, 22]
+        assert rows[0]["n_chunks"] == 4
+        # consecutive chunks share exactly `overlap` tokens
+        a = rows[0]["chunk_text"].split()
+        b = rows[1]["chunk_text"].split()
+        assert a[-3:] == b[:3]
+        # every token is covered
+        covered = set()
+        for r in rows:
+            covered.update(r["chunk_text"].split())
+        assert covered == set(text.split())
+        # tail chunk is short, not dropped
+        assert rows[-1]["chunk_n_tokens"] == 4
+
+    def test_edge_cases_and_guards(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.traindata import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "just three words"), (2, "")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in chunk_documents(df, 10).collect()}
+        assert rows[1]["n_chunks"] == 1 and rows[1]["chunk_n_tokens"] == 3
+        assert rows[2]["n_chunks"] == 1 and rows[2]["chunk_n_tokens"] == 0
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, 10, overlap=10)
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_documents(df, 0)

@@ -296,3 +296,71 @@ def build_user_sequences(
             ).otherwise(F.col("seq")),
         )
     return agg
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows -- the chunking
+    step before embedding/RAG indexing or fixed-context training.
+
+    Output: one row per chunk with (id, chunk_id, n_chunks,
+    chunk_start, chunk_n_tokens, chunk_text). chunk_id is 0-based in
+    reading order; consecutive chunks share ``overlap`` tokens
+    (stride = max_tokens - overlap). The final chunk may be short; a
+    document shorter than ``max_tokens`` yields exactly one chunk;
+    empty documents yield one empty chunk (provenance preserved -- a
+    vanished doc_id is how chunking bugs hide).
+
+    Pure expression composition: tokenize once (let-bound), explode a
+    sequence of stride starts, slice + rejoin. Narrow until the
+    explode; the explode's fan-out is size/stride per doc -- the same
+    row-amplification as any shingle op, shuffled only by whatever
+    consumes it. Token positions (chunk_start) index the NORMALIZED
+    token stream (functions/text.tokens), which is what downstream
+    token-budget math uses too."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    from xmidt_event_streams_spark.functions.text import tokens
+
+    stride = max_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size("_toks")
+    # starts: 1, 1+stride, ... while start <= n (Spark arrays are
+    # 1-indexed); empty doc -> single start at 1 (empty chunk)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    out = (
+        df.withColumn("_toks", toks)
+        .withColumn("_n_chunks", n_chunks)
+        .select(
+            F.col(id_col),
+            "_toks",
+            "_n_chunks",
+            F.posexplode(
+                F.sequence(
+                    F.lit(1), (F.col("_n_chunks") - 1) * stride + 1, F.lit(stride)
+                )
+            ).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.col("_n_chunks").alias("n_chunks"),
+            F.col("chunk_start"),
+            F.size(F.slice("_toks", F.col("chunk_start"), F.lit(max_tokens))).alias(
+                "chunk_n_tokens"
+            ),
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("chunk_start"), F.lit(max_tokens))
+            ).alias("chunk_text"),
+        )
+    )
+    return out
