@@ -137,3 +137,102 @@ def test_codec_rejects_unknown_name(spark):
 
     with pytest.raises(ValueError, match="codec must be"):
         extract_image_features(_media(spark), codec="ffmpeg")
+
+
+class TestPerceptualDedup:
+    """image_phash + image_near_dups: perceptual near-dup pairs via
+    banded Hamming join (no all-pairs shape)."""
+
+    def _media(self, spark):
+        base = bytes(range(200)) * 4
+        close = bytearray(base)
+        close[3] ^= 0xFF  # few pixel cells differ -> small hamming
+        far = bytes(reversed(base))
+        rows = [
+            (1, base),
+            (2, bytes(close)),
+            (3, far),
+            (4, base),          # identical -> hamming 0
+            (5, None),          # poison
+            (6, b""),           # poison
+        ]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_phash_shape_and_poison(self, spark):
+        from xmidt_event_streams_spark.multimodal import image_phash
+
+        got = {
+            r["media_id"]: r["phash"]
+            for r in image_phash(self._media(spark), codec="stub").collect()
+        }
+        assert got[5] is None and got[6] is None
+        assert got[1] == got[4] and len(got[1]) == 16
+        assert all(
+            c in "0123456789abcdef" for v in got.values() if v for c in v
+        )
+
+    def test_near_dups_banded_join(self, spark):
+        from xmidt_event_streams_spark.multimodal import (
+            image_near_dups,
+            image_phash,
+        )
+
+        hashes = image_phash(self._media(spark), codec="stub")
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in image_near_dups(hashes, max_hamming=6).collect()
+        }
+        assert pairs[(1, 4)] == 0
+        assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 6
+        assert (2, 4) in pairs  # transitively byte-close
+        assert not any(3 in p for p in pairs)  # reversed bytes: far
+        assert not any(5 in p or 6 in p for p in pairs)
+
+    def test_exact_recall_vs_brute_force(self, spark):
+        """Within the pigeonhole guarantee (hamming < n_bands) the
+        banded join finds EVERY pair the brute-force distance does."""
+        import itertools
+
+        from xmidt_event_streams_spark.multimodal import (
+            image_near_dups,
+            image_phash,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        base = bytes(rng.randrange(256) for _ in range(128))
+        rows = []
+        for i in range(12):
+            b = bytearray(base)
+            for _ in range(rng.randrange(0, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            rows.append((i, bytes(b)))
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        hashes = image_phash(df, codec="stub")
+        hv = {r["media_id"]: int(r["phash"], 16) for r in hashes.collect()}
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(hv), 2)
+            if bin(hv[a] ^ hv[b]).count("1") <= 5
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in image_near_dups(hashes, max_hamming=5).collect()
+        }
+        assert got == want and want  # non-trivial and exact
+
+    def test_guards(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.multimodal import (
+            image_near_dups,
+            image_phash,
+        )
+
+        with pytest.raises(ValueError, match="pigeonhole"):
+            image_near_dups(
+                image_phash(self._media(spark), codec="stub"), max_hamming=8
+            )
+        with pytest.raises(ValueError, match="hash_size"):
+            image_phash(self._media(spark), hash_size=1)

@@ -250,3 +250,154 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+# ---------------------------------------------------------------------
+# perceptual image dedup: dHash + banded Hamming candidate pairs
+
+
+def _pixels_stub(payload: bytes, w: int, h: int):
+    """Deterministic pseudo-pixel grid from payload bytes (stub-world
+    pixels: byte-similar payloads -> pixel-similar grids, so the
+    Hamming-distance math downstream is real even though the decode
+    is fake -- same posture as _decode_image_stub)."""
+    import numpy as np
+
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-(w * h) // len(raw))  # ceil
+    return np.tile(raw, reps)[: w * h].reshape(h, w).astype(np.float64)
+
+
+def image_phash(
+    df: DataFrame,
+    codec: str = "auto",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Difference-hash (dHash) per image: decode to a grayscale
+    (hash_size+1 x hash_size) thumbnail, emit one bit per horizontal
+    neighbor comparison -> a hash_size^2-bit hex string. Byte-exact
+    dedup misses re-encoded/resized copies; dHash survives them (the
+    standard perceptual-dedup tier for image corpora). ``codec`` as in
+    extract_image_features: PIL thumbnails when the executor has it,
+    else the deterministic stub pixels. Undecodable payloads -> null
+    phash (poison containment, V9)."""
+    if hash_size < 2 or hash_size > 16:
+        raise ValueError("hash_size must be in [2, 16]")
+    _resolve_image_decoder(codec)  # fail fast on bad codec names
+    n_hex = (hash_size * hash_size + 3) // 4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        use_pil = codec == "pil"
+        if codec == "auto":
+            try:
+                import PIL  # noqa: F401
+
+                use_pil = True
+            except ImportError:
+                use_pil = False
+
+        def one(payload):
+            if payload is None or len(payload) == 0:
+                return None
+            try:
+                if use_pil:
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload)).convert("L")
+                    img = img.resize((hash_size + 1, hash_size))
+                    grid = np.asarray(img, dtype=np.float64)
+                else:
+                    grid = _pixels_stub(payload, hash_size + 1, hash_size)
+            except Exception:
+                return None
+            bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+            val = 0
+            for b in bits:
+                val = (val << 1) | int(b)
+            return format(val, f"0{n_hex}x")
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "phash": pdf[payload_col].map(one)}
+            )
+
+    out_schema = f"{df.select(id_col).schema[0].simpleString()}, phash string"
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def image_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+
+    Banded, like MinHash LSH: the 64-bit hash splits into ``n_bands``
+    substrings; two hashes within Hamming distance d MUST share a band
+    when d < n_bands (pigeonhole), so the candidate join is an
+    equi-join on (band_idx, band_value) -- no all-pairs shape. The
+    exact distance then verifies candidates via xor + bit_count on
+    the two 32-bit halves (JVM-side; conv() of a full 64-bit hex
+    would overflow signed long). Recall is EXACT for
+    ``max_hamming < n_bands`` and partial beyond (documented, like
+    ngram_jaccard's cap ledger). Output: id_a < id_b, hamming."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(pigeonhole recall guarantee); got n_bands={n_bands}"
+        )
+    h = hashes.filter(F.col(phash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph")
+    )
+    hex_len = 16  # 64-bit hashes (hash_size=8)
+    band_w = hex_len // n_bands
+    bands = h.select(
+        "_id",
+        "_ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.substring("_ph", 1 + i * band_w, band_w).alias("v"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("_id", "_ph", "bv.b", "bv.v")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("x._ph").alias("ph_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("y._ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+
+    def _half(col, lo):  # 8-hex half -> long
+        return F.conv(F.substring(col, lo, 8), 16, 10).cast("long")
+
+    hamming = (
+        F.bit_count(_half("ph_a", 1).bitwiseXOR(_half("ph_b", 1)))
+        + F.bit_count(_half("ph_a", 9).bitwiseXOR(_half("ph_b", 9)))
+    ).alias("hamming")
+    return cand.select("id_a", "id_b", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )
