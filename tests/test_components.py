@@ -250,6 +250,7 @@ OFF_REGISTRY = [
     "tpch_q19ish",
     "clicked_not_purchased",
     "props_json",
+    "value_outliers",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -262,6 +263,7 @@ OFF_REGISTRY_EVIDENCE = {
     "tpch_q22ish": "tests/test_components.py::test_off_registry_parity",
     "clicked_not_purchased": "tests/test_components.py::test_off_registry_parity",
     "props_json": "tests/test_components.py::test_off_registry_parity",
+    "value_outliers": "tests/test_components.py::test_off_registry_parity",
     "tpch_q7ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q10ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q12ish": "tests/test_components.py::test_off_registry_parity",

@@ -236,3 +236,30 @@ class TestPerceptualDedup:
             )
         with pytest.raises(ValueError, match="hash_size"):
             image_phash(self._media(spark), hash_size=1)
+
+
+def test_validate_embeddings_gate(spark):
+    """The ANN ingest gate: every poison class lands in the rejects
+    ledger with its reason; the valid side is exactly the well-formed
+    rows."""
+    from xmidt_event_streams_spark.functions.vectors import validate_embeddings
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, None),
+        (3, [1.0, 2.0]),
+        (4, [1.0, float("nan"), 3.0]),
+        (5, [0.0, 0.0, 0.0]),
+        (6, [float("inf"), 1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    valid, rejects = validate_embeddings(df, dim=3)
+    assert [r["vec_id"] for r in valid.collect()] == [1]
+    got = {r["vec_id"]: r["reject_reason"] for r in rejects.collect()}
+    assert got == {2: "null", 3: "wrong_dim", 4: "non_finite",
+                   5: "zero", 6: "non_finite"}
+    # ledger sums to input
+    assert valid.count() + rejects.count() == len(rows)
+    # allow_zero admits the zero vector (dot-product spaces)
+    valid2, _ = validate_embeddings(df, dim=3, allow_zero=True)
+    assert sorted(r["vec_id"] for r in valid2.collect()) == [1, 5]

@@ -1992,6 +1992,62 @@ SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
 """
 
 
+# --------------------------------------------- robust outlier stats
+
+
+def q_value_outliers(spark, sf_dir):
+    """Robust per-group anomaly stats: median, MAD (median absolute
+    deviation), and how many values sit beyond median +- 3*MAD --
+    mean/stddev blow up under the very outliers being hunted; the
+    median/MAD pair does not. Three stages, each one grouped agg plus
+    a broadcast of the k-row stats back onto the fact (the fact never
+    shuffles for the joins); at 100 TB swap percentile for
+    approx_percentile -- same shape, sketch state."""
+    ev = _ev(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mads = dev.groupBy("event_type").agg(
+        F.min("_med").alias("_median"),
+        F.percentile("_adev", F.lit(0.5)).alias("_mad"),
+    )
+    return (
+        dev.join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("_median"), 6).alias("median"),
+            F.round(F.min("_mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("_adev") > F.lit(3.0) * F.col("_mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+SQL_VALUE_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, abs(value - m) AS adev, m
+  FROM events e JOIN med USING (event_type)
+), mads AS (
+  SELECT event_type, min(m) AS med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  round(min(mads.med), 6) AS median,
+  round(min(mads.mad), 6) AS mad,
+  CAST(sum(CASE WHEN d.adev > 3.0 * mads.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev d JOIN mads USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 # ------------------------------------ semi-structured (JSON / VARIANT)
 
 

@@ -221,3 +221,45 @@ def random_projection_sign_bits(a: Column | str, planes: list[list[float]]) -> C
         return F.concat(*bits)
 
     return let_bind(as_double(a), body)
+
+
+def validate_embeddings(
+    df: "DataFrame",
+    dim: int,
+    vec_col: str = "embedding",
+    allow_zero: bool = False,
+):
+    """(valid, rejects) gate for an embedding column -- run it ONCE at
+    ingest, before anything ANN-shaped. Every kernel downstream
+    (cosine_pairs, nearest_cells, pq_encode) CONTAINS poison rows by
+    emitting nulls, which is the right per-operator posture but the
+    wrong corpus posture: silently null-scored vectors vanish from
+    every index and search without a ledger entry. This gate makes
+    the loss explicit, with the same (kept, rejects-with-reason)
+    contract as the text quality filters and validation rejects.
+
+    Reasons, first match wins: 'null', 'wrong_dim', 'non_finite'
+    (NaN/Inf anywhere), 'zero' (zero norm -- cosine-undefined;
+    admitted when ``allow_zero``). Pure JVM expressions, one narrow
+    pass, no shuffle."""
+    c = F.col(vec_col)
+    has_non_finite = F.exists(
+        c, lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e308))
+    )
+    is_zero = F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x * x
+    ) == F.lit(0.0)
+    reason = (
+        F.when(c.isNull(), "null")
+        .when(F.size(c) != dim, "wrong_dim")
+        .when(has_non_finite, "non_finite")
+    )
+    if not allow_zero:
+        reason = reason.when(is_zero, "zero")
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    marked = df.withColumn("_vec_reject", reason)
+    valid = marked.filter(F.col("_vec_reject").isNull()).drop("_vec_reject")
+    rejects = marked.filter(F.col("_vec_reject").isNotNull()).withColumnRenamed(
+        "_vec_reject", "reject_reason"
+    )
+    return valid, rejects
