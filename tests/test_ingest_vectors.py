@@ -1,0 +1,109 @@
+"""Streaming embedding ingest (streaming/ingest_vectors.py):
+validate -> idempotent IVF-index fold -> rejects ledger."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.ivf import (
+    append_to_ivf_index,
+    probe_ivf_index,
+    write_ivf_index,
+)
+from xmidt_event_streams_spark.operators.similarity import deterministic_planes
+from xmidt_event_streams_spark.streaming.ingest_vectors import (
+    start_ingest_vectors,
+)
+
+DIM = 8
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _vec(seed):
+    return [((seed * (d + 3)) % 17) / 17.0 + 0.05 for d in range(DIM)]
+
+
+def _write_items(path, items):
+    with open(path, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+
+def _run(spark, src, index, rejects, ckpt):
+    q = start_ingest_vectors(
+        spark.readStream.schema(SCHEMA).json(str(src)),
+        str(index), str(rejects), str(ckpt), dim=DIM,
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_folds_batches_and_ledgers_rejects(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    index, rejects, ckpt = tmp_path / "idx", tmp_path / "rej", tmp_path / "ck"
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    seed = spark.createDataFrame([], SCHEMA)
+    write_ivf_index(seed, str(index), cents)  # empty init, sidecar only
+
+    _write_items(
+        src / "b1.json",
+        [{"vec_id": i, "embedding": _vec(i)} for i in range(10)]
+        + [{"vec_id": 90, "embedding": None},
+           {"vec_id": 91, "embedding": [1.0, 2.0]}],
+    )
+    _run(spark, src, index, rejects, ckpt)
+    _write_items(
+        src / "b2.json",
+        [{"vec_id": 10 + i, "embedding": _vec(40 + i)} for i in range(5)],
+    )
+    _run(spark, src, index, rejects, ckpt)  # restart from checkpoint
+
+    idx = spark.read.parquet(str(index))
+    assert idx.count() == 15
+    assert set(idx.columns) >= {"vec_id", "embedding", "cell",
+                                "_ingest_batch_id"}
+    rej = spark.read.parquet(str(rejects))
+    got = {r["vec_id"]: r["reject_reason"] for r in rej.collect()}
+    assert got == {90: "null", 91: "wrong_dim"}
+
+    # the folded index is searchable: probe retrieves an appended id
+    q = spark.createDataFrame([(0, _vec(0))], SCHEMA)
+    hits = probe_ivf_index(spark, str(index), q, cents, k=3, n_probe=2)
+    assert hits.count() == 3
+
+
+def test_replayed_batch_fold_is_idempotent(spark, tmp_path):
+    index = tmp_path / "idx"
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    write_ivf_index(spark.createDataFrame([], SCHEMA), str(index), cents)
+    batch = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(6)], SCHEMA
+    )
+    append_to_ivf_index(batch, str(index), batch_id=3)
+    before = sorted(
+        r["vec_id"] for r in spark.read.parquet(str(index)).collect()
+    )
+    append_to_ivf_index(batch, str(index), batch_id=3)  # replay
+    after = sorted(
+        r["vec_id"] for r in spark.read.parquet(str(index)).collect()
+    )
+    assert before == after == list(range(6))
+
+
+def test_seed_corpus_folds_as_batch_minus_one(spark, tmp_path):
+    index = tmp_path / "idx"
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    write_ivf_index(spark.createDataFrame([], SCHEMA), str(index), cents)
+    corpus = spark.createDataFrame([(i, _vec(i)) for i in range(8)], SCHEMA)
+    append_to_ivf_index(corpus, str(index), batch_id=-1)
+    append_to_ivf_index(
+        spark.createDataFrame([(100, _vec(100))], SCHEMA),
+        str(index),
+        batch_id=0,
+    )
+    idx = spark.read.parquet(str(index))
+    assert idx.count() == 9
+    assert {r["_ingest_batch_id"] for r in idx.collect()} == {-1, 0}

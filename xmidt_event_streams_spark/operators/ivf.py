@@ -344,6 +344,7 @@ def append_to_ivf_index(
     df: DataFrame,
     path: str,
     vec_col: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Fold a new vector batch into an existing IVF index (append-only
     -- existing cell files are never rewritten; cell assignment is a
@@ -372,10 +373,22 @@ def append_to_ivf_index(
             f"index at {path} stores vec_col={meta['vec_col']!r}, "
             f"append supplied {vec_col!r}"
         )
-    (
-        assign_cells(df, meta["centroids"], vec_col)
-        .repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(path)
+    assigned = assign_cells(df, meta["centroids"], vec_col).repartition(
+        F.col("cell")
     )
+    if batch_id is None:
+        assigned.write.partitionBy("cell").mode("append").parquet(path)
+    else:
+        # streaming arm: sub-partition by the checkpoint-deterministic
+        # batch id and dynamically overwrite ONLY this batch's
+        # (cell, batch) partitions -- an at-least-once replay rewrites
+        # its own rows instead of duplicating ids in search results.
+        # Cell-level partition pruning at probe time is unaffected
+        # (cell stays the leading partition key).
+        (
+            assigned.withColumn("_ingest_batch_id", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "_ingest_batch_id")
+            .mode("overwrite")
+            .parquet(path)
+        )
