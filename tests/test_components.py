@@ -251,6 +251,7 @@ OFF_REGISTRY = [
     "clicked_not_purchased",
     "props_json",
     "value_outliers",
+    "resample_ffill",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -264,6 +265,7 @@ OFF_REGISTRY_EVIDENCE = {
     "clicked_not_purchased": "tests/test_components.py::test_off_registry_parity",
     "props_json": "tests/test_components.py::test_off_registry_parity",
     "value_outliers": "tests/test_components.py::test_off_registry_parity",
+    "resample_ffill": "tests/test_components.py::test_off_registry_parity",
     "tpch_q7ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q10ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q12ish": "tests/test_components.py::test_off_registry_parity",

@@ -200,3 +200,46 @@ class TestChunkDocuments:
             chunk_documents(df, 10, overlap=10)
         with pytest.raises(ValueError, match="max_tokens"):
             chunk_documents(df, 0)
+
+
+class TestResample:
+    def test_gap_fill_semantics(self, spark):
+        from xmidt_event_streams_spark.operators.resample import (
+            resample_ffill,
+        )
+
+        rows = [
+            (1, "2024-01-01 00:10:00", 1, 5.0),
+            (2, "2024-01-01 00:50:00", 1, 7.0),   # same bucket: later wins
+            (3, "2024-01-01 03:20:00", 1, 9.0),   # 2 gap buckets before
+            (4, "2024-01-01 01:00:00", 2, 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            (r["user_id"], str(r["bucket_ts"])): (r["value_ffill"], r["n_events"])
+            for r in resample_ffill(df, interval_seconds=3600).collect()
+        }
+        assert got[(1, "2024-01-01 00:00:00")] == (7.0, 2)  # last-in-bucket
+        assert got[(1, "2024-01-01 01:00:00")] == (7.0, 0)  # gap: ffill
+        assert got[(1, "2024-01-01 02:00:00")] == (7.0, 0)
+        assert got[(1, "2024-01-01 03:00:00")] == (9.0, 1)
+        assert got[(2, "2024-01-01 01:00:00")] == (2.0, 1)
+        # no extrapolation beyond each key's span
+        assert len([k for k in got if k[0] == 2]) == 1
+
+    def test_in_bucket_tie_is_deterministic(self, spark):
+        from xmidt_event_streams_spark.operators.resample import (
+            resample_ffill,
+        )
+
+        rows = [
+            (10, "2024-01-01 00:30:00", 1, 3.0),
+            (11, "2024-01-01 00:30:00", 1, 4.0),  # same ts: max id wins
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = resample_ffill(df, interval_seconds=3600).collect()
+        assert out[0]["value_ffill"] == 4.0

@@ -1992,6 +1992,57 @@ SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
 """
 
 
+# ------------------------------------------ time-series resampling
+
+
+RESAMPLE_INTERVAL_S = 6 * 3600
+
+
+def q_resample_ffill(spark, sf_dir):
+    """Fixed-grid resampling with forward fill (operators/resample.py):
+    per-user 6 h buckets, last observation carried across gaps,
+    n_events = 0 on gap rows. The regular-grid shape every
+    time-series join/model consumes."""
+    from xmidt_event_streams_spark.operators.resample import resample_ffill
+
+    return resample_ffill(
+        _ev(spark, sf_dir), interval_seconds=RESAMPLE_INTERVAL_S
+    )
+
+
+SQL_RESAMPLE_FFILL = f"""
+WITH b AS (
+  SELECT user_id,
+    CAST(to_timestamp((epoch(ts)::BIGINT // {RESAMPLE_INTERVAL_S})
+      * {RESAMPLE_INTERVAL_S}) AS TIMESTAMP) AS bkt,
+    value, ts, event_id
+  FROM events
+), lastv AS (
+  SELECT user_id, bkt, value AS lastv, n_events FROM (
+    SELECT user_id, bkt, value,
+      row_number() OVER (PARTITION BY user_id, bkt
+                         ORDER BY ts DESC, event_id DESC) AS rn,
+      count(*) OVER (PARTITION BY user_id, bkt) AS n_events
+    FROM b
+  ) WHERE rn = 1
+), spans AS (
+  SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM lastv GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+    unnest(generate_series(lo, hi,
+      INTERVAL {RESAMPLE_INTERVAL_S} SECONDS)) AS bucket_ts
+  FROM spans
+)
+SELECT g.user_id, g.bucket_ts,
+  round(last_value(l.lastv IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill,
+  coalesce(l.n_events, 0) AS n_events
+FROM grid g LEFT JOIN lastv l
+  ON l.user_id = g.user_id AND l.bkt = g.bucket_ts
+"""
+
+
 # --------------------------------------------- robust outlier stats
 
 
