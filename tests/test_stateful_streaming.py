@@ -361,10 +361,21 @@ def test_hybrid_flush_under_rocksdb_state_store(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / "ckpt"))
             .start()
         )
-        deadline = time.time() + 60
+        # generous deadline: under full-suite load (32 concurrent
+        # Spark threads) RocksDB store init can push the first
+        # batches past a 60 s budget (observed flake)
+        deadline = time.time() + 150
         while time.time() < deadline and len(out) < 2:
             time.sleep(0.3)
+        # the progress entry carrying stateOperators can lag the
+        # batch output -- poll for it instead of snapshotting once
         progresses = list(q.recentProgress)
+        prog_deadline = time.time() + 30
+        while time.time() < prog_deadline and not any(
+            (p or {}).get("stateOperators") for p in progresses
+        ):
+            time.sleep(0.5)
+            progresses = list(q.recentProgress)
         q.stop()
         q.awaitTermination(60)
     finally:
