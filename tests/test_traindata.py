@@ -301,3 +301,80 @@ def test_mixture_sample_rejects_bad_weights(spark, sf_dir):
         mixture_sample(docs, "lang", {})
     with pytest.raises(ValueError, match="absent from corpus"):
         mixture_sample(docs, "lang", {"klingon": 1.0})
+
+
+class TestWeightedSample:
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    deterministic (hash-derived uniforms), engine-portable, weight-
+    responsive."""
+
+    def test_duckdb_parity_on_documents(self, spark):
+        import duckdb
+
+        from xmidt_event_streams_spark.operators.traindata import (
+            weighted_sample,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        got = sorted(
+            r["doc_id"] for r in weighted_sample(docs, 80, "n_chars").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                """
+                SELECT doc_id FROM (
+                  SELECT doc_id,
+                    ln((CAST(('0x' || substr(md5('wsample-v1' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOUBLE)
+                      + 1.0) / 16.0^15) / n_chars AS k
+                  FROM documents d WHERE n_chars > 0
+                  ORDER BY k DESC, doc_id LIMIT 80
+                )
+                """
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_deterministic_and_salt_redraws(self, spark):
+        from xmidt_event_streams_spark.operators.traindata import (
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 5)) for i in range(500)], "doc_id long, w double"
+        )
+        a = sorted(r["doc_id"] for r in weighted_sample(df, 50, "w").collect())
+        b = sorted(r["doc_id"] for r in weighted_sample(df, 50, "w").collect())
+        c = sorted(
+            r["doc_id"]
+            for r in weighted_sample(df, 50, "w", salt="other").collect()
+        )
+        assert a == b
+        assert a != c  # a different salt is a different draw
+
+    def test_weight_responsiveness_and_guards(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.traindata import (
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+            + [(2000, 0.0), (2001, None)],
+            "doc_id long, w double",
+        )
+        picked = [r["doc_id"] for r in weighted_sample(df, 100, "w").collect()]
+        heavy_frac = sum(1 for p in picked if p < 50) / 50
+        assert heavy_frac >= 0.9  # 100x weight: (nearly) all heavies in
+        assert 2000 not in picked and 2001 not in picked
+        with pytest.raises(ValueError, match="n must be positive"):
+            weighted_sample(df, 0, "w")

@@ -364,3 +364,45 @@ def chunk_documents(
         )
     )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``n`` rows with the largest Efraimidis-Spirakis keys
+    u^(1/w) -- equivalently rank by ln(u)/w -- where u is a uniform
+    derived from md5(salt || id), not an RNG. (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006 -- the
+    standard one-pass distributed formulation; implemented from the
+    published definition.) Inclusion probability is proportional-ish
+    to weight, the draw is a pure row property (stable across runs,
+    partitioning, retries, and engines -- the same contract as
+    stratified_sample vs sampleBy), and changing ``salt`` redraws.
+
+    Rows with weight <= 0 or null are excluded (they cannot win under
+    the ES key and their ln/0 is undefined -- excluded loudly here
+    rather than NaN-ranked). One global top-n (TakeOrderedAndProject:
+    per-partition heaps of n, no full sort); for n large enough to
+    strain the driver, rank with a threshold instead.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    # 15 hex chars = 60 bits -> exact double arithmetic, u in (0, 1]
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**15))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_es_key")
+    )
