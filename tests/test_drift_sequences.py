@@ -243,3 +243,94 @@ class TestResample:
         ).withColumn("ts", F.to_timestamp("ts"))
         out = resample_ffill(df, interval_seconds=3600).collect()
         assert out[0]["value_ffill"] == 4.0
+
+
+class TestResampleInterpolate:
+    def test_linear_gap_values_and_duckdb_twin(self, spark):
+        import duckdb
+
+        from xmidt_event_streams_spark.operators.resample import (
+            resample_interpolate,
+        )
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1, 10.0),
+            (2, "2024-01-01 04:00:00", 1, 30.0),  # 3 gap hours between
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            str(r["bucket_ts"]): r["value_interp"]
+            for r in resample_interpolate(df, interval_seconds=3600).collect()
+        }
+        assert got["2024-01-01 01:00:00"] == 15.0
+        assert got["2024-01-01 02:00:00"] == 20.0
+        assert got["2024-01-01 03:00:00"] == 25.0
+        assert got["2024-01-01 00:00:00"] == 10.0
+        assert got["2024-01-01 04:00:00"] == 30.0
+
+        # DuckDB twin over real data: same prev/next window construct
+        sf = "/root/testdata/sf0.001"
+        ev = load_tables(spark, sf, ("events",))["events"]
+        I = 6 * 3600
+        sgot = sorted(
+            tuple(str(x) for x in r)
+            for r in resample_interpolate(ev, interval_seconds=I).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        cur = con.execute(f"""
+            WITH b AS (
+              SELECT user_id,
+                CAST(to_timestamp((epoch(ts)::BIGINT // {I}) * {I}) AS TIMESTAMP) AS bkt,
+                value, ts, event_id
+              FROM events
+            ), lastv AS (
+              SELECT user_id, bkt, value AS lastv, n_events FROM (
+                SELECT user_id, bkt, value,
+                  row_number() OVER (PARTITION BY user_id, bkt
+                                     ORDER BY ts DESC, event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY user_id, bkt) AS n_events
+                FROM b
+              ) WHERE rn = 1
+            ), spans AS (
+              SELECT user_id, min(bkt) AS lo, max(bkt) AS hi
+              FROM lastv GROUP BY user_id
+            ), grid AS (
+              SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL {I} SECONDS)) AS bucket_ts
+              FROM spans
+            ), j AS (
+              SELECT g.user_id, g.bucket_ts, l.lastv, coalesce(l.n_events, 0) AS n_events,
+                epoch(g.bucket_ts) AS t,
+                CASE WHEN l.lastv IS NOT NULL THEN epoch(g.bucket_ts) END AS obs_t
+              FROM grid g LEFT JOIN lastv l
+                ON l.user_id = g.user_id AND l.bkt = g.bucket_ts
+            )
+            SELECT user_id, bucket_ts,
+              round(CASE WHEN lastv IS NOT NULL THEN lastv ELSE
+                last_value(lastv IGNORE NULLS) OVER wp
+                + (first_value(lastv IGNORE NULLS) OVER wn
+                   - last_value(lastv IGNORE NULLS) OVER wp)
+                  * (t - last_value(obs_t IGNORE NULLS) OVER wp)
+                  / (first_value(obs_t IGNORE NULLS) OVER wn
+                     - last_value(obs_t IGNORE NULLS) OVER wp)
+              END, 6) AS value_interp,
+              n_events
+            FROM j
+            WINDOW
+              wp AS (PARTITION BY user_id ORDER BY bucket_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wn AS (PARTITION BY user_id ORDER BY bucket_ts
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        """)
+        cols = [d[0] for d in cur.description]
+        order = [cols.index(c) for c in
+                 ["user_id", "bucket_ts", "value_interp", "n_events"]]
+        swant = sorted(
+            tuple(str(r[i]) for i in order) for r in cur.fetchall()
+        )
+        assert sgot == swant

@@ -133,3 +133,22 @@ def test_zorder_guards(spark):
         zorder_key(ev, ("value",))
     with pytest.raises(ValueError, match="overflows"):
         zorder_key(ev, ("value", "user_id"), bits=32)
+
+
+def test_morton_key_is_bijective_on_bucket_grid(spark):
+    """Every (a, b) bucket pair must map to a distinct Morton key
+    (bits=4 -> the full 16x16 grid checked exhaustively): a collision
+    would silently merge unrelated hyper-rectangles into one file."""
+    from xmidt_event_streams_spark.operators.layout import _interleave
+
+    grid = (
+        spark.range(16)
+        .withColumnRenamed("id", "a")
+        .crossJoin(spark.range(16).withColumnRenamed("id", "b"))
+    )
+    out = grid.select(
+        _interleave([F.col("a"), F.col("b")], 4).alias("z")
+    )
+    assert out.distinct().count() == 256
+    lo, hi = out.agg(F.min("z"), F.max("z")).collect()[0]
+    assert (lo, hi) == (0, 255)  # dense cover of the 8-bit key space
