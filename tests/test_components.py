@@ -248,6 +248,15 @@ OFF_REGISTRY = [
     "tpch_q14ish",
     "tpch_q18ish",
     "tpch_q19ish",
+    "tpch_q2ish",
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "tpch_q11ish",
+    "tpch_q13ish",
+    "tpch_q15ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q20ish",
     "clicked_not_purchased",
     "props_json",
     "value_outliers",
@@ -272,6 +281,15 @@ OFF_REGISTRY_EVIDENCE = {
     "tpch_q14ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q18ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q19ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q2ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q8ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q9ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q11ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q13ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q15ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q16ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q17ish": "tests/test_components.py::test_off_registry_parity",
+    "tpch_q20ish": "tests/test_components.py::test_off_registry_parity",
     "ivf_ann_kmeans": "tests/test_msgpack_asof.py::TestIvfKmeansQuery",
 }
 

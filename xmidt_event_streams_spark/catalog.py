@@ -2247,6 +2247,583 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------- remaining TPC-H family (Q2/Q8/Q9/Q11/Q13/Q15/
+# Q16/Q17/Q20 shapes, adapted to the available columns -- there is no
+# partsupp table, so the part-supplier cost/availability relation is
+# derived from lineitem). Together with q1/q3/q4/q5/q6/q7/q10/q12/q14/
+# q18/q19/q21/q22 above this closes the full 22-query shape family.
+
+
+def q_tpch_q2ish(spark, sf_dir):
+    """Min-cost supplier per part (TPC-H Q2 shape). cost(part, supp) =
+    min observed l_extendedprice in lineitem (partsupp stand-in). The
+    correlated scalar subquery of Q2 -- "the minimum cost any EUROPE
+    supplier offers for this part" -- decorrelates into a groupBy-min
+    + join-back on (partkey, cost), written explicitly so the plan is
+    the one Catalyst would rewrite to anyway.
+
+    Scale: the cost relation is one hash-agg shuffle of a 3-column
+    lineitem projection on (partkey, suppkey); the per-part min is a
+    second agg an order smaller (|parts| rows); the join-back is equi
+    on (partkey, cost) against that small side, broadcast. Supplier/
+    nation/region dims broadcast; ties on min cost surface all
+    winners, exactly as Q2 does."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region")
+    )
+    eur = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(
+            F.broadcast(eur.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    min_cost = cost.groupBy("l_partkey").agg(F.min("cost").alias("mc")).select(
+        F.col("l_partkey").alias("mk"), "mc"
+    )
+    parts = t["part"].filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mk")) & (F.col("cost") == F.col("mc")),
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+    )
+
+
+SQL_TPCH_Q2ISH = """
+WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+), ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+FROM ps
+JOIN part ON l_partkey = p_partkey
+JOIN eur ON l_suppkey = s_suppkey
+WHERE p_type = 'LARGE' AND p_size <= 10
+  AND cost = (SELECT min(ps2.cost) FROM ps ps2
+              WHERE ps2.l_partkey = ps.l_partkey)
+"""
+
+
+def q_tpch_q8ish(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): NATION_3's share of
+    PROMO-part revenue sold to EUROPE customers, by order year. The
+    conditional-aggregate ratio sum(CASE WHEN supp_nation = X THEN
+    rev END) / sum(rev) folds in ONE aggregation pass -- no second
+    scan, no self-join.
+
+    Scale: lineitem never shuffles for the joins (part/orders/
+    customer project to 2-3 columns and broadcast under AQE; nation/
+    region are tiny); one hash-agg shuffle on the ~7 distinct years.
+    Exact decimal sums; the ratio is evaluated once per group on the
+    driver-representable aggregate."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("lineitem", "part", "orders", "customer", "supplier", "nation", "region"),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cust_eur = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust_eur), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    nat_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", rev))
+    return j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(
+            nat_rev.cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+SQL_TPCH_Q8ISH = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  round(
+    CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+             THEN {_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')}) END)
+         AS DOUBLE)
+    / CAST(sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')}))
+           AS DOUBLE),
+    6) AS mkt_share
+FROM (
+  SELECT o_orderdate, l_extendedprice, l_discount, n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+) GROUP BY o_year
+"""
+
+
+def q_tpch_q9ish(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 shape): profit = revenue minus a
+    retail-price-based cost stand-in (no partsupp supplycost), by
+    supplier nation and order year, for 'widget' parts.
+
+    Scale: the fact keeps a 6-column projection; part filters by a
+    LIKE that cannot push to the scan but prunes before the join
+    (broadcast of the matching partkeys); orders broadcasts its
+    2-column projection under AQE; one agg shuffle on (nation, year).
+    All arithmetic in exact decimal until the final round."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "orders", "supplier", "nation")
+    )
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"]
+                .filter(F.col("p_name").like("%widget%"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(t["orders"].select("o_orderkey", "o_orderdate")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 4).alias("sum_profit"))
+    )
+
+
+SQL_TPCH_Q9ISH = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  round(CAST(sum(
+    {_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})
+    - {_dec2('p_retailprice')} * {_dec2('l_quantity')}
+  ) AS DOUBLE), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year
+"""
+
+
+def q_tpch_q11ish(spark, sf_dir):
+    """Important inventory value (TPC-H Q11 shape): per-part traded
+    value for EUROPE-region suppliers, keeping parts whose value
+    exceeds 1.5x the mean part value -- the GROUP BY ... HAVING
+    sum(...) > (scalar subquery) pattern. The threshold is
+    mean-relative (Q11's fraction is SF-relative for the same
+    reason), compared in exact decimal (2*val*n > 3*total) so no
+    float epsilon can flip a row. The scalar (total, count) is a
+    1-row broadcast crossJoin, so the threshold never forces a
+    second shuffle of the grouped data.
+
+    Scale: one agg shuffle on partkey for the grouped values; the
+    global total folds OFF the grouped result (|parts| rows, not the
+    fact); the comparison is a narrow filter."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
+    nat_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    grouped = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(
+            F.broadcast(nat_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("val")
+        )
+    )
+    total = grouped.agg(
+        F.sum("val").alias("tot"), F.count("*").alias("np")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 2 * F.col("np") > F.col("tot") * 3)
+        .select(
+            "l_partkey", F.round(F.col("val").cast("double"), 2).alias("value")
+        )
+    )
+
+
+SQL_TPCH_Q11ISH = f"""
+WITH grouped AS (
+  SELECT l_partkey, sum({_dec2('l_extendedprice')}) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS value
+FROM grouped
+WHERE 2 * val * (SELECT count(*) FROM grouped)
+    > 3 * (SELECT sum(val) FROM grouped)
+"""
+
+
+def q_tpch_q13ish(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT
+    OUTER join customer-to-filtered-orders (customers with zero
+    qualifying orders must appear with count 0 -- the outer join is
+    load-bearing), count per customer, then the distribution of
+    those counts. Two agg shuffles; the second is over |customers|
+    rows, the third over ~50 distinct counts.
+
+    Scale: orders projects to 2 columns and shuffles on custkey (or
+    broadcasts under AQE at small SF); count(o_orderkey) not
+    count(*) so NULL non-matches count as zero."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    o = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_TPCH_Q13ISH = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q15ish(spark, sf_dir):
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape): the
+    revenue view is one agg; "revenue = max revenue" is a 1-row
+    broadcast scalar compared in exact decimal, so ties surface all
+    winners deterministically (no double-equality hazard).
+
+    Scale: one agg shuffle on suppkey over the date-pruned fact; the
+    max folds off the |suppliers|-row aggregate; supplier dim
+    broadcasts for the name join."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 4).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+SQL_TPCH_Q15ISH = f"""
+WITH revenue AS (
+  SELECT l_suppkey, sum({_dec2('l_extendedprice')} * ({_ONE} - {_dec4('l_discount')})) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q16ish(spark, sf_dir):
+    """Supplier counts by part attributes (TPC-H Q16 shape): distinct
+    suppliers per (brand, type, size) slice from the lineitem bridge,
+    excluding one brand and excluding "complaint" suppliers (acctbal
+    < 0 stand-in) -- the NOT IN subquery decorrelated to a left-anti
+    join.
+
+    Scale: the bridge projects lineitem to 2 columns; count(DISTINCT
+    suppkey) runs as the standard two-phase expand-agg on uniform
+    keys; the anti side is a broadcast of the tiny complaint list;
+    part is broadcast."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    complaints = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45))
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(parts.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16ISH = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17ish(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems of
+    one brand whose quantity is below 20% of that part's average
+    quantity. The correlated avg decorrelates into a per-part
+    (sum, count) aggregate joined back; the comparison is kept in
+    integer-exact form (5 * qty * cnt < sum) so no float-division
+    epsilon can flip a row between engines.
+
+    Scale: the per-part stats are one agg shuffle of a 2-column
+    projection; the join-back broadcasts |parts| rows; the final
+    1-row global sum is map-side partial."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    stats = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("sp"))
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.count("*").alias("cq"),
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(stats), F.col("l_partkey") == F.col("sp"))
+        .filter(F.col("l_quantity") * 5 * F.col("cq") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17ISH = f"""
+SELECT round(CAST(sum({_dec2('l_extendedprice')}) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem l1
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#2'
+  AND l1.l_quantity * 5 *
+      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    < (SELECT sum(l3.l_quantity) FROM lineitem l3
+       WHERE l3.l_partkey = l1.l_partkey)
+"""
+
+
+def q_tpch_q20ish(spark, sf_dir):
+    """Suppliers with excess shipped volume (TPC-H Q20 shape): the
+    nested IN-subquery chain (suppliers ∈ {who shipped > 2x the mean
+    pair volume of some 'large' part in 1996}) becomes
+    agg-then-left-semi joins -- each IN level is a semi join against
+    a pre-aggregated, already small relation, never a fact-side
+    distinct. The threshold is mean-relative (Q20's availqty bound is
+    quantity-relative for the same reason) and compared in
+    integer-exact arithmetic (sq * n_pairs > 2 * total; quantities
+    are integral, and integers < 2^53 are exact doubles).
+
+    Scale: the inner agg shuffles a 3-column date-pruned projection
+    on (suppkey, partkey); the (total, count) scalar folds off that
+    small aggregate; supplier semi-joins against the distinct
+    qualifying suppkeys (broadcast)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    pairs = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(
+            F.broadcast(
+                t["part"]
+                .filter(F.col("p_name").like("large%"))
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    stats = pairs.agg(F.sum("sq").alias("tot"), F.count("*").alias("npair"))
+    big = (
+        pairs.crossJoin(F.broadcast(stats))
+        .filter(F.col("sq") * F.col("npair") > F.col("tot") * 2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(big), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+    )
+
+
+SQL_TPCH_Q20ISH = """
+WITH pairs AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pairs
+  WHERE sq * (SELECT count(*) FROM pairs) > 2 * (SELECT sum(sq) FROM pairs)
+)
+"""
+
+
 # ------------------------------------------------- analytics: trends
 
 
