@@ -1,0 +1,203 @@
+"""Scale audit: measured physical data volumes per headline query,
+with empirical growth exponents.
+
+"Would this plan survive a 100x scale-up?" should be measured, not
+argued. This harness runs every headline catalog query at TWO scale
+factors (default sf0.01 and sf0.1 -- a 10x data step), walks the
+executed plan's SQL metrics, and aggregates the physical volume
+channels that determine behavior on a real cluster:
+
+  * scan_bytes        -- parquet bytes read (``filesSize`` on scans);
+  * shuffle_bytes     -- bytes written through every Exchange;
+  * broadcast_bytes   -- bytes materialized on the driver for every
+                         BroadcastExchange (the channel that silently
+                         stops working at scale: past
+                         autoBroadcastJoinThreshold AQE falls back to
+                         a shuffle join, changing the plan shape);
+  * spill_bytes       -- HashAggregate/Sort spill (must stay 0: a
+                         spilling partition at sf0.1 is an OOM-risk
+                         partition at 100 TB).
+
+For each channel the audit fits the empirical growth exponent
+e = log(v_big / v_small) / log(sf_big / sf_small), so e ~ 1 means the
+channel grows linearly with input and e ~ 0 means it is bounded by
+something data-size-independent (group-by cardinality, partition
+count, a constant dim table). The per-query verdict flags:
+
+  * a shuffle channel growing linearly is FINE if it is the operator's
+    contract (dedup must shuffle its keys once) -- it is reported, not
+    judged;
+  * a broadcast channel growing linearly IS flagged
+    (``broadcast_grows``): that side will cross the broadcast
+    threshold at some SF and the plan silently re-shapes -- each flag
+    names the projected crossing point;
+  * any nonzero spill is flagged (``spills``).
+
+Output: SCALE_AUDIT.json (one run artifact, keyed by query) plus a
+one-line JSON summary on stdout. Caveats recorded in the artifact:
+scalar-subquery subtrees are not walked (their volumes are 1-row by
+construction in this catalog); ReusedExchange is a leaf, so reused
+shuffles are counted once (matching what is physically written).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from xmidt_event_streams_spark.catalog import QUERIES  # noqa: E402
+from xmidt_event_streams_spark.session import get_spark  # noqa: E402
+
+# broadcast fallback threshold used for crossing-point projection
+_BCAST_THRESHOLD_BYTES = 10 * 1024 * 1024  # Spark default 10 MB
+
+
+def _walk(node, acc: dict) -> None:
+    """Accumulate volume metrics over the final physical plan,
+    unwrapping AQE and query-stage wrappers."""
+    name = node.nodeName()
+    m = node.metrics()
+    it = m.keysIterator()
+    while it.hasNext():
+        k = it.next()
+        v = m.apply(k).value()
+        if k == "filesSize":
+            acc["scan_bytes"] += v
+        elif k == "shuffleBytesWritten":
+            acc["shuffle_bytes"] += v
+        elif k == "shuffleRecordsWritten":
+            acc["shuffle_records"] += v
+        elif k == "dataSize" and name == "BroadcastExchange":
+            acc["broadcast_bytes"] += v
+        elif k == "spillSize":
+            acc["spill_bytes"] += v
+    if name == "Exchange":
+        acc["n_exchanges"] += 1
+    elif name == "BroadcastExchange":
+        acc["n_broadcasts"] += 1
+    if "AdaptiveSparkPlan" in name:
+        _walk(node.finalPhysicalPlan(), acc)
+        return
+    if "QueryStage" in name:
+        _walk(node.plan(), acc)
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk(ch.apply(i), acc)
+
+
+def measure(spark, fn, sf_dir: str) -> dict:
+    """Run one query and return its wall time + volume channels."""
+    df = fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.collect()
+    sec = round(time.perf_counter() - t0, 3)
+    acc = {
+        "scan_bytes": 0,
+        "shuffle_bytes": 0,
+        "shuffle_records": 0,
+        "broadcast_bytes": 0,
+        "spill_bytes": 0,
+        "n_exchanges": 0,
+        "n_broadcasts": 0,
+    }
+    _walk(df._jdf.queryExecution().executedPlan(), acc)
+    acc["sec"] = sec
+    return acc
+
+
+def exponent(v_small: float, v_big: float, sf_ratio: float) -> float | None:
+    """Empirical growth exponent across the SF step; None if either
+    side is zero (channel absent)."""
+    if v_small <= 0 or v_big <= 0:
+        return None
+    return round(math.log(v_big / v_small) / math.log(sf_ratio), 2)
+
+
+def audit_query(spark, fn, sf_small: str, sf_big: str, sf_ratio: float) -> dict:
+    small = measure(spark, fn, sf_small)
+    big = measure(spark, fn, sf_big)
+    exps = {
+        ch: exponent(small[ch], big[ch], sf_ratio)
+        for ch in ("scan_bytes", "shuffle_bytes", "broadcast_bytes")
+    }
+    flags = []
+    e_b = exps["broadcast_bytes"]
+    if e_b is not None and e_b > 0.5 and big["broadcast_bytes"] > 0:
+        # project the SF multiple (vs sf_big) where the broadcast side
+        # crosses the default threshold and AQE re-shapes the join
+        mult = (_BCAST_THRESHOLD_BYTES / big["broadcast_bytes"]) ** (1 / e_b)
+        where = (
+            f"already above it at this SF (x{mult:.2f})"
+            if mult <= 1
+            else f"crosses it at ~{mult:.0f}x this SF"
+        )
+        flags.append(
+            f"broadcast_grows: e={e_b}, {_BCAST_THRESHOLD_BYTES >> 20} MB "
+            f"default threshold -- {where} (AQE falls back to shuffle join)"
+        )
+    if big["spill_bytes"] > 0:
+        flags.append(f"spills: {big['spill_bytes']} bytes at sf_big")
+    return {
+        "small": small,
+        "big": big,
+        "exponents": exps,
+        "flags": flags,
+    }
+
+
+def main() -> None:
+    sf_big = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+
+    def _sf(p: str) -> float:
+        return float(Path(p).name.replace("sf", ""))
+
+    sf_ratio = _sf(sf_big) / _sf(sf_small)
+    spark = get_spark("xes-scale-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [name for name, spec in QUERIES.items() if spec.headline]
+    out: dict = {}
+    for name in headline:
+        fn = QUERIES[name].fn
+        measure(spark, fn, sf_small)  # codegen warmup, volumes unaffected
+        out[name] = audit_query(spark, fn, sf_small, sf_big, sf_ratio)
+
+    flagged = {n: r["flags"] for n, r in out.items() if r["flags"]}
+    artifact = {
+        "sf_small": sf_small,
+        "sf_big": sf_big,
+        "sf_ratio": sf_ratio,
+        "broadcast_threshold_bytes": _BCAST_THRESHOLD_BYTES,
+        "queries": out,
+        "caveats": [
+            "scalar-subquery subtrees not walked (1-row by construction)",
+            "ReusedExchange is a leaf: reused shuffles counted once",
+        ],
+    }
+    Path("SCALE_AUDIT.json").write_text(json.dumps(artifact, indent=1))
+    print(
+        json.dumps(
+            {
+                "metric": "scale_audit",
+                "queries": len(out),
+                "flagged": flagged,
+                "spilling": [
+                    n for n, r in out.items() if r["big"]["spill_bytes"] > 0
+                ],
+                "artifact": "SCALE_AUDIT.json",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

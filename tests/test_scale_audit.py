@@ -1,0 +1,95 @@
+"""The scale-audit harness (scale_audit.py) must keep measuring what
+the plan docstrings claim: per-channel physical volumes from the
+executed plan's SQL metrics, and growth exponents across a scale-factor
+step that match each operator's contract.
+
+These tests run the audit machinery over an sf0.001 -> sf0.01 step
+(10x, same as the full artifact's 0.01 -> 0.1) so the contract
+assertions stay cheap enough for the suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scale_audit import audit_query, measure
+from xmidt_event_streams_spark.catalog import QUERIES
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_BIG = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    """One audited query per contract class (warmed: volume metrics
+    are run-invariant, only timings need steady state)."""
+    out = {}
+    for name in ("tpch_q1", "session_windows", "tpch_q3"):
+        out[name] = audit_query(
+            spark, QUERIES[name].fn, SF_SMALL, SF_BIG, 10.0
+        )
+    return out
+
+
+def test_channels_populated(audits):
+    """The plan walk actually finds the volume metrics (a Spark
+    upgrade renaming metric keys must fail here, not silently zero
+    the artifact)."""
+    q1 = audits["tpch_q1"]["big"]
+    assert q1["scan_bytes"] > 0
+    assert q1["n_exchanges"] >= 1
+    q3 = audits["tpch_q3"]["big"]
+    assert q3["broadcast_bytes"] > 0 and q3["n_broadcasts"] >= 1
+    assert q3["shuffle_bytes"] > 0
+
+
+def test_scan_grows_linearly(audits):
+    """Full-scan queries read ~10x the bytes at 10x the data."""
+    for name in audits:
+        e = audits[name]["exponents"]["scan_bytes"]
+        assert e is not None and 0.8 <= e <= 1.2, (name, e)
+
+
+def test_agg_shuffle_is_bounded(audits):
+    """tpch_q1 aggregates to 6 groups: its shuffle volume is bounded
+    by (partitions x groups), NOT by input size -- the map-side
+    partial-agg contract. Exponent ~0 across the 10x step."""
+    e = audits["tpch_q1"]["exponents"]["shuffle_bytes"]
+    assert e is None or e < 0.3, e
+
+
+def test_keyed_shuffle_is_linear(audits):
+    """session_windows must shuffle every event once on user_id --
+    linear by contract, and the audit should say so rather than
+    hide it."""
+    e = audits["session_windows"]["exponents"]["shuffle_bytes"]
+    assert e is not None and e > 0.7, e
+
+
+def test_no_spill(audits):
+    """Nothing spills at test SFs; a spilling partition here is an
+    OOM-risk partition at 100 TB."""
+    for name in audits:
+        assert audits[name]["big"]["spill_bytes"] == 0, name
+
+
+def test_growing_broadcast_is_flagged(spark):
+    """tpch_q3 broadcasts order/customer projections that grow with
+    the data -- the audit must flag the threshold crossing (the plan
+    silently re-shapes to a shuffle join past it). Measured at the
+    artifact's own 0.01 -> 0.1 step: at smaller SFs the broadcast
+    dataSize is dominated by fixed row overhead and the growth
+    signal hasn't emerged yet."""
+    r = audit_query(
+        spark, QUERIES["tpch_q3"].fn, SF_BIG, "/root/testdata/sf0.1", 10.0
+    )
+    assert any("broadcast_grows" in f for f in r["flags"]), r
+
+
+def test_measure_is_reusable(spark):
+    """measure() leaves no session-level state behind (each call
+    builds a fresh plan; a second call returns consistent volumes)."""
+    a = measure(spark, QUERIES["tpch_q1"].fn, SF_SMALL)
+    b = measure(spark, QUERIES["tpch_q1"].fn, SF_SMALL)
+    assert a["scan_bytes"] == b["scan_bytes"]
+    assert a["n_exchanges"] == b["n_exchanges"]

@@ -146,10 +146,18 @@ def test_hybrid_flush_idle_after_size(spark, tmp_path):
 
 def test_hybrid_flush_timer_anchored_at_first_item(spark, tmp_path):
     """B3 divergence fix: a later arrival must NOT reset the flush
-    clock. First item at t0, second ~3 s later, limit 6 s: both flush
-    together as 'time' close to t0+limit. Under reset-on-arrival
-    semantics the flush would land near t0+3s+limit -- the upper
-    bound asserted here would be blown."""
+    clock. First item at t0, second ~6.5 s later, limit 10 s: both
+    flush together as 'time' close to t0+limit. Under
+    reset-on-arrival semantics the flush would land near
+    t0+6.5s+limit = t0+16.5s -- the upper bound asserted here would
+    be blown.
+
+    Timing geometry: the discriminator is the arrival gap (6.5 s)
+    minus whatever micro-batch scheduling latency the loaded machine
+    adds to the anchored fire time. A 3 s gap was measured flaking at
+    +9.7 s under full-suite load; this geometry tolerates ~6 s of
+    scheduler latency before the two semantics become
+    indistinguishable."""
     src = tmp_path / "in"
     src.mkdir()
     _write_items(src / "b1.json", [{"stream_name": "s1", "item": "m0"}])
@@ -157,16 +165,16 @@ def test_hybrid_flush_timer_anchored_at_first_item(spark, tmp_path):
     out: list = []
     t0 = time.time()
     q = (
-        hybrid_flush(stream, batch_size=10, time_limit_ms=6_000)
+        hybrid_flush(stream, batch_size=10, time_limit_ms=10_000)
         .writeStream.outputMode("append")
         .foreachBatch(lambda b, _i: out.extend(b.collect()))
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
     try:
-        time.sleep(3.0)
+        time.sleep(6.5)
         _write_items(src / "b2.json", [{"stream_name": "s1", "item": "m1"}])
-        deadline = t0 + 20.0
+        deadline = t0 + 40.0
         while time.time() < deadline and not out:
             time.sleep(0.2)
         elapsed = time.time() - t0
@@ -176,9 +184,9 @@ def test_hybrid_flush_timer_anchored_at_first_item(spark, tmp_path):
     assert out, "time flush never fired"
     assert out[0]["flush_reason"] == "time"
     assert sorted(out[0]["items"]) == ["m0", "m1"]
-    # anchored: fires ~t0+6s (+micro-batch latency); reset-on-arrival
-    # would be >= t0+9s.
-    assert elapsed < 8.8, f"flush at +{elapsed:.1f}s -- timer was reset"
+    # anchored: fires ~t0+10s (+micro-batch latency); reset-on-arrival
+    # would be >= t0+16.5s.
+    assert elapsed < 16.0, f"flush at +{elapsed:.1f}s -- timer was reset"
 
 
 def test_hybrid_flush_drop_on_full(spark, tmp_path):
