@@ -163,15 +163,21 @@ def main() -> None:
     spark = get_spark("xes-scale-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    headline = [name for name, spec in QUERIES.items() if spec.headline]
+    full = os.environ.get("SPARK_GRAFT_AUDIT_FULL") == "1"
+    names = [
+        name
+        for name, spec in QUERIES.items()
+        if full or spec.headline
+    ]
     out: dict = {}
-    for name in headline:
+    for name in names:
         fn = QUERIES[name].fn
         measure(spark, fn, sf_small)  # codegen warmup, volumes unaffected
         out[name] = audit_query(spark, fn, sf_small, sf_big, sf_ratio)
 
     flagged = {n: r["flags"] for n, r in out.items() if r["flags"]}
     artifact = {
+        "full_registry": full,
         "sf_small": sf_small,
         "sf_big": sf_big,
         "sf_ratio": sf_ratio,
@@ -180,6 +186,8 @@ def main() -> None:
         "caveats": [
             "scalar-subquery subtrees not walked (1-row by construction)",
             "ReusedExchange is a leaf: reused shuffles counted once",
+            "iterative ops (e.g. dup_clusters) run their loop in prior "
+            "actions; only the returned plan's volumes are captured",
         ],
     }
     Path("SCALE_AUDIT.json").write_text(json.dumps(artifact, indent=1))
