@@ -368,3 +368,108 @@ def _run_ingest_q(spark, src, idx, corpus_out, rejects_out, ckpt, **kw):
         stream, idx, corpus_out, rejects_out, checkpoint_dir=ckpt,
         availableNow=True, **kw,
     )
+
+
+class TestReadSinkAsOf:
+    """Exact time travel over the batch-partitioned sink, across
+    compaction (the _src_batch_id preservation contract)."""
+
+    @staticmethod
+    def _fill(spark, path, n_batches=6, rows_per=3):
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            idempotent_batch_append,
+        )
+
+        for b in range(n_batches):
+            df = spark.createDataFrame(
+                [(b * 100 + i, f"doc-{b}-{i}") for i in range(rows_per)],
+                "doc_id long, text string",
+            )
+            idempotent_batch_append(df, b, path)
+
+    @staticmethod
+    def _ids(df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    def _expect(self, n, rows_per=3):
+        return sorted(
+            b * 100 + i for b in range(n + 1) for i in range(rows_per)
+        )
+
+    def test_as_of_before_compaction(self, spark, tmp_path):
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            read_sink_as_of,
+        )
+
+        path = str(tmp_path / "sink")
+        self._fill(spark, path)
+        snap = read_sink_as_of(spark, path, 3)
+        assert self._ids(snap) == self._expect(3)
+        assert "_ingest_batch_id" not in snap.columns
+
+    def test_as_of_survives_compaction(self, spark, tmp_path):
+        """Compaction merges partitions 2,3 into one group; as-of 2
+        must still cut INSIDE the group via _src_batch_id."""
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            compact_ingest_sink,
+            read_sink_as_of,
+        )
+
+        path = str(tmp_path / "sink")
+        self._fill(spark, path)
+        before = {
+            n: self._ids(read_sink_as_of(spark, path, n)) for n in (1, 2, 3)
+        }
+        rep = compact_ingest_sink(spark, path, batches_per_partition=2)
+        assert rep["files_after"] < rep["files_before"]
+        for n in (1, 2, 3):
+            assert self._ids(read_sink_as_of(spark, path, n)) == before[n], n
+            assert before[n] == self._expect(n)
+
+    def test_as_of_exact_after_repeated_compaction_and_append(
+        self, spark, tmp_path
+    ):
+        """Second compaction with a coarser group + a fresh append
+        (schema-merge path: new files lack _src_batch_id)."""
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            compact_ingest_sink,
+            idempotent_batch_append,
+            read_sink_as_of,
+        )
+
+        path = str(tmp_path / "sink")
+        self._fill(spark, path)
+        compact_ingest_sink(spark, path, batches_per_partition=2)
+        df6 = spark.createDataFrame(
+            [(600 + i, f"doc-6-{i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        idempotent_batch_append(df6, 6, path)
+        compact_ingest_sink(spark, path, batches_per_partition=4)
+        for n in (0, 2, 3, 5, 6):
+            got = self._ids(read_sink_as_of(spark, path, n))
+            want = sorted(
+                b * 100 + i
+                for b in range(n + 1)
+                for i in range(3)
+                if b * 100 + i < 700
+            )
+            assert got == want, n
+
+    def test_as_of_prunes_partitions(self, spark, tmp_path):
+        """The partition-column filter must reach the scan as a
+        PartitionFilter (later batches never read)."""
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            read_sink_as_of,
+        )
+
+        path = str(tmp_path / "sink")
+        self._fill(spark, path)
+        snap = read_sink_as_of(spark, path, 2)
+        plan = snap._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and "_ingest_batch_id" in pf[0], plan

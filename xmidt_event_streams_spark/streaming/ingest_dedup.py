@@ -223,11 +223,19 @@ def compact_ingest_sink(
     its own rows. Run while the stream is stopped (same posture as
     compact_minhash_index): the swap is delete + rename.
 
+    Snapshot preservation: the original batch id survives compaction
+    as the ``_src_batch_id`` DATA column (coalesced from any prior
+    compaction's column, so repeated compactions keep the earliest
+    id), which is what lets ``read_sink_as_of`` reconstruct an exact
+    as-of-batch-N snapshot after partitions have been merged.
+
     Returns {"files_before", "files_after", "rows"} for alerting.
     """
     from xmidt_event_streams_spark.fsutil import hadoop_fs
 
-    df = spark.read.parquet(path)
+    # mergeSchema: after a prior compaction, _src_batch_id exists only
+    # in compacted files until the next rewrite unifies the schema
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     max_id = df.agg(F.max("_ingest_batch_id")).collect()[0][0]
     if max_id is None:
         return {"files_before": 0, "files_after": 0, "rows": 0}
@@ -246,7 +254,12 @@ def compact_ingest_sink(
 
     files_before = _count_files(path)
     g = batches_per_partition
-    compacted = df.withColumn(
+    src = (
+        F.coalesce(F.col("_src_batch_id"), F.col("_ingest_batch_id"))
+        if "_src_batch_id" in df.columns
+        else F.col("_ingest_batch_id")
+    )
+    compacted = df.withColumn("_src_batch_id", src).withColumn(
         "_ingest_batch_id",
         F.when(
             F.col("_ingest_batch_id") < max_id,
@@ -271,3 +284,36 @@ def compact_ingest_sink(
         "files_after": files_after,
         "rows": rows,
     }
+
+
+def read_sink_as_of(spark, path: str, batch_id: int):
+    """Exact snapshot of an ingest sink as of micro-batch
+    ``batch_id`` (inclusive) -- time travel over the batch-partitioned
+    layout, before OR after compaction.
+
+    Two filters compose:
+
+      * ``_ingest_batch_id <= batch_id`` on the PARTITION column --
+        plan-time partition pruning skips every later batch/group
+        directory (a compaction group's partition value is its
+        smallest member id, so a group straddling ``batch_id`` is
+        kept and row-filtered);
+      * ``coalesce(_src_batch_id, _ingest_batch_id) <= batch_id`` on
+        the DATA column -- exact row-level cut inside a straddling
+        group (``_src_batch_id`` is preserved by
+        ``compact_ingest_sink``; uncompacted files predate the column
+        and fall back to their partition value via schema-merge
+        nulls).
+
+    The helper columns are dropped: the result is the corpus exactly
+    as a reader would have seen it after batch N committed.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    pruned = df.filter(F.col("_ingest_batch_id") <= batch_id)
+    if "_src_batch_id" in df.columns:
+        pruned = pruned.filter(
+            F.coalesce(F.col("_src_batch_id"), F.col("_ingest_batch_id"))
+            <= batch_id
+        )
+    drop = [c for c in ("_ingest_batch_id", "_src_batch_id") if c in df.columns]
+    return pruned.drop(*drop)
