@@ -294,3 +294,136 @@ def test_routed_stream_feeds_rollup(spark, tmp_path, sf_dir):
         .collect()
     }
     assert got and got == want
+
+
+class TestHistMeasure:
+    """hist: exactly-mergeable bin counts + bounded-error quantiles
+    (rollup_percentile) -- p99 from pre-aggregates, no raw rescans."""
+
+    EDGES = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
+    HM = {"lat": ("hist", "value", EDGES), "n": ("count", "value")}
+
+    @staticmethod
+    def _batches():
+        import random
+
+        rng = random.Random(7)
+        return [
+            [("click", round(rng.uniform(0.5, 30.0), 3)) for _ in range(80)]
+            for _ in range(4)
+        ]
+
+    def _exact_hist(self, values):
+        bins = [0] * (len(self.EDGES) + 1)
+        for v in values:
+            bins[sum(1 for e in self.EDGES if e < v)] += 1
+        return bins
+
+    def test_merged_hist_is_exact(self, spark, tmp_path):
+        from xmidt_event_streams_spark.streaming.rollup import (
+            rollup_partial,
+        )
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            idempotent_batch_append,
+        )
+
+        path = str(tmp_path / "ru")
+        batches = self._batches()
+        for b, rows in enumerate(batches):
+            idempotent_batch_append(
+                rollup_partial(
+                    spark.createDataFrame(rows, SCHEMA), DIMS, self.HM
+                ),
+                b,
+                path,
+            )
+        got = read_rollup(spark, path, DIMS, self.HM).collect()[0]
+        all_vals = [v for rows in batches for _, v in rows]
+        # bin counts are EXACT under merge -- not approximate
+        assert list(got["lat"]) == self._exact_hist(all_vals)
+        assert got["n"] == len(all_vals)
+
+    def test_percentile_bound_contains_exact(self, spark, tmp_path):
+        from xmidt_event_streams_spark.streaming.rollup import (
+            rollup_partial,
+            rollup_percentile,
+        )
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            idempotent_batch_append,
+        )
+
+        path = str(tmp_path / "ru")
+        batches = self._batches()
+        for b, rows in enumerate(batches):
+            idempotent_batch_append(
+                rollup_partial(
+                    spark.createDataFrame(rows, SCHEMA), DIMS, self.HM
+                ),
+                b,
+                path,
+            )
+        view = read_rollup(spark, path, DIMS, self.HM)
+        all_vals = sorted(v for rows in batches for _, v in rows)
+        import math
+
+        for q in (0.5, 0.9, 0.99):
+            r = view.select(
+                rollup_percentile("lat", self.EDGES, q).alias("p")
+            ).collect()[0]["p"]
+            exact = all_vals[math.ceil(q * len(all_vals)) - 1]
+            assert r["lo"] <= exact <= r["hi"], (q, exact, r)
+            assert r["est"] == r["hi"]  # conservative SLO read
+
+    def test_hist_survives_compaction(self, spark, tmp_path):
+        from xmidt_event_streams_spark.streaming.rollup import (
+            rollup_partial,
+        )
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            idempotent_batch_append,
+        )
+
+        path = str(tmp_path / "ru")
+        batches = self._batches()
+        for b, rows in enumerate(batches[:3]):
+            idempotent_batch_append(
+                rollup_partial(
+                    spark.createDataFrame(rows, SCHEMA), DIMS, self.HM
+                ),
+                b,
+                path,
+            )
+        compact_rollup(spark, path, DIMS, self.HM)
+        # post-compaction append still composes
+        idempotent_batch_append(
+            rollup_partial(
+                spark.createDataFrame(batches[3], SCHEMA), DIMS, self.HM
+            ),
+            3,
+            path,
+        )
+        got = read_rollup(spark, path, DIMS, self.HM).collect()[0]
+        all_vals = [v for rows in batches for _, v in rows]
+        assert list(got["lat"]) == self._exact_hist(all_vals)
+
+    def test_bad_edges_rejected(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.streaming.rollup import (
+            rollup_partial,
+        )
+
+        df = spark.createDataFrame([("click", 1.0)], SCHEMA)
+        with pytest.raises(ValueError, match="sorted bin edges"):
+            rollup_partial(df, DIMS, {"x": ("hist", "value", (3.0, 1.0))})
+        with pytest.raises(ValueError, match="sorted bin edges"):
+            rollup_partial(df, DIMS, {"x": ("hist", "value")})
+
+    def test_log_edges_error_bound(self):
+        from xmidt_event_streams_spark.streaming.rollup import log_edges
+
+        e = log_edges(1.0, 1000.0, per_decade=10)
+        assert e[0] == 1.0 and e[-1] >= 1000.0
+        ratios = [e[i + 1] / e[i] for i in range(len(e) - 1)]
+        # constant ratio -> fixed relative error bound
+        assert max(ratios) - min(ratios) < 1e-9
+        assert abs(ratios[0] - 10 ** 0.1) < 1e-12

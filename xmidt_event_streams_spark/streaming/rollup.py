@@ -25,34 +25,71 @@ stream stays stateless (append-only foreachBatch), and a restart
 resumes from the checkpoint with no state recovery at all.
 
 Only re-mergeable aggregates are admitted: count/sum/min/max, the
-avg derivation, and approx_distinct (Datasketches HLL -- the partial
+avg derivation, approx_distinct (Datasketches HLL -- the partial
 stored per batch IS the binary sketch, merged with hll_union_agg on
 read, so distinct-count rollups compose across batches without
-keeping member sets anywhere). Non-decomposable aggregates (exact
+keeping member sets anywhere), and hist (fixed-edge bin counts --
+EXACTLY mergeable by element-wise addition; quantiles derive from
+the merged histogram with a bin-width error bound, see
+``rollup_percentile``). Non-decomposable exact aggregates (exact
 median, exact distinct) need a different machine -- see
-value_percentiles (approx_percentile) for the quantile story.
+value_percentiles (approx_percentile) for the one-shot quantile
+story; the hist measure is its rollup-native replacement: p99 over
+any dimension slice without ever touching raw history, at the price
+of a KNOWN, edge-chosen resolution.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xmidt_event_streams_spark.streaming.ingest_dedup import (
     idempotent_batch_append,
 )
 
-_MERGEABLE = ("count", "sum", "min", "max", "avg", "approx_distinct")
+_MERGEABLE = ("count", "sum", "min", "max", "avg", "approx_distinct", "hist")
 _BATCH_COL = "_ingest_batch_id"
 
 
-def _check_measures(measures: dict[str, tuple[str, str]]) -> None:
-    for out, (fn, _src) in measures.items():
+def _spec(value) -> tuple[str, str, tuple[float, ...] | None]:
+    fn, src = value[0], value[1]
+    edges = tuple(value[2]) if len(value) > 2 else None
+    return fn, src, edges
+
+
+def _check_measures(measures: dict) -> None:
+    for out, value in measures.items():
+        fn, _src, edges = _spec(value)
         if fn not in _MERGEABLE:
             raise ValueError(
                 f"{out}: '{fn}' is not re-mergeable "
                 f"(supported: {_MERGEABLE})"
             )
+        if fn == "hist":
+            if not edges or list(edges) != sorted(edges) or len(edges) < 2:
+                raise ValueError(
+                    f"{out}: hist needs >= 2 strictly sorted bin edges, "
+                    f"('hist', src, edges)"
+                )
+
+
+def log_edges(lo: float, hi: float, per_decade: int = 10) -> tuple[float, ...]:
+    """Log-spaced histogram edges covering [lo, hi]: relative
+    quantile error is bounded by the edge ratio (10^(1/per_decade)-1,
+    e.g. ~26% at 10/decade, ~12% at 20/decade)."""
+    assert 0 < lo < hi
+    n = math.ceil(per_decade * math.log10(hi / lo))
+    return tuple(lo * (10 ** (i / per_decade)) for i in range(n + 1))
+
+
+def _bin_index(src: str, edges: tuple[float, ...]) -> Column:
+    """Bin i holds values in (edges[i-1], edges[i]]; bin 0 is the
+    underflow (<= edges[0]), bin len(edges) the overflow."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.size(F.filter(arr, lambda e: e < F.col(src)))
 
 
 def rollup_partial(
@@ -63,7 +100,8 @@ def rollup_partial(
     ``<out>__sum`` / ``<out>__cnt`` hidden columns."""
     _check_measures(measures)
     aggs = []
-    for out, (fn, src) in measures.items():
+    for out, value in measures.items():
+        fn, src, edges = _spec(value)
         if fn == "count":
             aggs.append(F.count(src).alias(out))
         elif fn == "avg":
@@ -74,14 +112,35 @@ def rollup_partial(
             # mergeable) -- distinct-count rollups compose across
             # batches without keeping member sets anywhere
             aggs.append(F.hll_sketch_agg(src).alias(f"{out}__hll"))
+        elif fn == "hist":
+            idx = _bin_index(src, edges)
+            aggs.append(
+                F.array(
+                    *[
+                        F.sum((idx == i).cast("long")).alias(f"b{i}")
+                        for i in range(len(edges) + 1)
+                    ]
+                ).alias(f"{out}__hist")
+            )
         else:
             aggs.append(getattr(F, fn)(src).alias(out))
     return df.groupBy(*dims).agg(*aggs)
 
 
-def _merge_exprs(measures: dict[str, tuple[str, str]]) -> list:
+def _hist_merge(out: str, edges: tuple[float, ...]) -> Column:
+    """Element-wise sum of bin-count arrays across partials."""
+    return F.array(
+        *[
+            F.sum(F.col(f"{out}__hist")[i])
+            for i in range(len(edges) + 1)
+        ]
+    )
+
+
+def _merge_exprs(measures: dict) -> list:
     exprs = []
-    for out, (fn, _src) in measures.items():
+    for out, value in measures.items():
+        fn, _src, edges = _spec(value)
         if fn in ("count", "sum"):
             exprs.append(F.sum(out).alias(out))
         elif fn in ("min", "max"):
@@ -92,11 +151,58 @@ def _merge_exprs(measures: dict[str, tuple[str, str]]) -> list:
                     F.hll_union_agg(f"{out}__hll")
                 ).alias(out)
             )
+        elif fn == "hist":
+            exprs.append(_hist_merge(out, edges).alias(out))
         else:  # avg
             exprs.append(
                 (F.sum(f"{out}__sum") / F.sum(f"{out}__cnt")).alias(out)
             )
     return exprs
+
+
+def rollup_percentile(
+    hist: Column | str, edges: tuple[float, ...], q: float
+) -> Column:
+    """Quantile estimate from a merged hist measure: struct(lo, hi,
+    est) where the EXACT q-quantile is guaranteed inside [lo, hi]
+    (the containing bin's edges) and ``est`` is the bin's upper edge
+    (the conservative SLO read: 'p99 <= est'). With ``log_edges`` the
+    relative width of that guarantee is fixed by bins-per-decade.
+
+    A pure expression over the merged array, so per-group percentiles
+    stay distributed (no collect): find the first bin where the
+    cumulative count reaches ceil(q * total). Underflow resolves to
+    [0 (or -inf conceptually), edges[0]]; overflow to
+    [edges[-1], +inf] with est = +inf -- widen the edge range if that
+    fires."""
+    h = F.col(hist) if isinstance(hist, str) else hist
+    n = len(edges) + 1
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.ceil(F.lit(q) * total.cast("double")).cast("long")
+    # first index whose inclusive prefix sum >= target (O(n^2) over
+    # ~tens of bins -- a per-group constant)
+    idx = F.array_min(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.when(
+                    F.aggregate(
+                        F.slice(h, F.lit(1), i + 1),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    )
+                    >= target,
+                    i,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    lo_edges = [0.0] + [float(e) for e in edges]
+    hi_edges = [float(e) for e in edges] + [float("inf")]
+    lo = F.element_at(F.array(*[F.lit(e) for e in lo_edges]), idx + 1)
+    hi = F.element_at(F.array(*[F.lit(e) for e in hi_edges]), idx + 1)
+    return F.struct(lo.alias("lo"), hi.alias("hi"), hi.alias("est"))
 
 
 def read_rollup(
@@ -181,7 +287,8 @@ def compact_rollup(
     cur = spark.read.parquet(path)
     batch_ids = [r[0] for r in cur.select(_BATCH_COL).distinct().collect()]
     exprs = []
-    for out, (fn, _src) in measures.items():
+    for out, value in measures.items():
+        fn, _src, edges = _spec(value)
         if fn in ("count", "sum"):
             exprs.append(F.sum(out).alias(out))
         elif fn in ("min", "max"):
@@ -189,6 +296,9 @@ def compact_rollup(
         elif fn == "approx_distinct":
             # fold sketches into ONE sketch (still mergeable later)
             exprs.append(F.hll_union_agg(f"{out}__hll").alias(f"{out}__hll"))
+        elif fn == "hist":
+            # folded bins stay bins (still mergeable later)
+            exprs.append(_hist_merge(out, edges).alias(f"{out}__hist"))
         else:
             exprs.append(F.sum(f"{out}__sum").alias(f"{out}__sum"))
             exprs.append(F.sum(f"{out}__cnt").alias(f"{out}__cnt"))
