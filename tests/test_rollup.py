@@ -427,3 +427,37 @@ class TestHistMeasure:
         # constant ratio -> fixed relative error bound
         assert max(ratios) - min(ratios) < 1e-9
         assert abs(ratios[0] - 10 ** 0.1) < 1e-12
+
+    def test_bin_semantics_property(self, spark):
+        """Property: Spark's bin index == the (lo, hi] reference rule
+        for arbitrary values INCLUDING exact edge hits (v == edge
+        belongs to the bin BELOW-or-at, i.e. count of edges strictly
+        below v)."""
+        from hypothesis import given, settings, strategies as st
+
+        from xmidt_event_streams_spark.streaming.rollup import (
+            rollup_partial,
+        )
+
+        edges = self.EDGES
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(
+                    st.floats(0.01, 64.0, allow_nan=False),
+                    st.sampled_from(list(edges)),  # force edge hits
+                ),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def check(vals):
+            df = spark.createDataFrame(
+                [("k", float(v)) for v in vals], SCHEMA
+            )
+            got = rollup_partial(df, DIMS, {"h": ("hist", "value", edges)})
+            bins = list(got.collect()[0]["h__hist"])
+            assert bins == self._exact_hist(vals), vals
+
+        check()
