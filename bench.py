@@ -63,6 +63,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     skew = skew_bench(spark)
     ann = ann_bench(spark)
+    stream = stream_bench(spark)
     print(
         json.dumps(
             {
@@ -76,6 +77,7 @@ def main() -> None:
                 "sf": sf,
                 "skew": skew,
                 "ann": ann,
+                "stream": stream,
             }
         )
     )
@@ -250,6 +252,90 @@ def ann_bench(spark) -> dict:
         "speedup_search": round(brute_sec / pq_sec, 2),
         "recall_at_10": recall,
     }
+
+
+def stream_bench(spark) -> dict:
+    """Sidecar metric: per-micro-batch latency of the REAL streaming
+    hot path (JSON file source -> WRP envelope -> regex fan-out ->
+    per-stream counts), measured from Structured Streaming's own
+    progress events.
+
+    The reference is a streaming system whose only published latency
+    artifacts are its submit-duration histogram envelope (buckets
+    10 ms .. 2,000,000 ms, internal/metrics/fx.go:67-73), its 15 s
+    time-flush bound (queue.go:25) and the 30 s integration e2e
+    deadline (integration_test.go:218). This sidecar reports where
+    our per-trigger latency actually lands against those envelopes:
+    ``maxFilesPerTrigger=1`` over pre-written files gives one
+    micro-batch per file, ``triggerExecution`` duration is the
+    end-to-end per-batch cost, and rows/sec is batch rows over that
+    duration. Single warmup batch excluded (codegen, as everywhere)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.config import DEFAULT_FILTERS
+    from xmidt_event_streams_spark.routing import route_union
+    from xmidt_event_streams_spark.schema import wrp_view
+
+    n_files, rows_per = 8, 20_000
+    d = tempfile.mkdtemp(prefix="xes-stream-bench-")
+    try:
+        src = f"{d}/src"
+        os.makedirs(src)
+        base = {"event_id": 0, "user_id": 0, "event_type": "click",
+                "value": 1.0, "props": "{}", "ts": "2024-01-01T00:00:00"}
+        types = ["click", "view", "purchase", "checkout"]
+        for fno in range(n_files + 1):  # +1 warmup file
+            with open(f"{src}/f{fno:03d}.json", "w") as f:
+                for i in range(rows_per):
+                    r = dict(base)
+                    r["event_id"] = fno * rows_per + i
+                    r["user_id"] = i % 1000
+                    r["event_type"] = types[i % len(types)]
+                    f.write(_json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        routed = route_union(wrp_view(stream), DEFAULT_FILTERS)
+        counts: list[int] = []
+
+        def _sink(batch, _bid):
+            counts.append(
+                batch.groupBy("stream_name").agg(F.count("*")).count()
+            )
+
+        q = (
+            routed.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        prog = [p for p in q.recentProgress if p.numInputRows > 0]
+        lat = sorted(
+            p.durationMs["triggerExecution"] for p in prog[1:]  # drop warmup
+        )
+        rows = sum(p.numInputRows for p in prog[1:])
+        total_ms = sum(lat)
+        return {
+            "batches": len(lat),
+            "rows_per_batch": rows_per,
+            "p50_trigger_ms": lat[len(lat) // 2],
+            "max_trigger_ms": lat[-1],
+            "rows_per_sec": round(rows / (total_ms / 1000.0)),
+            "ref_flush_limit_ms": 15_000,
+            "ref_e2e_deadline_ms": 30_000,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
