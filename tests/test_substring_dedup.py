@@ -125,3 +125,114 @@ class TestChooseLshParams:
 
         with pytest.raises(ValueError):
             choose_lsh_params(1.0)
+
+
+class TestWinnowedSpans:
+    """The winnow=k scale arm: content-defined fingerprint sampling
+    (Schleimer et al. 2003) with the t = w + k - 1 detection
+    guarantee, selected in the array domain (no added shuffle)."""
+
+    @staticmethod
+    def _py_winnow(hashes, k):
+        """Reference: position p (1-based) selected iff its hash is
+        minimal over the last-k frame [max(1, p-k+1), p], all ties
+        kept."""
+        out = []
+        for p in range(1, len(hashes) + 1):
+            frame = hashes[max(0, p - k) : p]
+            if hashes[p - 1] == min(frame):
+                out.append((p, hashes[p - 1]))
+        return out
+
+    def test_selection_matches_reference(self, spark):
+        import hashlib
+
+        from xmidt_event_streams_spark.operators.dedup import (
+            repeated_window_spans,
+        )
+
+        w, k = 3, 4
+        text = "a b c d e f g h i j k l m n o p q r s t u v w x y z"
+        toks = text.split()
+        wins = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+        hashes = [hashlib.md5(x.encode()).hexdigest() for x in wins]
+        expect = self._py_winnow(hashes, k)
+
+        # two identical docs -> every selected window recurs, so the
+        # full winnowed selection comes back from the cross-doc join
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        got = repeated_window_spans(df, window=w, winnow=k)
+        rows = sorted(
+            (r["pos"], r["whash"])
+            for r in got.filter(F.col("doc_id") == 1).collect()
+        )
+        assert rows == sorted(expect)
+
+    def test_detection_guarantee_long_shared_span(self, spark):
+        """Docs sharing a span of >= window + k - 1 tokens MUST both
+        report at least one common fingerprint in that span."""
+        from xmidt_event_streams_spark.operators.dedup import (
+            repeated_window_spans,
+        )
+
+        w, k = 4, 5
+        shared = " ".join(f"s{i}" for i in range(w + k - 1))  # exactly t
+        d1 = "alpha beta gamma " + shared + " delta"
+        d2 = "one two " + shared + " three four five"
+        df = spark.createDataFrame(
+            [(1, d1), (2, d2)], "doc_id long, text string"
+        )
+        got = repeated_window_spans(df, window=w, winnow=k).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], set()).add(r["whash"])
+        common = by_doc.get(1, set()) & by_doc.get(2, set())
+        assert common, "guaranteed span not detected"
+
+    def test_sampling_reduction(self, spark, sf_dir):
+        """Winnowing shrinks the shuffled relation by ~2/(k+1); at
+        k=8 the selected fraction must drop below 40% of the exact
+        census (expected ~22%)."""
+        from xmidt_event_streams_spark.operators.dedup import (
+            repeated_window_spans,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = repeated_window_spans(
+            docs, window=5, cross_doc_only=False
+        ).count()
+        winnowed = repeated_window_spans(
+            docs, window=5, cross_doc_only=False, winnow=8
+        ).count()
+        assert 0 < winnowed < 0.4 * exact, (winnowed, exact)
+
+    def test_winnowed_is_subset_of_exact(self, spark, sf_dir):
+        from xmidt_event_streams_spark.operators.dedup import (
+            repeated_window_spans,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            "doc_id < 50"
+        )
+        exact = {
+            (r["doc_id"], r["pos"], r["whash"])
+            for r in repeated_window_spans(docs, window=5).collect()
+        }
+        win = {
+            (r["doc_id"], r["pos"], r["whash"])
+            for r in repeated_window_spans(docs, window=5, winnow=6).collect()
+        }
+        assert win <= exact
+
+    def test_bad_winnow_rejected(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.dedup import (
+            repeated_window_spans,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="winnow"):
+            repeated_window_spans(df, winnow=0)

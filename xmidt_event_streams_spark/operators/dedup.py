@@ -384,6 +384,7 @@ def repeated_window_spans(
     id_col: str = "doc_id",
     window: int = 20,
     cross_doc_only: bool = True,
+    winnow: int | None = None,
 ) -> DataFrame:
     """Exact-substring duplication ledger (the Lee et al. 2021 shape,
     arXiv:2107.06499: exact repeated spans degrade LMs more than
@@ -397,24 +398,81 @@ def repeated_window_spans(
     document (the training-contamination case); False also reports
     within-doc repeats (boilerplate).
 
-    Plan shape: explode of the window array (same cost class as the
-    MinHash shingle explode), ONE md5 per window, hash-agg on the
-    uniform md5 key, then a shuffle-hash self-join of the window
-    relation against its >1-occurrence keys. Both sides shuffle on
-    the same skew-free key; the exploded scan runs twice (the agg
-    side's map-side partial combine changes its exchange payload, so
-    Catalyst cannot reuse it) -- at 100 TB either accept 2 scans of
-    the token stream or persist the window relation between the two
-    consumers. No all-pairs shape anywhere.
+    ``winnow=k`` is the 100 TB arm: winnowing fingerprint selection
+    (Schleimer et al. 2003, the MOSS scheme) keeps only positions
+    whose hash is minimal over the last k positions -- selection
+    happens IN THE ARRAY DOMAIN before the explode, so the shuffled
+    relation shrinks by ~(k+1)/2 with ZERO added shuffle (a window
+    function over (doc, pos) would itself shuffle the full relation,
+    defeating the point). Selection is content-defined: identical
+    duplicated regions select identical fingerprints in every copy,
+    so every duplicated span of >= window + k - 1 tokens is still
+    GUARANTEED detected (the winnowing t = w + k - 1 theorem); spans
+    shorter than that may be missed -- the ledger becomes a
+    fingerprint sample, not the per-position census the exact arm
+    gives. Ties in a frame keep all tied positions (ties are
+    content-equal windows, deterministic in every copy).
+
+    Plan shape: explode of the (possibly winnowed) window array (same
+    cost class as the MinHash shingle explode), ONE md5 per window,
+    hash-agg on the uniform md5 key, then a shuffle-hash self-join of
+    the window relation against its >1-occurrence keys. Both sides
+    shuffle on the same skew-free key; the exploded scan runs twice
+    (the agg side's map-side partial combine changes its exchange
+    payload, so Catalyst cannot reuse it) -- at 100 TB either accept
+    2 scans of the token stream or persist the window relation
+    between the two consumers. No all-pairs shape anywhere.
     """
-    wins = df.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(text_col, window)).alias("pos", "win"),
-    ).select(
-        F.col(id_col),
-        (F.col("pos") + 1).alias("pos"),
-        F.md5("win").alias("whash"),
-    )
+    if winnow is None:
+        wins = df.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(text_col, window)).alias("pos", "win"),
+        ).select(
+            F.col(id_col),
+            (F.col("pos") + 1).alias("pos"),
+            F.md5("win").alias("whash"),
+        )
+    else:
+        from xmidt_event_streams_spark.functions.text import let_bind
+
+        if winnow < 1:
+            raise ValueError(f"winnow must be >= 1, got {winnow}")
+        k = winnow
+
+        def _selected(hs):
+            # struct per position; keep those minimal over the last-k
+            # frame (1-based pos p: slice(hs, p-k+1 clamped, min(k,p)))
+            return F.filter(
+                F.transform(
+                    hs,
+                    lambda h, i: F.struct(
+                        (i + 1).alias("pos"),
+                        h.alias("whash"),
+                        (
+                            h
+                            == F.array_min(
+                                F.slice(
+                                    hs,
+                                    F.greatest(i - k + 2, F.lit(1)),
+                                    F.least(F.lit(k), i + 1),
+                                )
+                            )
+                        ).alias("keep"),
+                    ),
+                ),
+                lambda s: s["keep"],
+            )
+
+        picked = let_bind(
+            F.transform(word_ngrams(text_col, window), F.md5), _selected
+        )
+        wins = df.select(
+            F.col(id_col), F.explode(picked).alias("s")
+        ).select(
+            F.col(id_col),
+            F.col("s.pos").alias("pos"),
+            F.col("s.whash").alias("whash"),
+        )
     counts = wins.groupBy("whash").agg(
         F.count("*").alias("n_occurrences"),
         F.count_distinct(F.col(id_col)).alias("n_docs"),
