@@ -1,0 +1,131 @@
+"""IVF-PQ (operators/ivfpq.py): residual-encoded coarse+fine
+quantization -- recall floor vs exact cosine, plan-time cell pruning,
+sidecar guards, rank contract.
+
+Recall context: the embeddings table is uniform random unit vectors
+(no cluster structure -- the hardest PQ regime; the pinned floors in
+test_pq mirror this). Fits are deterministic, so the measured recall
+is a constant, asserted with margin below the measured 0.58.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.ivfpq import (
+    ivfpq_fit,
+    probe_ivfpq_index,
+    residual_expr,
+    write_ivfpq_index,
+)
+from xmidt_event_streams_spark.operators.similarity import brute_force_topk
+
+N_CELLS, M, K, ITERS, N_PROBE = 8, 16, 64, 4, 6
+
+
+@pytest.fixture(scope="module")
+def ix(spark, sf_dir, tmp_path_factory):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, cbs = ivfpq_fit(emb, n_cells=N_CELLS, m=M, k=K, n_iters=ITERS)
+    path = str(tmp_path_factory.mktemp("ivfpq") / "ix")
+    write_ivfpq_index(emb, path, cents, cbs)
+    qdf = emb.filter(F.col("vec_id") % 100 == 7)
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in qdf.collect()
+    ]
+    return {"emb": emb, "path": path, "cents": cents, "cbs": cbs,
+            "qdf": qdf, "qrows": qrows}
+
+
+def test_recall_floor_vs_exact(spark, ix):
+    exact: dict = {}
+    for r in brute_force_topk(ix["emb"], ix["qdf"], k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = probe_ivfpq_index(
+        spark, ix["path"], ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+    )
+    approx: dict = {}
+    for r in got.collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ) / len(exact)
+    # Same floor philosophy as test_pq: 0.40 pinned on uniform unit
+    # vectors (the no-structure worst case for PQ; measured 0.52-0.62
+    # depending on the session's partitioning, which perturbs the
+    # float-mean fit in the last bits).
+    assert recall >= 0.40, recall
+
+
+def test_probe_prunes_cells_at_plan_time(spark, ix):
+    got = probe_ivfpq_index(
+        spark, ix["path"], ix["qrows"][:1], k_neighbors=5, n_probe=2
+    )
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], plan
+    # static IN-list, not a dynamic filter
+    assert "dynamicpruning" not in pf[0].lower()
+
+
+def test_self_match_excluded_and_rank_contract(spark, ix):
+    rows = probe_ivfpq_index(
+        spark, ix["path"], ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+    ).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+    for q, rr in by_q.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, len(rr) + 1)), q
+        dists = [x[1] for x in rr]
+        assert dists == sorted(dists), q
+
+
+def test_foreign_quantizers_rejected(spark, ix):
+    bad_cb = (np.asarray(ix["cbs"]) + 0.5).tolist()
+    with pytest.raises(ValueError, match="different codebooks"):
+        probe_ivfpq_index(
+            spark, ix["path"], ix["qrows"][:1], codebooks=bad_cb
+        )
+    bad_cents = [[x + 1.0 for x in c] for c in ix["cents"]]
+    with pytest.raises(ValueError, match="different centroids"):
+        probe_ivfpq_index(
+            spark, ix["path"], ix["qrows"][:1], centroids=bad_cents
+        )
+
+
+def test_missing_sidecar_rejected(spark, ix, tmp_path):
+    ix["emb"].limit(5).write.parquet(str(tmp_path / "bare"))
+    with pytest.raises(ValueError, match="foreign index"):
+        probe_ivfpq_index(spark, str(tmp_path / "bare"), ix["qrows"][:1])
+
+
+def test_residual_expr_matches_numpy(spark):
+    cents = [[1.0, 2.0], [10.0, 20.0]]
+    df = spark.createDataFrame(
+        [(0, [3.0, 5.0], 0), (1, [11.0, 25.0], 1)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    got = {
+        r["vec_id"]: list(r["res"])
+        for r in df.select(
+            "vec_id", residual_expr("embedding", "cell", cents).alias("res")
+        ).collect()
+    }
+    assert got == {0: [2.0, 3.0], 1: [1.0, 5.0]}
+
+
+def test_fit_is_deterministic(spark, ix, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents2, cbs2 = ivfpq_fit(emb, n_cells=N_CELLS, m=M, k=K, n_iters=ITERS)
+    assert cents2 == ix["cents"]
+    assert cbs2 == ix["cbs"]

@@ -1,0 +1,246 @@
+"""IVF-PQ: coarse cell pruning composed with residual product
+quantization -- the standard big-corpus ANN index (the FAISS
+``IVFx,PQy`` shape, from the published formulations: Jegou et al.
+2011, "Product Quantization for Nearest Neighbor Search").
+
+Why the composition beats either half alone at 100 TB:
+
+  * IVF alone prunes the scan to n_probe/n_cells of the corpus but
+    still reads full vectors (dim floats/row) in the probed cells;
+  * PQ alone reads m bytes/row but scans the WHOLE corpus;
+  * IVF-PQ reads m ints/row in only the probed cells: both the scan
+    fraction AND the bytes-per-row shrink multiply.
+
+RESIDUAL encoding is what makes the composition accurate: vectors
+inside one cell share the cell centroid's direction, so quantizing
+``v - centroid(cell)`` spends the codebook's resolution on the part
+that distinguishes neighbors instead of re-encoding the shared
+offset. The probe builds one LUT per (query, probed cell) -- the
+query's residual differs per cell -- n_queries x n_probe tables of
+m x k exact subdistances, driver-built (tiny), closure-broadcast.
+
+Semantics: ADC distances are L2 over residuals. On normalized
+embeddings L2 and cosine rank identically (the ann_bench
+equivalence), which is the intended regime -- same contract as the
+PQ family.
+
+Plan shape: write = one narrow cell-assign + one narrow residual
+projection (JVM zip_with against literal centroids) + one narrow
+Arrow encode, then a cell-partitioned write (one dir per cell, no
+small files). Probe = plan-time partition pruning to the probed
+cells (static IN-list, pytest-asserted), a shuffle-free mapInPandas
+ADC scan over int codes, one rank-window shuffle keyed by query_id.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from xmidt_event_streams_spark.fsutil import (
+    read_json_sidecar,
+    write_json_sidecar,
+)
+from xmidt_event_streams_spark.operators.ivf import (
+    _nearest_cells_driver,
+    assign_cells,
+    kmeans_fit,
+)
+from xmidt_event_streams_spark.operators.pq import (
+    _as_codebooks,
+    pq_encode,
+    pq_fit,
+)
+
+_IVFPQ_META_FILE = "_xes_ivfpq_index_meta.json"
+
+
+def residual_expr(
+    vec_col: str, cell_col: str, centroids: list[list[float]]
+) -> Column:
+    """``v - centroid(cell)`` as a pure JVM expression: the centroid
+    table rides the plan as a literal array-of-arrays (k x dim
+    doubles -- plan-time constant, same posture as nearest_cells)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    picked = F.element_at(cents, F.col(cell_col) + 1)  # 1-based
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"), picked, lambda x, y: x - y
+    )
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Fit the two quantizers in sequence: coarse spherical k-means
+    for the cells, then the PQ codebooks on the RESIDUALS under those
+    cells. Both fits are the existing distributed, deterministic
+    machines (kmeans_fit / pq_fit) -- per round the driver holds only
+    centroid-sized state; sample-fit both for the 100 TB regime (the
+    same md5-bucket sampling argument as neardup_centroids)."""
+    cents = kmeans_fit(df, n_cells, n_iters, vec_col, id_col)
+    res = assign_cells(df, cents, vec_col).withColumn(
+        "_res", residual_expr(vec_col, "cell", cents)
+    )
+    cbs = pq_fit(res, m, k, n_iters, vec_col="_res", id_col=id_col)
+    return cents, cbs
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize (id, codes) partitioned by coarse cell, residual-
+    encoded, with both quantizers stamped in the sidecar (cells and
+    codes are meaningless under any other centroids/codebooks --
+    probes verify or load, never silently mismatch)."""
+    cb = _as_codebooks(codebooks)
+    res = assign_cells(df, centroids, vec_col).withColumn(
+        "_res", residual_expr(vec_col, "cell", centroids)
+    )
+    (
+        pq_encode(res, codebooks, "_res")
+        .select(id_col, "codes", "cell")
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    write_json_sidecar(
+        df.sparkSession,
+        path,
+        _IVFPQ_META_FILE,
+        {
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "codebooks": cb.tolist(),
+            "m": int(cb.shape[0]),
+            "k": int(cb.shape[1]),
+            "dsub": int(cb.shape[2]),
+            "id_col": id_col,
+        },
+    )
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k_neighbors: int = 10,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+) -> DataFrame:
+    """ADC top-k against a materialized IVF-PQ index.
+
+    ``queries`` is the small-by-contract driver-side list of
+    (query_id, raw_vector), as across the ANN family. Per query the
+    n_probe nearest cells are computed driver-side (static partition
+    pruning beats DPP here, same argument as probe_ivf_index); each
+    (query, cell) pair gets its own residual LUT. The scan reads
+    ONLY the probed cells' directories and scores each row against
+    exactly the queries that probed its cell. Self-matches
+    (vec_id == query_id) are excluded, matching the IVF family.
+    Output: query_id, vec_id, adc_dist (ascending = nearest), rank.
+    """
+    meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"no quantizer sidecar at {path} (foreign index?): build "
+            "with write_ivfpq_index"
+        )
+    if centroids is None:
+        centroids = meta["centroids"]
+    elif [[float(x) for x in c] for c in centroids] != meta["centroids"]:
+        raise ValueError(
+            f"IVF-PQ index at {path} was built with different centroids"
+        )
+    if codebooks is None:
+        codebooks = meta["codebooks"]
+    elif _as_codebooks(codebooks).tolist() != meta["codebooks"]:
+        raise ValueError(
+            f"IVF-PQ index at {path} was built with different codebooks"
+        )
+    cb = _as_codebooks(codebooks)
+    m, _kcb, dsub = cb.shape
+    id_col = meta["id_col"]
+
+    cells_per_q = _nearest_cells_driver(
+        [v for _, v in queries], centroids, n_probe
+    )
+    cmat = np.asarray(centroids, dtype=np.float64)
+    # (query, cell) -> residual LUT of exact subdistances
+    luts: list[tuple[int, int, np.ndarray]] = []
+    for (qid, qv), cells in zip(queries, cells_per_q):
+        q = np.asarray(qv, dtype=np.float64)
+        for c in cells:
+            qr = (q - cmat[c]).reshape(m, 1, dsub)
+            luts.append((int(qid), int(c), ((cb - qr) ** 2).sum(axis=2)))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        rng = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            for qid, c, lut in luts:
+                mask = (cells == c) & (ids != qid)
+                if not mask.any():
+                    continue
+                d = lut[rng[None, :], codes[mask]].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(mask.sum(), qid, dtype=np.int64),
+                        id_col: ids[mask],
+                        "adc_dist": d,
+                    }
+                )
+
+    probed = sorted({c for cs in cells_per_q for c in cs})
+    scored = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .filter(F.col("codes").isNotNull())
+        .mapInPandas(_score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id", id_col, F.round("adc_dist", 6).alias("adc_dist"), "rank"
+        )
+    )
