@@ -238,6 +238,68 @@ def ann_bench(spark) -> dict:
         / len(exact),
         3,
     )
+    # IVF-PQ arm: residual PQ under coarse cell pruning -- the scan
+    # reads m-int codes in only n_probe/n_cells of the corpus, so its
+    # search time stacks the partition-pruning factor on top of ADC's
+    # bytes-per-row shrink. Index build (kmeans + residual encode +
+    # partitioned write) is one-time, reported separately like the PQ
+    # fit/encode.
+    import shutil
+    import tempfile
+
+    from xmidt_event_streams_spark.operators.ivfpq import (
+        ivfpq_fit,
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    n_cells, n_probe = 64, 8
+    ixdir = tempfile.mkdtemp(prefix="xes-ann-bench-") + "/ivfpq"
+    try:
+        t0 = time.perf_counter()
+        cents, cbs = ivfpq_fit(
+            corpus.filter(F.col("vec_id") % 10 == 0),
+            n_cells=n_cells, m=m, k=k_codes, n_iters=2,
+        )
+        ivfpq_fit_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        write_ivfpq_index(corpus, ixdir, cents, cbs)
+        ivfpq_build_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        probe_df = probe_ivfpq_index(
+            spark, ixdir, qrows, topk, n_probe=n_probe
+        )
+        ivfpq_rows = probe_df.collect()
+        ivfpq_sec = round(time.perf_counter() - t0, 3)
+        # the quantity that scales: fraction of index bytes the pruned
+        # probe actually read (locally the search is overhead-bound --
+        # 200k rows of 16-int codes is nothing -- but at 100 TB this
+        # fraction IS the speedup over a flat ADC scan)
+        from scale_audit import _walk
+
+        acc = {"scan_bytes": 0, "shuffle_bytes": 0, "shuffle_records": 0,
+               "broadcast_bytes": 0, "spill_bytes": 0, "n_exchanges": 0,
+               "n_broadcasts": 0}
+        _walk(probe_df._jdf.queryExecution().executedPlan(), acc)
+        total_ix_bytes = sum(
+            f.stat().st_size
+            for f in __import__("pathlib").Path(ixdir).rglob("*.parquet")
+        )
+        bytes_frac = round(acc["scan_bytes"] / max(total_ix_bytes, 1), 3)
+    finally:
+        shutil.rmtree(ixdir.rsplit("/", 1)[0], ignore_errors=True)
+    iapprox: dict = {}
+    for r in ivfpq_rows:
+        iapprox.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivfpq_recall = round(
+        sum(
+            len(exact[q] & iapprox.get(q, set())) / len(exact[q])
+            for q in exact
+        )
+        / len(exact),
+        3,
+    )
+
     corpus.unpersist()
     codes.unpersist()
     return {
@@ -251,6 +313,17 @@ def ann_bench(spark) -> dict:
         "pq_search_sec": pq_sec,
         "speedup_search": round(brute_sec / pq_sec, 2),
         "recall_at_10": recall,
+        "ivfpq_n_cells": n_cells,
+        "ivfpq_n_probe": n_probe,
+        "ivfpq_fit_sec": ivfpq_fit_sec,
+        "ivfpq_build_sec": ivfpq_build_sec,
+        "ivfpq_search_sec": ivfpq_sec,
+        "ivfpq_speedup_search": round(brute_sec / ivfpq_sec, 2),
+        # measured bytes fraction for THIS batch's union of probed
+        # cells; a single lookup reads n_probe/n_cells of the index
+        "ivfpq_index_bytes_read_frac": bytes_frac,
+        "ivfpq_per_query_cell_frac": round(n_probe / n_cells, 3),
+        "ivfpq_recall_at_10": ivfpq_recall,
     }
 
 
