@@ -461,3 +461,102 @@ class TestHistMeasure:
             assert bins == self._exact_hist(vals), vals
 
         check()
+
+
+class TestTopKMeasure:
+    """top_k: mergeable frequent-items sketch state -- heavy hitters
+    per dimension slice; counts EXACT while distinct items stay under
+    the sketch capacity (the enum-ish dimension regime)."""
+
+    TM = {"hot": ("top_k", "item", 3), "n": ("count", "item")}
+    DIMS2 = ["grp"]
+    SCHEMA2 = "grp string, item string"
+
+    @staticmethod
+    def _batches():
+        # deterministic skewed items per group, no count ties in the
+        # top 3 (sketch tie order is not contractual)
+        out = []
+        for b in range(3):
+            rows = []
+            for i, (item, reps) in enumerate(
+                [("a", 9), ("b", 6), ("c", 4), ("d", 2), ("e", 1)]
+            ):
+                rows += [("g1", item)] * reps
+            rows += [("g2", "x")] * 5 + [("g2", "y")] * 2
+            out.append(rows)
+        return out
+
+    def _write(self, spark, path):
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            idempotent_batch_append,
+        )
+        from xmidt_event_streams_spark.streaming.rollup import (
+            rollup_partial,
+        )
+
+        for b, rows in enumerate(self._batches()):
+            idempotent_batch_append(
+                rollup_partial(
+                    spark.createDataFrame(rows, self.SCHEMA2),
+                    self.DIMS2,
+                    self.TM,
+                ),
+                b,
+                path,
+            )
+
+    def test_merged_top_k_exact_below_capacity(self, spark, tmp_path):
+        path = str(tmp_path / "ru")
+        self._write(spark, path)
+        got = {
+            r["grp"]: [(x["item"], x["count"]) for x in r["hot"]]
+            for r in read_rollup(
+                spark, path, self.DIMS2, self.TM
+            ).collect()
+        }
+        # 3 batches x per-batch counts; exact merged counts, ranked
+        assert got["g1"] == [("a", 27), ("b", 18), ("c", 12)]
+        assert got["g2"] == [("x", 15), ("y", 6)]
+
+    def test_top_k_survives_compaction_and_append(self, spark, tmp_path):
+        from xmidt_event_streams_spark.streaming.ingest_dedup import (
+            idempotent_batch_append,
+        )
+        from xmidt_event_streams_spark.streaming.rollup import (
+            rollup_partial,
+        )
+
+        path = str(tmp_path / "ru")
+        self._write(spark, path)
+        compact_rollup(spark, path, self.DIMS2, self.TM)
+        idempotent_batch_append(
+            rollup_partial(
+                spark.createDataFrame(
+                    [("g1", "b")] * 20, self.SCHEMA2
+                ),
+                self.DIMS2,
+                self.TM,
+            ),
+            3,
+            path,
+        )
+        got = {
+            r["grp"]: [(x["item"], x["count"]) for x in r["hot"]]
+            for r in read_rollup(spark, path, self.DIMS2, self.TM).collect()
+        }
+        # the post-compaction append flips the leader
+        assert got["g1"] == [("b", 38), ("a", 27), ("c", 12)]
+
+    def test_bad_k_rejected(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.streaming.rollup import (
+            rollup_partial,
+        )
+
+        df = spark.createDataFrame([("g", "a")], self.SCHEMA2)
+        with pytest.raises(ValueError, match="top_k needs"):
+            rollup_partial(df, self.DIMS2, {"h": ("top_k", "item")})
+        with pytest.raises(ValueError, match="top_k needs"):
+            rollup_partial(df, self.DIMS2, {"h": ("top_k", "item", 0)})

@@ -28,10 +28,12 @@ Only re-mergeable aggregates are admitted: count/sum/min/max, the
 avg derivation, approx_distinct (Datasketches HLL -- the partial
 stored per batch IS the binary sketch, merged with hll_union_agg on
 read, so distinct-count rollups compose across batches without
-keeping member sets anywhere), and hist (fixed-edge bin counts --
-EXACTLY mergeable by element-wise addition; quantiles derive from
-the merged histogram with a bin-width error bound, see
-``rollup_percentile``). Non-decomposable exact aggregates (exact
+keeping member sets anywhere), top_k (Datasketches frequent-items:
+the partial is the accumulate state, combined+estimated on read --
+heavy hitters per dimension slice, exact below sketch capacity), and
+hist (fixed-edge bin counts -- EXACTLY mergeable by element-wise
+addition; quantiles derive from the merged histogram with a
+bin-width error bound, see ``rollup_percentile``). Non-decomposable exact aggregates (exact
 median, exact distinct) need a different machine -- see
 value_percentiles (approx_percentile) for the one-shot quantile
 story; the hist measure is its rollup-native replacement: p99 over
@@ -50,30 +52,44 @@ from xmidt_event_streams_spark.streaming.ingest_dedup import (
     idempotent_batch_append,
 )
 
-_MERGEABLE = ("count", "sum", "min", "max", "avg", "approx_distinct", "hist")
+_MERGEABLE = (
+    "count", "sum", "min", "max", "avg", "approx_distinct", "hist", "top_k"
+)
 _BATCH_COL = "_ingest_batch_id"
 
+# capacity of the frequent-items sketch state: counts are EXACT while
+# a group's distinct item count stays below this (the intended regime
+# for enum-ish dimensions); past it, standard approx_top_k error
+_TOPK_MAX_TRACKED = 10_000
 
-def _spec(value) -> tuple[str, str, tuple[float, ...] | None]:
+
+def _spec(value):
     fn, src = value[0], value[1]
-    edges = tuple(value[2]) if len(value) > 2 else None
-    return fn, src, edges
+    extra = value[2] if len(value) > 2 else None
+    if fn == "hist" and extra is not None:
+        extra = tuple(extra)
+    return fn, src, extra
 
 
 def _check_measures(measures: dict) -> None:
     for out, value in measures.items():
-        fn, _src, edges = _spec(value)
+        fn, _src, extra = _spec(value)
         if fn not in _MERGEABLE:
             raise ValueError(
                 f"{out}: '{fn}' is not re-mergeable "
                 f"(supported: {_MERGEABLE})"
             )
         if fn == "hist":
+            edges = extra
             if not edges or list(edges) != sorted(edges) or len(edges) < 2:
                 raise ValueError(
                     f"{out}: hist needs >= 2 strictly sorted bin edges, "
                     f"('hist', src, edges)"
                 )
+        if fn == "top_k" and (not isinstance(extra, int) or extra < 1):
+            raise ValueError(
+                f"{out}: top_k needs a positive k, ('top_k', src, k)"
+            )
 
 
 def log_edges(lo: float, hi: float, per_decade: int = 10) -> tuple[float, ...]:
@@ -101,7 +117,8 @@ def rollup_partial(
     _check_measures(measures)
     aggs = []
     for out, value in measures.items():
-        fn, src, edges = _spec(value)
+        fn, src, extra = _spec(value)
+        edges = extra
         if fn == "count":
             aggs.append(F.count(src).alias(out))
         elif fn == "avg":
@@ -112,6 +129,15 @@ def rollup_partial(
             # mergeable) -- distinct-count rollups compose across
             # batches without keeping member sets anywhere
             aggs.append(F.hll_sketch_agg(src).alias(f"{out}__hll"))
+        elif fn == "top_k":
+            # Datasketches frequent-items: the partial IS the sketch
+            # state (mergeable); heavy hitters per dimension slice
+            # compose across batches like the HLL sketches
+            aggs.append(
+                F.expr(
+                    f"approx_top_k_accumulate({src}, {_TOPK_MAX_TRACKED})"
+                ).alias(f"{out}__topk")
+            )
         elif fn == "hist":
             idx = _bin_index(src, edges)
             aggs.append(
@@ -140,7 +166,8 @@ def _hist_merge(out: str, edges: tuple[float, ...]) -> Column:
 def _merge_exprs(measures: dict) -> list:
     exprs = []
     for out, value in measures.items():
-        fn, _src, edges = _spec(value)
+        fn, _src, extra = _spec(value)
+        edges = extra
         if fn in ("count", "sum"):
             exprs.append(F.sum(out).alias(out))
         elif fn in ("min", "max"):
@@ -149,6 +176,13 @@ def _merge_exprs(measures: dict) -> list:
             exprs.append(
                 F.hll_sketch_estimate(
                     F.hll_union_agg(f"{out}__hll")
+                ).alias(out)
+            )
+        elif fn == "top_k":
+            exprs.append(
+                F.expr(
+                    f"approx_top_k_estimate("
+                    f"approx_top_k_combine(`{out}__topk`), {extra})"
                 ).alias(out)
             )
         elif fn == "hist":
@@ -288,7 +322,8 @@ def compact_rollup(
     batch_ids = [r[0] for r in cur.select(_BATCH_COL).distinct().collect()]
     exprs = []
     for out, value in measures.items():
-        fn, _src, edges = _spec(value)
+        fn, _src, extra = _spec(value)
+        edges = extra
         if fn in ("count", "sum"):
             exprs.append(F.sum(out).alias(out))
         elif fn in ("min", "max"):
@@ -296,6 +331,13 @@ def compact_rollup(
         elif fn == "approx_distinct":
             # fold sketches into ONE sketch (still mergeable later)
             exprs.append(F.hll_union_agg(f"{out}__hll").alias(f"{out}__hll"))
+        elif fn == "top_k":
+            # fold sketches into ONE sketch state (still mergeable)
+            exprs.append(
+                F.expr(f"approx_top_k_combine(`{out}__topk`)").alias(
+                    f"{out}__topk"
+                )
+            )
         elif fn == "hist":
             # folded bins stay bins (still mergeable later)
             exprs.append(_hist_merge(out, edges).alias(f"{out}__hist"))
