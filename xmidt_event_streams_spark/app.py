@@ -1,0 +1,121 @@
+"""One-call application assembly: the reference's app wiring
+(internal/install: config -> filter manager -> queues -> senders ->
+metrics, composed by the fx container) as a single function over the
+Spark building blocks.
+
+``run_app`` takes the SAME config document the reference ships
+(streams_only.yaml shape -- or a parsed dict, or compiled
+FilterConfigs) and stands up the full data plane:
+
+    durable source -> V3/V4/V7 reject split (rejects to their own
+    ledger sink, idempotent per batch) -> V6 fixWrp enrichment ->
+    R1-R4 regex fan-out -> B6/K6 chunked delivery with K3 retry /
+    K4 failover -> M4/M5 gauges observed per trigger.
+
+One streaming query, one checkpoint: the reject split and delivery
+happen inside the same micro-batch transaction, so a replayed batch
+re-splits and re-delivers the same rows (rejects idempotent by batch
+id; delivery at-least-once with the transaction_uuid dedup key
+downstream -- the same effectively-once posture as
+streaming/router.py, which this composes rather than replaces).
+
+The HTTP control plane (auth, servers) stays out of scope per
+SURVEY.md §2.9 -- the data plane starts at the durable source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.config import (
+    FilterConfig,
+    load_filter_configs,
+    load_filter_configs_yaml,
+)
+from xmidt_event_streams_spark.enrich import classify_rejects, fix_wrp
+from xmidt_event_streams_spark.sinks.writer import (
+    DirSenderFactory,
+    route_and_deliver,
+)
+from xmidt_event_streams_spark.streaming.ingest_dedup import (
+    idempotent_batch_append,
+)
+from xmidt_event_streams_spark.streaming.router import (
+    DEFAULT_TRIGGER_SECONDS,
+    read_wrp_stream,
+)
+
+
+def resolve_config(config) -> tuple[FilterConfig, ...]:
+    """Accept a YAML path, a parsed config document, or compiled
+    FilterConfigs; return the compiled tuple (non-empty, validated)."""
+    if isinstance(config, str):
+        filters = load_filter_configs_yaml(config)
+    elif isinstance(config, dict):
+        filters = load_filter_configs(config)
+    else:
+        filters = list(config)
+        for fc in filters:
+            if not isinstance(fc, FilterConfig):
+                raise TypeError(f"expected FilterConfig, got {type(fc)!r}")
+    if not filters:
+        raise ValueError("config compiled to zero filters")
+    return tuple(filters)
+
+
+def run_app(
+    spark,
+    config,
+    source_path: str,
+    checkpoint_dir: str,
+    sender_factory=None,
+    sink_root: str | None = None,
+    rejects_path: str | None = None,
+    source_format: str = "json",
+    required_cols: tuple[str, ...] = ("dest", "source"),
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+    availableNow: bool = False,
+    query_name: str = "xes-app",
+    observe_gauges: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Assemble and START the pipeline; returns the StreamingQuery.
+
+    Exactly one of ``sender_factory`` (production: your transport)
+    or ``sink_root`` (directory delivery -- the integration-test
+    posture) must be provided. ``rejects_path=None`` drops rejects
+    after counting them into the gauge stream (the reference's
+    counter-only behavior); set it to keep the ledger.
+    """
+    if (sender_factory is None) == (sink_root is None):
+        raise ValueError("provide exactly one of sender_factory | sink_root")
+    if sender_factory is None:
+        sender_factory = DirSenderFactory(sink_root)
+    filters = resolve_config(config)
+
+    stream = read_wrp_stream(
+        spark, source_path, source_format, max_files_per_trigger
+    )
+    if observe_gauges:
+        from xmidt_event_streams_spark.streaming.metrics import with_gauges
+
+        stream = with_gauges(stream, name=query_name)
+
+    def _process(batch_df, batch_id: int) -> None:
+        tagged = classify_rejects(batch_df, required_cols=required_cols)
+        if rejects_path is not None:
+            rejects = tagged.filter(F.col("reject_reason") != "")
+            idempotent_batch_append(rejects, batch_id, rejects_path)
+        accepted = fix_wrp(
+            tagged.filter(F.col("reject_reason") == "").drop("reject_reason")
+        )
+        route_and_deliver(accepted, filters, sender_factory)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    ).queryName(query_name)
+    if availableNow:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
