@@ -162,3 +162,28 @@ def test_resolve_config_forms(spark):
 def test_sender_xor_sink_enforced(spark, dirs):
     with pytest.raises(ValueError, match="exactly one"):
         run_app(spark, dirs["cfg"], dirs["src"], dirs["ckpt"])
+
+
+def test_cli_drain_mode(spark, dirs):
+    """python -m ...app --drain over a backlog: same behavior as
+    run_app availableNow, through the argparse surface (session
+    injected so the test reuses the fixture)."""
+    from xmidt_event_streams_spark.app import main
+
+    _write(
+        os.path.join(dirs["src"], "b1.json"),
+        [_evt(i, "event:boot-time/mac:5/x") for i in range(3)],
+    )
+    rc = main(
+        [
+            "--config", dirs["cfg"],
+            "--source", dirs["src"],
+            "--checkpoint", dirs["ckpt"],
+            "--sink-root", dirs["sink"],
+            "--rejects", dirs["rejects"],
+            "--drain", "--timeout", "180",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(_delivered(dirs["sink"], "boot-stream")) == 3

@@ -119,3 +119,62 @@ def run_app(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI runner -- the reference-binary analog:
+
+        python -m xmidt_event_streams_spark.app \\
+            --config streams.yaml --source /data/in \\
+            --checkpoint /data/ck --sink-root /data/out \\
+            [--rejects /data/rejects] [--drain] [--trigger-seconds 15]
+
+    ``--drain`` runs availableNow (process the backlog, then exit --
+    the batch/backfill posture); without it the query runs until
+    interrupted. Returns 0 on clean termination."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="xmidt_event_streams_spark.app")
+    p.add_argument("--config", required=True, help="YAML config path")
+    p.add_argument("--source", required=True, help="source directory")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--sink-root", required=True, help="delivery root dir")
+    p.add_argument("--rejects", default=None, help="reject ledger path")
+    p.add_argument("--source-format", default="json")
+    p.add_argument("--trigger-seconds", type=int,
+                   default=DEFAULT_TRIGGER_SECONDS)
+    p.add_argument("--drain", action="store_true",
+                   help="availableNow: drain the backlog and exit")
+    p.add_argument("--timeout", type=int, default=None,
+                   help="max seconds to wait (drain mode)")
+    args = p.parse_args(argv)
+
+    owns_session = spark is None
+    if owns_session:
+        from xmidt_event_streams_spark.session import get_spark
+
+        spark = get_spark("xes-app")
+    try:
+        q = run_app(
+            spark,
+            args.config,
+            args.source,
+            args.checkpoint,
+            sink_root=args.sink_root,
+            rejects_path=args.rejects,
+            source_format=args.source_format,
+            trigger_seconds=args.trigger_seconds,
+            availableNow=args.drain,
+        )
+        if args.drain:
+            q.awaitTermination(args.timeout)
+        else:  # pragma: no cover - interactive mode
+            q.awaitTermination()
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())
