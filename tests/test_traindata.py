@@ -378,3 +378,75 @@ class TestWeightedSample:
         assert 2000 not in picked and 2001 not in picked
         with pytest.raises(ValueError, match="n must be positive"):
             weighted_sample(df, 0, "w")
+
+
+class TestLeakageSafeSplit:
+    """leakage_safe_split: near-dup clusters never straddle splits;
+    singletons match plain assign_split exactly."""
+
+    @staticmethod
+    def _pairs(spark, edges):
+        return spark.createDataFrame(edges, "id_a long, id_b long")
+
+    def test_cluster_members_share_split(self, spark):
+        from xmidt_event_streams_spark.operators.traindata import (
+            leakage_safe_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+        )
+        # three clusters, one a 2-hop chain (transitivity matters)
+        pairs = self._pairs(
+            spark, [(1, 2), (2, 3), (10, 11), (50, 51), (51, 52), (52, 53)]
+        )
+        out = leakage_safe_split(docs, pairs)
+        split = {r["doc_id"]: r["split"] for r in out.collect()}
+        for cluster in ([1, 2, 3], [10, 11], [50, 51, 52, 53]):
+            assert len({split[i] for i in cluster}) == 1, cluster
+
+    def test_singletons_identical_to_plain_split(self, spark):
+        from xmidt_event_streams_spark.operators.traindata import (
+            assign_split,
+            leakage_safe_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+        )
+        pairs = self._pairs(spark, [(5, 6)])
+        safe = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_split(docs, pairs).collect()
+        }
+        plain = {
+            r["doc_id"]: r["split"] for r in assign_split(docs).collect()
+        }
+        for i in range(300):
+            if i not in (5, 6):
+                assert safe[i] == plain[i], i
+        assert safe[5] == safe[6]
+
+    def test_end_to_end_with_minhash_pairs(self, spark, sf_dir):
+        """The real composition: LSH candidate pairs over documents
+        -> components -> leak-free split, with sane proportions."""
+        from xmidt_event_streams_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+        from xmidt_event_streams_spark.operators.traindata import (
+            leakage_safe_split,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = minhash_lsh_candidates(docs)
+        out = leakage_safe_split(docs, pairs)
+        split = {r["doc_id"]: r["split"] for r in out.collect()}
+        # every candidate pair co-located
+        for r in pairs.collect():
+            assert split[r["id_a"]] == split[r["id_b"]], (r["id_a"], r["id_b"])
+        # proportions in the right ballpark (hash split, 500 docs)
+        from collections import Counter
+
+        c = Counter(split.values())
+        assert c["train"] > 0.8 * len(split)
+        assert set(c) <= {"train", "val", "test"}

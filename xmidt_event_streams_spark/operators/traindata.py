@@ -406,3 +406,50 @@ def weighted_sample(
         .limit(n)
         .drop("_es_key")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """``assign_split`` with the near-duplicate leakage hole closed:
+    every member of a duplicate cluster lands in the SAME split.
+
+    A plain per-id hash split leaks through near-duplicates -- two
+    ~identical documents can straddle train and test, and the model
+    gets graded on (a paraphrase of) its own training data. Here the
+    split key is the duplicate-CLUSTER representative: connected
+    components over the candidate-pair graph (``pairs``: id_a/id_b
+    from minhash_lsh_candidates, embedding_near_dup, image pairs --
+    any near-dup relation, or a union of several), min-id label per
+    component, and the split hash is taken on that representative.
+    Documents in no pair keep their own id as representative, so for
+    them the assignment is IDENTICAL to ``assign_split`` (same salt,
+    same buckets) -- adding pair evidence later only ever moves
+    cluster members, never the untouched singleton population.
+
+    Scale: components cost the pair graph (small relative to the
+    corpus -- candidate pairs, not all pairs); the representative
+    join is one broadcast-or-shuffle equi join keyed by id; the split
+    itself stays the narrow md5 arithmetic.
+
+    Caveat (inherent to clustering): cluster membership depends on
+    the pair relation, so re-running with a GROWN pair graph can move
+    a whole cluster between splits (its representative may change).
+    Pin the pair snapshot alongside the corpus snapshot for
+    reproducible splits -- same posture as read_sink_as_of.
+    """
+    from xmidt_event_streams_spark.operators.components import (
+        connected_components,
+    )
+
+    comps = connected_components(
+        pairs, out_id=id_col, out_label="_rep"
+    )
+    rep = F.coalesce(F.col("_rep"), F.col(id_col))
+    with_rep = df.join(comps, id_col, "left").withColumn("_split_key", rep)
+    out = assign_split(with_rep, id_col="_split_key", weights=weights, salt=salt)
+    return out.drop("_rep", "_split_key")
