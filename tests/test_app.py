@@ -187,3 +187,32 @@ def test_cli_drain_mode(spark, dirs):
     )
     assert rc == 0
     assert len(_delivered(dirs["sink"], "boot-stream")) == 3
+
+
+def test_expectations_feed_the_same_reject_ledger(spark, dirs):
+    """Data-quality expectations compose into the app: violating rows
+    join the protocol rejects in one ledger, with check names as the
+    reason; clean rows deliver."""
+    events = [
+        _evt(1, "event:boot-time/mac:1/x"),
+        {**_evt(2, "event:boot-time/mac:1/x"), "session_id": None},
+        _evt(3, "event:boot-time/mac:1/x", msg_type=3),  # protocol reject
+    ]
+    _write(os.path.join(dirs["src"], "b1.json"), events)
+    q = run_app(
+        spark,
+        dirs["cfg"],
+        dirs["src"],
+        dirs["ckpt"],
+        sink_root=dirs["sink"],
+        rejects_path=dirs["rejects"],
+        expectations=[("not_null", ["session_id"])],
+        availableNow=True,
+    )
+    q.awaitTermination(180)
+    assert len(_delivered(dirs["sink"], "boot-stream")) == 1
+    reasons = sorted(
+        r["reject_reason"]
+        for r in spark.read.parquet(dirs["rejects"]).collect()
+    )
+    assert reasons == ["invalid_msg_type", "not_null:session_id"]

@@ -73,6 +73,7 @@ def run_app(
     rejects_path: str | None = None,
     source_format: str = "json",
     required_cols: tuple[str, ...] = ("dest", "source"),
+    expectations: list[tuple] | None = None,
     trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
     availableNow: bool = False,
     query_name: str = "xes-app",
@@ -86,6 +87,12 @@ def run_app(
     posture) must be provided. ``rejects_path=None`` drops rejects
     after counting them into the gauge stream (the reference's
     counter-only behavior); set it to keep the ledger.
+
+    ``expectations``: optional declarative checks
+    (``expectations.with_violations`` tuples) applied AFTER the
+    envelope validation -- violating rows join the same reject
+    ledger with their check names as the reason, so one ledger
+    carries both protocol rejects and data-quality rejects.
     """
     if (sender_factory is None) == (sink_root is None):
         raise ValueError("provide exactly one of sender_factory | sink_root")
@@ -103,13 +110,29 @@ def run_app(
 
     def _process(batch_df, batch_id: int) -> None:
         tagged = classify_rejects(batch_df, required_cols=required_cols)
+        accepted = tagged.filter(F.col("reject_reason") == "")
+        rejected = tagged.filter(F.col("reject_reason") != "")
+        if expectations:
+            from xmidt_event_streams_spark.expectations import (
+                VIOLATIONS_COL,
+                with_violations,
+            )
+
+            ann = with_violations(
+                accepted.drop("reject_reason"), expectations
+            )
+            bad = ann.filter(F.size(VIOLATIONS_COL) > 0).withColumn(
+                "reject_reason", F.concat_ws(",", F.col(VIOLATIONS_COL))
+            ).drop(VIOLATIONS_COL)
+            rejected = rejected.unionByName(bad)
+            accepted = ann.filter(F.size(VIOLATIONS_COL) == 0).drop(
+                VIOLATIONS_COL
+            ).withColumn("reject_reason", F.lit(""))
         if rejects_path is not None:
-            rejects = tagged.filter(F.col("reject_reason") != "")
-            idempotent_batch_append(rejects, batch_id, rejects_path)
-        accepted = fix_wrp(
-            tagged.filter(F.col("reject_reason") == "").drop("reject_reason")
+            idempotent_batch_append(rejected, batch_id, rejects_path)
+        route_and_deliver(
+            fix_wrp(accepted.drop("reject_reason")), filters, sender_factory
         )
-        route_and_deliver(accepted, filters, sender_factory)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
