@@ -196,3 +196,125 @@ class TestTemporalJoin:
             )
         )
         assert got == want
+
+
+class TestMaterializedDim:
+    """write_scd2_table / scd2_apply_changes: bounded-bucket
+    incremental maintenance, late-change splicing, replay
+    idempotence, full-rebuild equivalence."""
+
+    CH = "k long, ts long, v string, _change_seq long"
+
+    @staticmethod
+    def _read(spark, path):
+        from xmidt_event_streams_spark.operators.scd2 import read_scd2_table
+
+        return sorted(
+            (r["k"], r["version"], r["v"], r["valid_from"], r["valid_to"])
+            for r in read_scd2_table(spark, path).collect()
+        )
+
+    def _build(self, spark, path, rows):
+        from xmidt_event_streams_spark.operators.scd2 import write_scd2_table
+
+        write_scd2_table(
+            spark.createDataFrame(rows, self.CH),
+            path, "k", "ts", ["v"], tiebreak_col="_change_seq",
+        )
+
+    def test_incremental_equals_full_rebuild(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.scd2 import (
+            scd2_apply_changes,
+        )
+
+        base = [(1, 10, "a", 1), (1, 30, "b", 2), (2, 10, "x", 3)]
+        batch = [(1, 50, "c", 4), (3, 5, "q", 5)]
+        inc = str(tmp_path / "inc")
+        self._build(spark, inc, base)
+        rep = scd2_apply_changes(
+            spark, inc, spark.createDataFrame(batch, self.CH)
+        )
+        assert rep["keys"] == 2
+        full = str(tmp_path / "full")
+        self._build(spark, full, base + batch)
+        assert self._read(spark, inc) == self._read(spark, full)
+
+    def test_late_change_splices_into_history(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.scd2 import (
+            scd2_apply_changes,
+        )
+
+        path = str(tmp_path / "dim")
+        self._build(spark, path, [(1, 10, "a", 1), (1, 40, "c", 2)])
+        scd2_apply_changes(
+            spark, path,
+            spark.createDataFrame([(1, 25, "b", 9)], self.CH),
+        )
+        got = self._read(spark, path)
+        assert got == [
+            (1, 1, "a", 10, 25),
+            (1, 2, "b", 25, 40),
+            (1, 3, "c", 40, None),
+        ]
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.scd2 import (
+            scd2_apply_changes,
+        )
+
+        path = str(tmp_path / "dim")
+        self._build(spark, path, [(1, 10, "a", 1)])
+        batch = spark.createDataFrame([(1, 20, "b", 2)], self.CH)
+        scd2_apply_changes(spark, path, batch)
+        before = self._read(spark, path)
+        scd2_apply_changes(spark, path, batch)  # replay
+        assert self._read(spark, path) == before
+
+    def test_untouched_keys_unchanged(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.scd2 import (
+            scd2_apply_changes,
+        )
+
+        path = str(tmp_path / "dim")
+        rows = [(k, 10, f"v{k}", k) for k in range(1, 30)]
+        self._build(spark, path, rows)
+        before = {t for t in self._read(spark, path) if t[0] != 7}
+        scd2_apply_changes(
+            spark, path,
+            spark.createDataFrame([(7, 20, "new", 99)], self.CH),
+        )
+        after = {t for t in self._read(spark, path) if t[0] != 7}
+        assert after == before
+
+    def test_missing_seq_rejected(self, spark, tmp_path):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.scd2 import (
+            scd2_apply_changes,
+        )
+
+        path = str(tmp_path / "dim")
+        self._build(spark, path, [(1, 10, "a", 1)])
+        with pytest.raises(ValueError, match="_change_seq"):
+            scd2_apply_changes(
+                spark, path,
+                spark.createDataFrame(
+                    [(1, 20, "b")], "k long, ts long, v string"
+                ),
+            )
+
+    def test_foreign_table_rejected(self, spark, tmp_path):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.scd2 import (
+            scd2_apply_changes,
+        )
+
+        spark.createDataFrame([(1,)], "k long").write.parquet(
+            str(tmp_path / "bare")
+        )
+        with pytest.raises(ValueError, match="foreign table"):
+            scd2_apply_changes(
+                spark, str(tmp_path / "bare"),
+                spark.createDataFrame([(1, 2, "a", 1)], self.CH),
+            )

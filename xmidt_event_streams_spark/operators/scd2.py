@@ -113,3 +113,167 @@ def temporal_join(
         if c != key_col
     ]
     return f_.join(right, cond, how).select("f.*", *dim_cols)
+
+
+# ------------------- materialized dimension + incremental maintenance
+
+_SCD2_META = "_xes_scd2_table_meta.json"
+_BUCKET = "_kbucket"
+_SEQ = "_change_seq"
+
+
+def _bucket(key_col: str, bucket_hex: int):
+    return F.substring(F.md5(F.col(key_col).cast("string")), 1, bucket_hex)
+
+
+def write_scd2_table(
+    changes: DataFrame,
+    path: str,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+    bucket_hex: int = 2,
+) -> None:
+    """Materialize the versioned dimension from a full change log,
+    hash-bucketed by key (the keyed-table layout of operators/upsert:
+    16^bucket_hex balanced directories), parameters stamped in a
+    sidecar. The tiebreak value is persisted per version (``_change_
+    seq``) so later incremental rebuilds order same-timestamp changes
+    exactly as the original build did."""
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    dim = scd2_build(
+        changes.withColumn(_SEQ, F.col(tiebreak_col)),
+        key_col, ts_col, attr_cols + [_SEQ], collapse=False,
+        tiebreak_col=_SEQ,
+    )
+    # collapse no-ops on the REAL attrs only (the seq column always
+    # differs, so scd2_build's own collapse cannot fire through it)
+    dim = _collapse_versions(dim, key_col, attr_cols)
+    (
+        dim.withColumn(_BUCKET, _bucket(key_col, bucket_hex))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .parquet(path)
+    )
+    write_json_sidecar(
+        changes.sparkSession,
+        path,
+        _SCD2_META,
+        {
+            "key_col": key_col,
+            "ts_col": ts_col,
+            "attr_cols": list(attr_cols),
+            "bucket_hex": bucket_hex,
+        },
+    )
+
+
+def _collapse_versions(
+    dim: DataFrame, key_col: str, attr_cols: list[str]
+) -> DataFrame:
+    """Drop versions whose attrs equal the previous version's, then
+    re-derive valid_to/version -- used when the change log that built
+    ``dim`` carried extra ordering columns that defeat scd2_build's
+    inline collapse."""
+    w = Window.partitionBy(key_col).orderBy("valid_from", _SEQ)
+    same = F.lit(True)
+    for a in attr_cols:
+        prev = F.lag(a).over(w)
+        same = same & ((F.col(a) == prev) | (F.col(a).isNull() & prev.isNull()))
+    first = F.lag(F.lit(1)).over(w).isNull()
+    kept = dim.withColumn(
+        "_noop", ~first & F.coalesce(same, F.lit(False))
+    ).filter(~F.col("_noop")).drop("_noop")
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", _SEQ)
+    return kept.select(
+        key_col,
+        *attr_cols,
+        _SEQ,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+def read_scd2_table(spark, path: str) -> DataFrame:
+    """The current versioned dimension (helper columns dropped) --
+    feed straight into temporal_join."""
+    return spark.read.parquet(path).drop(_BUCKET, _SEQ)
+
+
+def scd2_apply_changes(spark, path: str, changes: DataFrame) -> dict:
+    """Incremental maintenance: fold a batch of change-log rows into
+    the materialized dimension, rewriting ONLY the hash buckets whose
+    keys the batch touches (bounded cost: |touched buckets| x
+    table_size / n_buckets, never the table -- the merge_upsert cost
+    argument, adapted to multi-row-per-key version tables).
+
+    Per affected key the versions are REBUILT from (existing versions
+    reinterpreted as changes) union (new changes): late-arriving
+    changes splice into the middle of history correctly, not just
+    append. Replays are idempotent: a re-applied batch contributes
+    duplicate identical change rows, which collapse as no-ops.
+    foreachBatch-ready (single writer, same posture as the other
+    maintenance ops).
+
+    Returns {"keys": n_affected, "buckets": n_rewritten}.
+    """
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    meta = read_json_sidecar(spark, path, _SCD2_META)
+    if meta is None:
+        raise ValueError(
+            f"no scd2 sidecar at {path} (foreign table?): build with "
+            "write_scd2_table"
+        )
+    key_col, ts_col = meta["key_col"], meta["ts_col"]
+    attr_cols, bucket_hex = list(meta["attr_cols"]), meta["bucket_hex"]
+
+    keys = changes.select(key_col).distinct()
+    buckets = [
+        r[0]
+        for r in keys.select(
+            _bucket(key_col, bucket_hex).alias("b")
+        ).distinct().collect()
+    ]
+    existing = spark.read.parquet(path).filter(F.col(_BUCKET).isin(buckets))
+    affected = existing.join(F.broadcast(keys), key_col, "left_semi")
+    keep = existing.join(F.broadcast(keys), key_col, "left_anti")
+
+    old_changes = affected.select(
+        key_col,
+        F.col("valid_from").alias(ts_col),
+        *attr_cols,
+        F.col(_SEQ),
+    )
+    # the batch must carry the same tiebreak column the build used --
+    # same-timestamp ordering has to match the original build exactly
+    if _SEQ not in changes.columns:
+        raise ValueError(
+            f"changes must carry the '{_SEQ}' tiebreak column "
+            "(same-timestamp ordering must match the original build)"
+        )
+    new_changes = changes.select(key_col, ts_col, *attr_cols, _SEQ)
+
+    merged = old_changes.unionByName(new_changes).dropDuplicates(
+        [key_col, ts_col, _SEQ, *attr_cols]
+    )
+    rebuilt = scd2_build(
+        merged, key_col, ts_col, attr_cols + [_SEQ],
+        collapse=False, tiebreak_col=_SEQ,
+    )
+    rebuilt = _collapse_versions(rebuilt, key_col, attr_cols)
+
+    out = keep.drop(_BUCKET).unionByName(rebuilt).withColumn(
+        _BUCKET, _bucket(key_col, bucket_hex)
+    )
+    (
+        out.repartition(F.col(_BUCKET))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_BUCKET)
+        .parquet(path)
+    )
+    return {"keys": keys.count(), "buckets": len(buckets)}
