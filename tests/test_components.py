@@ -261,6 +261,8 @@ OFF_REGISTRY = [
     "props_json",
     "value_outliers",
     "resample_ffill",
+    "user_value_trend",
+    "table_profile",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -291,6 +293,10 @@ OFF_REGISTRY_EVIDENCE = {
     "tpch_q17ish": "tests/test_components.py::test_off_registry_parity",
     "tpch_q20ish": "tests/test_components.py::test_off_registry_parity",
     "ivf_ann_kmeans": "tests/test_msgpack_asof.py::TestIvfKmeansQuery",
+    # rotated out in r4 to admit the learned quality gates
+    # (lm_perplexity, nb_quality_scores)
+    "user_value_trend": "tests/test_components.py::test_off_registry_parity",
+    "table_profile": "tests/test_components.py::test_off_registry_parity",
 }
 
 

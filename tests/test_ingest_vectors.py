@@ -107,3 +107,45 @@ def test_seed_corpus_folds_as_batch_minus_one(spark, tmp_path):
     idx = spark.read.parquet(str(index))
     assert idx.count() == 9
     assert {r["_ingest_batch_id"] for r in idx.collect()} == {-1, 0}
+
+
+def test_occupancy_drift_alarm(spark, tmp_path):
+    """write stamps the fit-time cell histogram; appends from the same
+    distribution stay 'stable', a hot-spot append trips the PSI alarm
+    (the rebuild signal for frozen IVF centroids)."""
+    from xmidt_event_streams_spark.operators.ivf import ivf_occupancy_drift
+
+    idx = tmp_path / "drift_idx"
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(64)], SCHEMA
+    )
+    write_ivf_index(base, str(idx), cents)
+
+    r0 = ivf_occupancy_drift(spark, str(idx))
+    assert r0["verdict"] == "stable" and r0["psi"] < 1e-9
+    assert r0["n_baseline"] == r0["n_current"] == 64
+
+    # same-distribution append: histogram shape preserved -> stable
+    append_to_ivf_index(
+        spark.createDataFrame([(100 + i, _vec(i)) for i in range(64)], SCHEMA),
+        str(idx),
+    )
+    r1 = ivf_occupancy_drift(spark, str(idx))
+    assert r1["verdict"] == "stable", r1
+    assert r1["n_current"] == 128
+
+    # hot-spot append: every new vector lands in one cell -> alarm
+    hot = next(
+        v for v in (_vec(s) for s in range(1000, 1100))
+    )
+    append_to_ivf_index(
+        spark.createDataFrame(
+            [(500 + i, hot) for i in range(400)], SCHEMA
+        ),
+        str(idx),
+    )
+    r2 = ivf_occupancy_drift(spark, str(idx))
+    assert r2["verdict"] in ("drifting", "shifted"), r2
+    assert r2["psi"] > r1["psi"]
+    assert 0 <= r2["hottest_cell"] < 4 and r2["hottest_frac"] > 0.5

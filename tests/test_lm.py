@@ -1,0 +1,229 @@
+"""Behavioral tests for the learned quality gates: the bigram-LM
+perplexity scorer (operators/lm.py) and the NB / logistic-regression
+classifiers (operators/classifier.py).
+
+Value-parity with DuckDB is pinned by the registry oracles
+(lm_perplexity, nb_quality_scores in tests/test_oracle_parity.py);
+these tests pin the MODEL behavior the oracle cannot see — ranking on
+planted distributions, convergence, determinism — because the shared
+testdata's languages deliberately share one vocabulary (lang is not
+recoverable from content there).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.classifier import (
+    accuracy,
+    hashed_features,
+    logreg_fit,
+    logreg_score,
+    nb_fit,
+    nb_score,
+)
+from xmidt_event_streams_spark.operators.lm import (
+    lm_perplexity,
+    ngram_lm_fit,
+    perplexity_filter,
+)
+
+# -- planted corpora --------------------------------------------------
+
+_CHAIN = ("alpha beta gamma delta epsilon zeta eta theta "
+          "iota kappa lam mu").split()
+_NOISE = "xq1 zk2 qv3 wj4 vv5 kz6 jx7 qq8".split()
+
+
+def _chain_doc(rng: random.Random, n: int = 40) -> str:
+    """High-predictability text: walk the chain, occasionally jump."""
+    i = rng.randrange(len(_CHAIN))
+    out = []
+    for _ in range(n):
+        out.append(_CHAIN[i])
+        i = (i + 1) % len(_CHAIN) if rng.random() < 0.9 else rng.randrange(
+            len(_CHAIN)
+        )
+    return " ".join(out)
+
+
+def _gibberish_doc(rng: random.Random, n: int = 40) -> str:
+    return " ".join(rng.choice(_NOISE) for _ in range(n))
+
+
+def _shuffled_doc(rng: random.Random, n: int = 40) -> str:
+    """In-vocabulary but order-destroyed: the subtler OOD case."""
+    return " ".join(rng.choice(_CHAIN) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = random.Random(1234)
+    train = [(i, _chain_doc(rng)) for i in range(60)]
+    probe = (
+        [(100 + i, _chain_doc(rng), "in") for i in range(10)]
+        + [(200 + i, _shuffled_doc(rng), "shuffled") for i in range(10)]
+        + [(300 + i, _gibberish_doc(rng), "noise") for i in range(10)]
+    )
+    train_df = spark.createDataFrame(train, "doc_id long, text string")
+    probe_df = spark.createDataFrame(
+        probe, "doc_id long, text string, kind string"
+    )
+    return train_df, probe_df
+
+
+# -- LM ---------------------------------------------------------------
+
+
+def test_lm_ranks_planted_distributions(spark, planted):
+    train_df, probe_df = planted
+    lm = ngram_lm_fit(train_df)
+    scored = lm_perplexity(probe_df, lm).join(
+        probe_df.select("doc_id", "kind"), "doc_id"
+    )
+    means = {
+        r["kind"]: r["m"]
+        for r in scored.groupBy("kind").agg(F.avg("ppl").alias("m")).collect()
+    }
+    # the gate-relevant ordering: in-distribution text scores far below
+    # BOTH out-of-distribution kinds. (Add-alpha gives a fully-unseen
+    # context exactly mass 1/V per token -- ppl(noise) == V -- while
+    # wrong-order transitions in SEEN contexts divide by large seen
+    # c_cnt, so shuffled scores even worse than alien vocabulary. A
+    # backoff LM would reverse those two; the filter decision -- keep
+    # "in", drop both -- is the same either way.)
+    assert means["in"] < means["noise"] < means["shuffled"], means
+    assert means["noise"] == pytest.approx(12.0)  # == train vocab size
+    # and the gap is decisive at the doc level, not just on average
+    worst_in = scored.filter(F.col("kind") == "in").agg(
+        F.max("ppl")
+    ).collect()[0][0]
+    best_ood = scored.filter(F.col("kind") != "in").agg(
+        F.min("ppl")
+    ).collect()[0][0]
+    assert worst_in < best_ood
+
+
+def test_lm_short_docs_score_null(spark, planted):
+    train_df, _ = planted
+    lm = ngram_lm_fit(train_df)
+    shorts = spark.createDataFrame(
+        [(1, ""), (2, "alpha"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_perplexity(shorts, lm).collect()}
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["ppl"] is None
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["ppl"] is None
+    assert rows[3]["n_bigrams"] == 1 and rows[3]["ppl"] is not None
+
+
+def test_lm_broadcast_off_is_equivalent(spark, planted):
+    train_df, probe_df = planted
+    lm = ngram_lm_fit(train_df)
+    a = sorted(
+        map(tuple, lm_perplexity(probe_df, lm, broadcast_lm=True).collect())
+    )
+    b = sorted(
+        map(tuple, lm_perplexity(probe_df, lm, broadcast_lm=False).collect())
+    )
+    assert a == b
+
+
+def test_perplexity_filter_splits_without_loss(spark, planted):
+    train_df, probe_df = planted
+    lm = ngram_lm_fit(train_df)
+    with_short = probe_df.unionByName(
+        spark.createDataFrame(
+            [(999, "solo", "short")], "doc_id long, text string, kind string"
+        )
+    )
+    ceiling = 40.0
+    kept, dropped = perplexity_filter(with_short, lm, max_ppl=ceiling)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    drop_ids = {r["doc_id"] for r in dropped.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in with_short.select("doc_id").collect()}
+    assert kept_ids | drop_ids == all_ids
+    assert kept_ids & drop_ids == set()
+    assert 999 in drop_ids  # unscorable -> dropped, not lost
+    assert kept.filter(F.col("ppl") > ceiling).count() == 0
+
+
+# -- Naive Bayes ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rng = random.Random(99)
+    rows = []
+    for i in range(40):
+        rows.append((i, _chain_doc(rng, 30), True))
+    for i in range(40, 80):
+        rows.append((i, _gibberish_doc(rng, 30), False))
+    return spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+
+def test_nb_separates_planted(spark, labeled):
+    model = nb_fit(labeled, label_col="label")
+    scored = nb_score(labeled, model).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    wrong = scored.filter(F.col("pred") != F.col("label")).count()
+    assert wrong == 0
+
+
+def test_nb_handles_unseen_and_empty(spark, labeled):
+    model = nb_fit(labeled, label_col="label")
+    oov = spark.createDataFrame(
+        [(1, "totallynew unseenword"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in nb_score(oov, model).collect()}
+    # unseen-only doc: finite score via w_oov, no nulls
+    assert rows[1]["score"] is not None
+    assert rows[1]["n_terms"] == 2
+    # empty doc scores the bare prior (classes balanced -> ln(1) = 0)
+    assert rows[2]["n_terms"] == 0
+    assert rows[2]["score"] == pytest.approx(0.0, abs=1e-9)
+
+
+# -- hashed-feature logistic regression -------------------------------
+
+
+def test_hashed_features_shape(spark, labeled):
+    dim = 64
+    feats = hashed_features(labeled, dim=dim)
+    # bias present for every doc, at idx == dim
+    assert feats.filter(F.col("idx") == dim).count() == labeled.count()
+    # token features L1-normalize to 1 per non-empty doc
+    sums = (
+        feats.filter(F.col("idx") < dim)
+        .groupBy("doc_id")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+    assert feats.filter((F.col("idx") < 0) | (F.col("idx") > dim)).count() == 0
+
+
+def test_logreg_converges_separates_deterministic(spark, labeled):
+    dim = 64
+    feats = hashed_features(labeled, dim=dim).persist()
+    labels = labeled.select("doc_id", "label")
+    try:
+        w1, losses = logreg_fit(feats, labels, dim=dim, iters=16, lr=3.0)
+        # full-batch GD at a safe lr: loss decreases EVERY iteration
+        # (losses[i] is measured before update i, so the last update's
+        # gain isn't in the list -- hence monotonicity + halving-ish,
+        # not an exact endpoint)
+        assert all(a > b for a, b in zip(losses, losses[1:])), losses
+        assert losses[-1] < losses[0] * 0.55, losses
+        acc = accuracy(logreg_score(feats, w1), labels)
+        assert acc >= 0.95, acc
+        # replayable up to reduce-order float drift (sums over shuffled
+        # partitions commute only approximately)
+        w2, _ = logreg_fit(feats, labels, dim=dim, iters=16, lr=3.0)
+        assert max(abs(a - b) for a, b in zip(w1, w2)) < 1e-6
+    finally:
+        feats.unpersist()

@@ -42,6 +42,8 @@ from xmidt_event_streams_spark.operators.aggregates import (
     event_type_counts,
 )
 from xmidt_event_streams_spark.operators.batching import assign_batches
+from xmidt_event_streams_spark.operators.classifier import nb_fit, nb_score
+from xmidt_event_streams_spark.operators.lm import lm_perplexity, ngram_lm_fit
 from xmidt_event_streams_spark.operators.components import connected_components
 from xmidt_event_streams_spark.operators.contamination import contamination
 from xmidt_event_streams_spark.operators.relevance import bm25_scores
@@ -3014,6 +3016,122 @@ SELECT doc_id, score, thr FROM scored, q WHERE score >= thr
 """
 
 
+# --------------------------------------- learned quality gates (r4)
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style gate (operators/lm.py, arXiv:1911.00359): fit a
+    bigram LM on the trusted slice (lang='en'), score EVERY document's
+    perplexity under it. Fit = two vocab-bounded hash-aggs; score =
+    broadcast model joins + one per-doc agg."""
+    d = _docs(spark, sf_dir)
+    lm = ngram_lm_fit(d.filter(F.col("lang") == "en"))
+    return lm_perplexity(d, lm)
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH {_WORDS_CTE},
+bg AS (
+  SELECT doc_id, lang,
+    unnest(w[1:len(w)-1]) AS c,
+    unnest(w[2:len(w)]) AS t
+  FROM words
+),
+cw AS (SELECT c, t, count(*) AS cw_cnt FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+ctx AS (SELECT c, sum(cw_cnt) AS c_cnt FROM cw GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT tok) AS vocab_size
+  FROM (SELECT unnest(w) AS tok FROM words WHERE lang = 'en')
+),
+sc AS (
+  SELECT b.doc_id,
+    ln((coalesce(cw_cnt, 0) + CAST(1.0 AS DOUBLE))
+       / (coalesce(c_cnt, 0) + CAST(1.0 AS DOUBLE) * vocab_size)) AS lp
+  FROM bg b
+  LEFT JOIN cw ON b.c = cw.c AND b.t = cw.t
+  LEFT JOIN ctx ON b.c = ctx.c
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS nb, round(exp(-round(avg(lp), 6)), 4) AS ppl
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+  ppl
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+def q_nb_quality_scores(spark, sf_dir):
+    """DCLM-style learned gate, closed form (operators/classifier.py):
+    multinomial Naive Bayes log-odds fit on label = (lang = 'en'),
+    scored over every document. The full fit+score is two vocab-
+    bounded aggs + broadcast joins, so the oracle replays it exactly."""
+    d = _docs(spark, sf_dir)
+    model = nb_fit(
+        d.withColumn("is_en", F.col("lang") == "en"), label_col="is_en"
+    )
+    return nb_score(d, model)
+
+
+SQL_NB_QUALITY_SCORES = f"""
+WITH {_WORDS_CTE},
+lbl AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM words)
+  GROUP BY 1, 2
+),
+per_term AS (
+  SELECT term,
+    sum(CASE WHEN y THEN tf ELSE 0 END) AS pos_t,
+    sum(CASE WHEN NOT y THEN tf ELSE 0 END) AS neg_t
+  FROM tf JOIN lbl USING (doc_id)
+  GROUP BY 1
+),
+tot AS (
+  SELECT sum(pos_t) AS pos_tot, sum(neg_t) AS neg_tot,
+    count(*) AS vocab_size
+  FROM per_term
+),
+dc AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+  FROM lbl
+),
+wts AS (
+  SELECT term,
+    ln((pos_t + CAST(1.0 AS DOUBLE)) / (pos_tot + CAST(1.0 AS DOUBLE) * vocab_size))
+    - ln((neg_t + CAST(1.0 AS DOUBLE)) / (neg_tot + CAST(1.0 AS DOUBLE) * vocab_size))
+      AS weight
+  FROM per_term CROSS JOIN tot
+),
+st AS (
+  SELECT
+    ln(CAST(1.0 AS DOUBLE) / (pos_tot + CAST(1.0 AS DOUBLE) * vocab_size))
+    - ln(CAST(1.0 AS DOUBLE) / (neg_tot + CAST(1.0 AS DOUBLE) * vocab_size))
+      AS w_oov,
+    ln(CAST(n_pos AS DOUBLE) / n_neg) AS prior
+  FROM tot CROSS JOIN dc
+),
+per_doc AS (
+  SELECT tf.doc_id,
+    sum(tf) AS n_terms,
+    round(any_value(prior) + sum(tf * coalesce(weight, w_oov)), 6) AS score
+  FROM tf
+  LEFT JOIN wts USING (term)
+  CROSS JOIN st
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_terms, 0) AS BIGINT) AS n_terms,
+  coalesce(score, (SELECT round(prior, 6) FROM st)) AS score,
+  coalesce(score, (SELECT round(prior, 6) FROM st)) > 0 AS pred
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES: dict[str, QuerySpec] = {
@@ -3044,7 +3162,6 @@ QUERIES: dict[str, QuerySpec] = {
     "lsh_ann": QuerySpec(q_lsh_ann, SQL_LSH_ANN),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1, True),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3, True),
-    "user_value_trend": QuerySpec(q_user_value_trend, SQL_USER_VALUE_TREND),
     "events_windowed": QuerySpec(q_events_windowed, SQL_EVENTS_WINDOWED),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": QuerySpec(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
@@ -3055,7 +3172,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_distinct_users_salted, SQL_DISTINCT_USERS_SALTED
     ),
     "top_users_per_type": QuerySpec(q_top_users_per_type, SQL_TOP_USERS),
-    "table_profile": QuerySpec(q_table_profile, SQL_TABLE_PROFILE),
+    "lm_perplexity": QuerySpec(q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "nb_quality_scores": QuerySpec(q_nb_quality_scores, SQL_NB_QUALITY_SCORES),
     "doc_fingerprint_rolling": QuerySpec(
         q_doc_fingerprint_rolling, SQL_DOC_FINGERPRINT_ROLLING
     ),

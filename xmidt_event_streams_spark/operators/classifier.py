@@ -1,0 +1,309 @@
+"""Learned document-quality classifiers: the fasttext-filter shape.
+
+Modern curation pipelines (DCLM arXiv:2406.11794, the phi series)
+gate documents with a LEARNED classifier — a linear model over
+bag-of-words features trained on "good corpus vs raw crawl" labels —
+rather than hand-tuned heuristics alone. The two models here bracket
+that design point, both trained and scored entirely as DataFrame
+aggregations:
+
+  * :func:`nb_fit` / :func:`nb_score` — multinomial Naive Bayes
+    log-odds. CLOSED FORM: one token pass and two vocab-bounded
+    aggregations fit it; there is no iteration, so a SQL oracle
+    replays the whole fit+score bit-identically (the registry's
+    ``nb_quality_scores`` query). This is the model fasttext's linear
+    classifier approximates at alpha->0.
+  * :func:`hashed_features` / :func:`logreg_fit` / :func:`logreg_score`
+    — logistic regression over hashed bag-of-words features, fit by
+    full-batch gradient descent. Iterative (driver holds the ``dim``
+    -sized weight vector between rounds, the components.py convergence
+    -loop pattern), so it is pytest-verified (loss monotone, planted
+    separability, determinism) rather than oracle-replayed.
+
+Scale shape at 100 TB:
+  * NB fit: one explode + (doc, term) hash-agg, then a vocab-bounded
+    term agg and a 1-row totals agg (broadcast, the bm25 stats
+    pattern). Scoring: broadcast the vocab-bounded weights, one
+    per-doc agg. The corpus shuffles once per pass.
+  * LR fit: per iteration, one broadcast join of features against the
+    (dim)-row weight relation, one per-doc margin agg, one per-index
+    gradient agg, one dim-row collect — the driver state is dim
+    doubles (bounded by declaration, NOT by data size), the loop's
+    only scalar-per-round materialization. Feature hashing caps dim
+    regardless of vocabulary growth, which is the point of the trick
+    (Weinberger et al., arXiv:0902.2206).
+
+Floating point: scores are rounded to 6 dp before leaving each
+operator (relevance.py discipline).
+
+Reference has no learned-model surface (SURVEY.md §2.8);
+beyond-reference LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.functions.text import tokens
+from xmidt_event_streams_spark.operators.relevance import term_frequencies
+
+
+class NaiveBayesModel(NamedTuple):
+    """(term, weight) log-odds per seen term + a 1-row stats relation
+    (prior, w_oov) — both broadcast-sized."""
+
+    token_weights: DataFrame
+    stats: DataFrame
+    alpha: float
+
+
+def nb_fit(
+    train_df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> NaiveBayesModel:
+    """Fit multinomial NB log-odds over a boolean label.
+
+    weight(t) = ln((pos_t + a) / (POS + aV)) - ln((neg_t + a) / (NEG + aV))
+    w_oov     = the same expression at pos_t = neg_t = 0
+    prior     = ln(n_pos_docs / n_neg_docs)
+
+    with POS/NEG the class token totals and V the seen-term count.
+    Everything after the (doc, term) pass is vocab-bounded.
+    """
+    y = F.col(label_col).cast("boolean")
+    tf = term_frequencies(train_df, text_col, id_col)
+    labeled = tf.join(
+        train_df.select(F.col(id_col), y.alias("_y")), [id_col]
+    )
+    per_term = labeled.groupBy("term").agg(
+        F.sum(F.when(F.col("_y"), F.col("tf")).otherwise(0)).alias("pos_t"),
+        F.sum(F.when(~F.col("_y"), F.col("tf")).otherwise(0)).alias("neg_t"),
+    )
+    totals = per_term.agg(
+        F.sum("pos_t").alias("pos_tot"),
+        F.sum("neg_t").alias("neg_tot"),
+        F.count("*").alias("vocab_size"),
+    )
+    doc_counts = train_df.agg(
+        F.sum(F.when(y, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~y, 1).otherwise(0)).alias("n_neg"),
+    )
+    a = F.lit(float(alpha))
+    denom_pos = F.col("pos_tot") + a * F.col("vocab_size")
+    denom_neg = F.col("neg_tot") + a * F.col("vocab_size")
+    token_weights = (
+        per_term.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            (
+                F.log((F.col("pos_t") + a) / denom_pos)
+                - F.log((F.col("neg_t") + a) / denom_neg)
+            ).alias("weight"),
+        )
+    )
+    stats = (
+        totals.crossJoin(F.broadcast(doc_counts)).select(
+            (F.log(a / denom_pos) - F.log(a / denom_neg)).alias("w_oov"),
+            F.log(
+                F.col("n_pos").cast("double") / F.col("n_neg")
+            ).alias("prior"),
+        )
+    )
+    return NaiveBayesModel(token_weights, stats, float(alpha))
+
+
+def nb_score(
+    df: DataFrame,
+    model: NaiveBayesModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-doc NB log-odds score and boolean prediction.
+
+    Output: (id, n_terms, score, pred) for EVERY input doc; token-free
+    docs score the bare prior. Unseen terms fall through the left join
+    into ``w_oov``. ``pred`` is evaluated on the ROUNDED score so an
+    oracle reproduces the same boolean at ties.
+    """
+    maybe_b = F.broadcast if broadcast_model else (lambda d: d)
+    tf = term_frequencies(df, text_col, id_col)
+    contrib = (
+        tf.join(maybe_b(model.token_weights), ["term"], "left")
+        .crossJoin(F.broadcast(model.stats))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            (
+                F.col("tf") * F.coalesce(F.col("weight"), F.col("w_oov"))
+            ).alias("wsum"),
+            F.col("prior"),
+        )
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.sum("tf").alias("n_terms"),
+        F.round(F.first("prior") + F.sum("wsum"), 6).alias("score"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .crossJoin(F.broadcast(model.stats.select("prior")))
+        .select(
+            id_col,
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.coalesce(F.col("score"), F.round(F.col("prior"), 6)).alias(
+                "score"
+            ),
+        )
+        .withColumn("pred", F.col("score") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature logistic regression (iterative; pytest-verified)
+# ---------------------------------------------------------------------------
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """(id, idx, x): L1-normalized hashed bag-of-words plus a bias
+    feature at idx = dim (x = 1). The hash is the md5-bucket trick
+    used across the dedup stack — deterministic, engine-portable, and
+    uniform, so the per-idx gradient agg never skews."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(dim),
+    ).alias("idx")
+    counts = tok.select(F.col(id_col), idx).groupBy(id_col, "idx").agg(
+        F.count("*").alias("cnt")
+    )
+    tot = counts.groupBy(id_col).agg(F.sum("cnt").alias("tot"))
+    feats = counts.join(tot, [id_col]).select(
+        id_col, "idx", (F.col("cnt") / F.col("tot")).alias("x")
+    )
+    bias = df.select(
+        F.col(id_col), F.lit(dim).alias("idx"), F.lit(1.0).alias("x")
+    )
+    return feats.unionByName(bias)
+
+
+def _sigmoid(c: F.Column) -> F.Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
+
+
+def logreg_fit(
+    features: DataFrame,
+    labels: DataFrame,
+    dim: int = 256,
+    iters: int = 30,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> tuple[list[float], list[float]]:
+    """Full-batch GD over (id, idx, x) features and boolean labels.
+
+    Returns (weights, loss_history); weights has dim + 1 entries (bias
+    last). Per iteration: margin agg -> residual join -> gradient agg
+    -> (dim+1)-row collect. The input feature relation is reused every
+    round — persist it at the call site for >2 iterations (the tests
+    do); this function does not own caching policy.
+
+    Driver state: dim+1 doubles and the loss scalar per round —
+    bounded by the declared dim, independent of corpus size.
+    """
+    spark = features.sparkSession
+    n_docs = labels.count()
+    w = [0.0] * (dim + 1)
+    losses: list[float] = []
+    lbl = labels.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    for _ in range(iters):
+        w_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, wi) for i, wi in enumerate(w)], "idx int, w double"
+            )
+        )
+        margins = (
+            features.join(w_df, ["idx"])
+            .groupBy(id_col)
+            .agg(F.sum(F.col("x") * F.col("w")).alias("margin"))
+            .join(lbl, [id_col])
+            .select(
+                F.col(id_col),
+                (_sigmoid(F.col("margin")) - F.col("_y")).alias("resid"),
+                (
+                    -(
+                        F.col("_y") * F.log(_sigmoid(F.col("margin")))
+                        + (1 - F.col("_y"))
+                        * F.log(1 - _sigmoid(F.col("margin")))
+                    )
+                ).alias("ll"),
+            )
+        )
+        grad_rows = (
+            features.join(margins, [id_col])
+            .groupBy("idx")
+            .agg(F.sum(F.col("x") * F.col("resid")).alias("g"))
+            .collect()
+        )
+        loss = (
+            margins.agg(F.sum("ll").alias("s")).collect()[0]["s"] or 0.0
+        ) / n_docs
+        losses.append(loss)
+        g = [0.0] * (dim + 1)
+        for r in grad_rows:
+            g[r["idx"]] = r["g"] / n_docs
+        w = [
+            wi - lr * (gi + l2 * wi) for wi, gi in zip(w, g)
+        ]
+    return w, losses
+
+
+def logreg_score(
+    features: DataFrame,
+    weights: list[float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, prob): sigmoid margin under fitted weights (broadcast as a
+    (dim+1)-row relation, same join shape as a fit round)."""
+    spark = features.sparkSession
+    w_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, wi) for i, wi in enumerate(weights)], "idx int, w double"
+        )
+    )
+    return (
+        features.join(w_df, ["idx"])
+        .groupBy(id_col)
+        .agg(
+            F.round(_sigmoid(F.sum(F.col("x") * F.col("w"))), 6).alias("prob")
+        )
+    )
+
+
+def accuracy(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id",
+             label_col: str = "label", prob_col: str = "prob") -> float:
+    """Fraction of docs where round(prob) matches the boolean label —
+    the convergence assertion the tests pin."""
+    joined = scored.join(labels, [id_col])
+    n = joined.count()
+    if n == 0:
+        return math.nan
+    hits = joined.filter(
+        (F.col(prob_col) > 0.5) == F.col(label_col).cast("boolean")
+    ).count()
+    return hits / n

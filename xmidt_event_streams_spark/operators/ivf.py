@@ -189,18 +189,31 @@ def write_ivf_index(
     assignment is meaningless under any other centroid set, so the
     probe can load them (``centroids=None``) or verify the ones it
     was handed, instead of silently searching the wrong cells."""
+    assigned = assign_cells(df, centroids, vec_col)
     (
-        assign_cells(df, centroids, vec_col)
-        .repartition(F.col("cell"))
+        assigned.repartition(F.col("cell"))
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
     )
+    # fit-time cell histogram, the ivf_occupancy_drift baseline.
+    # Computed from the assignment plan (k-bounded collect); assignment
+    # is a pure function of the stamped centroids, so this equals the
+    # written layout -- and unlike a read-back it works for the empty
+    # cold-start init (zero data files).
+    occupancy = {
+        str(r["cell"]): r["n"]
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
     write_json_sidecar(
         df.sparkSession,
         path,
         _IVF_META_FILE,
-        {"centroids": centroids, "vec_col": vec_col},
+        {
+            "centroids": centroids,
+            "vec_col": vec_col,
+            "occupancy": occupancy,
+        },
     )
 
 
@@ -392,3 +405,62 @@ def append_to_ivf_index(
             .mode("overwrite")
             .parquet(path)
         )
+
+
+def ivf_occupancy_drift(spark, path: str) -> dict:
+    """Centroid-drift alarm for a materialized IVF index: PSI of the
+    CURRENT cell histogram against the fit-time histogram stamped by
+    :func:`write_ivf_index`.
+
+    The stamped centroids stay frozen while appends move the corpus
+    distribution; the first observable symptom is cell-occupancy skew
+    (probes read ever-fatter hot cells, recall decays in the cold
+    ones). PSI over the k-bin cell histogram catches exactly that with
+    one cell-column aggregate -- the scan reads only the partition
+    column. Laplace (+1) smoothing keeps emptied/new-empty cells
+    finite, matching operators/drift.py's convention.
+
+    Returns {"psi", "verdict", "n_baseline", "n_current",
+    "hottest_cell", "hottest_frac"}; verdict uses the standard PSI
+    reading: < 0.1 stable, < 0.25 drifting, else shifted (rebuild:
+    re-fit + write_ivf_index, an atomic swap under the sidecar
+    contract).
+    """
+    import math
+
+    meta = read_json_sidecar(spark, path, _IVF_META_FILE)
+    if meta is None or "occupancy" not in meta:
+        raise ValueError(
+            f"no fit-time occupancy stamped at {path}: rebuild with "
+            "write_ivf_index to enable drift monitoring"
+        )
+    base = {int(c): n for c, n in meta["occupancy"].items()}
+    cur = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cells = range(len(meta["centroids"]))
+    nb = sum(base.values()) + len(meta["centroids"])
+    nc = sum(cur.values()) + len(meta["centroids"])
+    psi_val = 0.0
+    hottest, hottest_frac = -1, -1.0
+    for c in cells:
+        bf = (base.get(c, 0) + 1) / nb
+        cf = (cur.get(c, 0) + 1) / nc
+        psi_val += (cf - bf) * math.log(cf / bf)
+        if cf > hottest_frac:
+            hottest, hottest_frac = c, cf
+    verdict = (
+        "stable" if psi_val < 0.1 else "drifting" if psi_val < 0.25 else "shifted"
+    )
+    return {
+        "psi": psi_val,
+        "verdict": verdict,
+        "n_baseline": sum(base.values()),
+        "n_current": sum(cur.values()),
+        "hottest_cell": hottest,
+        "hottest_frac": hottest_frac,
+    }

@@ -1,0 +1,198 @@
+"""N-gram language-model perplexity scoring (the CCNet recipe).
+
+CCNet (Wenzek et al., arXiv:1911.00359) filters web text by the
+perplexity of a language model trained on a trusted corpus: documents
+whose token distribution is far from the reference read as boilerplate,
+gibberish, or the wrong register, and land in the discard/tail bucket.
+This module is that recipe as two DataFrame passes — a bigram LM with
+add-alpha smoothing, fit and scored entirely JVM-side:
+
+  * :func:`ngram_lm_fit` — one explode of in-document bigrams and two
+    hash-aggregations. Output relations are VOCABULARY-sized (bigram
+    types + context types), not corpus-sized: at 100 TB of text the
+    model is still a few GB, which is why the scoring join can
+    broadcast.
+  * :func:`lm_perplexity` — explode the candidate corpus's bigrams,
+    left-join the (broadcast) model relations, per-doc average
+    log-probability, ``ppl = exp(-avg_lp)``. Unseen bigrams/contexts
+    fall through ``coalesce(count, 0)`` into the smoothing mass — no
+    special-casing, no OOV token rewriting.
+
+Smoothing: add-alpha (Laplace for alpha=1) over a vocabulary of V
+train-side token types::
+
+    P(w | c) = (count(c, w) + alpha) / (count(c) + alpha * V)
+
+Stupid-backoff or Kneser-Ney would score better absolutely, but the
+filtering signal is the RANKING of documents, which add-alpha already
+orders correctly (pinned by the planted-distribution test in
+tests/test_lm.py); in exchange every term is a closed-form expression
+a SQL oracle replays exactly.
+
+Scale shape (the 100 TB contract):
+  * fit: one scan + explode, two hash-aggs with map-side partials;
+    output is vocab-bounded, never corpus-bounded.
+  * score: one scan + explode; two joins against vocab-bounded sides
+    (broadcast by default; ``broadcast_lm=False`` degrades to shuffled
+    equi-joins on uniform token keys for pathologically large vocabs);
+    one per-doc hash-agg. The corpus-sized side shuffles exactly once
+    (the per-doc agg the semantics require).
+  * the vocabulary size rides as a 1-row broadcast (the bm25 stats
+    pattern, operators/relevance.py) — nothing is collected to the
+    driver.
+
+Floating point: per-doc avg log-prob is FP-order-dependent at the
+1-ulp level across engines; the operator rounds avg_lp to 6 dp before
+exponentiating and the perplexity to 4 dp (the relevance.py
+discipline — drift is << the rounding quantum, signal is >>).
+
+Reference has no text surface (SURVEY.md §2.8); this belongs to the
+beyond-reference LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.functions.text import let_bind, tokens
+
+
+class NGramLM(NamedTuple):
+    """A fitted bigram LM: three relations, all vocabulary-sized.
+
+    ``ngram_counts``  (c, w, cw_cnt)  — bigram type counts;
+    ``context_counts`` (c, c_cnt)     — sum of cw_cnt per context;
+    ``vocab``         1 row (vocab_size) — train token types;
+    ``alpha``         the smoothing constant the fit was declared with.
+    """
+
+    ngram_counts: DataFrame
+    context_counts: DataFrame
+    vocab: DataFrame
+    alpha: float
+
+
+def _bigrams(text_col) -> F.Column:
+    """In-document bigram structs (c=token_i, w=token_{i+1}) of the
+    normalized whitespace tokenization; docs with < 2 tokens yield an
+    empty array. Pure array arithmetic (slice + zip_with) — no window,
+    no shuffle, stays inside whole-stage codegen."""
+
+    def body(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        pair = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("c"), b.alias("w")),
+        )
+        return F.when(n >= 2, pair).otherwise(
+            F.array().cast("array<struct<c:string,w:string>>")
+        )
+
+    return let_bind(tokens(text_col), body)
+
+
+def ngram_lm_fit(
+    train_df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> NGramLM:
+    """Fit the bigram LM over the (trusted) training corpus.
+
+    One explode + two hash-aggregations; every output relation is
+    vocab-bounded. ``alpha`` is the add-alpha smoothing mass.
+    """
+    bg = train_df.select(F.explode(_bigrams(text_col)).alias("bg")).select(
+        F.col("bg.c").alias("c"), F.col("bg.w").alias("w")
+    )
+    ngram_counts = bg.groupBy("c", "w").agg(F.count("*").alias("cw_cnt"))
+    context_counts = ngram_counts.groupBy("c").agg(
+        F.sum("cw_cnt").alias("c_cnt")
+    )
+    vocab = (
+        train_df.select(F.explode(tokens(text_col)).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab_size"))
+    )
+    return NGramLM(ngram_counts, context_counts, vocab, alpha)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    lm: NGramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document perplexity under the fitted LM.
+
+    Output: (id, n_bigrams, ppl) for EVERY input doc — docs with < 2
+    tokens carry n_bigrams = 0 and a null ppl (no silent drops; the
+    caller's filter policy decides their fate, same posture as
+    validate_rejects).
+
+    ``broadcast_lm=False`` switches the model joins to shuffled
+    equi-joins on the (uniform) token keys — the escape hatch for a
+    vocabulary too large to broadcast.
+    """
+    maybe_b = F.broadcast if broadcast_lm else (lambda d: d)
+    ex = df.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
+    ).select(id_col, F.col("bg.c").alias("c"), F.col("bg.w").alias("w"))
+
+    scored = (
+        ex.join(maybe_b(lm.ngram_counts), ["c", "w"], "left")
+        .join(maybe_b(lm.context_counts), ["c"], "left")
+        .crossJoin(F.broadcast(lm.vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("cw_cnt"), F.lit(0)) + F.lit(lm.alpha))
+                / (
+                    F.coalesce(F.col("c_cnt"), F.lit(0))
+                    + F.lit(lm.alpha) * F.col("vocab_size")
+                )
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.exp(-F.round(F.avg("lp"), 6)), 4).alias("ppl"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "ppl",
+        )
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: NGramLM,
+    max_ppl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, dropped) split at a perplexity ceiling — the CCNet gate.
+
+    Docs too short to score (null ppl) are DROPPED with the ledger
+    (they carry no distributional evidence either way; CCNet's head/
+    middle/tail bucketing likewise refuses to place them). Both sides
+    carry ``ppl`` so the caller's ledger can histogram the decision.
+    """
+    scored = df.join(
+        lm_perplexity(df, lm, text_col, id_col, broadcast_lm),
+        [id_col],
+    )
+    keep = scored.filter(F.col("ppl") <= F.lit(max_ppl))
+    drop = scored.filter(
+        F.col("ppl").isNull() | (F.col("ppl") > F.lit(max_ppl))
+    )
+    return keep, drop
