@@ -309,3 +309,71 @@ def test_canonicalize_unifies_compat_variants(spark, tmp_path):
     assert canon["exact_dups_dropped"] == 1
     back = spark.read.parquet(str(tmp_path / "canon"))
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]
+
+
+def test_build_with_learned_gates(spark, tmp_path):
+    """CCNet/DCLM composition: heuristic gate off, LM-perplexity
+    ceiling + NB floor on; the ledger attributes every drop to its
+    stage and the OOD plant never reaches the shards."""
+    import random
+
+    from tests.test_lm import _chain_doc, _gibberish_doc
+    from xmidt_event_streams_spark.operators.classifier import nb_fit
+    from xmidt_event_streams_spark.operators.lm import ngram_lm_fit
+
+    rng = random.Random(7)
+    trusted = spark.createDataFrame(
+        [(1000 + i, _chain_doc(rng)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    labeled = trusted.withColumn("label", F.lit(True)).unionByName(
+        spark.createDataFrame(
+            [(2000 + i, _gibberish_doc(rng), False) for i in range(40)],
+            "doc_id long, text string, label boolean",
+        )
+    )
+    lm = ngram_lm_fit(trusted)
+    nb = nb_fit(labeled, label_col="label")
+
+    corpus = spark.createDataFrame(
+        [(i, _chain_doc(rng)) for i in range(10)]
+        + [(50 + i, _gibberish_doc(rng)) for i in range(5)]
+        + [(99, "solo")],  # unscorable short doc -> LM drop
+        "doc_id long, text string",
+    )
+    out = tmp_path / "gated_corpus"
+    ledger = build_training_corpus(
+        corpus,
+        str(out),
+        quality=None,
+        dedup=None,
+        lm_model=lm,
+        lm_max_ppl=11.0,  # < vocab size: gibberish (ppl == V) drops
+        nb_model=nb,
+        n_shards=2,
+    )
+    assert ledger["input"] == 16
+    assert ledger["lm_dropped"] == 6  # 5 gibberish + 1 unscorable
+    assert ledger["classifier_dropped"] == 0  # LM already shed them
+    assert ledger["written"] == 10
+    assert (
+        ledger["written"] + ledger["lm_dropped"] + ledger["classifier_dropped"]
+        == ledger["input"]
+    )
+    back = spark.read.parquet(str(out))
+    ids = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert ids == set(range(10))
+
+    # NB floor alone (no LM): same OOD plant, attributed to classifier
+    out2 = tmp_path / "gated_corpus_nb"
+    ledger2 = build_training_corpus(
+        corpus,
+        str(out2),
+        quality=None,
+        dedup=None,
+        nb_model=nb,
+        n_shards=2,
+    )
+    assert ledger2["classifier_dropped"] == 5  # gibberish below floor
+    assert ledger2["lm_dropped"] == 0
+    assert ledger2["written"] == 11  # short doc passes NB (prior = 0)

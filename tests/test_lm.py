@@ -227,3 +227,99 @@ def test_logreg_converges_separates_deterministic(spark, labeled):
         assert max(abs(a - b) for a, b in zip(w1, w2)) < 1e-6
     finally:
         feats.unpersist()
+
+
+# -- gate protocol: chaining + streaming composition ------------------
+
+
+def test_chain_gates_attributes_first_reason(spark, planted, labeled):
+    from xmidt_event_streams_spark.corpus import chain_gates
+    from xmidt_event_streams_spark.operators.classifier import (
+        nb_fit,
+        nb_quality_gate,
+    )
+    from xmidt_event_streams_spark.operators.lm import lm_quality_gate
+
+    train_df, probe_df = planted
+    lm = ngram_lm_fit(train_df)
+    nb = nb_fit(labeled, label_col="label")
+    gate = chain_gates(
+        lm_quality_gate(lm, max_ppl=11.0),
+        nb_quality_gate(nb),
+    )
+    passing, failing = gate(probe_df.drop("kind"))
+    pass_ids = {r["doc_id"] for r in passing.select("doc_id").collect()}
+    reasons = {
+        r["doc_id"]: r["reject_reason"]
+        for r in failing.select("doc_id", "reject_reason").collect()
+    }
+    assert pass_ids == set(range(100, 110))  # in-dist only
+    # the LM ceiling fires first for every OOD doc (short-circuit
+    # order); the NB gate never sees them
+    assert set(reasons) == set(range(200, 210)) | set(range(300, 310))
+    assert set(reasons.values()) == {"lm_perplexity"}
+    assert pass_ids.isdisjoint(reasons)
+
+
+def test_streaming_ingest_with_lm_gate(spark, tmp_path, planted):
+    """start_ingest_dedup(quality=<callable>): the CCNet gate runs
+    inside each micro-batch; OOD docs land in rejects with
+    reject_reason='lm_perplexity' and never touch the index."""
+    import json as _json
+    import random
+
+    from xmidt_event_streams_spark.operators.incremental import (
+        incremental_dedup_mark,
+        init_minhash_index,
+    )
+    from xmidt_event_streams_spark.operators.lm import lm_quality_gate
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        start_ingest_dedup,
+    )
+
+    train_df, _ = planted
+    lm = ngram_lm_fit(train_df)
+    rng = random.Random(5)
+
+    idx = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "corpus")
+    rejects_out = str(tmp_path / "rejects")
+    init_minhash_index(spark, idx, id_type="bigint")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        (1, _chain_doc(rng)),
+        (2, _gibberish_doc(rng)),  # ppl == V -> gate reject
+        (3, _chain_doc(rng)),
+    ]
+    with open(src / "b1.json", "w") as f:
+        for doc_id, text in rows:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    # min_agreement=0.95: chain docs legitimately share shingles (the
+    # same 12-token walk), so the default 0.5 near-dup tier flags doc 3
+    # as a near-dup of doc 1 -- correct dedup behavior, but this test
+    # isolates the LM gate, so only exact-ish dups may reject here
+    q = start_ingest_dedup(
+        stream, idx, corpus_out, rejects_out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quality=lm_quality_gate(lm, max_ppl=11.0),
+        min_agreement=0.95,
+        availableNow=True,
+    )
+    q.awaitTermination(300)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus_out).collect()}
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(rejects_out).collect()
+    }
+    assert kept == {1, 3}
+    assert rej == {2: "lm_perplexity"}
+    # the gated-out doc never entered the index
+    probe = spark.createDataFrame(
+        [(900, rows[1][1])], "doc_id long, text string"
+    )
+    assert incremental_dedup_mark(spark, idx, probe).collect()[0]["is_unique"]

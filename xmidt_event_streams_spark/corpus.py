@@ -3,7 +3,12 @@ the package's LLM-pipeline operators in their canonical order, with a
 drop ledger at every stage (nothing is ever silently discarded --
 the same posture as validation rejects and admission shedding).
 
-    quality gate (gopher/C4, reasoned)
+    line-level boilerplate dedup (optional, RefinedWeb order)
+      -> quality gate (gopher/C4, reasoned)
+      -> learned gates (optional: CCNet LM-perplexity ceiling and/or
+         NB classifier floor -- the heuristics-then-learned order the
+         CCNet/DCLM recipes use: cheap narrow rules shed the bulk
+         before the model joins run)
       -> exact dedup (md5 fingerprint, min-id survivor)
       -> near-dup clusters (MinHash LSH candidates -> connected
          components -> min-id survivor)
@@ -50,12 +55,31 @@ def build_training_corpus(
     n_shards: int = 16,
     pack_budget: int | None = None,
     canonicalize: bool = False,
+    line_level_dedup: bool = False,
+    lm_model=None,
+    lm_max_ppl: float | None = None,
+    nb_model=None,
+    nb_min_score: float = 0.0,
 ) -> dict:
     """Run the full assembly and write the sharded corpus; returns the
     drop ledger:
 
-        {"input", "quality_dropped": {reason: n, ...},
+        {"input", "lines_removed",
+         "quality_dropped": {reason: n, ...},
+         "lm_dropped", "classifier_dropped",
          "exact_dups_dropped", "near_dups_dropped", "written"}
+
+    ``lines_removed`` counts LINES (not docs): line_level_dedup
+    rewrites text in place, so the doc-count invariant
+    written + drops == input is unaffected by it.
+
+    Learned gates (both optional, both FIT BY THE CALLER on a trusted
+    slice so this composition stays a pure consumer): ``lm_model`` (an
+    operators/lm.NGramLM) with ``lm_max_ppl`` drops docs whose
+    perplexity exceeds the ceiling -- including unscorable short docs,
+    perplexity_filter's contract; ``nb_model`` (an
+    operators/classifier.NaiveBayesModel) with ``nb_min_score`` drops
+    docs whose log-odds fall below the floor.
 
     ``quality``: None | "gopher" | "c4" | "gopher+c4" (reason = first
     failing rule, counted per reason). ``dedup``: None | "exact" |
@@ -90,6 +114,26 @@ def build_training_corpus(
     kept = df
     _persisted = []
 
+    if line_level_dedup:
+        # RefinedWeb order: boilerplate-line removal FIRST, so the
+        # quality rules and both doc-level dedup tiers judge the text
+        # that will actually ship. Hollowed-out docs (text -> '') are
+        # not dropped here -- the quality gate (or the caller) owns
+        # that policy; the ledger records the line count removed.
+        from xmidt_event_streams_spark.operators.linededup import (
+            line_dedup,
+        )
+
+        deduped = line_dedup(kept, text_col, id_col).persist()
+        _persisted.append(deduped)
+        ledger["lines_removed"] = (
+            deduped.agg(F.sum("n_lines_removed").alias("s")).collect()[0]["s"]
+            or 0
+        )
+        kept = deduped.drop("n_lines_removed")
+    else:
+        ledger["lines_removed"] = 0
+
     if quality is not None:
         reason = F.lit(None).cast("string")
         if "gopher" in quality:
@@ -111,6 +155,34 @@ def build_training_corpus(
     else:
         ledger["quality_dropped"] = {}
 
+    if lm_model is not None:
+        if lm_max_ppl is None:
+            raise ValueError("lm_model requires lm_max_ppl")
+        from xmidt_event_streams_spark.operators.lm import perplexity_filter
+
+        before = kept.count()
+        kept_scored, _ = perplexity_filter(
+            kept, lm_model, lm_max_ppl, text_col, id_col
+        )
+        kept = kept_scored.drop("n_bigrams", "ppl")
+        ledger["lm_dropped"] = before - kept.count()
+    else:
+        ledger["lm_dropped"] = 0
+
+    if nb_model is not None:
+        from xmidt_event_streams_spark.operators.classifier import nb_score
+
+        before = kept.count()
+        passing = (
+            nb_score(kept, nb_model, text_col, id_col)
+            .filter(F.col("score") >= F.lit(nb_min_score))
+            .select(id_col)
+        )
+        kept = kept.join(passing, id_col)
+        ledger["classifier_dropped"] = before - kept.count()
+    else:
+        ledger["classifier_dropped"] = 0
+
     if dedup in ("exact", "both"):
         # min-id survivor per md5 fingerprint (exact_dedup's rule,
         # kept inline so full rows survive without a second join)
@@ -118,8 +190,11 @@ def build_training_corpus(
 
         fp = kept.withColumn("_fp", fingerprint(text_col))
         survivor = F.min(id_col).over(Window.partitionBy("_fp"))
-        before = ledger["input"] - sum(
-            ledger["quality_dropped"].values()
+        before = (
+            ledger["input"]
+            - sum(ledger["quality_dropped"].values())
+            - ledger["lm_dropped"]
+            - ledger["classifier_dropped"]
         )
         kept = (
             fp.withColumn("_surv", survivor)
@@ -340,3 +415,24 @@ def refresh_corpus(
     finally:
         for df in _persisted:
             df.unpersist()
+
+
+def chain_gates(*gates):
+    """Compose gate callables (``batch -> (passing, failing_or_None)``)
+    left to right: each gate sees only the previous gates' survivors;
+    failing sides union (every doc keeps the FIRST reason that shed
+    it, CCNet/DCLM short-circuit order). The result is itself a gate
+    -- pass it to ``start_ingest_dedup(quality=...)`` or call it
+    directly in batch."""
+
+    def gate(batch: DataFrame):
+        passing, failed = batch, None
+        for g in gates:
+            passing, f = g(passing)
+            if f is not None:
+                failed = f if failed is None else failed.unionByName(
+                    f, allowMissingColumns=True
+                )
+        return passing, failed
+
+    return gate

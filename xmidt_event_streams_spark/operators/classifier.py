@@ -307,3 +307,30 @@ def accuracy(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id",
         (F.col(prob_col) > 0.5) == F.col(label_col).cast("boolean")
     ).count()
     return hits / n
+
+
+def nb_quality_gate(
+    model: NaiveBayesModel,
+    min_score: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The learned-classifier floor as a reusable GATE: ``batch ->
+    (passing, failing)`` with ``reject_reason='classifier'`` -- same
+    protocol as operators/lm.lm_quality_gate (see there)."""
+
+    def gate(batch: DataFrame):
+        scored = nb_score(batch, model, text_col, id_col).select(
+            id_col, "score"
+        )
+        passing = batch.join(
+            scored.filter(F.col("score") >= F.lit(min_score)).select(id_col),
+            id_col,
+        )
+        failing = batch.join(
+            scored.filter(F.col("score") < F.lit(min_score)).select(id_col),
+            id_col,
+        ).withColumn("reject_reason", F.lit("classifier"))
+        return passing, failing
+
+    return gate

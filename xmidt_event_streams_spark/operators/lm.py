@@ -196,3 +196,31 @@ def perplexity_filter(
         F.col("ppl").isNull() | (F.col("ppl") > F.lit(max_ppl))
     )
     return keep, drop
+
+
+def lm_quality_gate(
+    lm: NGramLM,
+    max_ppl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+):
+    """The CCNet ceiling as a reusable GATE: ``batch -> (passing,
+    failing)`` with ``reject_reason='lm_perplexity'`` on the failing
+    side -- the protocol streaming/ingest_dedup.start_ingest_dedup
+    and corpus.chain_gates consume. The model relations live in the
+    closure and join each (batch-sized) input, so the broadcast-LM
+    shape holds per micro-batch."""
+
+    def gate(batch: DataFrame):
+        keep, drop = perplexity_filter(
+            batch, lm, max_ppl, text_col, id_col, broadcast_lm
+        )
+        return (
+            keep.drop("n_bigrams", "ppl"),
+            drop.drop("n_bigrams", "ppl").withColumn(
+                "reject_reason", F.lit("lm_perplexity")
+            ),
+        )
+
+    return gate

@@ -109,16 +109,29 @@ def start_ingest_dedup(
     ``reject_reason='duplicate'``. One sink, one ledger -- the full
     training-data admission pipeline (quality gate -> dedup gate) in
     a single checkpointed stream.
+
+    ``quality`` may instead be a CALLABLE gate
+    ``batch -> (passing, failing_or_None)`` where ``failing`` carries
+    a ``reject_reason`` column -- the learned-gate protocol
+    (operators/lm.lm_quality_gate, operators/classifier
+    .nb_quality_gate, or corpus.chain_gates composing several). The
+    gate runs inside every micro-batch, so model relations referenced
+    in its closure join batch-sized inputs (broadcast-friendly).
     """
-    if quality not in (None, "gopher", "c4", "gopher+c4"):
+    if not (
+        quality in (None, "gopher", "c4", "gopher+c4") or callable(quality)
+    ):
         raise ValueError(
-            f"quality must be None|gopher|c4|gopher+c4, got {quality!r}"
+            f"quality must be None|gopher|c4|gopher+c4|callable, "
+            f"got {quality!r}"
         )
 
     def _quality_split(batch: DataFrame):
         """(passing, failing-with-reason); None quality passes all."""
         if quality is None:
             return batch, None
+        if callable(quality):
+            return quality(batch)
         from xmidt_event_streams_spark.functions.quality import (
             c4_keep,
             gopher_keep,
