@@ -55,11 +55,13 @@ def build_training_corpus(
     n_shards: int = 16,
     pack_budget: int | None = None,
     canonicalize: bool = False,
+    strip_html: bool = False,
     line_level_dedup: bool = False,
     lm_model=None,
     lm_max_ppl: float | None = None,
     nb_model=None,
     nb_min_score: float = 0.0,
+    near_prefer_col: str | None = None,
 ) -> dict:
     """Run the full assembly and write the sharded corpus; returns the
     drop ledger:
@@ -85,7 +87,9 @@ def build_training_corpus(
     failing rule, counted per reason). ``dedup``: None | "exact" |
     "near" | "both" -- near-dup survivors are the min-id member of
     each LSH/connected-components cluster, the same verdict the
-    `dup_clusters` oracle checks. Ledger counts are Spark aggregates
+    `dup_clusters` oracle checks; ``near_prefer_col`` switches the
+    survivor rule to highest-value-of-that-column (ties min id) --
+    keep the best copy, not an arbitrary one. Ledger counts are Spark aggregates
     (driver state is O(#reasons)), never collected row sets.
 
     Read the ledger before trusting the output: the C4 page rules
@@ -98,6 +102,14 @@ def build_training_corpus(
         raise ValueError(f"bad quality {quality!r}")
     if dedup not in (None, "exact", "near", "both"):
         raise ValueError(f"bad dedup {dedup!r}")
+
+    if strip_html:
+        # crawl-shaped inputs arrive as markup; extract prose FIRST so
+        # canonicalization, line dedup, quality rules, and every dedup
+        # tier all judge the text that will actually ship
+        from xmidt_event_streams_spark.functions.text import html_to_text
+
+        df = df.withColumn(text_col, html_to_text(text_col))
 
     if canonicalize:
         # Unicode-canonicalize AT ENTRY so quality rules, both dedup
@@ -211,7 +223,9 @@ def build_training_corpus(
         pairs = minhash_lsh_candidates(
             kept, text_col, id_col, num_hashes, bands, shingle_n
         )
-        verdicts = dup_cluster_survivors(kept, pairs, id_col)
+        verdicts = dup_cluster_survivors(
+            kept, pairs, id_col, prefer_col=near_prefer_col
+        )
         kept = kept.join(
             verdicts.filter("is_survivor").select(id_col), id_col
         )

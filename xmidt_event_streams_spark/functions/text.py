@@ -281,3 +281,64 @@ def canonical_text(
 
     udf = F.pandas_udf(_canon, "string").asNondeterministic()
     return udf(F.col(col) if isinstance(col, str) else col)
+
+
+# -- HTML -> text extraction ------------------------------------------
+
+# RE2 ∩ Java-regex safe (no backreferences/lookbehind): tags and
+# comments are non-greedy char classes. script/style/head contents are
+# removed WITH their elements; (?is) = case-insensitive + dotall so
+# multi-line blocks match.
+_HTML_STRIP_BLOCKS = (
+    r"(?is)<(script|style|head|noscript|template)[^>]*>.*?</\1\s*>",
+    r"(?s)<!--.*?-->",
+)
+_HTML_TAG = r"(?s)<[^>]+>"
+_HTML_BLOCK_TAG_BREAK = (
+    r"(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|section|article|"
+    r"header|footer|blockquote|pre|form)[^>]*>"
+)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: otherwise &amp;lt; would double-decode
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Boilerplate-light HTML -> plain text, as a pure JVM expression
+    chain (the crawl-ingest normalizer: a 100 TB web corpus arrives as
+    markup, and every text operator downstream assumes prose).
+
+    Heuristic, regex-based (the trafilatura-class DOM walk needs a
+    parser the hot path can't afford): (1) drop script/style/head/
+    noscript/template ELEMENTS with their contents and comments;
+    (2) block-level tags become newlines (paragraph structure survives
+    for line_dedup/quality rules); (3) remaining tags vanish; (4) the
+    six ubiquitous entities decode (&amp; last, so escaped escapes
+    don't double-decode); (5) horizontal whitespace collapses per
+    line, blank runs collapse to one blank line.
+
+    One backreference exists in the block-strip pattern (\\1 on the
+    closing tag) — Java regex supports it; this column is NOT part of
+    any DuckDB-oracle query (RE2 lacks backreferences), which is why
+    the parity evidence is a planted pytest, not a registry twin.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in _HTML_STRIP_BLOCKS:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, _HTML_BLOCK_TAG_BREAK, "\n")
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    # collapse horizontal whitespace; trim line edges; squeeze blank
+    # runs; strip the document edges (explicit class -- trim() only
+    # removes spaces, and \n survives block-tag conversion)
+    c = F.regexp_replace(c, r"[ \t\x0B\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n\n")
+    return F.regexp_replace(c, r"^[\n ]+|[\n ]+$", "")

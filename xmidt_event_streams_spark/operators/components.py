@@ -197,21 +197,55 @@ def dup_cluster_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Retention verdict per document: its cluster id and whether it
-    is the canonical survivor (the min-id member; singletons survive
-    trivially). One left join of the corpus against the (small)
-    cluster relation — the shape you'd run right before writing the
-    deduplicated corpus."""
+    is the canonical survivor. One left join of the corpus against the
+    (small) cluster relation — the shape you'd run right before
+    writing the deduplicated corpus.
+
+    ``prefer_col=None`` (default): survivor = the min-id member —
+    free, because connected_components labels clusters BY their min
+    id, so the verdict is a column comparison.
+
+    ``prefer_col='score'``: survivor = the cluster member with the
+    HIGHEST score, ties to the lowest id — the production refinement
+    (RefinedWeb/FineWeb keep the longest/highest-quality copy of a
+    duplicated page, not an arbitrary one). Costs one extra
+    cluster-keyed window over only the CLUSTERED rows (singletons —
+    the overwhelming majority — skip the window via the left join);
+    deterministic under any partitioning. With a constant score it
+    reduces exactly to the min-id rule (pytest-pinned).
+    """
     clusters = connected_components(pairs, out_id=id_col)
-    return (
-        df.select(id_col)
-        .join(clusters, id_col, "left")
-        .select(
+    base = df.select(
+        id_col, *([prefer_col] if prefer_col else [])
+    ).join(clusters, id_col, "left")
+    if prefer_col is None:
+        return base.select(
             F.col(id_col),
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
             (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias(
                 "is_survivor"
             ),
         )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(prefer_col).desc_nulls_last(), F.col(id_col).asc()
     )
+    clustered = (
+        base.filter(F.col("cluster_id").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            (F.col("_rk") == 1).alias("is_survivor"),
+        )
+    )
+    singletons = base.filter(F.col("cluster_id").isNull()).select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(True).alias("is_survivor"),
+    )
+    return clustered.unionByName(singletons)

@@ -453,3 +453,31 @@ def leakage_safe_split(
     with_rep = df.join(comps, id_col, "left").withColumn("_split_key", rep)
     out = assign_split(with_rep, id_col="_split_key", weights=weights, salt=salt)
     return out.drop("_rep", "_split_key")
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: str = "shuffle-0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus-wide shuffle for training-order
+    randomization: order = md5(seed || id) — a pseudorandom but
+    REPRODUCIBLE permutation (same seed -> byte-identical order on any
+    cluster/partitioning, unlike orderBy(rand()) whose seed is
+    per-partition and layout-dependent; new seed per epoch -> a fresh
+    permutation).
+
+    One range shuffle (Exchange rangepartitioning on the md5 key) —
+    the cost floor for any total order. Write the result with
+    ``sortWithinPartitions`` semantics preserved (orderBy guarantees
+    both partition ranges and intra-partition order), so downstream
+    sequential readers see the shuffled order file-by-file.
+    """
+    return (
+        df.withColumn(
+            "_shuffle_key",
+            F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+        )
+        .orderBy("_shuffle_key")
+        .drop("_shuffle_key")
+    )
