@@ -323,3 +323,95 @@ def test_streaming_ingest_with_lm_gate(spark, tmp_path, planted):
         [(900, rows[1][1])], "doc_id long, text string"
     )
     assert incremental_dedup_mark(spark, idx, probe).collect()[0]["is_unique"]
+
+
+# -- multiclass NB (domain tagging) -----------------------------------
+
+
+def _third_doc(rng, n=30):
+    vocab = "red blue green cyan pink onyx teal ruby".split()
+    return " ".join(rng.choice(vocab) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def three_domains(spark):
+    rng = random.Random(17)
+    rows = (
+        [(i, _chain_doc(rng, 30), "chain") for i in range(30)]
+        + [(100 + i, _gibberish_doc(rng, 30), "noise") for i in range(30)]
+        + [(200 + i, _third_doc(rng), "color") for i in range(30)]
+    )
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, domain string"
+    )
+
+
+def test_multiclass_nb_tags_domains(spark, three_domains):
+    from xmidt_event_streams_spark.operators.classifier import (
+        nb_multiclass_fit,
+        nb_multiclass_score,
+    )
+
+    model = nb_multiclass_fit(three_domains, label_col="domain")
+    scored = nb_multiclass_score(three_domains, model).join(
+        three_domains.select("doc_id", "domain"), "doc_id"
+    )
+    assert scored.count() == 90
+    wrong = scored.filter(F.col("pred") != F.col("domain")).count()
+    assert wrong == 0
+    # held-out docs from each distribution tag correctly too
+    rng = random.Random(18)
+    probe = spark.createDataFrame(
+        [(1, _chain_doc(rng, 25)), (2, _gibberish_doc(rng, 25)),
+         (3, _third_doc(rng, 25))],
+        "doc_id long, text string",
+    )
+    preds = {
+        r["doc_id"]: r["pred"]
+        for r in nb_multiclass_score(probe, model).collect()
+    }
+    assert preds == {1: "chain", 2: "noise", 3: "color"}
+
+
+def test_multiclass_nb_empty_doc_takes_max_prior(spark, three_domains):
+    from xmidt_event_streams_spark.operators.classifier import (
+        nb_multiclass_fit,
+        nb_multiclass_score,
+    )
+
+    # skew priors: drop most of one class
+    skewed = three_domains.filter(
+        (F.col("domain") != "noise") | (F.col("doc_id") < 105)
+    )
+    model = nb_multiclass_fit(skewed, label_col="domain")
+    out = nb_multiclass_score(
+        spark.createDataFrame([(9, "")], "doc_id long, text string"), model
+    ).collect()[0]
+    # equal-size chain/color, tiny noise: tie between chain/color
+    # breaks lexicographically -> 'chain'
+    assert out["pred"] == "chain"
+    assert out["score"] is not None
+
+
+def test_multiclass_nb_binary_agrees_with_nb_fit(spark, labeled):
+    """k=2 multiclass argmax == binary log-odds sign (same alpha,
+    same shared-V smoothing)."""
+    from xmidt_event_streams_spark.operators.classifier import (
+        nb_multiclass_fit,
+        nb_multiclass_score,
+    )
+
+    two = labeled.withColumn(
+        "cls", F.when(F.col("label"), F.lit("pos")).otherwise(F.lit("neg"))
+    )
+    mc = nb_multiclass_fit(two, label_col="cls")
+    bi = nb_fit(labeled, label_col="label")
+    joined = (
+        nb_multiclass_score(two, mc)
+        .withColumnRenamed("pred", "mc_pred")
+        .join(nb_score(labeled, bi).select("doc_id", "pred"), "doc_id")
+    )
+    disagree = joined.filter(
+        (F.col("mc_pred") == "pos") != F.col("pred")
+    ).count()
+    assert disagree == 0

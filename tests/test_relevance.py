@@ -75,3 +75,65 @@ class TestContamination:
         ).collect()
         assert {r["doc_id"] for r in out} == {2}
         assert out[0]["contamination"] == 1.0
+
+
+class TestHashedVectors:
+    """tfidf_hashed_vectors: the text -> vector-stack bridge."""
+
+    def _docs(self, spark):
+        near_a = "spark shuffles data across the cluster for joins"
+        near_b = "spark shuffles data across the cluster for big joins"
+        far = "pelicans migrate over coastal wetlands every autumn"
+        return spark.createDataFrame(
+            [(1, near_a), (2, near_b), (3, far), (4, "")],
+            "doc_id long, text string",
+        )
+
+    def test_unit_norm_and_zero_doc(self, spark):
+        from xmidt_event_streams_spark.operators.relevance import (
+            tfidf_hashed_vectors,
+        )
+
+        vecs = {
+            r["doc_id"]: r["embedding"]
+            for r in tfidf_hashed_vectors(self._docs(spark), dim=32).collect()
+        }
+        assert set(vecs) == {1, 2, 3, 4}
+        for i in (1, 2, 3):
+            assert abs(sum(v * v for v in vecs[i]) - 1.0) < 1e-9
+            assert len(vecs[i]) == 32
+        assert vecs[4] == [0.0] * 32  # token-free doc -> zero vector
+
+    def test_lexical_cosine_ranks_near_dups(self, spark):
+        from xmidt_event_streams_spark.operators.relevance import (
+            tfidf_hashed_vectors,
+        )
+
+        vecs = {
+            r["doc_id"]: r["embedding"]
+            for r in tfidf_hashed_vectors(self._docs(spark), dim=64).collect()
+        }
+
+        def cos(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        assert cos(vecs[1], vecs[2]) > 0.85    # near-dup pair (idf boosts the one differing term)
+        assert cos(vecs[1], vecs[3]) < 0.3     # unrelated
+        assert cos(vecs[1], vecs[2]) > cos(vecs[1], vecs[3])
+
+    def test_feeds_the_ann_stack(self, spark):
+        """The bridge output drives brute_force_topk unchanged: the
+        near-dup is every doc's top-1 neighbor."""
+        from xmidt_event_streams_spark.operators.relevance import (
+            tfidf_hashed_vectors,
+        )
+        from xmidt_event_streams_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        corpus = tfidf_hashed_vectors(
+            self._docs(spark).filter("doc_id < 4"), dim=64
+        ).withColumnRenamed("doc_id", "vec_id")
+        top = brute_force_topk(corpus, corpus.filter("vec_id = 1"), k=1)
+        row = top.collect()[0]
+        assert row["vec_id"] == 2 and row["cos_sim"] > 0.85

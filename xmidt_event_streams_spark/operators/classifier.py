@@ -334,3 +334,151 @@ def nb_quality_gate(
         return passing, failing
 
     return gate
+
+
+# ---------------------------------------------------------------------------
+# multiclass Naive Bayes (domain / language tagging)
+# ---------------------------------------------------------------------------
+
+
+class MulticlassNB(NamedTuple):
+    """(term, class, ll) per seen (term, class) + per-class stats
+    (class, prior_ll, oov_ll). Both relations are (vocab x k)-bounded."""
+
+    token_ll: DataFrame
+    class_stats: DataFrame
+    alpha: float
+
+
+def nb_multiclass_fit(
+    train_df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> MulticlassNB:
+    """Multinomial NB over an arbitrary categorical label (domain,
+    language, source bucket) -- the closed-form domain tagger a
+    mixture-weighted pipeline needs before `mixture_sample` can
+    resample by domain on UNLABELED data.
+
+    Per class c: prior_ll = ln(n_docs_c / n_docs);
+    ll(t, c) = ln((count(t, c) + a) / (tokens_c + aV));
+    oov_ll(c) = the same at count = 0. V = seen-term count over the
+    whole training set (shared across classes, so scores are
+    comparable). One (doc, term) pass; everything after is
+    (vocab x k)-bounded. The binary :func:`nb_fit` is this model's
+    k=2 log-odds collapse.
+    """
+    cls = F.col(label_col).cast("string").alias("_c")
+    tf = term_frequencies(train_df, text_col, id_col)
+    labeled = tf.join(train_df.select(F.col(id_col), cls), [id_col])
+    per_tc = labeled.groupBy("term", "_c").agg(F.sum("tf").alias("n_tc"))
+    per_c = per_tc.groupBy("_c").agg(F.sum("n_tc").alias("tok_c"))
+    vocab = per_tc.select("term").distinct().agg(
+        F.count("*").alias("vocab_size")
+    )
+    docs_c = train_df.groupBy(cls).agg(F.count("*").alias("n_docs_c"))
+    n_docs = train_df.agg(F.count("*").alias("n_docs"))
+    a = F.lit(float(alpha))
+    token_ll = (
+        per_tc.join(per_c, "_c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "term",
+            F.col("_c").alias("cls"),
+            F.log(
+                (F.col("n_tc") + a)
+                / (F.col("tok_c") + a * F.col("vocab_size"))
+            ).alias("ll"),
+        )
+    )
+    class_stats = (
+        per_c.join(docs_c, "_c")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("_c").alias("cls"),
+            F.log(
+                F.col("n_docs_c").cast("double") / F.col("n_docs")
+            ).alias("prior_ll"),
+            F.log(
+                a / (F.col("tok_c") + a * F.col("vocab_size"))
+            ).alias("oov_ll"),
+        )
+    )
+    return MulticlassNB(token_ll, class_stats, float(alpha))
+
+
+def nb_multiclass_score(
+    df: DataFrame,
+    model: MulticlassNB,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-doc class posteriors and argmax prediction.
+
+    Output: (id, pred, score) -- score = the winning class's total
+    log-likelihood rounded 6 dp; ties break to the lexicographically
+    smallest class (deterministic, engine-portable). Token-free docs
+    predict the max-prior class. Shape: one (doc, term) pass, one
+    join against the (vocab x k) model (broadcast by default), one
+    per-(doc, class) agg, one per-doc max -- the corpus shuffles
+    twice (by doc-term and doc), both uniform keys.
+    """
+    maybe_b = F.broadcast if broadcast_model else (lambda d: d)
+    tf = term_frequencies(df, text_col, id_col)
+    # every (doc-term, class) pair: seen terms take ll, unseen oov_ll
+    per_dc = (
+        tf.crossJoin(maybe_b(model.class_stats.select("cls")))
+        .join(maybe_b(model.token_ll), ["term", "cls"], "left")
+        .join(
+            maybe_b(model.class_stats), ["cls"]
+        )
+        .groupBy(id_col, "cls")
+        .agg(
+            F.round(
+                F.first("prior_ll")
+                + F.sum(
+                    F.col("tf") * F.coalesce(F.col("ll"), F.col("oov_ll"))
+                ),
+                6,
+            ).alias("total_ll")
+        )
+    )
+    # deterministic argmax: min over (-ll, cls) = highest ll, ties to
+    # the lexicographically smallest class
+    best = per_dc.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("total_ll")).alias("neg"),
+                F.col("cls"),
+                F.col("total_ll"),
+            )
+        ).alias("_b")
+    ).select(
+        id_col,
+        F.col("_b.cls").alias("pred"),
+        F.col("_b.total_ll").alias("score"),
+    )
+    prior_pred = model.class_stats.orderBy(
+        F.col("prior_ll").desc(), F.col("cls").asc()
+    ).limit(1)
+    return (
+        df.select(id_col)
+        .join(best, [id_col], "left")
+        .crossJoin(
+            F.broadcast(
+                prior_pred.select(
+                    F.col("cls").alias("_pp"),
+                    F.round("prior_ll", 6).alias("_ps"),
+                )
+            )
+        )
+        .select(
+            id_col,
+            F.coalesce("pred", F.col("_pp")).alias("pred"),
+            F.coalesce("score", F.col("_ps")).alias("score"),
+        )
+    )

@@ -116,3 +116,98 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
     )
+
+
+def tfidf_hashed_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    use_idf: bool = True,
+) -> DataFrame:
+    """(id, embedding): L2-normalized hashed TF-IDF document vectors —
+    the bridge from raw text to the package's ENTIRE vector stack
+    (brute_force_topk, LSH/IVF/PQ indexes, semdedup_survivors,
+    mixture/mining) without an external embedding model. Lexical
+    cosine over these vectors approximates n-gram Jaccard at a tiny
+    fraction of the pair cost, which is exactly the SemDeDup shape on
+    corpora that ship no embeddings column.
+
+    Shape: one token explode + (doc, hashed-idx) hash-agg; idf is the
+    vocab-bounded document-frequency relation joined back (broadcast);
+    the dense array assembles per doc from a map literal of its own
+    sparse entries (map_from_entries over the collect_list — per-doc
+    cost dim x nnz, zero extra shuffle beyond the one per-doc agg).
+    Token-free docs emit the zero vector (cosine kernels guard /0).
+
+    Hashing = the md5-bucket trick (engine-portable, uniform); dim is
+    a declared constant, so downstream index layouts never depend on
+    vocabulary growth.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    n_docs = tf.select(id_col).distinct().agg(F.count("*").alias("n_docs"))
+    if use_idf:
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        weighted = (
+            tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                F.col(id_col),
+                F.col("term"),
+                (
+                    F.col("tf")
+                    * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+                ).alias("w"),
+            )
+        )
+    else:
+        weighted = tf.select(
+            F.col(id_col), "term", F.col("tf").cast("double").alias("w")
+        )
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"),
+        F.lit(dim),
+    ).alias("idx")
+    sparse = (
+        weighted.select(F.col(id_col), idx, "w")
+        .groupBy(id_col, "idx")
+        .agg(F.sum("w").alias("w"))
+    )
+    assembled = (
+        sparse.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "w"))
+            ).alias("_m")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)
+                ),
+            ).alias("_raw"),
+        )
+    )
+    normed = assembled.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_raw"),
+            lambda x: x
+            / F.sqrt(
+                F.aggregate(
+                    F.col("_raw"), F.lit(0.0), lambda a, v: a + v * v
+                )
+            ),
+        ).alias("embedding"),
+    )
+    zero_vec = F.array_repeat(F.lit(0.0), dim)
+    return (
+        df.select(id_col)
+        .join(normed, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("embedding", zero_vec).alias("embedding"),
+        )
+    )
