@@ -377,3 +377,23 @@ def test_build_with_learned_gates(spark, tmp_path):
     assert ledger2["classifier_dropped"] == 5  # gibberish below floor
     assert ledger2["lm_dropped"] == 0
     assert ledger2["written"] == 11  # short doc passes NB (prior = 0)
+
+
+def test_corpus_manifest_sidecar(spark, tmp_path):
+    """Every build stamps the recipe + ledger next to the shards."""
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    df = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(4)], "doc_id long, text string"
+    )
+    out = tmp_path / "manifested"
+    ledger = build_training_corpus(
+        df, str(out), quality=None, dedup="exact", n_shards=2
+    )
+    man = read_json_sidecar(spark, str(out), "_xes_corpus_manifest.json")
+    assert man["ledger"] == ledger
+    assert man["recipe"]["dedup"] == "exact"
+    assert man["recipe"]["n_shards"] == 2
+    assert man["recipe"]["lm_gate"] is False
+    # invisible to parquet readers
+    assert spark.read.parquet(str(out)).count() == 4

@@ -331,3 +331,76 @@ def test_bulk_backfill_arm_matches_broadcast_arm(spark, tmp_path):
         ).collect()
     )
     assert a == b and a
+
+
+class TestCrossCorpusDecontamination:
+    """Near-dup tier of benchmark decontamination: corpus-vs-reference
+    banded signatures, broadcast reference, never intra-corpus."""
+
+    @staticmethod
+    def _text(seed, n=10):
+        return " ".join(f"{seed}tok{i}" for i in range(n))
+
+    def _frames(self, spark):
+        t = self._text
+        corpus = spark.createDataFrame(
+            [
+                (1, t("bench0")),              # exact copy of ref 900
+                (2, t("bench1") + " extra0 tail1"),  # near-dup of 901
+                (3, t("clean0")),
+                (4, t("clean1")),
+                (5, t("clean0")),              # intra-corpus dup: must NOT drop
+            ],
+            "doc_id long, text string",
+        )
+        reference = spark.createDataFrame(
+            [(900, t("bench0")), (901, t("bench1"))],
+            "doc_id long, text string",
+        )
+        return corpus, reference
+
+    def test_pairs_cross_only(self, spark):
+        from xmidt_event_streams_spark.operators.incremental import (
+            cross_corpus_candidates,
+        )
+
+        corpus, reference = self._frames(spark)
+        pairs = cross_corpus_candidates(corpus, reference).collect()
+        assert all(r["ref_id"] in (900, 901) for r in pairs)
+        assert all(r["corpus_id"] in (1, 2) for r in pairs)
+        exact = [r for r in pairs if r["corpus_id"] == 1][0]
+        assert exact["agreement"] == 1.0
+
+    def test_decontaminate_split_and_ledger(self, spark):
+        from xmidt_event_streams_spark.operators.incremental import (
+            decontaminate_near_dups,
+        )
+
+        corpus, reference = self._frames(spark)
+        kept, dropped = decontaminate_near_dups(
+            corpus, reference, min_agreement=0.5
+        )
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        led = {
+            r["doc_id"]: (r["contaminated_by"], r["agreement"])
+            for r in dropped.collect()
+        }
+        # intra-corpus dup pair (3, 5) survives: decontamination only
+        # ever measures against the reference
+        assert kept_ids == {3, 4, 5}
+        assert set(led) == {1, 2}
+        assert led[1][0] == 900 and led[1][1] == 1.0
+        assert led[2][0] == 901 and 0.5 <= led[2][1] <= 1.0
+        assert sorted(kept.columns) == sorted(corpus.columns)
+
+    def test_broadcast_off_equivalent(self, spark):
+        from xmidt_event_streams_spark.operators.incremental import (
+            cross_corpus_candidates,
+        )
+
+        corpus, reference = self._frames(spark)
+        a = sorted(map(tuple, cross_corpus_candidates(
+            corpus, reference, broadcast_reference=True).collect()))
+        b = sorted(map(tuple, cross_corpus_candidates(
+            corpus, reference, broadcast_reference=False).collect()))
+        assert a == b

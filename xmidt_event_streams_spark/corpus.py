@@ -246,6 +246,42 @@ def build_training_corpus(
             pack_budget=pack_budget,
         )
         ledger["written"] = staged.count()
+        # reproducibility manifest: the full recipe + ledger stamped
+        # next to the shards (Hadoop FS sidecar -- object-store safe,
+        # invisible to parquet readers). Re-running the same recipe on
+        # the same input must produce this manifest bit-identically;
+        # model gates are recorded by presence (the fit relations are
+        # DataFrames -- callers version those corpora separately).
+        from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+        write_json_sidecar(
+            df.sparkSession,
+            output_path,
+            "_xes_corpus_manifest.json",
+            {
+                "recipe": {
+                    "quality": quality,
+                    "dedup": dedup,
+                    "num_hashes": num_hashes,
+                    "bands": bands,
+                    "shingle_n": shingle_n,
+                    "split_weights": split_weights,
+                    "n_shards": n_shards,
+                    "pack_budget": pack_budget,
+                    "canonicalize": canonicalize,
+                    "strip_html": strip_html,
+                    "line_level_dedup": line_level_dedup,
+                    "lm_gate": lm_model is not None,
+                    "lm_max_ppl": lm_max_ppl,
+                    "nb_gate": nb_model is not None,
+                    "nb_min_score": nb_min_score if nb_model is not None else None,
+                    "near_prefer_col": near_prefer_col,
+                    "text_col": text_col,
+                    "id_col": id_col,
+                },
+                "ledger": ledger,
+            },
+        )
     finally:
         for p in _persisted:
             p.unpersist()

@@ -448,3 +448,90 @@ def compact_minhash_index(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def cross_corpus_candidates(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora (never within either):
+    (corpus_id, ref_id, agreement). The near-dup tier of benchmark
+    decontamination -- operators/contamination.py catches exact
+    n-gram overlap; this catches paraphrased/reformatted benchmark
+    leakage the exact tier misses (the Lee et al. 2107.06499 /
+    GPT-3-appendix concern).
+
+    Shape: both sides run the standard banded-signature pipeline
+    (bit-identical to dedup.py); the join is corpus-bands vs
+    REFERENCE-bands on the uniform md5 bucket key with the reference
+    side broadcast (eval suites are small by construction) -- the
+    100 TB corpus never shuffles for the join. Set
+    ``broadcast_reference=False`` for corpus-vs-corpus runs; the join
+    degrades to a shuffled equi-join on the bucket key.
+    """
+    ck = _keyed_signatures(
+        corpus, text_col, id_col, num_hashes, bands, shingle_n
+    ).alias("c")
+    rk = _keyed_signatures(
+        reference, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    r = (F.broadcast(rk) if broadcast_reference else rk).alias("r")
+    return (
+        ck.join(r, F.col("c.bucket") == F.col("r.bucket"))
+        .select(
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.col(f"r.{id_col}").alias("ref_id"),
+            _sig_agreement(num_hashes, "c", "r").alias("agreement"),
+        )
+        .distinct()
+    )
+
+
+def decontaminate_near_dups(
+    corpus: DataFrame,
+    reference: DataFrame,
+    min_agreement: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    broadcast_reference: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, dropped) split of ``corpus``: a doc drops when its
+    signature agreement with ANY reference doc reaches
+    ``min_agreement``. ``dropped`` carries ``contaminated_by`` (the
+    min matching ref id) and ``agreement`` (the best match) -- the
+    ledger row; ``kept`` is schema-identical to the input. One
+    left join of the corpus against the aggregated candidate
+    relation."""
+    cands = cross_corpus_candidates(
+        corpus,
+        reference,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        broadcast_reference,
+    ).filter(F.col("agreement") >= F.lit(min_agreement))
+    verdicts = cands.groupBy("corpus_id").agg(
+        F.min("ref_id").alias("contaminated_by"),
+        F.max("agreement").alias("agreement"),
+    )
+    marked = corpus.join(
+        verdicts, F.col(id_col) == F.col("corpus_id"), "left"
+    )
+    kept = marked.filter(F.col("contaminated_by").isNull()).drop(
+        "corpus_id", "contaminated_by", "agreement"
+    )
+    dropped = marked.filter(F.col("contaminated_by").isNotNull()).drop(
+        "corpus_id"
+    )
+    return kept, dropped
