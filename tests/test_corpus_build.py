@@ -397,3 +397,24 @@ def test_corpus_manifest_sidecar(spark, tmp_path):
     assert man["recipe"]["lm_gate"] is False
     # invisible to parquet readers
     assert spark.read.parquet(str(out)).count() == 4
+
+
+def test_decontaminate_stage_in_corpus_build(spark, tmp_path):
+    def t(seed, n=10):
+        return " ".join(f"{seed}tok{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, t("bench")), (2, t("cleanA")), (3, t("cleanB"))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, t("bench"))], "doc_id long, text string"
+    )
+    ledger = build_training_corpus(
+        df, str(tmp_path / "d"), quality=None, dedup="exact",
+        decontaminate_against=bench, n_shards=1,
+    )
+    assert ledger["decontaminated_dropped"] == 1
+    assert ledger["written"] == 2
+    ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "d")).collect()}
+    assert ids == {2, 3}

@@ -62,6 +62,8 @@ def build_training_corpus(
     nb_model=None,
     nb_min_score: float = 0.0,
     near_prefer_col: str | None = None,
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_min_agreement: float = 0.5,
 ) -> dict:
     """Run the full assembly and write the sharded corpus; returns the
     drop ledger:
@@ -69,7 +71,15 @@ def build_training_corpus(
         {"input", "lines_removed",
          "quality_dropped": {reason: n, ...},
          "lm_dropped", "classifier_dropped",
+         "decontaminated_dropped",
          "exact_dups_dropped", "near_dups_dropped", "written"}
+
+    ``decontaminate_against`` (a reference/benchmark DataFrame with
+    the same text/id columns) drops docs whose banded-MinHash
+    agreement with any reference doc reaches
+    ``decontaminate_min_agreement`` -- after the gates (don't
+    signature shed docs), before dedup (a contaminated doc must not
+    evict its clean near-twin as survivor).
 
     ``lines_removed`` counts LINES (not docs): line_level_dedup
     rewrites text in place, so the doc-count invariant
@@ -195,6 +205,30 @@ def build_training_corpus(
     else:
         ledger["classifier_dropped"] = 0
 
+    if decontaminate_against is not None:
+        # benchmark decontamination AFTER the quality/learned gates
+        # (no reason to signature docs those gates already shed) and
+        # BEFORE dedup (a contaminated doc must not become the
+        # survivor that evicts its clean near-twin)
+        from xmidt_event_streams_spark.operators.incremental import (
+            decontaminate_near_dups,
+        )
+
+        before = kept.count()
+        kept, _contaminated = decontaminate_near_dups(
+            kept,
+            decontaminate_against,
+            min_agreement=decontaminate_min_agreement,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+        ledger["decontaminated_dropped"] = before - kept.count()
+    else:
+        ledger["decontaminated_dropped"] = 0
+
     if dedup in ("exact", "both"):
         # min-id survivor per md5 fingerprint (exact_dedup's rule,
         # kept inline so full rows survive without a second join)
@@ -207,6 +241,7 @@ def build_training_corpus(
             - sum(ledger["quality_dropped"].values())
             - ledger["lm_dropped"]
             - ledger["classifier_dropped"]
+            - ledger["decontaminated_dropped"]
         )
         kept = (
             fp.withColumn("_surv", survivor)
@@ -276,6 +311,12 @@ def build_training_corpus(
                     "nb_gate": nb_model is not None,
                     "nb_min_score": nb_min_score if nb_model is not None else None,
                     "near_prefer_col": near_prefer_col,
+                    "decontaminate": decontaminate_against is not None,
+                    "decontaminate_min_agreement": (
+                        decontaminate_min_agreement
+                        if decontaminate_against is not None
+                        else None
+                    ),
                     "text_col": text_col,
                     "id_col": id_col,
                 },
