@@ -159,3 +159,37 @@ def test_strip_html_stage_in_corpus_build(spark, tmp_path):
     assert ledger["exact_dups_dropped"] == 1
     back = spark.read.parquet(str(tmp_path / "o"))
     assert back.collect()[0]["text"] == "real prose here"
+
+
+def test_lexical_semdedup_clusters_paraphrases(spark):
+    """tfidf vectors + portable kmeans + semdedup: order-destroyed
+    rewrites of the same text cluster together and keep one survivor;
+    lexically distinct docs all survive."""
+    from xmidt_event_streams_spark.operators.components import (
+        lexical_semdedup,
+    )
+
+    base = "spark shuffles data across the cluster for large joins".split()
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(3):  # three orderings of the same bag of words
+        w = base[:]
+        rng.shuffle(w)
+        rows.append((i, " ".join(w)))
+    rows += [
+        (10, "pelicans migrate over coastal wetlands every autumn"),
+        (11, "quarterly revenue guidance exceeded analyst expectations"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in lexical_semdedup(df, threshold=0.95, k=2).collect()
+    }
+    assert len(out) == 5
+    # the three bag-equal docs share one cluster, min id survives
+    assert out[0] == (0, True)
+    assert out[1] == (0, False) and out[2] == (0, False)
+    assert out[10][1] and out[11][1]
+    assert out[10][0] != out[0][0] and out[11][0] != out[0][0]

@@ -249,3 +249,74 @@ def dup_cluster_survivors(
         F.lit(True).alias("is_survivor"),
     )
     return clustered.unionByName(singletons)
+
+
+def lexical_semdedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 64,
+    k: int | None = None,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SemDeDup over LEXICAL vectors: the full semantic-dedup shape on
+    a corpus that ships no embeddings column. Composition of three
+    already-tested operators —
+
+        tfidf_hashed_vectors (text -> L2 hashed TF-IDF, declared dim)
+          -> kmeans_fit_portable (⌈√n⌉ cells by default — the
+             registry's near-dup scale law)
+          -> semdedup_survivors (cluster-verify pairs -> connected
+             components -> min-id survivor)
+
+    Returns (id, cluster_id, is_survivor) for every doc. Lexical
+    cosine approximates n-gram Jaccard, so this is a cheaper, vector-
+    stack-shaped alternative to MinHash clustering whose candidate
+    cost follows the k-cell pruning law instead of band collisions;
+    with real embeddings available, call semdedup_survivors directly.
+    The ⌈√n⌉ default needs one count() (documented scalar); pass k
+    to keep the plan action-free.
+    """
+    import math
+
+    from xmidt_event_streams_spark.operators.ivf import kmeans_fit_portable
+    from xmidt_event_streams_spark.operators.relevance import (
+        tfidf_hashed_vectors,
+    )
+
+    # Eager localCheckpoint, not persist: the candidate stage self-joins
+    # the vector relation with the k x dim centroid literals expanded on
+    # BOTH sides, so a merely-cached plan still carries the full
+    # tfidf -> assemble lineage into every downstream subtree --
+    # observed to exhaust a default-sized (1g) local-mode driver at
+    # 500 docs via plan/codegen volume alone. Checkpointing truncates
+    # the lineage to a materialized relation (rows = ids + dim doubles,
+    # tiny next to the text), so every downstream plan starts from a
+    # leaf. Same per-node footprint story at cluster scale.
+    vecs = tfidf_hashed_vectors(df, text_col, id_col, dim).localCheckpoint(
+        eager=True
+    )
+    try:
+        if k is None:
+            k = max(2, math.ceil(math.sqrt(vecs.count())))
+        cents = kmeans_fit_portable(
+            vecs, k, n_iters=n_iters, vec_col="embedding", id_col=id_col
+        )
+        out = semdedup_survivors(
+            vecs,
+            cents,
+            threshold,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col="embedding",
+        ).persist()
+        # materialize the verdict (id, cluster, bool -- corpus-ID-
+        # sized) before releasing the checkpointed vectors; the caller
+        # unpersists the result when done (the connected_components
+        # labels contract)
+        out.count()
+        return out
+    finally:
+        vecs.unpersist()
