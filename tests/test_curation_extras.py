@@ -193,3 +193,39 @@ def test_lexical_semdedup_clusters_paraphrases(spark):
     assert out[1] == (0, False) and out[2] == (0, False)
     assert out[10][1] and out[11][1]
     assert out[10][0] != out[0][0] and out[11][0] != out[0][0]
+
+
+def test_soft_quality_sample(spark):
+    from xmidt_event_streams_spark.operators.traindata import (
+        soft_quality_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i - 500) / 100.0) for i in range(1000)],
+        "doc_id long, score double",
+    )
+    kept = soft_quality_sample(df, "score", temperature=1.0)
+    # deterministic: same seed -> identical verdicts
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in soft_quality_sample(
+        df, "score", temperature=1.0).collect())
+    assert a == b
+    # monotone in score: keep-rate rises across score bands
+    bands = [
+        len([i for i in a if lo <= i < lo + 200]) / 200
+        for lo in range(0, 1000, 200)
+    ]
+    assert all(x <= y + 0.05 for x, y in zip(bands, bands[1:])), bands
+    assert bands[0] < 0.2 and bands[-1] > 0.8
+    # near-zero temperature recovers the hard threshold
+    hard = sorted(
+        r["doc_id"]
+        for r in soft_quality_sample(
+            df, "score", temperature=1e-9
+        ).collect()
+    )
+    assert hard == list(range(501, 1000)) or hard == list(range(500, 1000))
+    # fresh seed -> a different borderline draw, same edges
+    c = sorted(r["doc_id"] for r in soft_quality_sample(
+        df, "score", temperature=1.0, seed="softq-1").collect())
+    assert c != a

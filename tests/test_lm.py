@@ -415,3 +415,110 @@ def test_multiclass_nb_binary_agrees_with_nb_fit(spark, labeled):
         (F.col("mc_pred") == "pos") != F.col("pred")
     ).count()
     assert disagree == 0
+
+
+# -- stupid backoff ---------------------------------------------------
+
+
+def test_backoff_restores_ccnet_ordering(spark, planted):
+    """With stupid backoff, reordered in-vocab text scores BETTER than
+    alien vocabulary (add-alpha inverts those two -- see
+    test_lm_ranks_planted_distributions); in-distribution still wins."""
+    train_df, probe_df = planted
+    lm = ngram_lm_fit(train_df, backoff=0.4)
+    means = {
+        r["kind"]: r["m"]
+        for r in lm_perplexity(probe_df, lm)
+        .join(probe_df.select("doc_id", "kind"), "doc_id")
+        .groupBy("kind")
+        .agg(F.avg("ppl").alias("m"))
+        .collect()
+    }
+    assert means["in"] < means["shuffled"] < means["noise"], means
+
+
+def test_backoff_seen_bigrams_score_mle(spark):
+    """Seen bigrams score raw MLE count(c,w)/count(c); unseen fall to
+    the discounted unigram mass."""
+    train = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    lm = ngram_lm_fit(train, alpha=1.0, backoff=0.4)
+    import math
+
+    probe = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    ppl = lm_perplexity(probe, lm).collect()[0]["ppl"]
+    # P(b|a) = 2/3 exactly (bigrams: ab,ba,ab,ba,ac -> a: b=2,c=1)
+    assert ppl == pytest.approx(round(math.exp(-round(math.log(2 / 3), 6)), 4))
+
+    oov = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    ppl2 = lm_perplexity(oov, lm).collect()[0]["ppl"]
+    # S(zzz|a) = 0.4 * (0 + 1) / (6 + 1*3): N=6 tokens, V=3 types
+    assert ppl2 == pytest.approx(
+        round(math.exp(-round(math.log(0.4 * 1 / 9), 6)), 4)
+    )
+
+
+def test_backoff_matches_duckdb_twin(spark):
+    """Full backoff scoring replayed in SQL over planted multi-doc
+    data -- the oracle-expressibility claim, pinned."""
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(21)
+    train_rows = [(i, _chain_doc(rng, 20)) for i in range(20)]
+    probe_rows = (
+        [(100 + i, _chain_doc(rng, 15)) for i in range(5)]
+        + [(200 + i, _gibberish_doc(rng, 15)) for i in range(5)]
+        + [(300, "alpha"), (301, "")]
+    )
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    lm = ngram_lm_fit(train, backoff=0.4)
+    got = sorted(map(tuple, lm_perplexity(probe, lm).collect()))
+
+    con = duckdb.connect()
+    con.register("train", pd.DataFrame(train_rows, columns=["doc_id", "text"]))
+    con.register("probe", pd.DataFrame(probe_rows, columns=["doc_id", "text"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH tw AS (
+  SELECT list_filter(string_split(trim(regexp_replace(lower(text),
+    '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '), t -> t <> '') AS w FROM train
+),
+pw AS (
+  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text),
+    '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '), t -> t <> '') AS w FROM probe
+),
+tbg AS (SELECT unnest(w[1:len(w)-1]) AS c, unnest(w[2:len(w)]) AS t FROM tw),
+cw AS (SELECT c, t, count(*) AS cw_cnt FROM tbg GROUP BY 1, 2),
+ctx AS (SELECT c, sum(cw_cnt) AS c_cnt FROM cw GROUP BY 1),
+uni AS (SELECT tok AS t, count(*) AS w_cnt
+        FROM (SELECT unnest(w) AS tok FROM tw) GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vs, count(*) AS nt
+      FROM (SELECT unnest(w) AS tok FROM tw)),
+pbg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS c, unnest(w[2:len(w)]) AS t
+        FROM pw),
+sc AS (
+  SELECT p.doc_id,
+    ln(CASE WHEN cw.cw_cnt IS NOT NULL
+         THEN cw.cw_cnt / CAST(ctx.c_cnt AS DOUBLE)
+         ELSE 0.4 * (coalesce(uni.w_cnt, 0) + CAST(1.0 AS DOUBLE))
+              / (v.nt + CAST(1.0 AS DOUBLE) * v.vs) END) AS lp
+  FROM pbg p
+  LEFT JOIN cw ON p.c = cw.c AND p.t = cw.t
+  LEFT JOIN ctx ON p.c = ctx.c
+  LEFT JOIN uni ON p.t = uni.t
+  CROSS JOIN v
+),
+agg AS (SELECT doc_id, count(*) AS nb,
+        round(exp(-round(avg(lp), 6)), 4) AS ppl FROM sc GROUP BY 1)
+SELECT pr.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams, ppl
+FROM probe pr LEFT JOIN agg ON pr.doc_id = agg.doc_id
+"""
+        ).fetchall()
+    )
+    con.close()
+    assert got == want

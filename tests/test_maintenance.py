@@ -78,3 +78,27 @@ def test_failing_target_is_isolated(spark, tmp_path):
     report = run_maintenance(spark, ingest_sinks=(bad, good))
     assert "error" in report[bad]
     assert "error" not in report[good]
+
+
+def test_ivf_drift_target_reports_verdict(spark, tmp_path):
+    from xmidt_event_streams_spark.maintenance import run_maintenance
+    from xmidt_event_streams_spark.operators.ivf import write_ivf_index
+    from xmidt_event_streams_spark.operators.similarity import (
+        deterministic_planes,
+    )
+
+    idx = tmp_path / "ivf"
+    cents = deterministic_planes(4, 8, seed="maint")
+    vecs = spark.createDataFrame(
+        [(i, [((i * (d + 3)) % 17) / 17.0 + 0.05 for d in range(8)])
+         for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    write_ivf_index(vecs, str(idx), cents)
+    report = run_maintenance(spark, ivf_indexes=(str(idx),))
+    entry = report[str(idx)]
+    assert entry["kind"] == "ivf_drift"
+    assert entry["verdict"] == "stable" and "error" not in entry
+    # read-only: a second check still sees the same baseline
+    report2 = run_maintenance(spark, ivf_indexes=(str(idx),))
+    assert report2[str(idx)]["psi"] == entry["psi"]

@@ -23,6 +23,7 @@ def run_maintenance(
     ingest_sinks: tuple[str, ...] = (),
     minhash_indexes: tuple[str, ...] = (),
     rollups: tuple[tuple[str, list, dict], ...] = (),
+    ivf_indexes: tuple[str, ...] = (),
     tombstones: dict[str, list] | None = None,
     batches_per_partition: int = 1_000,
 ) -> dict:
@@ -34,6 +35,11 @@ def run_maintenance(
     ``incremental.compact_minhash_index``; per-path tombstone id
     lists via ``tombstones``). ``rollups``: (path, dims, measures)
     triples (partial fold, ``rollup.compact_rollup``).
+    ``ivf_indexes``: IVF index paths -- a READ-ONLY occupancy-drift
+    check (``ivf.ivf_occupancy_drift``): the report carries the PSI
+    verdict so the window that compacts everything else also tells
+    you when frozen centroids need a refit ("shifted" = schedule a
+    rebuild; nothing is rewritten here).
 
     Returns {target_path: {"kind": ..., **compactor_report}} with
     {"kind", "error"} for targets whose compactor raised.
@@ -41,6 +47,7 @@ def run_maintenance(
     from xmidt_event_streams_spark.operators.incremental import (
         compact_minhash_index,
     )
+    from xmidt_event_streams_spark.operators.ivf import ivf_occupancy_drift
     from xmidt_event_streams_spark.streaming.ingest_dedup import (
         compact_ingest_sink,
     )
@@ -75,5 +82,11 @@ def run_maintenance(
             path,
             "rollup",
             lambda p=path, d=dims, m=measures: compact_rollup(spark, p, d, m),
+        )
+    for path in ivf_indexes:
+        _run(
+            path,
+            "ivf_drift",
+            lambda p=path: ivf_occupancy_drift(spark, p),
         )
     return report

@@ -65,14 +65,20 @@ class NGramLM(NamedTuple):
 
     ``ngram_counts``  (c, w, cw_cnt)  — bigram type counts;
     ``context_counts`` (c, c_cnt)     — sum of cw_cnt per context;
-    ``vocab``         1 row (vocab_size) — train token types;
-    ``alpha``         the smoothing constant the fit was declared with.
+    ``vocab``         1 row (vocab_size, total_tokens) — train token
+                      types and train token count;
+    ``alpha``         the smoothing constant the fit was declared with;
+    ``unigrams``      (w, w_cnt) token counts — only when the fit was
+                      declared with ``backoff`` (None otherwise);
+    ``backoff``       the stupid-backoff discount (None = add-alpha).
     """
 
     ngram_counts: DataFrame
     context_counts: DataFrame
     vocab: DataFrame
     alpha: float
+    unigrams: DataFrame | None = None
+    backoff: float | None = None
 
 
 def _bigrams(text_col) -> F.Column:
@@ -99,11 +105,27 @@ def ngram_lm_fit(
     train_df: DataFrame,
     text_col: str = "text",
     alpha: float = 1.0,
+    backoff: float | None = None,
 ) -> NGramLM:
     """Fit the bigram LM over the (trusted) training corpus.
 
     One explode + two hash-aggregations; every output relation is
     vocab-bounded. ``alpha`` is the add-alpha smoothing mass.
+
+    ``backoff`` (e.g. 0.4, Brants et al. stupid backoff,
+    arXiv:cs/0702054-era W07) switches scoring to::
+
+        S(w|c) = count(c,w) / count(c)            when seen
+               = backoff * (count(w)+a)/(N+aV)    otherwise
+
+    which fixes add-alpha's inversion: under add-alpha an ENTIRELY
+    unseen context scores the flat 1/V mass — better than a seen
+    context's unseen continuation — so alien-vocabulary text can
+    out-score merely reordered text. Backoff scores unseen mass by the
+    word's own training frequency, restoring the CCNet-expected
+    ordering (in-distribution < reordered < alien; pytest-pinned).
+    Still fully closed-form: one extra vocab-bounded unigram relation,
+    every term a SQL oracle replays.
     """
     bg = train_df.select(F.explode(_bigrams(text_col)).alias("bg")).select(
         F.col("bg.c").alias("c"), F.col("bg.w").alias("w")
@@ -112,11 +134,19 @@ def ngram_lm_fit(
     context_counts = ngram_counts.groupBy("c").agg(
         F.sum("cw_cnt").alias("c_cnt")
     )
-    vocab = (
-        train_df.select(F.explode(tokens(text_col)).alias("tok"))
-        .agg(F.count_distinct("tok").alias("vocab_size"))
+    toks = train_df.select(F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.agg(
+        F.count_distinct("tok").alias("vocab_size"),
+        F.count("*").alias("total_tokens"),
     )
-    return NGramLM(ngram_counts, context_counts, vocab, alpha)
+    unigrams = None
+    if backoff is not None:
+        unigrams = toks.groupBy(F.col("tok").alias("w")).agg(
+            F.count("*").alias("w_cnt")
+        )
+    return NGramLM(
+        ngram_counts, context_counts, vocab, alpha, unigrams, backoff
+    )
 
 
 def lm_perplexity(
@@ -142,21 +172,33 @@ def lm_perplexity(
         F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
     ).select(id_col, F.col("bg.c").alias("c"), F.col("bg.w").alias("w"))
 
-    scored = (
+    joined = (
         ex.join(maybe_b(lm.ngram_counts), ["c", "w"], "left")
         .join(maybe_b(lm.context_counts), ["c"], "left")
         .crossJoin(F.broadcast(lm.vocab))
-        .select(
-            F.col(id_col),
-            F.log(
-                (F.coalesce(F.col("cw_cnt"), F.lit(0)) + F.lit(lm.alpha))
+    )
+    if lm.backoff is None:
+        lp = F.log(
+            (F.coalesce(F.col("cw_cnt"), F.lit(0)) + F.lit(lm.alpha))
+            / (
+                F.coalesce(F.col("c_cnt"), F.lit(0))
+                + F.lit(lm.alpha) * F.col("vocab_size")
+            )
+        )
+    else:
+        joined = joined.join(maybe_b(lm.unigrams), ["w"], "left")
+        seen = F.col("cw_cnt").isNotNull()
+        lp = F.log(
+            F.when(seen, F.col("cw_cnt") / F.col("c_cnt")).otherwise(
+                F.lit(lm.backoff)
+                * (F.coalesce(F.col("w_cnt"), F.lit(0)) + F.lit(lm.alpha))
                 / (
-                    F.coalesce(F.col("c_cnt"), F.lit(0))
+                    F.col("total_tokens")
                     + F.lit(lm.alpha) * F.col("vocab_size")
                 )
-            ).alias("lp"),
+            )
         )
-    )
+    scored = joined.select(F.col(id_col), lp.alias("lp"))
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.exp(-F.round(F.avg("lp"), 6)), 4).alias("ppl"),

@@ -481,3 +481,33 @@ def global_shuffle(
         .orderBy("_shuffle_key")
         .drop("_shuffle_key")
     )
+
+
+def soft_quality_sample(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    pivot: float = 0.0,
+    temperature: float = 1.0,
+    seed: str = "softq-0",
+) -> DataFrame:
+    """Soft (probabilistic) quality filtering: keep each doc with
+    probability sigmoid((score - pivot) / temperature) -- the
+    FineWeb-ablation refinement of a hard threshold, which keeps SOME
+    borderline mass (hard cutoffs systematically delete entire
+    borderline styles and skew the corpus distribution).
+
+    The coin is md5(seed|id) arithmetic, not an RNG: the decision is
+    a pure row function -- reproducible across runs/partitions, a new
+    ``seed`` gives a fresh draw, and re-running over a grown corpus
+    never flips earlier verdicts (ingestion stability, same contract
+    as assign_split). temperature -> 0 recovers the hard threshold at
+    ``pivot``; larger temperature keeps more low-score mass. Narrow
+    projection, zero shuffle.
+    """
+    u = (_hash_bucket(F.col(id_col), seed) + 0.5) / F.lit(float(_BUCKETS))
+    p_keep = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col(score_col) - F.lit(pivot)) / F.lit(temperature))
+    )
+    return df.filter(u < p_keep)
