@@ -4,6 +4,7 @@ a regression here is a query that stops surviving 100 TB, caught at
 plan time without executing anything."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from xmidt_event_streams_spark.catalog import QUERIES
 
@@ -88,3 +89,48 @@ def test_topk_windows_use_group_limit(spark):
     for name in ("top_users_per_type", "embedding_topk", "ivf_ann", "lsh_ann"):
         plan = _plan(spark, name)
         assert "WindowGroupLimit" in plan, f"{name}: no WindowGroupLimit"
+
+
+def test_runtime_bloom_filter_arms_at_scale_thresholds(spark):
+    """Spark's runtime bloom-filter join pruning (enabled by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled) stays dormant at
+    test SF because the application-side scan (~70 MB lineitem) is far
+    below the 10 GB applicationSideScanSizeThreshold -- correct: the
+    filter only pays when the probe side is huge. At 100 TB the
+    threshold trips naturally and a selective dim-filtered fact-fact
+    join gets a bloom semi-filter pushed into the big scan. This test
+    emulates the at-scale size relationship by zeroing the threshold
+    and pins that the machinery actually arms (a Spark upgrade that
+    renames/disables it should fail here, not silently cost a full
+    scan at scale)."""
+    from xmidt_event_streams_spark.session import load_tables
+
+    t = load_tables(spark, SF, ("lineitem", "orders"))
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = (
+            t["lineitem"]
+            .join(
+                t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter did not arm"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
