@@ -418,3 +418,34 @@ def test_decontaminate_stage_in_corpus_build(spark, tmp_path):
     assert ledger["written"] == 2
     ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "d")).collect()}
     assert ids == {2, 3}
+
+
+def test_corpus_datasheet(spark):
+    from xmidt_event_streams_spark.corpus import corpus_datasheet
+    from xmidt_event_streams_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    ds = corpus_datasheet(docs)
+    assert ds["n_docs"] == 500 and ds["empty_docs"] == 0
+    assert ds["token_stats"]["total"] > 0
+    assert (
+        ds["token_stats"]["p50"]
+        <= ds["token_stats"]["p90"]
+        <= ds["token_stats"]["p99"]
+        <= ds["token_stats"]["max"]
+    )
+    assert sum(ds["lang_mix"].values()) == 500
+    assert 0.0 <= ds["exact_dup_fraction"] < 1.0
+    assert isinstance(ds["quality_fail"], dict)
+
+    # planted: dups and an empty doc show up where they should
+    planted = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, ""),
+         (4, "other words entirely")],
+        "doc_id long, text string",
+    )
+    ds2 = corpus_datasheet(planted)
+    assert ds2["n_docs"] == 4 and ds2["empty_docs"] == 1
+    assert ds2["exact_dup_fraction"] == 0.25  # 4 docs, 3 fingerprints

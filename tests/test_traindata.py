@@ -450,3 +450,35 @@ class TestLeakageSafeSplit:
         c = Counter(split.values())
         assert c["train"] > 0.8 * len(split)
         assert set(c) <= {"train", "val", "test"}
+
+
+def test_jsonl_shard_export(spark, tmp_path):
+    from xmidt_event_streams_spark.operators.traindata import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", 2) for i in range(40)],
+        "doc_id long, text string, n_tokens int",
+    )
+    out = tmp_path / "jsonl"
+    write_training_shards(
+        df, str(out), token_col="n_tokens", n_shards=2,
+        output_format="jsonl",
+    )
+    import glob
+    import json as _json
+
+    files = glob.glob(str(out / "split=train" / "shard=*" / "*.json"))
+    assert files, "no jsonl files under split=train"
+    with open(files[0]) as f:
+        first = _json.loads(f.readline())
+    assert {"doc_id", "text", "n_tokens"} <= set(first)
+    back = spark.read.json(str(out))
+    assert back.count() == 40
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_training_shards(
+            df, str(out), token_col="n_tokens", output_format="csv"
+        )

@@ -527,3 +527,92 @@ def chain_gates(*gates):
         return passing, failed
 
     return gate
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """One-call corpus "data card": the summary a dataset release
+    ships (Gebru et al., Datasheets for Datasets, arXiv:1803.09010)
+    and the first thing to diff between two ingest snapshots.
+
+    Returns::
+
+        {"n_docs", "empty_docs",
+         "token_stats": {"total", "p50", "p90", "p99", "max"},
+         "char_stats":  {"total", "p50", "max"},
+         "lang_mix":    {lang: n_docs, ...}        (heuristic lang-ID),
+         "exact_dup_fraction",                      (1 - distinct/total)
+         "quality_fail": {first_failing_rule: n}}   (gopher rules)
+
+    Cost: one narrow projection (tokens/fingerprint/lang/quality are
+    pure row functions) feeding one global aggregate, one lang-mix
+    aggregate (bounded by the language list), one quality aggregate
+    (bounded by the rule list). Driver state is the report dict --
+    O(langs + rules) scalars. No joins; at 100 TB this is three
+    scan-bound passes over one cached projection.
+    """
+    from xmidt_event_streams_spark.functions.quality import gopher_keep
+    from xmidt_event_streams_spark.functions.text import (
+        fingerprint,
+        predict_lang,
+    )
+
+    _, reason = gopher_keep(text_col)
+    proj = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("_nt"),
+        F.length(text_col).alias("_nc"),
+        fingerprint(text_col).alias("_fp"),
+        predict_lang(text_col).alias("_lang"),
+        reason.alias("_qreason"),
+    ).persist()
+    try:
+        g = proj.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_nt") == 0, 1).otherwise(0)).alias("empty"),
+            F.sum("_nt").alias("tok_total"),
+            F.percentile_approx("_nt", [0.5, 0.9, 0.99]).alias("tok_p"),
+            F.max("_nt").alias("tok_max"),
+            F.sum("_nc").alias("chr_total"),
+            F.percentile_approx("_nc", 0.5).alias("chr_p50"),
+            F.max("_nc").alias("chr_max"),
+            F.count_distinct("_fp").alias("n_fp"),
+        ).collect()[0]
+        lang_mix = {
+            r["_lang"]: r["n"]
+            for r in proj.groupBy("_lang").agg(F.count("*").alias("n")).collect()
+        }
+        quality_fail = {
+            r["_qreason"]: r["n"]
+            for r in proj.filter(F.col("_qreason").isNotNull())
+            .groupBy("_qreason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n = g["n_docs"]
+        return {
+            "n_docs": n,
+            "empty_docs": g["empty"],
+            "token_stats": {
+                "total": g["tok_total"],
+                "p50": g["tok_p"][0],
+                "p90": g["tok_p"][1],
+                "p99": g["tok_p"][2],
+                "max": g["tok_max"],
+            },
+            "char_stats": {
+                "total": g["chr_total"],
+                "p50": g["chr_p50"],
+                "max": g["chr_max"],
+            },
+            "lang_mix": lang_mix,
+            "exact_dup_fraction": (
+                round(1.0 - g["n_fp"] / n, 6) if n else 0.0
+            ),
+            "quality_fail": quality_fail,
+        }
+    finally:
+        proj.unpersist()

@@ -106,10 +106,19 @@ def write_training_shards(
     n_shards: int = 16,
     pack_budget: int | None = None,
     salt: str = "split-v1",
+    output_format: str = "parquet",
 ) -> None:
     """Assemble and write the training corpus: deterministic split ->
     (optional) per-shard sequence packing -> parquet partitioned by
     (split, shard).
+
+    ``output_format``: "parquet" (default) or "jsonl" -- many trainer
+    data loaders (and most dataset-exchange pipelines) consume
+    newline-delimited JSON shards; Spark's json writer IS jsonl (one
+    object per line), same (split, shard) directory layout, same
+    one-writer-per-partition discipline. Parquet stays the right
+    at-rest format (columnar pruning, stats); jsonl is the export
+    arm.
 
     The write layout IS the access pattern: a trainer reads
     ``split=train/shard=N/*`` as one sequential scan per worker, and
@@ -138,12 +147,17 @@ def write_training_shards(
             budget=pack_budget,
             shard_cols=["split", shard_col],
         )
-    (
+    if output_format not in ("parquet", "jsonl"):
+        raise ValueError(f"output_format must be parquet|jsonl, got {output_format!r}")
+    writer = (
         out.repartition(F.col("split"), F.col(shard_col))
         .write.partitionBy("split", shard_col)
         .mode("overwrite")
-        .parquet(path)
     )
+    if output_format == "parquet":
+        writer.parquet(path)
+    else:
+        writer.json(path)
 
 
 def pack_sequences(
