@@ -522,3 +522,17 @@ FROM probe pr LEFT JOIN agg ON pr.doc_id = agg.doc_id
     )
     con.close()
     assert got == want
+
+
+def test_gate_report_calibration(spark, labeled, planted):
+    from xmidt_event_streams_spark.operators.classifier import gate_report
+    from xmidt_event_streams_spark.operators.lm import lm_quality_gate
+
+    train_df, _ = planted
+    lm = ngram_lm_fit(train_df)
+    rep = gate_report(lm_quality_gate(lm, max_ppl=11.0), labeled)
+    # chain docs (label True) pass the ceiling, gibberish fails
+    assert rep["tp"] == 40 and rep["tn"] == 40
+    assert rep["fp"] == 0 and rep["fn"] == 0
+    assert rep["precision"] == 1.0 and rep["recall"] == 1.0
+    assert rep["keep_rate"] == 0.5

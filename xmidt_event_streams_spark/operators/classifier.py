@@ -482,3 +482,37 @@ def nb_multiclass_score(
             F.coalesce("score", F.col("_ps")).alias("score"),
         )
     )
+
+
+def gate_report(
+    gate,
+    labeled: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> dict:
+    """Confusion report for ANY gate callable (the lm_quality_gate /
+    nb_quality_gate / chain_gates protocol) against boolean labels
+    (True = should keep): {"tp", "fp", "fn", "tn", "precision",
+    "recall", "keep_rate"} -- the calibration numbers to read before
+    pointing a gate at 100 TB. Two count aggregates; driver state is
+    the report dict."""
+    passing, failing = gate(labeled)
+    y = F.col(label_col).cast("boolean")
+    kept = passing.select(id_col).join(
+        labeled.select(F.col(id_col), y.alias("_y")), [id_col]
+    )
+    tp = kept.filter("_y").count()
+    fp = kept.filter("NOT _y").count()
+    total = labeled.count()
+    pos = labeled.filter(y).count()
+    fn = pos - tp
+    tn = (total - pos) - fp
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "tn": tn,
+        "precision": round(tp / (tp + fp), 6) if tp + fp else None,
+        "recall": round(tp / pos, 6) if pos else None,
+        "keep_rate": round((tp + fp) / total, 6) if total else None,
+    }

@@ -23,11 +23,13 @@ train-side token types::
 
     P(w | c) = (count(c, w) + alpha) / (count(c) + alpha * V)
 
-Stupid-backoff or Kneser-Ney would score better absolutely, but the
-filtering signal is the RANKING of documents, which add-alpha already
-orders correctly (pinned by the planted-distribution test in
-tests/test_lm.py); in exchange every term is a closed-form expression
-a SQL oracle replays exactly.
+Two smoothing arms, both closed-form (every term a SQL oracle replays
+exactly): add-alpha (the registry-oracled default) and stupid backoff
+(``ngram_lm_fit(backoff=0.4)``) which scores unseen bigrams by the
+word's own discounted unigram frequency — fixing add-alpha's
+alien-vocabulary inversion; see :func:`ngram_lm_fit`. Kneser-Ney would
+score better absolutely but brings non-closed-form discounting for no
+additional FILTERING signal (the gate consumes a ranking).
 
 Scale shape (the 100 TB contract):
   * fit: one scan + explode, two hash-aggs with map-side partials;
@@ -61,7 +63,7 @@ from xmidt_event_streams_spark.functions.text import let_bind, tokens
 
 
 class NGramLM(NamedTuple):
-    """A fitted bigram LM: three relations, all vocabulary-sized.
+    """A fitted bigram LM: vocabulary-bounded relations only.
 
     ``ngram_counts``  (c, w, cw_cnt)  — bigram type counts;
     ``context_counts`` (c, c_cnt)     — sum of cw_cnt per context;
