@@ -278,6 +278,17 @@ def lexical_semdedup(
     with real embeddings available, call semdedup_survivors directly.
     The ⌈√n⌉ default needs one count() (documented scalar); pass k
     to keep the plan action-free.
+
+    DEGENERACY CAVEAT: the k-cell pruning law assumes the corpus has
+    cosine structure to cluster. On a corpus where (nearly) EVERYTHING
+    is pairwise similar -- one shared vocabulary, boilerplate-dominated
+    text -- the hot cell holds most of the corpus and cluster-then-
+    verify degenerates toward all-pairs (that is SemDeDup's contract,
+    not this implementation's). Check ``operators/skew.hot_keys`` on a
+    sample's cell assignment first; for corpora without cosine
+    structure the MinHash band path (`minhash_lsh_candidates`) is the
+    right tool -- its candidate volume is bounded by BAND collisions,
+    which require shared shingles, not mere vocabulary overlap.
     """
     import math
 
