@@ -449,3 +449,46 @@ def test_corpus_datasheet(spark):
     ds2 = corpus_datasheet(planted)
     assert ds2["n_docs"] == 4 and ds2["empty_docs"] == 1
     assert ds2["exact_dup_fraction"] == 0.25  # 4 docs, 3 fingerprints
+
+
+def test_refresh_corpus_with_callable_gate(spark, tmp_path):
+    """refresh_corpus(quality=<gate>): the learned-gate protocol works
+    in the live-corpus cycle; gate rejects land in quality_dropped
+    under their reject_reason."""
+    import random
+
+    from tests.test_lm import _chain_doc, _gibberish_doc
+    from xmidt_event_streams_spark.corpus import refresh_corpus
+    from xmidt_event_streams_spark.operators.incremental import (
+        write_minhash_index,
+    )
+    from xmidt_event_streams_spark.operators.lm import (
+        lm_quality_gate,
+        ngram_lm_fit,
+    )
+    from xmidt_event_streams_spark.operators.upsert import (
+        read_keyed_table,
+        write_keyed_table,
+    )
+
+    rng = random.Random(31)
+    seed_docs = [(i, _chain_doc(rng)) for i in range(10)]
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    seed_df = spark.createDataFrame(seed_docs, "doc_id long, text string")
+    write_keyed_table(seed_df, corpus, "doc_id", bucket_hex=1)
+    write_minhash_index(seed_df, index)
+
+    lm = ngram_lm_fit(seed_df)
+    batch = spark.createDataFrame(
+        [(100, _chain_doc(rng)), (101, _gibberish_doc(rng))],
+        "doc_id long, text string",
+    )
+    ledger = refresh_corpus(
+        spark, batch, corpus, index,
+        quality=lm_quality_gate(lm, max_ppl=11.0),
+        min_agreement=0.95,
+    )
+    assert ledger["quality_dropped"] == {"lm_perplexity": 1}
+    ids = {r["doc_id"] for r in read_keyed_table(spark, corpus).collect()}
+    assert 100 in ids and 101 not in ids

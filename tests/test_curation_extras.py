@@ -229,3 +229,46 @@ def test_soft_quality_sample(spark):
     c = sorted(r["doc_id"] for r in soft_quality_sample(
         df, "score", temperature=1.0, seed="softq-1").collect())
     assert c != a
+
+
+def test_token_budget_sample(spark):
+    from xmidt_event_streams_spark.operators.traindata import (
+        token_budget_sample,
+    )
+
+    rows = (
+        [(i, "web", 100) for i in range(400)]          # 40k tokens
+        + [(1000 + i, "code", 500) for i in range(100)]  # 50k tokens
+        + [(2000 + i, "junk", 10) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens int")
+    out = token_budget_sample(
+        df, "domain", "n_tokens", budgets={"web": 10_000, "code": 25_000}
+    )
+    got = {
+        r["domain"]: r["t"]
+        for r in out.groupBy("domain")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    # junk has no budget -> dropped entirely
+    assert set(got) == {"web", "code"}
+    # expected kept tokens ~ budget (docs are sampled, so +/- sampling
+    # noise; tolerance = 4 sigma of the binomial token sum)
+    assert abs(got["web"] - 10_000) < 4_000, got
+    assert abs(got["code"] - 25_000) < 10_000, got
+    # under-budget domain keeps everything
+    out2 = token_budget_sample(
+        df, "domain", "n_tokens", budgets={"web": 10_000_000}
+    )
+    assert out2.count() == 400
+    # deterministic
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(
+            df, "domain", "n_tokens",
+            budgets={"web": 10_000, "code": 25_000},
+        ).collect()
+    )
+    assert a == b

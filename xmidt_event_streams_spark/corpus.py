@@ -336,7 +336,7 @@ def refresh_corpus(
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    quality: str | None = "gopher+c4",
+    quality="gopher+c4",  # str rule-set, a gate callable, or None
     min_agreement: float = 0.5,
     num_hashes: int = 8,
     bands: int = 4,
@@ -348,7 +348,10 @@ def refresh_corpus(
     """One maintenance cycle of a LIVE corpus: the batch composition
     of the round's operational operators, with one ledger.
 
-        quality gate -> incremental dedup vs the materialized MinHash
+        quality gate (string rule-set OR a gate callable --
+        lm_quality_gate / nb_quality_gate / chain_gates, the
+        start_ingest_dedup protocol; failing reasons land in the
+        quality_dropped ledger) -> incremental dedup vs the materialized MinHash
         index -> MERGE upsert of survivors into the keyed corpus
         table -> index append -> PSI drift report vs the pre-refresh
         corpus
@@ -402,7 +405,22 @@ def refresh_corpus(
     _persisted = []
     try:
         kept = new_docs
-        if quality is not None:
+        if callable(quality):
+            # the gate protocol (lm_quality_gate / nb_quality_gate /
+            # chain_gates): failing side -> reason counts, same ledger
+            # key as the string-rule arm
+            passing, failing = quality(kept)
+            if failing is not None:
+                ledger["quality_dropped"] = {
+                    r["reject_reason"]: r["n"]
+                    for r in failing.groupBy("reject_reason")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            else:
+                ledger["quality_dropped"] = {}
+            kept = passing
+        elif quality is not None:
             reason = F.lit(None).cast("string")
             if "gopher" in quality:
                 _, g = gopher_keep(text_col)

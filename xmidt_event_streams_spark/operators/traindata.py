@@ -525,3 +525,50 @@ def soft_quality_sample(
         + F.exp(-(F.col(score_col) - F.lit(pivot)) / F.lit(temperature))
     )
     return df.filter(u < p_keep)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "tokbudget-v1",
+) -> DataFrame:
+    """Deterministically sample each domain down to (approximately) a
+    TOKEN budget -- the practical mixture knob: training recipes are
+    specified in tokens per domain ("300B web, 50B code, ..."), not in
+    document fractions, and domains with longer documents need fewer
+    of them.
+
+    Per domain d: rate_d = min(1, budget_d / total_tokens_d); keep a
+    doc iff its md5 bucket falls under rate_d (the stratified_sample
+    draw -- a pure row property, so the kept set is reproducible and
+    ingestion-stable). Expected kept tokens per domain = budget_d
+    (document sampling keeps the within-domain length distribution
+    unbiased -- unlike truncating long docs, which skews it). Domains
+    missing from ``budgets`` are DROPPED (explicit mixture contract);
+    a domain under its budget keeps everything (rate 1, no
+    upsampling -- replicate epochs upstream for that).
+
+    Two tiny jobs: one per-domain token-sum agg (rows = domain
+    cardinality), then one narrow filter. Nothing else shuffles.
+    """
+    totals = {
+        r["d"]: r["t"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    fractions = {
+        d: min(1.0, budgets[d] / totals[d]) if totals.get(d) else 0.0
+        for d in budgets
+    }
+    return stratified_sample(
+        df,
+        domain_col,
+        fractions,
+        id_col=id_col,
+        default_fraction=0.0,
+        salt=salt,
+    )
