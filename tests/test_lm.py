@@ -536,3 +536,63 @@ def test_gate_report_calibration(spark, labeled, planted):
     assert rep["fp"] == 0 and rep["fn"] == 0
     assert rep["precision"] == 1.0 and rep["recall"] == 1.0
     assert rep["keep_rate"] == 0.5
+
+
+# -- order-n (trigram) ------------------------------------------------
+
+
+def test_trigram_exact_closed_form(spark):
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b c a b d")], "doc_id long, text string"
+    )
+    lm = ngram_lm_fit(train, n=3)
+    assert lm.n == 3
+    probe = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    row = lm_perplexity(probe, lm).collect()[0]
+    # trigrams: "a b"->c x2, "b c"->a x2, "c a"->b x2, "a b"->d x1
+    # P(c | "a b") = (2 + 1) / (3 + 1*4): ctx "a b" count 3, V=4 types
+    assert row["n_bigrams"] == 1  # column name is historical; 1 trigram
+    assert row["ppl"] == pytest.approx(
+        round(math.exp(-round(math.log(3 / 7), 6)), 4)
+    )
+
+
+def test_trigram_backoff_ordering(spark, planted):
+    train_df, probe_df = planted
+    lm = ngram_lm_fit(train_df, backoff=0.4, n=3)
+    means = {
+        r["kind"]: r["m"]
+        for r in lm_perplexity(probe_df, lm)
+        .join(probe_df.select("doc_id", "kind"), "doc_id")
+        .groupBy("kind")
+        .agg(F.avg("ppl").alias("m"))
+        .collect()
+    }
+    assert means["in"] < means["shuffled"] < means["noise"], means
+    # measured property worth pinning: under SINGLE-LEVEL backoff the
+    # trigram's reorder penalty is SOFTER than the bigram's (shuffled
+    # text's 3-token contexts are mostly unseen, so they fall through
+    # to reasonable unigram mass, while the bigram arm scores wrong
+    # transitions against large SEEN-context denominators). The order
+    # knob buys in-distribution sharpness, not a bigger OOD gap — a
+    # full recursive backoff chain would be needed for that.
+    bi = ngram_lm_fit(train_df, backoff=0.4, n=2)
+    bi_means = {
+        r["kind"]: r["m"]
+        for r in lm_perplexity(probe_df, bi)
+        .join(probe_df.select("doc_id", "kind"), "doc_id")
+        .groupBy("kind")
+        .agg(F.avg("ppl").alias("m"))
+        .collect()
+    }
+    assert (means["shuffled"] / means["in"]) < (
+        bi_means["shuffled"] / bi_means["in"]
+    )
+
+
+def test_order_validation(spark, planted):
+    train_df, _ = planted
+    with pytest.raises(ValueError):
+        ngram_lm_fit(train_df, n=1)

@@ -81,6 +81,7 @@ class NGramLM(NamedTuple):
     alpha: float
     unigrams: DataFrame | None = None
     backoff: float | None = None
+    n: int = 2
 
 
 def _bigrams(text_col) -> F.Column:
@@ -103,11 +104,38 @@ def _bigrams(text_col) -> F.Column:
     return let_bind(tokens(text_col), body)
 
 
+def _ngrams(text_col, order: int) -> F.Column:
+    """Order-n generalization of :func:`_bigrams`: structs with
+    c = the space-joined (n-1)-token context, w = the continuation.
+    Dispatches to the cheaper zip_with form for n=2 (bit-identical
+    output, so the registry oracle is untouched); higher orders build
+    windows with transform + slice — still pure array arithmetic
+    inside codegen."""
+    if order == 2:
+        return _bigrams(text_col)
+
+    def body(toks: F.Column) -> F.Column:
+        sz = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), sz - (order - 1)),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i, order - 1)).alias("c"),
+                F.element_at(toks, i + (order - 1)).alias("w"),
+            ),
+        )
+        return F.when(sz >= order, grams).otherwise(
+            F.array().cast("array<struct<c:string,w:string>>")
+        )
+
+    return let_bind(tokens(text_col), body)
+
+
 def ngram_lm_fit(
     train_df: DataFrame,
     text_col: str = "text",
     alpha: float = 1.0,
     backoff: float | None = None,
+    n: int = 2,
 ) -> NGramLM:
     """Fit the bigram LM over the (trusted) training corpus.
 
@@ -128,8 +156,24 @@ def ngram_lm_fit(
     ordering (in-distribution < reordered < alien; pytest-pinned).
     Still fully closed-form: one extra vocab-bounded unigram relation,
     every term a SQL oracle replays.
+
+    ``n`` is the model order: contexts are (n-1)-token strings (n=3 ->
+    trigram). Higher orders score in-distribution text more sharply
+    but their contexts are sparser, so MORE of any slightly-off text
+    routes through the backoff/smoothing mass; measured on the planted
+    distributions (tests/test_lm.py), the trigram's reorder PENALTY is
+    actually SOFTER than the bigram's under the single-level backoff
+    here (unseen 3-token contexts fall through to reasonable unigram
+    mass, while the bigram scores wrong transitions against large
+    seen-context denominators). Pick the order for how sharply you
+    want in-distribution modeled, not for a bigger OOD gap; the gap
+    needs the full recursive backoff chain (n-1 relations), which this
+    deliberately is not. ``backoff`` is the single-level fall-through
+    to unigrams.
     """
-    bg = train_df.select(F.explode(_bigrams(text_col)).alias("bg")).select(
+    if n < 2:
+        raise ValueError(f"model order n must be >= 2, got {n}")
+    bg = train_df.select(F.explode(_ngrams(text_col, n)).alias("bg")).select(
         F.col("bg.c").alias("c"), F.col("bg.w").alias("w")
     )
     ngram_counts = bg.groupBy("c", "w").agg(F.count("*").alias("cw_cnt"))
@@ -147,7 +191,7 @@ def ngram_lm_fit(
             F.count("*").alias("w_cnt")
         )
     return NGramLM(
-        ngram_counts, context_counts, vocab, alpha, unigrams, backoff
+        ngram_counts, context_counts, vocab, alpha, unigrams, backoff, n
     )
 
 
@@ -171,7 +215,7 @@ def lm_perplexity(
     """
     maybe_b = F.broadcast if broadcast_lm else (lambda d: d)
     ex = df.select(
-        F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
+        F.col(id_col), F.explode(_ngrams(text_col, lm.n)).alias("bg")
     ).select(id_col, F.col("bg.c").alias("c"), F.col("bg.w").alias("w"))
 
     joined = (
