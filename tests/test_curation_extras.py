@@ -272,3 +272,20 @@ def test_token_budget_sample(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_soft_quality_sample_null_and_zero_temperature(spark):
+    from xmidt_event_streams_spark.operators.traindata import (
+        soft_quality_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 5.0)], "doc_id long, score double"
+    )
+    kept = {r["doc_id"] for r in soft_quality_sample(df, "score").collect()}
+    assert 2 not in kept          # null score: no probability -> dropped
+    assert kept == {1, 3}         # high scores pass
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        soft_quality_sample(df, "score", temperature=0.0)

@@ -149,3 +149,25 @@ def test_occupancy_drift_alarm(spark, tmp_path):
     assert r2["verdict"] in ("drifting", "shifted"), r2
     assert r2["psi"] > r1["psi"]
     assert 0 <= r2["hottest_cell"] < 4 and r2["hottest_frac"] > 0.5
+
+
+def test_occupancy_drift_no_baseline_verdict(spark, tmp_path):
+    """A streaming-seeded index (empty write + appends) has no
+    fit-time histogram: the check reports 'no_baseline' instead of a
+    false 'shifted' against the smoothed uniform prior -- and does not
+    crash on a stamped-but-never-appended index."""
+    from xmidt_event_streams_spark.operators.ivf import ivf_occupancy_drift
+
+    idx = tmp_path / "seeded_idx"
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    write_ivf_index(spark.createDataFrame([], SCHEMA), str(idx), cents)
+
+    r0 = ivf_occupancy_drift(spark, str(idx))  # zero data files
+    assert r0["verdict"] == "no_baseline" and r0["psi"] is None
+
+    append_to_ivf_index(
+        spark.createDataFrame([(i, _vec(1)) for i in range(64)], SCHEMA),
+        str(idx),
+    )  # maximally skewed corpus: one cell holds everything
+    r1 = ivf_occupancy_drift(spark, str(idx))
+    assert r1["verdict"] == "no_baseline"  # NOT a false 'shifted'

@@ -186,7 +186,12 @@ def build_training_corpus(
         kept_scored, _ = perplexity_filter(
             kept, lm_model, lm_max_ppl, text_col, id_col
         )
-        kept = kept_scored.drop("n_bigrams", "ppl")
+        # each gate stage persists its survivors: the ledger's count
+        # action populates the cache, so the NEXT stage (and the final
+        # write) builds on materialized rows instead of re-executing
+        # every prior gate's model joins per downstream action
+        kept = kept_scored.drop("n_bigrams", "ppl").persist()
+        _persisted.append(kept)
         ledger["lm_dropped"] = before - kept.count()
     else:
         ledger["lm_dropped"] = 0
@@ -200,7 +205,8 @@ def build_training_corpus(
             .filter(F.col("score") >= F.lit(nb_min_score))
             .select(id_col)
         )
-        kept = kept.join(passing, id_col)
+        kept = kept.join(passing, id_col).persist()
+        _persisted.append(kept)
         ledger["classifier_dropped"] = before - kept.count()
     else:
         ledger["classifier_dropped"] = 0
@@ -225,6 +231,8 @@ def build_training_corpus(
             bands=bands,
             shingle_n=shingle_n,
         )
+        kept = kept.persist()
+        _persisted.append(kept)
         ledger["decontaminated_dropped"] = before - kept.count()
     else:
         ledger["decontaminated_dropped"] = 0

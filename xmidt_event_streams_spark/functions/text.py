@@ -71,6 +71,19 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0B\f\r]+", " "))
 
 
+def md5_bucket(col: Column | str, n_buckets: int) -> Column:
+    """Uniform bucket in [0, n_buckets) from the column's md5: the
+    engine-portable hashing-trick index shared by hashed classifier
+    features and hashed TF-IDF vectors (ONE definition -- if the
+    hash ever changes, both feature spaces move together instead of
+    silently diverging). 60 bits of the digest, pmod n."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of normalized text -> array<string>.
     Empty text -> empty array (split of '' yields [''] -- filtered)."""

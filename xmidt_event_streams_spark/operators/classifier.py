@@ -48,7 +48,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xmidt_event_streams_spark.functions.text import tokens
+from xmidt_event_streams_spark.functions.text import md5_bucket, tokens
 from xmidt_event_streams_spark.operators.relevance import term_frequencies
 
 
@@ -182,10 +182,7 @@ def hashed_features(
     used across the dedup stack — deterministic, engine-portable, and
     uniform, so the per-idx gradient agg never skews."""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    idx = F.pmod(
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
-        F.lit(dim),
-    ).alias("idx")
+    idx = md5_bucket("tok", dim).alias("idx")
     counts = tok.select(F.col(id_col), idx).groupBy(id_col, "idx").agg(
         F.count("*").alias("cnt")
     )
@@ -245,12 +242,17 @@ def logreg_fit(
             .select(
                 F.col(id_col),
                 (_sigmoid(F.col("margin")) - F.col("_y")).alias("resid"),
+                # softplus form of the logistic loss:
+                #   max(m, 0) - m*y + log1p(exp(-|m|))
+                # The naive y*log(sigmoid) + (1-y)*log(1-sigmoid) hits
+                # log(0) = NULL once |margin| > ~36 (sigmoid saturates
+                # to exactly 1.0 in doubles); F.sum then silently skips
+                # those rows and the loss history shrinks for the
+                # wrong reason on separable data.
                 (
-                    -(
-                        F.col("_y") * F.log(_sigmoid(F.col("margin")))
-                        + (1 - F.col("_y"))
-                        * F.log(1 - _sigmoid(F.col("margin")))
-                    )
+                    F.greatest(F.col("margin"), F.lit(0.0))
+                    - F.col("margin") * F.col("_y")
+                    + F.log1p(F.exp(-F.abs(F.col("margin"))))
                 ).alias("ll"),
             )
         )

@@ -189,22 +189,30 @@ def write_ivf_index(
     assignment is meaningless under any other centroid set, so the
     probe can load them (``centroids=None``) or verify the ones it
     was handed, instead of silently searching the wrong cells."""
-    assigned = assign_cells(df, centroids, vec_col)
-    (
-        assigned.repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path)
-    )
-    # fit-time cell histogram, the ivf_occupancy_drift baseline.
-    # Computed from the assignment plan (k-bounded collect); assignment
-    # is a pure function of the stamped centroids, so this equals the
-    # written layout -- and unlike a read-back it works for the empty
-    # cold-start init (zero data files).
-    occupancy = {
-        str(r["cell"]): r["n"]
-        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
-    }
+    # persist around the two actions (write + occupancy agg): the
+    # assignment kernel would otherwise run the full scan + argmax
+    # twice, doubling index-build cost
+    assigned = assign_cells(df, centroids, vec_col).persist()
+    try:
+        (
+            assigned.repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        # fit-time cell histogram, the ivf_occupancy_drift baseline.
+        # Computed from the assignment plan (k-bounded collect);
+        # assignment is a pure function of the stamped centroids, so
+        # this equals the written layout -- and unlike a read-back it
+        # works for the empty cold-start init (zero data files).
+        occupancy = {
+            str(r["cell"]): r["n"]
+            for r in assigned.groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    finally:
+        assigned.unpersist()
     write_json_sidecar(
         df.sparkSession,
         path,
@@ -435,13 +443,41 @@ def ivf_occupancy_drift(spark, path: str) -> dict:
             "write_ivf_index to enable drift monitoring"
         )
     base = {int(c): n for c, n in meta["occupancy"].items()}
-    cur = {
-        r["cell"]: r["n"]
-        for r in spark.read.parquet(path)
-        .groupBy("cell")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    if sum(base.values()) == 0:
+        # streaming-seeded index (write_ivf_index over an empty frame,
+        # batches folded via append): there IS no fit-time histogram,
+        # and PSI against the +1-smoothed uniform prior would read any
+        # legitimately non-uniform corpus as "shifted". Explicit
+        # no-baseline verdict instead of a false alarm; rebuild with
+        # write_ivf_index over the live corpus to start monitoring.
+        return {
+            "psi": None,
+            "verdict": "no_baseline",
+            "n_baseline": 0,
+            "n_current": None,
+            "hottest_cell": None,
+            "hottest_frac": None,
+        }
+    try:
+        cur = {
+            r["cell"]: r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    except Exception:
+        # zero data files (stamped but never appended): nothing to
+        # compare -- same explicit verdict, no crash in a read-only
+        # maintenance check
+        return {
+            "psi": None,
+            "verdict": "no_baseline",
+            "n_baseline": sum(base.values()),
+            "n_current": 0,
+            "hottest_cell": None,
+            "hottest_frac": None,
+        }
     cells = range(len(meta["centroids"]))
     nb = sum(base.values()) + len(meta["centroids"])
     nc = sum(cur.values()) + len(meta["centroids"])

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xmidt_event_streams_spark.functions.text import tokens
+from xmidt_event_streams_spark.functions.text import let_bind, md5_bucket, tokens
 
 
 def term_frequencies(
@@ -164,10 +164,7 @@ def tfidf_hashed_vectors(
         weighted = tf.select(
             F.col(id_col), "term", F.col("tf").cast("double").alias("w")
         )
-    idx = F.pmod(
-        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"),
-        F.lit(dim),
-    ).alias("idx")
+    idx = md5_bucket("term", dim).alias("idx")
     sparse = (
         weighted.select(F.col(id_col), idx, "w")
         .groupBy(id_col, "idx")
@@ -190,16 +187,16 @@ def tfidf_hashed_vectors(
             ).alias("_raw"),
         )
     )
+    # let-bind the L2 norm: computed ONCE per doc, not once per
+    # element (an aggregate inside the transform lambda would make
+    # normalization O(dim^2) work per document)
     normed = assembled.select(
         F.col(id_col),
-        F.transform(
-            F.col("_raw"),
-            lambda x: x
-            / F.sqrt(
-                F.aggregate(
-                    F.col("_raw"), F.lit(0.0), lambda a, v: a + v * v
-                )
+        let_bind(
+            F.sqrt(
+                F.aggregate(F.col("_raw"), F.lit(0.0), lambda a, v: a + v * v)
             ),
+            lambda nrm: F.transform(F.col("_raw"), lambda x: x / nrm),
         ).alias("embedding"),
     )
     zero_vec = F.array_repeat(F.lit(0.0), dim)

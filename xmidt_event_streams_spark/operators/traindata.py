@@ -515,16 +515,25 @@ def soft_quality_sample(
     a pure row function -- reproducible across runs/partitions, a new
     ``seed`` gives a fresh draw, and re-running over a grown corpus
     never flips earlier verdicts (ingestion stability, same contract
-    as assign_split). temperature -> 0 recovers the hard threshold at
-    ``pivot``; larger temperature keeps more low-score mass. Narrow
-    projection, zero shuffle.
+    as assign_split). temperature -> 0+ approaches the hard threshold
+    at ``pivot`` (temperature must be > 0: at exactly 0 the expression
+    is 0/0 -- pass any tiny positive value for a hard cut, or filter
+    directly); larger temperature keeps more low-score mass. Rows
+    with a NULL score are DROPPED (no probability is defined for
+    them; score upstream or filter nulls first if they should
+    survive). Narrow projection, zero shuffle.
     """
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature must be > 0 (got {temperature}); at the "
+            "t->0 limit use a tiny positive value or a plain filter"
+        )
     u = (_hash_bucket(F.col(id_col), seed) + 0.5) / F.lit(float(_BUCKETS))
     p_keep = F.lit(1.0) / (
         F.lit(1.0)
         + F.exp(-(F.col(score_col) - F.lit(pivot)) / F.lit(temperature))
     )
-    return df.filter(u < p_keep)
+    return df.filter(F.col(score_col).isNotNull() & (u < p_keep))
 
 
 def token_budget_sample(
