@@ -596,3 +596,23 @@ def test_order_validation(spark, planted):
     train_df, _ = planted
     with pytest.raises(ValueError):
         ngram_lm_fit(train_df, n=1)
+
+
+def test_lm_save_load_roundtrip(spark, planted, tmp_path):
+    from xmidt_event_streams_spark.operators.lm import load_lm, save_lm
+
+    train_df, probe_df = planted
+    for kwargs in ({}, {"backoff": 0.4, "n": 3}):
+        lm = ngram_lm_fit(train_df, **kwargs)
+        path = str(tmp_path / f"lm_{kwargs.get('n', 2)}")
+        save_lm(lm, path)
+        back = load_lm(spark, path)
+        assert (back.alpha, back.backoff, back.n) == (
+            lm.alpha, lm.backoff, lm.n
+        )
+        a = sorted(map(tuple, lm_perplexity(probe_df, lm).collect()))
+        b = sorted(map(tuple, lm_perplexity(probe_df, back).collect()))
+        assert a == b
+
+    with pytest.raises(ValueError):
+        load_lm(spark, str(tmp_path / "nowhere"))

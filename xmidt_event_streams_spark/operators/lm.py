@@ -312,3 +312,62 @@ def lm_quality_gate(
         )
 
     return gate
+
+
+_LM_META_FILE = "_xes_lm_meta.json"
+
+
+def save_lm(lm: NGramLM, path: str) -> None:
+    """Persist a fitted LM as a model ARTIFACT: the vocab-bounded
+    relations as parquet under ``path`` plus a Hadoop-FS meta sidecar
+    (alpha / backoff / n -- the parameters scoring is meaningless
+    without, same guard discipline as the MinHash/IVF index sidecars).
+    A saved model is what a long-lived deployment gates with: fit once
+    on the trusted corpus, load in every batch/streaming process,
+    refit on drift -- no per-process refits, no model relations
+    pinned to the fitting session."""
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    base = path.rstrip("/")
+    lm.ngram_counts.write.mode("overwrite").parquet(base + "/ngram_counts")
+    lm.context_counts.write.mode("overwrite").parquet(base + "/context_counts")
+    lm.vocab.write.mode("overwrite").parquet(base + "/vocab")
+    if lm.unigrams is not None:
+        lm.unigrams.write.mode("overwrite").parquet(base + "/unigrams")
+    write_json_sidecar(
+        lm.ngram_counts.sparkSession,
+        base,
+        _LM_META_FILE,
+        {
+            "alpha": lm.alpha,
+            "backoff": lm.backoff,
+            "n": lm.n,
+            "has_unigrams": lm.unigrams is not None,
+        },
+    )
+
+
+def load_lm(spark, path: str) -> NGramLM:
+    """Load a :func:`save_lm` artifact; raises on a path without the
+    meta sidecar (scoring under guessed smoothing parameters would be
+    silently wrong, the exact failure the sidecar exists to stop)."""
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    base = path.rstrip("/")
+    meta = read_json_sidecar(spark, base, _LM_META_FILE)
+    if meta is None:
+        raise ValueError(f"no LM meta sidecar at {path}: not a save_lm artifact")
+    unigrams = (
+        spark.read.parquet(base + "/unigrams")
+        if meta.get("has_unigrams")
+        else None
+    )
+    return NGramLM(
+        spark.read.parquet(base + "/ngram_counts"),
+        spark.read.parquet(base + "/context_counts"),
+        spark.read.parquet(base + "/vocab"),
+        float(meta["alpha"]),
+        unigrams,
+        meta["backoff"],
+        int(meta.get("n", 2)),
+    )
