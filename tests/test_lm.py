@@ -616,3 +616,53 @@ def test_lm_save_load_roundtrip(spark, planted, tmp_path):
 
     with pytest.raises(ValueError):
         load_lm(spark, str(tmp_path / "nowhere"))
+
+
+def test_min_count_pruning(spark):
+    """Count pruning drops rare n-gram TYPES while context mass keeps
+    surviving probabilities unchanged; pruned types score through the
+    smoothing mass."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a b a c")], "doc_id long, text string"
+    )  # bigrams: ab x3(+...), ba x3, ac x1 -> "a c" is the singleton
+    full = ngram_lm_fit(train)
+    pruned = ngram_lm_fit(train, min_count=2)
+    assert pruned.ngram_counts.count() < full.ngram_counts.count()
+
+    # surviving bigram "a b": identical probability in both models
+    probe = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    same = [
+        lm_perplexity(probe, m).collect()[0]["ppl"] for m in (full, pruned)
+    ]
+    assert same[0] == same[1]
+
+    # pruned singleton "a c": falls to smoothing mass (higher ppl than
+    # in the full model, where it scored its own count)
+    probe2 = spark.createDataFrame([(9, "a c")], "doc_id long, text string")
+    ppl_full = lm_perplexity(probe2, full).collect()[0]["ppl"]
+    ppl_pruned = lm_perplexity(probe2, pruned).collect()[0]["ppl"]
+    assert ppl_pruned > ppl_full
+    # denominator unchanged: P_pruned(c|a) = alpha/(c_cnt + alpha*V)
+    # with c_cnt still 4 (a's full mass) and V = 3
+    assert ppl_pruned == pytest.approx(
+        round(math.exp(-round(math.log(1 / 7), 6)), 4)
+    )
+
+
+def test_nb_save_load_roundtrip(spark, labeled, tmp_path):
+    from xmidt_event_streams_spark.operators.classifier import (
+        load_nb,
+        save_nb,
+    )
+
+    model = nb_fit(labeled, label_col="label")
+    save_nb(model, str(tmp_path / "nb"))
+    back = load_nb(spark, str(tmp_path / "nb"))
+    assert back.alpha == model.alpha
+    a = sorted(map(tuple, nb_score(labeled, model).collect()))
+    b = sorted(map(tuple, nb_score(labeled, back).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        load_nb(spark, str(tmp_path / "missing"))

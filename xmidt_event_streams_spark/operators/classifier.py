@@ -518,3 +518,38 @@ def gate_report(
         "recall": round(tp / pos, 6) if pos else None,
         "keep_rate": round((tp + fp) / total, 6) if total else None,
     }
+
+
+_NB_META_FILE = "_xes_nb_meta.json"
+
+
+def save_nb(model: NaiveBayesModel, path: str) -> None:
+    """Persist a fitted NB model as an artifact (token_weights + stats
+    parquet, alpha in a Hadoop-FS meta sidecar) -- the same fit-once /
+    load-everywhere contract as operators/lm.save_lm."""
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    base = path.rstrip("/")
+    model.token_weights.write.mode("overwrite").parquet(base + "/weights")
+    model.stats.write.mode("overwrite").parquet(base + "/stats")
+    write_json_sidecar(
+        model.token_weights.sparkSession,
+        base,
+        _NB_META_FILE,
+        {"alpha": model.alpha, "kind": "binary"},
+    )
+
+
+def load_nb(spark, path: str) -> NaiveBayesModel:
+    """Load a :func:`save_nb` artifact; raises without the sidecar."""
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    base = path.rstrip("/")
+    meta = read_json_sidecar(spark, base, _NB_META_FILE)
+    if meta is None or meta.get("kind") != "binary":
+        raise ValueError(f"no binary-NB meta sidecar at {path}")
+    return NaiveBayesModel(
+        spark.read.parquet(base + "/weights"),
+        spark.read.parquet(base + "/stats"),
+        float(meta["alpha"]),
+    )

@@ -136,11 +136,20 @@ def ngram_lm_fit(
     alpha: float = 1.0,
     backoff: float | None = None,
     n: int = 2,
+    min_count: int = 1,
 ) -> NGramLM:
     """Fit the bigram LM over the (trusted) training corpus.
 
     One explode + two hash-aggregations; every output relation is
     vocab-bounded. ``alpha`` is the add-alpha smoothing mass.
+
+    ``min_count`` prunes n-gram types seen fewer times from the model
+    (KenLM-style count pruning): on web-scale training corpora the
+    singleton tail is most of the n-gram TYPE count while carrying
+    almost no scoring mass, and it is exactly what decides whether the
+    model still broadcasts. Pruned types score through the smoothing
+    (add-alpha) or backoff (unigram) mass; context denominators keep
+    the full unpruned mass so surviving probabilities stay honest.
 
     ``backoff`` (e.g. 0.4, Brants et al. stupid backoff,
     arXiv:cs/0702054-era W07) switches scoring to::
@@ -177,9 +186,18 @@ def ngram_lm_fit(
         F.col("bg.c").alias("c"), F.col("bg.w").alias("w")
     )
     ngram_counts = bg.groupBy("c", "w").agg(F.count("*").alias("cw_cnt"))
+    # context mass from the UNPRUNED counts: pruning removes rare
+    # n-gram TYPES from the model (classic count pruning -- they fall
+    # through to the smoothing/backoff mass at score time) but must
+    # not shrink the denominators, or surviving probabilities would
+    # silently inflate
     context_counts = ngram_counts.groupBy("c").agg(
         F.sum("cw_cnt").alias("c_cnt")
     )
+    if min_count > 1:
+        ngram_counts = ngram_counts.filter(
+            F.col("cw_cnt") >= F.lit(min_count)
+        )
     toks = train_df.select(F.explode(tokens(text_col)).alias("tok"))
     vocab = toks.agg(
         F.count_distinct("tok").alias("vocab_size"),
