@@ -666,3 +666,71 @@ def test_nb_save_load_roundtrip(spark, labeled, tmp_path):
     assert a == b
     with pytest.raises(ValueError):
         load_nb(spark, str(tmp_path / "missing"))
+
+
+def test_multiclass_nb_save_load_and_kind_guard(spark, three_domains, tmp_path):
+    from xmidt_event_streams_spark.operators.classifier import (
+        load_nb,
+        load_nb_multiclass,
+        nb_multiclass_fit,
+        nb_multiclass_score,
+        save_nb_multiclass,
+    )
+
+    model = nb_multiclass_fit(three_domains, label_col="domain")
+    save_nb_multiclass(model, str(tmp_path / "mc"))
+    back = load_nb_multiclass(spark, str(tmp_path / "mc"))
+    a = sorted(map(tuple, nb_multiclass_score(three_domains, model).collect()))
+    b = sorted(map(tuple, nb_multiclass_score(three_domains, back).collect()))
+    assert a == b
+    # kind tags: a multiclass artifact refuses to load as binary
+    with pytest.raises(ValueError):
+        load_nb(spark, str(tmp_path / "mc"))
+
+
+def test_streaming_gate_from_loaded_artifact(spark, tmp_path, planted):
+    """The restart-realistic shape: fit + save in one 'process', load
+    + gate the stream in another -- no refit, the artifact drives
+    start_ingest_dedup directly."""
+    import json as _json
+    import random
+
+    from xmidt_event_streams_spark.operators.incremental import (
+        init_minhash_index,
+    )
+    from xmidt_event_streams_spark.operators.lm import (
+        lm_quality_gate,
+        load_lm,
+        save_lm,
+    )
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        start_ingest_dedup,
+    )
+
+    train_df, _ = planted
+    save_lm(ngram_lm_fit(train_df, backoff=0.4), str(tmp_path / "model"))
+
+    loaded = load_lm(spark, str(tmp_path / "model"))
+    rng = random.Random(61)
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for i, t in [(1, _chain_doc(rng)), (2, _gibberish_doc(rng))]:
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    idx = str(tmp_path / "idx")
+    init_minhash_index(spark, idx, id_type="bigint")
+    q = start_ingest_dedup(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        idx, str(tmp_path / "corpus"), str(tmp_path / "rej"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        quality=lm_quality_gate(loaded, max_ppl=11.0),
+        min_agreement=0.95,
+        availableNow=True,
+    )
+    q.awaitTermination(300)
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(str(tmp_path / "rej")).collect()
+    }
+    assert kept == {1} and rej == {2: "lm_perplexity"}

@@ -553,3 +553,34 @@ def load_nb(spark, path: str) -> NaiveBayesModel:
         spark.read.parquet(base + "/stats"),
         float(meta["alpha"]),
     )
+
+
+def save_nb_multiclass(model: MulticlassNB, path: str) -> None:
+    """Persist a fitted multiclass NB (token_ll + class_stats parquet,
+    alpha in the guarded sidecar; kind-tagged so binary/multiclass
+    artifacts cannot be loaded as each other)."""
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    base = path.rstrip("/")
+    model.token_ll.write.mode("overwrite").parquet(base + "/token_ll")
+    model.class_stats.write.mode("overwrite").parquet(base + "/class_stats")
+    write_json_sidecar(
+        model.token_ll.sparkSession,
+        base,
+        _NB_META_FILE,
+        {"alpha": model.alpha, "kind": "multiclass"},
+    )
+
+
+def load_nb_multiclass(spark, path: str) -> MulticlassNB:
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    base = path.rstrip("/")
+    meta = read_json_sidecar(spark, base, _NB_META_FILE)
+    if meta is None or meta.get("kind") != "multiclass":
+        raise ValueError(f"no multiclass-NB meta sidecar at {path}")
+    return MulticlassNB(
+        spark.read.parquet(base + "/token_ll"),
+        spark.read.parquet(base + "/class_stats"),
+        float(meta["alpha"]),
+    )
