@@ -263,6 +263,7 @@ OFF_REGISTRY = [
     "resample_ffill",
     "user_value_trend",
     "table_profile",
+    "top_users_per_type",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -297,6 +298,8 @@ OFF_REGISTRY_EVIDENCE = {
     # (lm_perplexity, nb_quality_scores)
     "user_value_trend": "tests/test_components.py::test_off_registry_parity",
     "table_profile": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r4 to admit DSIR importance weights
+    "top_users_per_type": "tests/test_components.py::test_off_registry_parity",
 }
 
 

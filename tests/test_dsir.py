@@ -1,0 +1,129 @@
+"""DSIR importance resampling (operators/dsir.py) -- constructed-data
+semantics plus sampling-law checks. Fit/score value parity vs DuckDB
+is covered by the registry twin (``dsir_weights`` in
+tests/test_oracle_parity.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.dsir import (
+    dsir_fit,
+    dsir_log_weights,
+    dsir_sample,
+    hashed_ngram_buckets,
+)
+
+EN = [
+    "the cat sat on the mat and the dog slept",
+    "a quick brown fox jumps over the lazy dog",
+    "the rain in spain stays mainly on the plain",
+    "to be or not to be that is the question",
+]
+XX = [
+    "zzq wvx qqp lmnop zzq fdsa qwerty zxcv",
+    "qqp wvx zzq asdf zxcv poiuy fdsa lmnop",
+    "blorp zint quux flarn blorp zint quux flarn",
+    "xylo phon qrst uvwx xylo phon qrst uvwx",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, t) for i, t in enumerate(EN + XX)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def scored(spark, docs):
+    target = docs.filter(F.col("doc_id") < len(EN))
+    model = dsir_fit(target, docs, dim=512)
+    return dsir_log_weights(docs, model)
+
+
+def test_buckets_are_unigrams_plus_bigrams(spark):
+    df = spark.createDataFrame([("a b c",), ("solo",), ("",)], "text string")
+    sizes = [
+        r[0]
+        for r in df.select(
+            F.size(hashed_ngram_buckets("text", 64))
+        ).collect()
+    ]
+    # 3 unigrams + 2 bigrams / 1 unigram + 0 bigrams / empty
+    assert sizes == [5, 1, 0]
+
+
+def test_target_like_docs_score_higher(scored):
+    w = {r["doc_id"]: r["log_w"] for r in scored.collect()}
+    en = [w[i] for i in range(len(EN))]
+    xx = [w[i + len(EN)] for i in range(len(XX))]
+    assert min(en) > max(xx), (en, xx)
+
+
+def test_empty_doc_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, "")], "doc_id long, text string"
+    )
+    model = dsir_fit(docs.filter("doc_id = 0"), docs, dim=64)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_w"])
+        for r in dsir_log_weights(docs, model).collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[0][0] == 3  # 2 unigrams + 1 bigram
+
+
+def test_sample_k_is_deterministic_and_weight_biased(scored):
+    a = {r["doc_id"] for r in dsir_sample(scored, k=4, seed="s1").collect()}
+    b = {r["doc_id"] for r in dsir_sample(scored, k=4, seed="s1").collect()}
+    assert a == b and len(a) == 4
+    # near the temperature->0 limit, Gumbel noise is negligible and
+    # selection collapses to deterministic top-k by weight = the EN docs
+    cold = {
+        r["doc_id"]
+        for r in dsir_sample(
+            scored, k=4, seed="s1", temperature=1e-6
+        ).collect()
+    }
+    assert cold == set(range(len(EN)))
+
+
+def test_sample_fresh_seed_is_a_fresh_draw(scored):
+    # across many seeds at high temperature the union of picks must
+    # leave the top-4-by-weight set (pure top-k would never do that)
+    picked = set()
+    for s in range(8):
+        picked |= {
+            r["doc_id"]
+            for r in dsir_sample(
+                scored, k=4, seed=f"seed-{s}", temperature=25.0
+            ).collect()
+        }
+    assert picked - set(range(len(EN)))
+
+
+def test_sample_fraction_thresholds(scored):
+    kept = dsir_sample(scored, fraction=0.5, seed="f1").collect()
+    # percentile_approx is exact at 8 rows; 1-based upper-rank keeps 4
+    assert 3 <= len(kept) <= 5
+    again = dsir_sample(scored, fraction=0.5, seed="f1").collect()
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in again}
+    assert {r["doc_id"] for r in kept} <= set(range(len(EN) + len(XX)))
+
+
+def test_sample_argument_contract(scored):
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_sample(scored, k=2, fraction=0.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_sample(scored)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_sample(scored, k=2, temperature=0.0)
+    with pytest.raises(ValueError, match="fraction"):
+        dsir_sample(scored, fraction=1.5)
+
+
+def test_null_weight_rows_dropped(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None)], "doc_id long, log_w double"
+    )
+    kept = dsir_sample(df, k=5).collect()
+    assert [r["doc_id"] for r in kept] == [0]

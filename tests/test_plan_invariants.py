@@ -12,7 +12,12 @@ SF = "/root/testdata/sf0.001"  # plan shape is SF-independent
 
 
 def _plan(spark, name):
-    df = QUERIES[name].fn(spark, SF)
+    if name in QUERIES:
+        df = QUERIES[name].fn(spark, SF)
+    else:  # off-registry catalog shape (rotation policy, README)
+        import xmidt_event_streams_spark.catalog as cat
+
+        df = getattr(cat, f"q_{name}")(spark, SF)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"

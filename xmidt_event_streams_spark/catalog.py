@@ -3132,6 +3132,84 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
+    hashed unigram+bigram bag models fit on target = the trusted
+    lang='en' slice vs raw = the whole corpus; every document scored
+    with its log likelihood ratio. Closed form -- two corpus passes
+    for the fit, one broadcast-join scoring pass."""
+    from xmidt_event_streams_spark.operators.dsir import (
+        dsir_fit,
+        dsir_log_weights,
+    )
+
+    d = _docs(spark, sf_dir)
+    model = dsir_fit(d.filter(F.col("lang") == "en"), d, dim=1024)
+    return dsir_log_weights(d, model)
+
+
+_DSIR_DIM = 1024
+
+SQL_DSIR_WEIGHTS = f"""
+WITH {_WORDS_CTE},
+uni AS (SELECT doc_id, lang, unnest(w) AS g FROM words),
+bgp AS (
+  SELECT doc_id, lang,
+    unnest(w[1:len(w)-1]) AS c,
+    unnest(w[2:len(w)]) AS t
+  FROM words
+),
+grams AS (
+  SELECT doc_id, lang, g FROM uni
+  UNION ALL
+  SELECT doc_id, lang, c || ' ' || t AS g FROM bgp
+),
+fb AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_DIM} AS b
+  FROM grams
+),
+tc AS (SELECT b, count(*) AS t_cnt FROM fb WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT b, count(*) AS r_cnt FROM fb GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM fb WHERE lang = 'en') AS t_tot,
+    (SELECT count(*) FROM fb) AS r_tot
+),
+wts AS (
+  SELECT rc.b,
+    ln((coalesce(t_cnt, 0) + CAST(1.0 AS DOUBLE))
+       / (t_tot + CAST(1.0 AS DOUBLE) * {_DSIR_DIM}))
+    - ln((r_cnt + CAST(1.0 AS DOUBLE))
+       / (r_tot + CAST(1.0 AS DOUBLE) * {_DSIR_DIM})) AS lw
+  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+),
+st AS (
+  SELECT
+    ln(CAST(1.0 AS DOUBLE) / (t_tot + CAST(1.0 AS DOUBLE) * {_DSIR_DIM}))
+    - ln(CAST(1.0 AS DOUBLE) / (r_tot + CAST(1.0 AS DOUBLE) * {_DSIR_DIM}))
+      AS lw_default
+  FROM tot
+),
+dtf AS (SELECT doc_id, b, count(*) AS tf FROM fb GROUP BY 1, 2),
+pd AS (
+  SELECT dtf.doc_id,
+    sum(tf) AS n_feats,
+    round(sum(tf * coalesce(lw, lw_default)), 6) AS log_w
+  FROM dtf LEFT JOIN wts USING (b) CROSS JOIN st
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+  coalesce(log_w, 0.0) AS log_w
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+# off-registry alias so tests/test_components.py's SQL_{NAME} lookup
+# resolves after the r4 rotation (top_users_per_type -> dsir_weights)
+SQL_TOP_USERS_PER_TYPE = SQL_TOP_USERS
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES: dict[str, QuerySpec] = {
@@ -3171,7 +3249,7 @@ QUERIES: dict[str, QuerySpec] = {
     "distinct_users_salted": QuerySpec(
         q_distinct_users_salted, SQL_DISTINCT_USERS_SALTED
     ),
-    "top_users_per_type": QuerySpec(q_top_users_per_type, SQL_TOP_USERS),
+    "dsir_weights": QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "lm_perplexity": QuerySpec(q_lm_perplexity, SQL_LM_PERPLEXITY),
     "nb_quality_scores": QuerySpec(q_nb_quality_scores, SQL_NB_QUALITY_SCORES),
     "doc_fingerprint_rolling": QuerySpec(
