@@ -121,6 +121,50 @@ def test_sample_argument_contract(scored):
         dsir_sample(scored, fraction=1.5)
 
 
+def test_artifact_roundtrip(spark, docs, scored, tmp_path):
+    from xmidt_event_streams_spark.operators.dsir import load_dsir, save_dsir
+
+    target = docs.filter(F.col("doc_id") < len(EN))
+    model = dsir_fit(target, docs, dim=512)
+    save_dsir(model, str(tmp_path / "m"))
+    loaded = load_dsir(spark, str(tmp_path / "m"))
+    assert (loaded.dim, loaded.alpha) == (512, 1.0)
+    again = dsir_log_weights(docs, loaded).collect()
+    want = {r["doc_id"]: r["log_w"] for r in scored.collect()}
+    assert {r["doc_id"]: r["log_w"] for r in again} == want
+    with pytest.raises(ValueError, match="sidecar"):
+        load_dsir(spark, str(tmp_path / "nowhere"))
+
+
+def test_corpus_build_dsir_stage(spark, docs, tmp_path):
+    from xmidt_event_streams_spark.corpus import build_training_corpus
+
+    target = docs.filter(F.col("doc_id") < len(EN))
+    model = dsir_fit(target, docs, dim=512)
+    ledger = build_training_corpus(
+        docs,
+        str(tmp_path / "corpus"),
+        quality=None,
+        dedup=None,
+        dsir_model=model,
+        dsir_fraction=0.5,
+        dsir_temperature=1e-6,  # ~deterministic: keep the EN half
+        n_shards=2,
+    )
+    assert ledger["dsir_dropped"] + ledger["written"] == ledger["input"]
+    assert 3 <= ledger["written"] <= 5
+    back = spark.read.parquet(str(tmp_path / "corpus"))
+    # at the cold-temperature limit selection is weight-ordered: all
+    # EN docs survive, and the quantile boundary admits at most one XX
+    kept = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert set(range(len(EN))) <= kept
+    assert len(kept - set(range(len(EN)))) <= 1
+    with pytest.raises(ValueError, match="dsir_fraction"):
+        build_training_corpus(
+            docs, str(tmp_path / "c2"), dsir_model=model
+        )
+
+
 def test_null_weight_rows_dropped(spark):
     df = spark.createDataFrame(
         [(0, 1.0), (1, None)], "doc_id long, log_w double"

@@ -61,6 +61,10 @@ def build_training_corpus(
     lm_max_ppl: float | None = None,
     nb_model=None,
     nb_min_score: float = 0.0,
+    dsir_model=None,
+    dsir_fraction: float | None = None,
+    dsir_temperature: float = 1.0,
+    dsir_seed: str = "dsir-0",
     near_prefer_col: str | None = None,
     decontaminate_against: DataFrame | None = None,
     decontaminate_min_agreement: float = 0.5,
@@ -70,7 +74,7 @@ def build_training_corpus(
 
         {"input", "lines_removed",
          "quality_dropped": {reason: n, ...},
-         "lm_dropped", "classifier_dropped",
+         "lm_dropped", "classifier_dropped", "dsir_dropped",
          "decontaminated_dropped",
          "exact_dups_dropped", "near_dups_dropped", "written"}
 
@@ -91,7 +95,17 @@ def build_training_corpus(
     perplexity exceeds the ceiling -- including unscorable short docs,
     perplexity_filter's contract; ``nb_model`` (an
     operators/classifier.NaiveBayesModel) with ``nb_min_score`` drops
-    docs whose log-odds fall below the floor.
+    docs whose log-odds fall below the floor. ``dsir_model`` (an
+    operators/dsir.DsirModel) with ``dsir_fraction`` keeps the
+    Gumbel-top-fraction by DSIR importance weight (ledger key
+    "dsir_dropped"). It runs AFTER the hard gates (select from the
+    clean pool) and BEFORE dedup -- note the order's cost: a
+    heavily-duplicated target-like page can spend several selection
+    slots before dedup collapses it to one survivor, so the written
+    count lands somewhat UNDER fraction x gated-input on duplicate-
+    heavy corpora (the ledger's near_dups_dropped makes the gap
+    visible; pre-dedup the input yourself if the budget must be
+    exact).
 
     ``quality``: None | "gopher" | "c4" | "gopher+c4" (reason = first
     failing rule, counted per reason). ``dedup``: None | "exact" |
@@ -211,6 +225,29 @@ def build_training_corpus(
     else:
         ledger["classifier_dropped"] = 0
 
+    if dsir_model is not None:
+        if dsir_fraction is None:
+            raise ValueError("dsir_model requires dsir_fraction")
+        from xmidt_event_streams_spark.operators.dsir import (
+            dsir_log_weights,
+            dsir_sample,
+        )
+
+        before = kept.count()
+        scored = dsir_log_weights(kept, dsir_model, text_col, id_col)
+        picked = dsir_sample(
+            scored,
+            fraction=dsir_fraction,
+            id_col=id_col,
+            temperature=dsir_temperature,
+            seed=dsir_seed,
+        ).select(id_col)
+        kept = kept.join(picked, id_col).persist()
+        _persisted.append(kept)
+        ledger["dsir_dropped"] = before - kept.count()
+    else:
+        ledger["dsir_dropped"] = 0
+
     if decontaminate_against is not None:
         # benchmark decontamination AFTER the quality/learned gates
         # (no reason to signature docs those gates already shed) and
@@ -249,6 +286,7 @@ def build_training_corpus(
             - sum(ledger["quality_dropped"].values())
             - ledger["lm_dropped"]
             - ledger["classifier_dropped"]
+            - ledger["dsir_dropped"]
             - ledger["decontaminated_dropped"]
         )
         kept = (
@@ -318,6 +356,14 @@ def build_training_corpus(
                     "lm_max_ppl": lm_max_ppl,
                     "nb_gate": nb_model is not None,
                     "nb_min_score": nb_min_score if nb_model is not None else None,
+                    "dsir_gate": dsir_model is not None,
+                    "dsir_fraction": (
+                        dsir_fraction if dsir_model is not None else None
+                    ),
+                    "dsir_temperature": (
+                        dsir_temperature if dsir_model is not None else None
+                    ),
+                    "dsir_seed": dsir_seed if dsir_model is not None else None,
                     "near_prefer_col": near_prefer_col,
                     "decontaminate": decontaminate_against is not None,
                     "decontaminate_min_agreement": (

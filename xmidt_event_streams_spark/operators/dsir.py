@@ -195,6 +195,46 @@ def dsir_log_weights(
     )
 
 
+_DSIR_META_FILE = "_xes_dsir_model_meta.json"
+
+
+def save_dsir(model: DsirModel, path: str) -> None:
+    """Persist a fitted DSIR model (bucket_weights + stats parquet,
+    dim/alpha in a Hadoop-FS meta sidecar) -- fit once on the
+    target-vs-raw pair, load everywhere (batch recipe, streaming
+    gate), the save_nb/save_lm artifact contract. Object-store safe:
+    all I/O goes through Spark/Hadoop, never local open()."""
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    base = path.rstrip("/")
+    model.bucket_weights.write.mode("overwrite").parquet(base + "/weights")
+    model.stats.write.mode("overwrite").parquet(base + "/stats")
+    write_json_sidecar(
+        model.bucket_weights.sparkSession,
+        base,
+        _DSIR_META_FILE,
+        {"dim": model.dim, "alpha": model.alpha, "kind": "dsir"},
+    )
+
+
+def load_dsir(spark, path: str) -> DsirModel:
+    """Load a :func:`save_dsir` artifact; raises without the sidecar
+    (an unstamped directory could have been hashed under a different
+    dim -- scoring against it would be silently meaningless)."""
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    base = path.rstrip("/")
+    meta = read_json_sidecar(spark, base, _DSIR_META_FILE)
+    if meta is None or meta.get("kind") != "dsir":
+        raise ValueError(f"no DSIR meta sidecar at {path}")
+    return DsirModel(
+        spark.read.parquet(base + "/weights"),
+        spark.read.parquet(base + "/stats"),
+        int(meta["dim"]),
+        float(meta["alpha"]),
+    )
+
+
 def _gumbel_key(
     weight_col: str, id_col: str, temperature: float, seed: str
 ) -> F.Column:
