@@ -59,6 +59,18 @@ def test_target_like_docs_score_higher(scored):
     assert min(en) > max(xx), (en, xx)
 
 
+def test_labeled_fit_equals_two_pass_fit(spark, docs):
+    from xmidt_event_streams_spark.operators.dsir import dsir_fit_labeled
+
+    two = dsir_fit(docs.filter(F.col("doc_id") < len(EN)), docs, dim=256)
+    one = dsir_fit_labeled(
+        docs.withColumn("_t", F.col("doc_id") < len(EN)), "_t", dim=256
+    )
+    a = dict(dsir_log_weights(docs, two).select("doc_id", "log_w").collect())
+    b = dict(dsir_log_weights(docs, one).select("doc_id", "log_w").collect())
+    assert a == b
+
+
 def test_empty_doc_scores_zero(spark):
     docs = spark.createDataFrame(
         [(0, "the cat"), (1, "")], "doc_id long, text string"
@@ -163,6 +175,31 @@ def test_corpus_build_dsir_stage(spark, docs, tmp_path):
         build_training_corpus(
             docs, str(tmp_path / "c2"), dsir_model=model
         )
+
+
+def test_dsir_quality_gate_partitions_and_chains(spark, docs, scored):
+    from xmidt_event_streams_spark.corpus import chain_gates
+    from xmidt_event_streams_spark.operators.dsir import dsir_quality_gate
+
+    target = docs.filter(F.col("doc_id") < len(EN))
+    model = dsir_fit(target, docs, dim=512)
+    # threshold between the EN and XX weight ranges (asserted apart in
+    # test_target_like_docs_score_higher)
+    w = {r["doc_id"]: r["log_w"] for r in scored.collect()}
+    thr = (min(w[i] for i in range(len(EN)))
+           + max(w[i + len(EN)] for i in range(len(XX)))) / 2
+    gate = dsir_quality_gate(model, thr)
+    passing, failing = gate(docs)
+    assert {r["doc_id"] for r in passing.collect()} == set(range(len(EN)))
+    fails = failing.collect()
+    assert {r["doc_id"] for r in fails} == {i + len(EN) for i in range(len(XX))}
+    assert all(r["reject_reason"] == "dsir" for r in fails)
+    # chained behind an always-pass gate, attribution stays 'dsir'
+    chained = chain_gates(lambda b: (b, b.limit(0).withColumn(
+        "reject_reason", F.lit("noop"))), gate)
+    p2, f2 = chained(docs)
+    assert p2.count() == len(EN)
+    assert {r["reject_reason"] for r in f2.collect()} == {"dsir"}
 
 
 def test_null_weight_rows_dropped(spark):

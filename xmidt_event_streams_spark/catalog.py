@@ -3136,15 +3136,19 @@ def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
     hashed unigram+bigram bag models fit on target = the trusted
     lang='en' slice vs raw = the whole corpus; every document scored
-    with its log likelihood ratio. Closed form -- two corpus passes
-    for the fit, one broadcast-join scoring pass."""
+    with its log likelihood ratio. Closed form -- target is a slice
+    of raw here, so the labeled single-pass fit applies (one gram
+    explode with conditional sums), then one broadcast-join scoring
+    pass."""
     from xmidt_event_streams_spark.operators.dsir import (
-        dsir_fit,
+        dsir_fit_labeled,
         dsir_log_weights,
     )
 
     d = _docs(spark, sf_dir)
-    model = dsir_fit(d.filter(F.col("lang") == "en"), d, dim=1024)
+    model = dsir_fit_labeled(
+        d.withColumn("_t", F.col("lang") == "en"), "_t", dim=1024
+    )
     return dsir_log_weights(d, model)
 
 

@@ -127,6 +127,37 @@ def dsir_fit(
             F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
         )
     )
+    return _model_from_counts(both, dim, alpha)
+
+
+def dsir_fit_labeled(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 4096,
+    alpha: float = 1.0,
+) -> DsirModel:
+    """:func:`dsir_fit` for the common special case target ⊆ raw
+    with a boolean membership column: ONE gram pass with conditional
+    sums (t = grams where label, r = all grams) instead of two
+    corpus explodes -- identical weights by construction, half the
+    fit cost. Use when targeting a trusted SLICE of the corpus
+    itself; use dsir_fit when the target is a separate corpus."""
+    y = F.col(label_col).cast("boolean")
+    both = (
+        df.select(y.alias("_y"), F.explode(
+            hashed_ngram_buckets(text_col, dim)
+        ).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("t_cnt"),
+            F.count("*").alias("r_cnt"),
+        )
+    )
+    return _model_from_counts(both, dim, alpha)
+
+
+def _model_from_counts(both: DataFrame, dim: int, alpha: float) -> DsirModel:
     totals = both.agg(
         F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
     )
@@ -193,6 +224,40 @@ def dsir_log_weights(
             F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
         )
     )
+
+
+def dsir_quality_gate(
+    model: DsirModel,
+    min_log_w: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The importance-weight floor as a reusable GATE: ``batch ->
+    (passing, failing)`` with ``reject_reason='dsir'`` -- the
+    lm_quality_gate protocol, so it chains with the other learned
+    gates (corpus.chain_gates) and drops into streaming ingest
+    (start_ingest_dedup(quality=...)).
+
+    A THRESHOLD, not a resample: streaming micro-batches cannot hold a
+    corpus-wide quantile, so the caller picks min_log_w off a batch
+    calibration run (gate_report / dsir_sample's quantile on a
+    reference slice) and the gate applies it per row."""
+
+    def gate(batch: DataFrame):
+        scored = dsir_log_weights(batch, model, text_col, id_col).select(
+            id_col, "log_w"
+        )
+        passing = batch.join(
+            scored.filter(F.col("log_w") >= F.lit(min_log_w)).select(id_col),
+            id_col,
+        )
+        failing = batch.join(
+            scored.filter(F.col("log_w") < F.lit(min_log_w)).select(id_col),
+            id_col,
+        ).withColumn("reject_reason", F.lit("dsir"))
+        return passing, failing
+
+    return gate
 
 
 _DSIR_META_FILE = "_xes_dsir_model_meta.json"
