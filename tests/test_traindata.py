@@ -234,6 +234,59 @@ def test_write_training_shards_sf01_budgets_and_append_stability(spark, tmp_path
     assert not moved, f"{len(moved)} docs changed (split, shard) after growth"
 
 
+def test_sample_k_per_group_matches_duckdb(spark, sf_dir):
+    from xmidt_event_streams_spark.operators.traindata import (
+        sample_k_per_group,
+    )
+
+    sdf = sample_k_per_group(
+        _docs(spark, sf_dir), "lang", k=3, salt="kg-t"
+    ).select("doc_id", "lang")
+    cols, rows = duck_run(
+        """SELECT doc_id, lang FROM (
+             SELECT doc_id, lang, row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('kg-t|' || doc_id::VARCHAR), doc_id
+             ) AS rn FROM documents) WHERE rn <= 3""",
+        sf_dir,
+    )
+    assert _rowset(sdf.columns, [tuple(r) for r in sdf.collect()]) == _rowset(
+        cols, rows
+    )
+
+
+def test_sample_k_per_group_counts_and_plan(spark, sf_dir):
+    import pytest
+
+    from xmidt_event_streams_spark.operators.traindata import (
+        sample_k_per_group,
+    )
+
+    docs = _docs(spark, sf_dir)
+    got = sample_k_per_group(docs, "lang", k=3)
+    sizes = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert sizes == {g: min(3, n) for g, n in avail.items()}
+    # map-side partial top-k before the exchange
+    assert "WindowGroupLimit" in got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # deterministic; fresh salt redraws
+    a = {r["doc_id"] for r in got.select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample_k_per_group(
+        docs, "lang", k=3).select("doc_id").collect()}
+    assert a == b
+    c = {r["doc_id"] for r in sample_k_per_group(
+        docs, "lang", k=3, salt="other").select("doc_id").collect()}
+    assert a != c
+    with pytest.raises(ValueError, match="positive"):
+        sample_k_per_group(docs, "lang", k=0)
+
+
 def test_mixture_sample_matches_duckdb(spark, sf_dir):
     """mixture_sample ≡ the same fraction computation + md5-bucket
     filter replayed in DuckDB (thresholds computed once in Python

@@ -422,6 +422,40 @@ def weighted_sample(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "kgroup-v1",
+) -> DataFrame:
+    """Deterministic EXACT-k-per-group sample -- the eval-holdout
+    builder ("200 examples per domain/language"): rank each group's
+    rows by md5(salt || id) and keep rank <= k. The order is a pure
+    row property (stable across runs/partitioning/engines, new
+    ``salt`` = fresh draw -- the stratified_sample contract, but with
+    an exact count instead of an expected fraction; groups smaller
+    than k keep everything).
+
+    Plan shape: rank <= k over a window compiles to WindowGroupLimit
+    -- each task keeps only k candidates per group BEFORE the
+    exchange, so the shuffle carries O(groups x k), not the corpus
+    (the test_plan_invariants property). One shuffle on the group
+    key; no driver state.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    order = F.md5(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col))
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,
