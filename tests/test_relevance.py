@@ -137,3 +137,97 @@ class TestHashedVectors:
         top = brute_force_topk(corpus, corpus.filter("vec_id = 1"), k=1)
         row = top.collect()[0]
         assert row["vec_id"] == 2 and row["cos_sim"] > 0.85
+
+
+# -- KMV corpus-overlap sketch ----------------------------------------
+
+
+class TestCorpusOverlap:
+    def _mk(self, spark, texts, start=0):
+        return spark.createDataFrame(
+            [(start + i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    def test_bottom_k_matches_duckdb(self, spark):
+        import duckdb
+
+        from xmidt_event_streams_spark.operators.contamination import (
+            kmv_bottom_k,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        got = kmv_bottom_k(docs, ngram_n=5, k=64)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{sf}/documents.parquet')"
+        )
+        norm = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
+        want = [
+            r[0]
+            for r in con.execute(
+                f"""WITH w AS (SELECT doc_id,
+                  list_filter(string_split({norm}, ' '), t -> t <> '') AS w
+                  FROM documents),
+                g AS (SELECT DISTINCT doc_id, unnest(
+                  CASE WHEN len(w) >= 5 THEN list_transform(
+                    generate_series(1, len(w) - 4),
+                    i -> array_to_string(w[i:i+4], ' ')) ELSE [] END) AS g
+                  FROM w)
+                SELECT DISTINCT md5(g) AS h FROM g ORDER BY h LIMIT 64"""
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_exact_regime_jaccard(self, spark):
+        from xmidt_event_streams_spark.operators.contamination import (
+            corpus_overlap_report,
+        )
+
+        shared = "one two three four five six seven eight"
+        only_a = "alpha beta gamma delta epsilon zeta eta theta"
+        only_b = "red orange yellow green blue indigo violet ultra"
+        a = self._mk(spark, [shared, only_a])
+        b = self._mk(spark, [shared, only_b], start=10)
+        rep = corpus_overlap_report(a, b, ngram_n=5, k=1024)
+        # 4 distinct 5-grams per 8-token doc -> 8 per corpus, 4 shared
+        assert rep["exact"] is True
+        assert rep["distinct_a"] == rep["distinct_b"] == 8.0
+        assert rep["distinct_union"] == 12.0
+        assert rep["jaccard"] == round(4 / 12, 6)
+        assert rep["containment_a"] == rep["containment_b"] == 0.5
+        # self-overlap is identity
+        self_rep = corpus_overlap_report(a, a, ngram_n=5, k=1024)
+        assert self_rep["jaccard"] == 1.0
+
+    def test_sketch_regime_estimates_within_tolerance(self, spark):
+        from xmidt_event_streams_spark.operators.contamination import (
+            corpus_overlap_report,
+        )
+
+        # numbered docs "a b c d e f g h{i}": 3 shared 5-grams plus
+        # one unique gram per doc. A = 0..1999, B = 1000..2999 ->
+        # |A| = |B| = 2003, |A∩B| = 1003, |A∪B| = 3003
+        a = self._mk(spark, [f"a b c d e f g h{i}" for i in range(2000)])
+        b = self._mk(
+            spark,
+            [f"a b c d e f g h{i}" for i in range(1000, 3000)],
+            start=5000,
+        )
+        rep = corpus_overlap_report(a, b, ngram_n=5, k=256)
+        assert rep["exact"] is False
+        true_j = 1003 / 3003
+        assert abs(rep["jaccard"] - true_j) < 0.1, rep
+        assert abs(rep["distinct_a"] - 2003) / 2003 < 0.25, rep
+
+    def test_k_contract(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.contamination import (
+            kmv_bottom_k,
+        )
+
+        with pytest.raises(ValueError, match="positive"):
+            kmv_bottom_k(self._mk(spark, ["a b c d e"]), k=0)
