@@ -71,6 +71,16 @@ def test_labeled_fit_equals_two_pass_fit(spark, docs):
     assert a == b
 
 
+def test_scores_invariant_to_partitioning(spark, docs, scored):
+    target = docs.filter(F.col("doc_id") < len(EN))
+    model = dsir_fit(
+        target.repartition(7), docs.repartition(5), dim=512
+    )
+    relaid = dsir_log_weights(docs.repartition(11), model)
+    want = {r["doc_id"]: r["log_w"] for r in scored.collect()}
+    assert {r["doc_id"]: r["log_w"] for r in relaid.collect()} == want
+
+
 def test_empty_doc_scores_zero(spark):
     docs = spark.createDataFrame(
         [(0, "the cat"), (1, "")], "doc_id long, text string"
