@@ -285,6 +285,11 @@ def test_sample_k_per_group_counts_and_plan(spark, sf_dir):
     assert a != c
     with pytest.raises(ValueError, match="positive"):
         sample_k_per_group(docs, "lang", k=0)
+    # nesting: larger k at the same salt is a superset (stable
+    # holdout growth -- earlier picks never churn)
+    k5 = {r["doc_id"] for r in sample_k_per_group(
+        docs, "lang", k=5).select("doc_id").collect()}
+    assert a <= k5
 
 
 def test_mixture_sample_matches_duckdb(spark, sf_dir):

@@ -435,7 +435,10 @@ def sample_k_per_group(
     row property (stable across runs/partitioning/engines, new
     ``salt`` = fresh draw -- the stratified_sample contract, but with
     an exact count instead of an expected fraction; groups smaller
-    than k keep everything).
+    than k keep everything). Samples NEST: the same salt at a larger
+    k is a superset (the per-group order is fixed), so growing an
+    eval set later keeps every earlier pick -- annotations don't
+    churn.
 
     Plan shape: rank <= k over a window compiles to WindowGroupLimit
     -- each task keeps only k candidates per group BEFORE the
