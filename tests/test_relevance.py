@@ -231,3 +231,53 @@ class TestCorpusOverlap:
 
         with pytest.raises(ValueError, match="positive"):
             kmv_bottom_k(self._mk(spark, ["a b c d e"]), k=0)
+
+    def test_kmv_artifact_and_drift(self, spark, tmp_path):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.contamination import (
+            kmv_bottom_k,
+            kmv_drift,
+            load_kmv,
+            save_kmv,
+        )
+
+        a = self._mk(spark, [f"w{i} x y z q r s t" for i in range(50)])
+        sk = kmv_bottom_k(a, ngram_n=5, k=64)
+        save_kmv(spark, sk, str(tmp_path / "base"), ngram_n=5, k=64)
+        loaded, meta = load_kmv(spark, str(tmp_path / "base"))
+        assert loaded == sk and meta["ngram_n"] == 5 and meta["k"] == 64
+        # same corpus -> stable at jaccard 1.0
+        rep = kmv_drift(spark, str(tmp_path / "base"), a)
+        assert rep["verdict"] == "stable" and rep["jaccard"] == 1.0
+        # disjoint corpus -> shifted
+        b = self._mk(spark, [f"m{i} n o p q2 r2 s2 t2" for i in range(50)])
+        rep2 = kmv_drift(spark, str(tmp_path / "base"), b)
+        assert rep2["verdict"] == "shifted" and rep2["jaccard"] < 0.5
+        with pytest.raises(ValueError, match="sidecar"):
+            load_kmv(spark, str(tmp_path / "missing"))
+
+    def test_kmv_drift_in_maintenance(self, spark, tmp_path):
+        from xmidt_event_streams_spark.maintenance import run_maintenance
+        from xmidt_event_streams_spark.operators.contamination import (
+            kmv_bottom_k,
+            save_kmv,
+        )
+
+        a = self._mk(spark, [f"w{i} x y z q r s t" for i in range(30)])
+        a.write.parquet(str(tmp_path / "corpus"))
+        sk = kmv_bottom_k(a, ngram_n=5, k=64)
+        save_kmv(spark, sk, str(tmp_path / "base"), ngram_n=5, k=64)
+        rep = run_maintenance(
+            spark,
+            kmv_baselines=((str(tmp_path / "base"), str(tmp_path / "corpus")),),
+        )
+        entry = rep[str(tmp_path / "base")]
+        assert entry["kind"] == "kmv_drift"
+        assert entry["verdict"] == "stable"
+        # a broken baseline path is recorded, not raised
+        rep2 = run_maintenance(
+            spark,
+            kmv_baselines=((str(tmp_path / "nope"), str(tmp_path / "corpus")),),
+        )
+        assert "error" in rep2[str(tmp_path / "nope")]

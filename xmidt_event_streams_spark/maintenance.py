@@ -24,6 +24,7 @@ def run_maintenance(
     minhash_indexes: tuple[str, ...] = (),
     rollups: tuple[tuple[str, list, dict], ...] = (),
     ivf_indexes: tuple[str, ...] = (),
+    kmv_baselines: tuple[tuple[str, str], ...] = (),
     tombstones: dict[str, list] | None = None,
     batches_per_partition: int = 1_000,
 ) -> dict:
@@ -39,11 +40,17 @@ def run_maintenance(
     check (``ivf.ivf_occupancy_drift``): the report carries the PSI
     verdict so the window that compacts everything else also tells
     you when frozen centroids need a refit ("shifted" = schedule a
-    rebuild; nothing is rewritten here).
+    rebuild; nothing is rewritten here). ``kmv_baselines``:
+    (sketch_path, corpus_parquet_path) pairs -- a READ-ONLY content
+    drift check (``contamination.kmv_drift``): n-gram-set Jaccard of
+    the corpus today vs its stamped baseline, with a
+    stable/drifting/shifted verdict (keyed by sketch_path in the
+    report).
 
     Returns {target_path: {"kind": ..., **compactor_report}} with
     {"kind", "error"} for targets whose compactor raised.
     """
+    from xmidt_event_streams_spark.operators.contamination import kmv_drift
     from xmidt_event_streams_spark.operators.incremental import (
         compact_minhash_index,
     )
@@ -88,5 +95,13 @@ def run_maintenance(
             path,
             "ivf_drift",
             lambda p=path: ivf_occupancy_drift(spark, p),
+        )
+    for sketch_path, corpus_path in kmv_baselines:
+        _run(
+            sketch_path,
+            "kmv_drift",
+            lambda s=sketch_path, c=corpus_path: kmv_drift(
+                spark, s, spark.read.parquet(c)
+            ),
         )
     return report

@@ -158,6 +158,15 @@ def corpus_overlap_report(
     """
     sa = kmv_bottom_k(a, text_col, ngram_n, k)
     sb = kmv_bottom_k(b, text_col, ngram_n, k)
+    return overlap_from_sketches(sa, sb, k)
+
+
+def overlap_from_sketches(sa: list[str], sb: list[str], k: int) -> dict:
+    """The driver-side half of :func:`corpus_overlap_report`: merge
+    two bottom-k sketches (as returned by :func:`kmv_bottom_k`) into
+    the overlap estimates. Pure Python over 2k strings -- also the
+    entry point when one side is a PERSISTED sketch (see
+    :func:`save_kmv` / :func:`kmv_drift`)."""
     set_a, set_b = set(sa), set(sb)
     union_bottom = sorted(set_a | set_b)[:k]
     exact = len(sa) < k and len(sb) < k
@@ -184,3 +193,81 @@ def corpus_overlap_report(
         "distinct_b": round(d_b, 1),
         "distinct_union": round(d_union, 1),
     }
+
+
+_KMV_META_FILE = "_xes_kmv_sketch_meta.json"
+
+
+def save_kmv(
+    spark,
+    sketch: list[str],
+    path: str,
+    ngram_n: int,
+    k: int,
+) -> None:
+    """Persist a KMV sketch as a k-row parquet dataset with the
+    (ngram_n, k) parameters in a Hadoop-FS meta sidecar -- sketches
+    hashed under different parameters are NOT comparable, and the
+    sidecar is what lets :func:`kmv_drift` refuse a mismatched
+    baseline instead of reporting a meaningless Jaccard. Object-store
+    safe (all I/O via Spark/Hadoop)."""
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    base = path.rstrip("/")
+    spark.createDataFrame(
+        [(h,) for h in sketch], "h string"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/sketch")
+    write_json_sidecar(
+        spark,
+        base,
+        _KMV_META_FILE,
+        {"ngram_n": int(ngram_n), "k": int(k), "kind": "kmv"},
+    )
+
+
+def load_kmv(spark, path: str) -> tuple[list[str], dict]:
+    """Load a :func:`save_kmv` artifact -> (ascending sketch, meta);
+    raises without the sidecar."""
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    base = path.rstrip("/")
+    meta = read_json_sidecar(spark, base, _KMV_META_FILE)
+    if meta is None or meta.get("kind") != "kmv":
+        raise ValueError(f"no KMV meta sidecar at {path}")
+    rows = spark.read.parquet(base + "/sketch").collect()
+    return sorted(r["h"] for r in rows), meta
+
+
+# corpus-content drift verdict thresholds: Jaccard of the current
+# corpus's n-gram set vs the stamped baseline. Content turnover is
+# gradual in healthy pipelines; a sudden collapse means the upstream
+# source changed (crawl config, extraction regression, wrong path).
+KMV_DRIFT_STABLE = 0.8
+KMV_DRIFT_DRIFTING = 0.5
+
+
+def kmv_drift(
+    spark,
+    baseline_path: str,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> dict:
+    """Compare a corpus against a persisted KMV baseline: the
+    cheapest whole-content drift alarm (one corpus pass, k-bounded
+    driver state) -- the ivf_occupancy_drift of TEXT. Returns the
+    :func:`overlap_from_sketches` report plus a verdict:
+    jaccard >= 0.8 "stable", >= 0.5 "drifting", else "shifted"
+    (re-baseline with :func:`save_kmv` after investigating). The
+    sketch parameters come from the baseline's sidecar, so current
+    and baseline are always hashed identically."""
+    base_sketch, meta = load_kmv(spark, baseline_path)
+    cur = kmv_bottom_k(corpus, text_col, int(meta["ngram_n"]), int(meta["k"]))
+    rep = overlap_from_sketches(base_sketch, cur, int(meta["k"]))
+    j = rep["jaccard"]
+    rep["verdict"] = (
+        "stable"
+        if j >= KMV_DRIFT_STABLE
+        else "drifting" if j >= KMV_DRIFT_DRIFTING else "shifted"
+    )
+    rep["ngram_n"] = int(meta["ngram_n"])
+    return rep
