@@ -172,6 +172,7 @@ def semdedup_survivors(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Full SemDeDup retention pipeline (Abbas et al. 2023,
     arXiv:2303.09540) as one composition: cluster-then-verify
@@ -181,14 +182,23 @@ def semdedup_survivors(
 
     Returns (``id_col``, cluster_id, is_survivor) for every corpus
     row; downstream keeps ``is_survivor`` rows. Every stage is the
-    documented 100 TB shape of its operator.
+    documented 100 TB shape of its operator. ``max_candidate_pairs``
+    enforces the pre-join degeneracy budget (raises
+    ``CandidatePairBudgetExceeded`` with measured counts — see
+    similarity.clustered_near_dup_pairs).
     """
     from xmidt_event_streams_spark.operators.similarity import (
         clustered_near_dup_pairs,
     )
 
     pairs = clustered_near_dup_pairs(
-        df, centroids, threshold, n_probe, id_col, vec_col
+        df,
+        centroids,
+        threshold,
+        n_probe,
+        id_col,
+        vec_col,
+        max_candidate_pairs=max_candidate_pairs,
     )
     return dup_cluster_survivors(df, pairs, id_col=id_col)
 
@@ -260,6 +270,9 @@ def lexical_semdedup(
     n_iters: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidate_pairs: int | None = 10_000_000,
+    on_over_budget: str = "fallback",
+    report: dict | None = None,
 ) -> DataFrame:
     """SemDeDup over LEXICAL vectors: the full semantic-dedup shape on
     a corpus that ships no embeddings column. Composition of three
@@ -279,23 +292,43 @@ def lexical_semdedup(
     The ⌈√n⌉ default needs one count() (documented scalar); pass k
     to keep the plan action-free.
 
-    DEGENERACY CAVEAT: the k-cell pruning law assumes the corpus has
-    cosine structure to cluster. On a corpus where (nearly) EVERYTHING
-    is pairwise similar -- one shared vocabulary, boilerplate-dominated
-    text -- the hot cell holds most of the corpus and cluster-then-
-    verify degenerates toward all-pairs (that is SemDeDup's contract,
-    not this implementation's). Check ``operators/skew.hot_keys`` on a
-    sample's cell assignment first; for corpora without cosine
-    structure the MinHash band path (`minhash_lsh_candidates`) is the
-    right tool -- its candidate volume is bounded by BAND collisions,
-    which require shared shingles, not mere vocabulary overlap.
+    DEGENERACY GUARD (enforced): the k-cell pruning law assumes the
+    corpus has cosine structure to cluster. On a corpus where (nearly)
+    EVERYTHING is pairwise similar -- one shared vocabulary,
+    boilerplate-dominated text -- the hot cell holds most of the
+    corpus and cluster-then-verify degenerates toward all-pairs (that
+    is SemDeDup's contract, not this implementation's). Before the
+    verify join ever runs, one cheap per-cell count agg measures the
+    exact candidate volume against ``max_candidate_pairs``:
+
+      * ``on_over_budget='fallback'`` (default): switch to the MinHash
+        band path (`minhash_lsh_candidates` -> same survivor closure),
+        whose candidate volume is bounded by BAND collisions (shared
+        shingles, not mere vocabulary overlap). Same output schema.
+      * ``on_over_budget='raise'``: propagate
+        ``CandidatePairBudgetExceeded`` with the measured counts.
+
+    Either way the decision is ledgered into ``report`` (pass a dict):
+    ``{'path', 'candidate_pairs', 'budget', 'hottest_cell_n',
+    'hottest_cell_frac'}`` -- the drop/fallback ledger, never a
+    silent cap. ``max_candidate_pairs=None`` disables the guard
+    (explicitly accepting the OOM risk this guard exists to prevent).
     """
     import math
+    import warnings
 
     from xmidt_event_streams_spark.operators.ivf import kmeans_fit_portable
     from xmidt_event_streams_spark.operators.relevance import (
         tfidf_hashed_vectors,
     )
+    from xmidt_event_streams_spark.operators.similarity import (
+        CandidatePairBudgetExceeded,
+    )
+
+    if on_over_budget not in ("fallback", "raise"):
+        raise ValueError(
+            f"on_over_budget must be 'fallback' or 'raise', got {on_over_budget!r}"
+        )
 
     # Eager localCheckpoint, not persist: the candidate stage self-joins
     # the vector relation with the k x dim centroid literals expanded on
@@ -315,14 +348,64 @@ def lexical_semdedup(
         cents = kmeans_fit_portable(
             vecs, k, n_iters=n_iters, vec_col="embedding", id_col=id_col
         )
-        out = semdedup_survivors(
-            vecs,
-            cents,
-            threshold,
-            n_probe=n_probe,
-            id_col=id_col,
-            vec_col="embedding",
-        ).persist()
+        try:
+            out = semdedup_survivors(
+                vecs,
+                cents,
+                threshold,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col="embedding",
+                max_candidate_pairs=max_candidate_pairs,
+            ).persist()
+            if report is not None:
+                report.update({"path": "clustered", "budget": max_candidate_pairs})
+        except CandidatePairBudgetExceeded as exc:
+            ledger = {
+                "path": "minhash_fallback",
+                "candidate_pairs": exc.candidate_pairs,
+                "budget": exc.budget,
+                "hottest_cell_n": exc.hottest_cell_n,
+                "hottest_cell_frac": (
+                    exc.hottest_cell_n / exc.n_rows if exc.n_rows else 0.0
+                ),
+            }
+            if report is not None:
+                report.update(ledger)
+            if on_over_budget == "raise":
+                raise
+            warnings.warn(
+                f"lexical_semdedup: candidate budget exceeded ({exc.candidate_pairs}"
+                f" > {exc.budget}); falling back to the MinHash band path. {ledger}",
+                stacklevel=2,
+            )
+            from xmidt_event_streams_spark.functions.vectors import cosine_pairs
+            from xmidt_event_streams_spark.operators.dedup import (
+                minhash_lsh_candidates,
+            )
+
+            # Same threshold semantics, different candidate generator:
+            # band-collision pairs (bounded by shared shingles) are
+            # exact-verified against the SAME checkpointed tf-idf
+            # vectors and cosine threshold, then closed transitively.
+            cand = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col)
+            va = vecs.select(
+                F.col(id_col).alias("id_a"), F.col("embedding").alias("_va")
+            )
+            vb = vecs.select(
+                F.col(id_col).alias("id_b"), F.col("embedding").alias("_vb")
+            )
+            pairs = (
+                cand.join(va, "id_a")
+                .join(vb, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.round(cosine_pairs("_va", "_vb"), 6).alias("cos_sim"),
+                )
+                .filter(F.col("cos_sim") >= threshold)
+            )
+            out = dup_cluster_survivors(df, pairs, id_col=id_col).persist()
         # materialize the verdict (id, cluster, bool -- corpus-ID-
         # sized) before releasing the checkpointed vectors; the caller
         # unpersists the result when done (the connected_components

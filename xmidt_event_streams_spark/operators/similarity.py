@@ -38,6 +38,57 @@ from xmidt_event_streams_spark.functions.vectors import cosine_pairs, sign_bits
 _LSH_META_FILE = "_xes_lsh_index_meta.json"
 
 
+class CandidatePairBudgetExceeded(RuntimeError):
+    """Raised when cluster-then-verify would generate more candidate
+    pairs than the caller's declared budget — the bounded-error
+    alternative to an executor OOM on a corpus without cosine
+    structure (one hot cell holding most of the corpus makes the
+    verify join quadratic). Carries the measured numbers so callers
+    can ledger them or pick a different path (MinHash banding)."""
+
+    def __init__(
+        self,
+        candidate_pairs: int,
+        budget: int,
+        hottest_cell_n: int,
+        n_rows: int,
+    ) -> None:
+        self.candidate_pairs = candidate_pairs
+        self.budget = budget
+        self.hottest_cell_n = hottest_cell_n
+        self.n_rows = n_rows
+        frac = hottest_cell_n / n_rows if n_rows else 0.0
+        super().__init__(
+            f"cluster-then-verify would generate {candidate_pairs} candidate "
+            f"pairs (budget {budget}); hottest cell holds {hottest_cell_n} of "
+            f"{n_rows} assignments ({frac:.1%}) — the corpus lacks cosine "
+            "structure for k-cell pruning. Use the MinHash band path "
+            "(minhash_lsh_candidates) or raise max_candidate_pairs."
+        )
+
+
+def measure_candidate_pairs(cells: DataFrame) -> tuple[int, int, int]:
+    """One cheap hash-agg over the (id, cell) assignment relation:
+    returns (sum over cells of n*(n-1)/2, hottest-cell count, total
+    assignments). The pair sum is exactly the verify join's pre-
+    ``distinct`` candidate volume, so it is the number to budget —
+    computed BEFORE the join ever runs, for the cost of one count-by-
+    key agg (map-side partials, one scalar row to the driver)."""
+    row = (
+        cells.groupBy("cell")
+        .count()
+        .agg(
+            F.sum(
+                (F.col("count") * (F.col("count") - 1) / 2).cast("bigint")
+            ).alias("pairs"),
+            F.max("count").alias("hottest"),
+            F.sum("count").alias("total"),
+        )
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0), int(row["hottest"] or 0), int(row["total"] or 0)
+
+
 def deterministic_planes(n_planes: int, dim: int, seed: str = "xes") -> list[list[float]]:
     """Pseudo-random hyperplanes from md5(seed|plane|chunk): uniform
     in [-1, 1), reproducible everywhere, no RNG state."""
@@ -306,6 +357,7 @@ def clustered_near_dup_pairs(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic near-duplicate pairs: cluster-then-verify
     (the SemDeDup shape -- Abbas et al. 2023, arXiv:2303.09540:
@@ -328,6 +380,13 @@ def clustered_near_dup_pairs(
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded
     to 6dp, >= threshold.
+
+    ``max_candidate_pairs`` enforces the degeneracy guard: before the
+    verify join, one cheap per-cell count agg measures the exact
+    pre-distinct candidate volume; over budget raises
+    :class:`CandidatePairBudgetExceeded` (with the measured numbers)
+    instead of letting the join go quadratic and OOM an executor. The
+    extra cost is one count-by-key agg over the assignment relation.
     """
     from xmidt_event_streams_spark.functions.vectors import nearest_cells
 
@@ -336,6 +395,14 @@ def clustered_near_dup_pairs(
         F.col(vec_col),
         F.explode(nearest_cells(vec_col, centroids, n_probe)).alias("cell"),
     )
+    if max_candidate_pairs is not None:
+        n_pairs, hottest, total = measure_candidate_pairs(
+            cells.select(id_col, "cell")
+        )
+        if n_pairs > max_candidate_pairs:
+            raise CandidatePairBudgetExceeded(
+                n_pairs, max_candidate_pairs, hottest, total
+            )
     a = cells.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
     )
