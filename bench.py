@@ -158,7 +158,7 @@ def skew_bench(spark) -> dict:
 
 def ann_bench(spark) -> dict:
     """Sidecar metric: exact brute-force cosine top-k vs PQ/ADC
-    search over a deterministic 200k x 64-dim unit-vector corpus
+    search over a deterministic 2M x 64-dim unit-vector corpus
     (range()-generated like skew_bench -- no files, any SF).
 
     Reports the one-time index cost (codebook fit on a 10% sample +
@@ -182,7 +182,7 @@ def ann_bench(spark) -> dict:
         brute_force_topk,
     )
 
-    n, dim, m, k_codes, topk, n_queries = 200_000, 64, 16, 32, 10, 8
+    n, dim, m, k_codes, topk, n_queries = 2_000_000, 64, 8, 32, 10, 8
 
     # NB: no inline type hints -- this module's `from __future__
     # import annotations` stringifies them, breaking pandas_udf's
@@ -207,9 +207,20 @@ def ann_bench(spark) -> dict:
     ).limit(n_queries)
     qrows = [(int(r["vec_id"]), list(r["embedding"])) for r in queries.collect()]
 
-    t0 = time.perf_counter()
-    brute_rows = brute_force_topk(corpus, queries, k=topk).collect()
-    brute_sec = round(time.perf_counter() - t0, 3)
+    def _warm2(fn):
+        """min-of-2 warm measurement for the per-query SEARCH arms
+        (the recurring cost) -- the same warm protocol as the
+        headline queries; one-time fit/build costs stay single-pass."""
+        t0 = time.perf_counter()
+        rows = fn()
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rows = fn()
+        return rows, round(min(first, time.perf_counter() - t0), 3)
+
+    brute_rows, brute_sec = _warm2(
+        lambda: brute_force_topk(corpus, queries, k=topk).collect()
+    )
 
     t0 = time.perf_counter()
     cb = pq_fit(
@@ -221,9 +232,20 @@ def ann_bench(spark) -> dict:
     codes.count()
     encode_sec = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    pq_rows = pq_topk(codes, qrows, cb, topk + 1).collect()
-    pq_sec = round(time.perf_counter() - t0, 3)
+    pq_rows, pq_sec = _warm2(
+        lambda: pq_topk(codes, qrows, cb, topk + 1).collect()
+    )
+
+    # refine arm (Jegou et al. §V): ADC short-list of C=64 candidates
+    # re-scored with exact L2 against the raw vectors -- the standard
+    # recall fix; its cost is the candidate fetch + C*dim floats per
+    # query on top of the same compressed scan
+    rerank_c = 96
+    pq_rr_rows, pq_rr_sec = _warm2(
+        lambda: pq_topk(
+            codes, qrows, cb, topk + 1, rerank=rerank_c, vectors=corpus
+        ).collect()
+    )
 
     exact: dict = {}
     approx: dict = {}
@@ -234,6 +256,17 @@ def ann_bench(spark) -> dict:
     recall = round(
         sum(
             len(exact[q] & (approx[q] - {q})) / len(exact[q]) for q in exact
+        )
+        / len(exact),
+        3,
+    )
+    rr_approx: dict = {}
+    for r in pq_rr_rows:
+        rr_approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pq_rr_recall = round(
+        sum(
+            len(exact[q] & (rr_approx[q] - {q})) / len(exact[q])
+            for q in exact
         )
         / len(exact),
         3,
@@ -265,12 +298,24 @@ def ann_bench(spark) -> dict:
         t0 = time.perf_counter()
         write_ivfpq_index(corpus, ixdir, cents, cbs)
         ivfpq_build_sec = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        probe_df = probe_ivfpq_index(
-            spark, ixdir, qrows, topk, n_probe=n_probe
+        # rebuild the probe plan each pass: re-collecting one DataFrame
+        # object would reuse its shuffle stages and time ~nothing
+        ivfpq_rows, ivfpq_sec = _warm2(
+            lambda: probe_ivfpq_index(
+                spark, ixdir, qrows, topk, n_probe=n_probe
+            ).collect()
         )
-        ivfpq_rows = probe_df.collect()
-        ivfpq_sec = round(time.perf_counter() - t0, 3)
+        # executed (untimed) copy of the probe plan for the
+        # bytes-read measurement below -- AQE finalizes scan metrics
+        # only after execution
+        probe_df = probe_ivfpq_index(spark, ixdir, qrows, topk, n_probe=n_probe)
+        probe_df.collect()
+        ivfpq_rr_rows, ivfpq_rr_sec = _warm2(
+            lambda: probe_ivfpq_index(
+                spark, ixdir, qrows, topk, n_probe=n_probe,
+                rerank=rerank_c, vectors=corpus,
+            ).collect()
+        )
         # the quantity that scales: fraction of index bytes the pruned
         # probe actually read (locally the search is overhead-bound --
         # 200k rows of 16-int codes is nothing -- but at 100 TB this
@@ -299,6 +344,16 @@ def ann_bench(spark) -> dict:
         / len(exact),
         3,
     )
+    irr: dict = {}
+    for r in ivfpq_rr_rows:
+        irr.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivfpq_rr_recall = round(
+        sum(
+            len(exact[q] & irr.get(q, set())) / len(exact[q]) for q in exact
+        )
+        / len(exact),
+        3,
+    )
 
     corpus.unpersist()
     codes.unpersist()
@@ -313,6 +368,10 @@ def ann_bench(spark) -> dict:
         "pq_search_sec": pq_sec,
         "speedup_search": round(brute_sec / pq_sec, 2),
         "recall_at_10": recall,
+        "rerank_c": rerank_c,
+        "pq_rerank_search_sec": pq_rr_sec,
+        "pq_rerank_speedup_search": round(brute_sec / pq_rr_sec, 2),
+        "pq_rerank_recall_at_10": pq_rr_recall,
         "ivfpq_n_cells": n_cells,
         "ivfpq_n_probe": n_probe,
         "ivfpq_fit_sec": ivfpq_fit_sec,
@@ -324,6 +383,9 @@ def ann_bench(spark) -> dict:
         "ivfpq_index_bytes_read_frac": bytes_frac,
         "ivfpq_per_query_cell_frac": round(n_probe / n_cells, 3),
         "ivfpq_recall_at_10": ivfpq_recall,
+        "ivfpq_rerank_search_sec": ivfpq_rr_sec,
+        "ivfpq_rerank_speedup_search": round(brute_sec / ivfpq_rr_sec, 2),
+        "ivfpq_rerank_recall_at_10": ivfpq_rr_recall,
     }
 
 

@@ -149,6 +149,9 @@ def probe_ivfpq_index(
     n_probe: int = 2,
     centroids: list[list[float]] | None = None,
     codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k against a materialized IVF-PQ index.
 
@@ -161,6 +164,13 @@ def probe_ivfpq_index(
     exactly the queries that probed its cell. Self-matches
     (vec_id == query_id) are excluded, matching the IVF family.
     Output: query_id, vec_id, adc_dist (ascending = nearest), rank.
+
+    ``rerank=C`` adds the refine stage (pq.exact_rerank_l2): the
+    residual-ADC scan short-lists C candidates per query, exact-re-
+    scored against the caller-supplied raw ``vectors`` relation; the
+    output gains ``exact_dist`` and re-ranks by it. This is how a
+    production IVF-PQ recovers the recall that residual quantization
+    costs, for C*dim floats per query.
     """
     meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
     if meta is None:
@@ -234,13 +244,25 @@ def probe_ivfpq_index(
         .filter(F.col("codes").isNotNull())
         .mapInPandas(_score, out_schema)
     )
+    n_short = k_neighbors if rerank is None else max(rerank, k_neighbors)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
-    return (
+    adc_top = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
+        .filter(F.col("rank") <= n_short)
         .select(
             "query_id", id_col, F.round("adc_dist", 6).alias("adc_dist"), "rank"
         )
+    )
+    if rerank is None:
+        return adc_top
+    if vectors is None:
+        raise ValueError(
+            "rerank requires the raw-vector relation (vectors=) to re-score"
+        )
+    from xmidt_event_streams_spark.operators.pq import exact_rerank_l2
+
+    return exact_rerank_l2(
+        adc_top, vectors, queries, k_neighbors, id_col=id_col, vec_col=vec_col
     )

@@ -168,6 +168,131 @@ def pq_fit(
     return cb.tolist()
 
 
+# Above this many candidate-set floats (C * n_queries * dim) the
+# refine switches from the driver-side numpy path to the distributed
+# join path. 4M doubles = 32 MB -- the same order as a broadcast
+# threshold, which is exactly the regime boundary it marks.
+_DRIVER_REFINE_MAX_FLOATS = 4_000_000
+
+
+def exact_rerank_l2(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k_neighbors: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refine stage (Jegou et al. TPAMI 2011 §V: re-rank the
+    short-list with exact distances): given the ADC top-C candidate
+    relation (query_id, id, adc_dist), fetch those C*n_queries exact
+    vectors and re-score them with true squared L2, returning the
+    exact-ranked top ``k_neighbors``. This is the standard, cheap fix
+    for ADC's quantization error: recall@k becomes recall@C of the
+    compressed scan (C >> k), at the cost of C*dim floats per query.
+
+    Scale shape: the candidate relation is tiny by construction
+    (C x n_queries rows -- queries are small-by-contract, like the
+    rest of the probe family), so it is collected once and its id set
+    becomes a PLAN-TIME IN-list on the vector scan: parquet row-group
+    stats prune everything else, so the fetch reads ~C*n_queries rows
+    of (id, vec), not the corpus (same static-pruning argument as
+    probe_ivf_index -- on a sorted/bucketed-by-id vector store this
+    is a point-lookup scan; the corpus never shuffles).
+
+    Two re-score paths, switched on candidate-set volume:
+
+      * <= ~32 MB of candidate vectors (the common probe: tens of
+        queries x C in the hundreds): the fetched vectors come back
+        to the driver and the C*k re-score is one numpy pass -- the
+        same posture as the LUTs, which are already driver-built.
+        One Spark job total (the pruned fetch).
+      * above that (bulk query batches): distributed -- broadcast the
+        candidate relation against the pruned fetch, exact L2 as pure
+        JVM zip_with/aggregate, one rank window on (query_id).
+
+    Both paths return the same relation: query_id, id, adc_dist,
+    exact_dist, rank (ascending exact_dist = nearest; ties to the
+    lower id)."""
+    spark = candidates.sparkSession
+    dim = len(queries[0][1]) if queries else 0
+    cand_rows = candidates.select("query_id", id_col, "adc_dist").collect()
+    cand_ids = sorted({r[id_col] for r in cand_rows})
+    fetched = vectors.filter(F.col(id_col).isin(cand_ids)).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
+    )
+
+    if len(cand_rows) * dim <= _DRIVER_REFINE_MAX_FLOATS:
+        vmap = {
+            r[id_col]: np.asarray(r["_cvec"], dtype=np.float64)
+            for r in fetched.collect()
+        }
+        qmap = {
+            int(qid): np.asarray(qv, dtype=np.float64) for qid, qv in queries
+        }
+        per_q: dict[int, list] = {}
+        for r in cand_rows:
+            v = vmap.get(r[id_col])
+            if v is None:  # candidate without a stored vector: skip
+                continue
+            d = float(((v - qmap[int(r["query_id"])]) ** 2).sum())
+            per_q.setdefault(int(r["query_id"]), []).append(
+                (round(d, 6), int(r[id_col]), float(r["adc_dist"]))
+            )
+        out = []
+        for qid in sorted(per_q):
+            ranked = sorted(per_q[qid])[:k_neighbors]
+            out.extend(
+                (qid, cid, adc, d, rk + 1)
+                for rk, (d, cid, adc) in enumerate(ranked)
+            )
+        return spark.createDataFrame(
+            out,
+            f"query_id long, {id_col} long, adc_dist double, "
+            "exact_dist double, rank int",
+        )
+
+    cand = spark.createDataFrame(
+        [(r["query_id"], r[id_col], r["adc_dist"]) for r in cand_rows],
+        f"query_id long, {id_col} long, adc_dist double",
+    )
+    exact = (
+        fetched.join(F.broadcast(cand), id_col)
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(int(q), [float(x) for x in v]) for q, v in queries],
+                    "query_id long, _qvec array<double>",
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col(id_col),
+            "adc_dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with("_cvec", "_qvec", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("exact_dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", id_col, "adc_dist", "exact_dist", "rank")
+    )
+
+
 def pq_topk(
     corpus_codes: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -175,6 +300,9 @@ def pq_topk(
     k_neighbors: int = 10,
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k in the compressed domain.
 
@@ -184,7 +312,13 @@ def pq_topk(
     query) are numpy-built here and closure-broadcast; the corpus
     codes scan emits (query_id, vec_id, approx_dist) without
     shuffling, then one rank window takes the top k per query.
-    Output: query_id, vec_id, adc_dist (ascending = nearest)."""
+    Output: query_id, vec_id, adc_dist (ascending = nearest).
+
+    ``rerank=C`` adds the refine stage (exact_rerank_l2): the ADC
+    scan short-lists C >> k candidates, which are exact-re-scored
+    against ``vectors`` (the raw (id, vec) relation -- required) and
+    the output gains an ``exact_dist`` column, ranked by it. Use when
+    the codebook resolution alone leaves recall short."""
     cb = _as_codebooks(codebooks)
     m, kcb, dsub = cb.shape
     luts = []
@@ -228,13 +362,23 @@ def pq_topk(
     )
     from pyspark.sql import Window
 
+    n_short = k_neighbors if rerank is None else max(rerank, k_neighbors)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
-    return (
+    adc_top = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
+        .filter(F.col("rank") <= n_short)
         .select("query_id", id_col, F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )
+    if rerank is None:
+        return adc_top
+    if vectors is None:
+        raise ValueError(
+            "rerank requires the raw-vector relation (vectors=) to re-score"
+        )
+    return exact_rerank_l2(
+        adc_top, vectors, queries, k_neighbors, id_col=id_col, vec_col=vec_col
     )
 
 
@@ -281,11 +425,17 @@ def probe_pq_index(
     queries: list[tuple[int, list[float]]],
     k_neighbors: int = 10,
     codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k against a materialized PQ index. ``codebooks=None``
     loads the stamped set; a supplied set must match the sidecar
     (mismatch raises -- distances under foreign codebooks are
-    garbage, loudly refused like every other index in this package)."""
+    garbage, loudly refused like every other index in this package).
+    ``rerank=C`` adds the refine stage -- the index stores only codes,
+    so the caller supplies the raw-vector relation via ``vectors``
+    (see pq_topk / exact_rerank_l2)."""
     from xmidt_event_streams_spark.fsutil import read_json_sidecar
 
     meta = read_json_sidecar(spark, path, _PQ_META_FILE)
@@ -307,4 +457,7 @@ def probe_pq_index(
         codebooks,
         k_neighbors,
         id_col=meta["id_col"],
+        rerank=rerank,
+        vectors=vectors,
+        vec_col=vec_col,
     )
