@@ -734,3 +734,38 @@ def test_streaming_gate_from_loaded_artifact(spark, tmp_path, planted):
         for r in spark.read.parquet(str(tmp_path / "rej")).collect()
     }
     assert kept == {1} and rej == {2: "lm_perplexity"}
+
+
+def test_gate_report_calibrates_dsir_gate(spark, labeled):
+    """The third learned gate ships the same pre-deployment evidence
+    as LM/NB: gate_report over dsir_quality_gate on planted target
+    (label=True) vs off-target docs. The model is fit labeled
+    (target = the True slice), so in-distribution docs carry positive
+    log-weights and gibberish negative; a 0.0 floor separates them."""
+    from xmidt_event_streams_spark.operators.classifier import gate_report
+    from xmidt_event_streams_spark.operators.dsir import (
+        dsir_fit_labeled,
+        dsir_log_weights,
+        dsir_quality_gate,
+    )
+
+    model = dsir_fit_labeled(labeled, "label", dim=512)
+    # calibration pass: pick the floor from the scored distribution
+    # (the documented batch-calibration workflow), then report
+    scored = dsir_log_weights(labeled, model).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    mins = {
+        r["label"]: (r["lo"], r["hi"])
+        for r in scored.groupBy("label")
+        .agg(F.min("log_w").alias("lo"), F.max("log_w").alias("hi"))
+        .collect()
+    }
+    # planted separation: every target doc above every off-target doc
+    assert mins[True][0] > mins[False][1]
+    floor = (mins[True][0] + mins[False][1]) / 2
+    rep = gate_report(dsir_quality_gate(model, min_log_w=floor), labeled)
+    assert rep["tp"] == 40 and rep["tn"] == 40
+    assert rep["fp"] == 0 and rep["fn"] == 0
+    assert rep["precision"] == 1.0 and rep["recall"] == 1.0
+    assert rep["keep_rate"] == 0.5

@@ -102,3 +102,95 @@ def test_ivf_drift_target_reports_verdict(spark, tmp_path):
     # read-only: a second check still sees the same baseline
     report2 = run_maintenance(spark, ivf_indexes=(str(idx),))
     assert report2[str(idx)]["psi"] == entry["psi"]
+
+
+def _fake_checkpoint(tmp_path, name, *, offsets=(), commits=()):
+    """Fabricate a structured-streaming checkpoint layout: the guard
+    reads only file mtimes under offsets/ and commits/."""
+    import os
+
+    ckpt = tmp_path / name
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "commits").mkdir(parents=True)
+    for n, age_sec in offsets:
+        p = ckpt / "offsets" / str(n)
+        p.write_text("{}")
+        os.utime(p, times=(p.stat().st_atime, p.stat().st_mtime - age_sec))
+    for n, age_sec in commits:
+        p = ckpt / "commits" / str(n)
+        p.write_text("{}")
+        os.utime(p, times=(p.stat().st_atime, p.stat().st_mtime - age_sec))
+    return str(ckpt)
+
+
+def test_guard_refuses_recent_commit(spark, tmp_path):
+    """A commit inside the quiesce window means the stream was writing
+    moments ago: the whole window refuses before compacting anything."""
+    import pytest
+
+    from xmidt_event_streams_spark.maintenance import WriterActiveError
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        idempotent_batch_append,
+    )
+
+    sink = str(tmp_path / "sink")
+    idempotent_batch_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), 0, sink
+    )
+    ckpt = _fake_checkpoint(
+        tmp_path, "ckpt", offsets=((0, 5),), commits=((0, 5),)
+    )
+    with pytest.raises(WriterActiveError, match="quiesce"):
+        run_maintenance(
+            spark, ingest_sinks=(sink,), checkpoints={sink: ckpt}
+        )
+    # force=True overrides; the compactor then runs normally
+    report = run_maintenance(
+        spark, ingest_sinks=(sink,), checkpoints={sink: ckpt}, force=True
+    )
+    assert report[sink]["kind"] == "ingest_sink"
+    assert "error" not in report[sink]
+
+
+def test_guard_refuses_inflight_batch(spark, tmp_path):
+    """offsets/<n> newer than the newest commit == a batch mid-flight:
+    refused regardless of age or quiesce window."""
+    import pytest
+
+    from xmidt_event_streams_spark.maintenance import WriterActiveError
+
+    sink = str(tmp_path / "sink2")
+    ckpt = _fake_checkpoint(
+        tmp_path, "ckpt2", offsets=((0, 9000), (1, 7000)), commits=((0, 9000),)
+    )
+    with pytest.raises(WriterActiveError, match="in-flight"):
+        run_maintenance(
+            spark,
+            ingest_sinks=(sink,),
+            checkpoints={sink: ckpt},
+            writer_quiesce_sec=0,
+        )
+
+
+def test_guard_allows_quiesced_and_unstarted(spark, tmp_path):
+    """Old commits beyond the quiesce window pass; so does a
+    checkpoint that never started; unguarded targets are untouched
+    by the checkpoints of other paths."""
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        idempotent_batch_append,
+    )
+
+    sink = str(tmp_path / "sink3")
+    idempotent_batch_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), 0, sink
+    )
+    quiesced = _fake_checkpoint(
+        tmp_path, "ckpt3", offsets=((0, 9000),), commits=((0, 9000),)
+    )
+    never_started = str(tmp_path / "ckpt4")  # no dirs at all
+    report = run_maintenance(
+        spark,
+        ingest_sinks=(sink,),
+        checkpoints={sink: quiesced, str(tmp_path / "other"): never_started},
+    )
+    assert "error" not in report[sink]

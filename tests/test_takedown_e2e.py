@@ -1,0 +1,167 @@
+"""Right-to-be-forgotten, end to end: one id driven through every
+place a document lives — the keyed corpus table (tombstone MERGE),
+the materialized MinHash index (tombstone compaction), and the
+exported training shards (re-export from the post-takedown corpus) —
+asserting it is GONE everywhere while everything untouched is
+byte-identical.
+
+The pieces each have their own tests (test_upsert / test_ingest_dedup
+/ test_traindata); this is the composed flow a takedown request
+actually runs, the shape of the reference's integration suite
+(integrationTests/integration_test.go:226-236: drive one event
+through, assert the observable end state everywhere)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.incremental import (
+    compact_minhash_index,
+    incremental_dedup_candidates,
+    write_minhash_index,
+)
+from xmidt_event_streams_spark.operators.traindata import (
+    write_training_shards,
+)
+from xmidt_event_streams_spark.operators.upsert import (
+    DELETED_COL,
+    merge_upsert,
+    read_keyed_table,
+    write_keyed_table,
+)
+
+TARGET = 7
+
+
+def _corpus_rows():
+    return [
+        (i, f"document {i} discusses topic {i % 5} with unique terms "
+            f"alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(40)
+    ]
+
+
+def _shard_rows(spark, path):
+    return sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("doc_id", "text", "split", "shard")
+        .collect()
+    )
+
+
+def test_takedown_single_id_end_to_end(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    shards_a = str(tmp_path / "shards_a")
+    shards_b = str(tmp_path / "shards_b")
+
+    df = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    write_keyed_table(df, corpus_path, "doc_id")
+    write_minhash_index(read_keyed_table(spark, corpus_path), index_path)
+    with_tokens = read_keyed_table(spark, corpus_path).withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    write_training_shards(
+        with_tokens, shards_a, token_col="n_tokens", n_shards=4
+    )
+
+    # -- pre-takedown observability: the id is visible everywhere
+    probe = spark.createDataFrame(
+        [
+            (999, _corpus_rows()[TARGET][1]),   # near-copy of the target
+            (998, _corpus_rows()[12][1]),       # near-copy of a bystander
+        ],
+        "doc_id long, text string",
+    )
+    pre_hits = {
+        (r["new_id"], r["dup_id"])
+        for r in incremental_dedup_candidates(
+            spark, index_path, probe
+        ).collect()
+    }
+    assert (999, TARGET) in pre_hits and (998, 12) in pre_hits
+    pre_corpus = {
+        r["doc_id"]: r["text"]
+        for r in read_keyed_table(spark, corpus_path).collect()
+    }
+    assert TARGET in pre_corpus
+    pre_shards = _shard_rows(spark, shards_a)
+    assert any(r[0] == TARGET for r in pre_shards)
+
+    # -- the takedown flow
+    tomb = spark.createDataFrame(
+        [(TARGET, None, True)],
+        f"doc_id long, text string, {DELETED_COL} boolean",
+    )
+    stats = merge_upsert(spark, corpus_path, tomb)
+    assert stats["deletes"] == 1
+    report = compact_minhash_index(spark, index_path, tombstones=[TARGET])
+    assert report["rows_after"] < report["rows_before"]
+    post_corpus_df = read_keyed_table(spark, corpus_path)
+    write_training_shards(
+        post_corpus_df.withColumn(
+            "n_tokens", F.size(F.split("text", " "))
+        ),
+        shards_b,
+        token_col="n_tokens",
+        n_shards=4,
+    )
+
+    # -- gone from corpus reads; survivors byte-identical
+    post_corpus = {
+        r["doc_id"]: r["text"] for r in post_corpus_df.collect()
+    }
+    assert TARGET not in post_corpus
+    assert post_corpus == {
+        k: v for k, v in pre_corpus.items() if k != TARGET
+    }
+
+    # -- gone from index probes; bystander candidates unchanged
+    post_hits = {
+        (r["new_id"], r["dup_id"])
+        for r in incremental_dedup_candidates(
+            spark, index_path, probe
+        ).collect()
+    }
+    assert all(dup != TARGET for _, dup in post_hits)
+    # probe pairs among the new batch itself may appear on both runs;
+    # compare only index-side hits
+    assert {p for p in pre_hits if p[1] not in (TARGET, 998, 999)} == {
+        p for p in post_hits if p[1] not in (998, 999)
+    }
+
+    # -- gone from exported shards; surviving rows identical, with
+    # identical (split, shard) assignment (pure row-hash: a takedown
+    # cannot reshuffle anyone else's placement)
+    post_shards = _shard_rows(spark, shards_b)
+    assert all(r[0] != TARGET for r in post_shards)
+    assert post_shards == [r for r in pre_shards if r[0] != TARGET]
+
+
+def test_takedown_is_idempotent(spark, tmp_path):
+    """Replaying the same takedown (retry after a partial failure)
+    changes nothing further — every stage tolerates the replay."""
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+
+    df = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    write_keyed_table(df, corpus_path, "doc_id")
+    write_minhash_index(df, index_path)
+
+    tomb = spark.createDataFrame(
+        [(TARGET, None, True)],
+        f"doc_id long, text string, {DELETED_COL} boolean",
+    )
+    merge_upsert(spark, corpus_path, tomb)
+    compact_minhash_index(spark, index_path, tombstones=[TARGET])
+    snap_corpus = sorted(
+        tuple(r) for r in read_keyed_table(spark, corpus_path).collect()
+    )
+    first = compact_minhash_index(spark, index_path, tombstones=[TARGET])
+    merge_upsert(spark, corpus_path, tomb)  # replay both stages
+    second = compact_minhash_index(spark, index_path, tombstones=[TARGET])
+    assert sorted(
+        tuple(r) for r in read_keyed_table(spark, corpus_path).collect()
+    ) == snap_corpus
+    assert second["rows_after"] == first["rows_after"]

@@ -194,17 +194,22 @@ def build_training_corpus(
     if lm_model is not None:
         if lm_max_ppl is None:
             raise ValueError("lm_model requires lm_max_ppl")
-        from xmidt_event_streams_spark.operators.lm import perplexity_filter
+        from xmidt_event_streams_spark.operators.lm import lm_perplexity
 
         before = kept.count()
-        kept_scored, _ = perplexity_filter(
-            kept, lm_model, lm_max_ppl, text_col, id_col
+        # semi-join on the passing ids (internal score relation, never
+        # merged into the corpus schema): a corpus that carries its own
+        # 'ppl'/'n_bigrams' columns passes through untouched
+        passing_ids = (
+            lm_perplexity(kept, lm_model, text_col, id_col)
+            .filter(F.col("ppl") <= F.lit(lm_max_ppl))
+            .select(id_col)
         )
         # each gate stage persists its survivors: the ledger's count
         # action populates the cache, so the NEXT stage (and the final
         # write) builds on materialized rows instead of re-executing
         # every prior gate's model joins per downstream action
-        kept = kept_scored.drop("n_bigrams", "ppl").persist()
+        kept = kept.join(passing_ids, id_col).persist()
         _persisted.append(kept)
         ledger["lm_dropped"] = before - kept.count()
     else:

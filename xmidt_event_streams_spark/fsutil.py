@@ -87,6 +87,41 @@ def check_sidecar_params(
     return meta
 
 
+def has_data_files(
+    spark: SparkSession, path_str: str, suffix: str = ".parquet"
+) -> bool:
+    """True when at least one ``suffix`` data file exists under
+    ``path_str`` (recursive -- partitioned layouts count). Used by
+    read-only checks to distinguish 'nothing written yet' (a benign,
+    explicit verdict) from real read failures (corrupt files, denied
+    permissions), which must propagate."""
+    fs, hpath, _ = hadoop_fs(spark, path_str)
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            return True
+    return False
+
+
+def latest_file_mtime_ms(spark: SparkSession, dir_path: str) -> int | None:
+    """Newest modification time (epoch ms) of any file directly under
+    ``dir_path``, or None when the directory is absent/empty. Flat
+    listing -- the intended targets are structured-streaming
+    checkpoint subdirs (``offsets/``, ``commits/``), which are flat
+    by construction."""
+    fs, hpath, _ = hadoop_fs(spark, dir_path)
+    if not fs.exists(hpath):
+        return None
+    newest = None
+    for st in fs.listStatus(hpath):
+        if st.isFile():
+            t = st.getModificationTime()
+            newest = t if newest is None else max(newest, t)
+    return newest
+
+
 def delete_path(spark: SparkSession, path_str: str) -> bool:
     """Recursive delete through the Hadoop FileSystem API (works on
     file:/hdfs:/s3a: -- the same portability contract as the

@@ -8,14 +8,65 @@ schedule ONE maintenance window, so this module gives them one call
 with one report.
 
 Every underlying compactor is single-writer: run while the streams
-writing these paths are STOPPED (checkpoint committed). Each target
-is independent -- a failure on one is recorded in the report and the
-rest still run; the report is the ledger (log it, alert on "error").
+writing these paths are STOPPED (checkpoint committed). That contract
+is ENFORCED, not just documented: pass ``checkpoints`` mapping each
+write-target path to the checkpoint dir of the stream that writes it,
+and the window refuses (``WriterActiveError``) to compact any target
+whose checkpoint shows an in-flight batch (newest offset newer than
+newest commit) or a commit younger than ``writer_quiesce_sec`` --
+``force=True`` overrides for operators who know the stream is down.
+Each target is independent -- a failure on one is recorded in the
+report and the rest still run; the report is the ledger (log it,
+alert on "error").
 """
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import SparkSession
+
+from xmidt_event_streams_spark.fsutil import latest_file_mtime_ms
+
+
+class WriterActiveError(RuntimeError):
+    """A maintenance target's writing stream looks live (in-flight
+    batch, or a commit inside the quiesce window): compacting now
+    would race the stream's appends. Stop the stream (or wait out the
+    quiesce window), or pass force=True."""
+
+
+def assert_writer_quiesced(
+    spark: SparkSession,
+    target: str,
+    checkpoint_dir: str,
+    quiesce_sec: int = 300,
+) -> None:
+    """Refuse unless the checkpoint at ``checkpoint_dir`` shows a
+    fully-committed, quiesced stream. Structured Streaming writes
+    ``offsets/<n>`` at batch START and ``commits/<n>`` at batch END,
+    so newest(offsets) > newest(commits) == a batch mid-flight; a
+    newest commit younger than ``quiesce_sec`` == the stream was
+    writing moments ago and is likely still running. Two flat
+    Hadoop-FS listings; no data files touched."""
+    base = checkpoint_dir.rstrip("/")
+    off = latest_file_mtime_ms(spark, base + "/offsets")
+    com = latest_file_mtime_ms(spark, base + "/commits")
+    if off is None and com is None:
+        return  # never started: nothing can race
+    if com is None or (off is not None and off > com):
+        raise WriterActiveError(
+            f"target {target}: checkpoint {checkpoint_dir} shows an "
+            "in-flight batch (offset written, commit missing) -- a "
+            "stream is writing this path now"
+        )
+    age = time.time() - com / 1000.0
+    if age < quiesce_sec:
+        raise WriterActiveError(
+            f"target {target}: checkpoint {checkpoint_dir} committed a "
+            f"batch {age:.0f}s ago (< quiesce window {quiesce_sec}s) -- "
+            "stop the stream or wait before compacting"
+        )
 
 
 def run_maintenance(
@@ -27,6 +78,9 @@ def run_maintenance(
     kmv_baselines: tuple[tuple[str, str], ...] = (),
     tombstones: dict[str, list] | None = None,
     batches_per_partition: int = 1_000,
+    checkpoints: dict[str, str] | None = None,
+    force: bool = False,
+    writer_quiesce_sec: int = 300,
 ) -> dict:
     """Run the maintenance window across targets.
 
@@ -47,6 +101,15 @@ def run_maintenance(
     stable/drifting/shifted verdict (keyed by sketch_path in the
     report).
 
+    ``checkpoints`` maps write-target paths (sinks/indexes/rollups)
+    to the checkpoint dirs of the streams that write them; guarded
+    targets are checked with :func:`assert_writer_quiesced` BEFORE
+    anything is compacted, and a live writer raises
+    :class:`WriterActiveError` for the whole window (a mis-scheduled
+    window is an operator error -- fail loudly, don't half-run).
+    ``force=True`` skips the guard. Read-only checks (ivf/kmv drift)
+    are never guarded.
+
     Returns {target_path: {"kind": ..., **compactor_report}} with
     {"kind", "error"} for targets whose compactor raised.
     """
@@ -59,6 +122,16 @@ def run_maintenance(
         compact_ingest_sink,
     )
     from xmidt_event_streams_spark.streaming.rollup import compact_rollup
+
+    if checkpoints and not force:
+        write_targets = set(ingest_sinks) | set(minhash_indexes) | {
+            p for p, _, _ in rollups
+        }
+        for target, ckpt in checkpoints.items():
+            if target in write_targets:
+                assert_writer_quiesced(
+                    spark, target, ckpt, writer_quiesce_sec
+                )
 
     report: dict = {}
 

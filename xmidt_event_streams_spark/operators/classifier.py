@@ -269,8 +269,13 @@ def logreg_fit(
         g = [0.0] * (dim + 1)
         for r in grad_rows:
             g[r["idx"]] = r["g"] / n_docs
+        # L2 decays the FEATURE weights only: shrinking the intercept
+        # (idx = dim) toward 0 would bias predicted probabilities on
+        # class-imbalanced training sets (the bias exists to absorb
+        # the base rate, not to be regularized away).
         w = [
-            wi - lr * (gi + l2 * wi) for wi, gi in zip(w, g)
+            wi - lr * (gi + (l2 * wi if i < dim else 0.0))
+            for i, (wi, gi) in enumerate(zip(w, g))
         ]
     return w, losses
 

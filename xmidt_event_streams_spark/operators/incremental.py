@@ -521,17 +521,29 @@ def decontaminate_near_dups(
         shingle_n,
         broadcast_reference,
     ).filter(F.col("agreement") >= F.lit(min_agreement))
-    verdicts = cands.groupBy("corpus_id").agg(
-        F.min("ref_id").alias("contaminated_by"),
-        F.max("agreement").alias("agreement"),
+    # Underscore-prefixed internal names for the join-side columns: a
+    # corpus that itself carries 'corpus_id' / 'contaminated_by' /
+    # 'agreement' must neither hit ambiguous-column errors nor have
+    # its own column silently dropped. The ledger names appear only
+    # on the returned `dropped` frame.
+    verdicts = (
+        cands.groupBy("corpus_id")
+        .agg(
+            F.min("ref_id").alias("_xes_contaminated_by"),
+            F.max("agreement").alias("_xes_agreement"),
+        )
+        .withColumnRenamed("corpus_id", "_xes_corpus_id")
     )
     marked = corpus.join(
-        verdicts, F.col(id_col) == F.col("corpus_id"), "left"
+        verdicts, F.col(id_col) == F.col("_xes_corpus_id"), "left"
     )
-    kept = marked.filter(F.col("contaminated_by").isNull()).drop(
-        "corpus_id", "contaminated_by", "agreement"
+    kept = marked.filter(F.col("_xes_contaminated_by").isNull()).drop(
+        "_xes_corpus_id", "_xes_contaminated_by", "_xes_agreement"
     )
-    dropped = marked.filter(F.col("contaminated_by").isNotNull()).drop(
-        "corpus_id"
+    dropped = (
+        marked.filter(F.col("_xes_contaminated_by").isNotNull())
+        .drop("_xes_corpus_id")
+        .withColumnRenamed("_xes_contaminated_by", "contaminated_by")
+        .withColumnRenamed("_xes_agreement", "agreement")
     )
     return kept, dropped

@@ -458,18 +458,14 @@ def ivf_occupancy_drift(spark, path: str) -> dict:
             "hottest_cell": None,
             "hottest_frac": None,
         }
-    try:
-        cur = {
-            r["cell"]: r["n"]
-            for r in spark.read.parquet(path)
-            .groupBy("cell")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-    except Exception:
+    from xmidt_event_streams_spark.fsutil import has_data_files
+
+    if not has_data_files(spark, path):
         # zero data files (stamped but never appended): nothing to
-        # compare -- same explicit verdict, no crash in a read-only
-        # maintenance check
+        # compare -- explicit verdict. ONLY this case is benign: any
+        # other read failure (corrupt files, permissions, schema
+        # drift) propagates into run_maintenance's per-target error
+        # report instead of masquerading as 'no_baseline'.
         return {
             "psi": None,
             "verdict": "no_baseline",
@@ -478,6 +474,13 @@ def ivf_occupancy_drift(spark, path: str) -> dict:
             "hottest_cell": None,
             "hottest_frac": None,
         }
+    cur = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     cells = range(len(meta["centroids"]))
     nb = sum(base.values()) + len(meta["centroids"])
     nc = sum(cur.values()) + len(meta["centroids"])

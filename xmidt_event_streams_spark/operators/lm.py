@@ -319,15 +319,28 @@ def lm_quality_gate(
     shape holds per micro-batch."""
 
     def gate(batch: DataFrame):
-        keep, drop = perplexity_filter(
-            batch, lm, max_ppl, text_col, id_col, broadcast_lm
-        )
-        return (
-            keep.drop("n_bigrams", "ppl"),
-            drop.drop("n_bigrams", "ppl").withColumn(
-                "reject_reason", F.lit("lm_perplexity")
+        # internal underscore-prefixed score column: the gate protocol
+        # takes arbitrary batches, so one that already carries 'ppl'
+        # or 'n_bigrams' must neither collide nor lose its own column
+        # when the score is dropped after the split
+        scored = batch.join(
+            lm_perplexity(batch, lm, text_col, id_col, broadcast_lm).select(
+                id_col, F.col("ppl").alias("_xes_ppl")
             ),
+            [id_col],
         )
+        keep = scored.filter(F.col("_xes_ppl") <= F.lit(max_ppl)).drop(
+            "_xes_ppl"
+        )
+        drop = (
+            scored.filter(
+                F.col("_xes_ppl").isNull()
+                | (F.col("_xes_ppl") > F.lit(max_ppl))
+            )
+            .drop("_xes_ppl")
+            .withColumn("reject_reason", F.lit("lm_perplexity"))
+        )
+        return keep, drop
 
     return gate
 
