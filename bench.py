@@ -63,6 +63,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     skew = skew_bench(spark)
     ann = ann_bench(spark)
+    curation = curation_bench(spark)
     stream = stream_bench(spark)
     print(
         json.dumps(
@@ -77,6 +78,7 @@ def main() -> None:
                 "sf": sf,
                 "skew": skew,
                 "ann": ann,
+                "curation": curation,
                 "stream": stream,
             }
         )
@@ -386,6 +388,78 @@ def ann_bench(spark) -> dict:
         "ivfpq_rerank_search_sec": ivfpq_rr_sec,
         "ivfpq_rerank_speedup_search": round(brute_sec / ivfpq_rr_sec, 2),
         "ivfpq_rerank_recall_at_10": ivfpq_rr_recall,
+    }
+
+
+def curation_bench(spark) -> dict:
+    """Sidecar metric: the composite curation pipeline -- the
+    LLM-data path that is now more than half the engine -- as ONE
+    build_training_corpus run over $SPARK_GRAFT_SF_DIR's documents
+    table: line-level dedup -> gopher gate (C4's sentence rules
+    reject the synthetic corpus wholesale, so the gopher arm is the
+    realistic one here) -> LM-perplexity ceiling -> NB floor -> DSIR
+    selection -> exact + near dedup -> sharded write.
+
+    Reports the one-time model fits separately (fit-once /
+    score-everywhere, like the ANN index costs) and the ledger's
+    per-stage wall clock, so a regression in ANY curation stage is
+    machine-tracked round over round instead of living in PLANS.md
+    prose. Thresholds are permissive on purpose: the bench measures
+    stage COST at realistic volumes, and a gate that sheds everything
+    would starve every downstream stage of work."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.corpus import build_training_corpus
+    from xmidt_event_streams_spark.operators.classifier import nb_fit
+    from xmidt_event_streams_spark.operators.dsir import dsir_fit_labeled
+    from xmidt_event_streams_spark.operators.lm import ngram_lm_fit
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    n_docs = docs.count()
+    labeled = docs.withColumn("label", F.col("lang") == "en")
+
+    t0 = time.perf_counter()
+    lm = ngram_lm_fit(labeled.filter("label"))
+    nb = nb_fit(labeled, label_col="label")
+    dsir = dsir_fit_labeled(labeled, "label", dim=2048)
+    fit_sec = round(time.perf_counter() - t0, 3)
+
+    outdir = tempfile.mkdtemp(prefix="xes-curation-bench-")
+    try:
+        t0 = time.perf_counter()
+        ledger = build_training_corpus(
+            docs,
+            outdir + "/corpus",
+            quality="gopher",
+            dedup="both",
+            line_level_dedup=True,
+            lm_model=lm,
+            lm_max_ppl=1e9,
+            nb_model=nb,
+            nb_min_score=-1e9,
+            dsir_model=dsir,
+            dsir_fraction=0.8,
+            n_shards=8,
+        )
+        total = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+        docs.unpersist()
+    return {
+        "docs": n_docs,
+        "fit_sec": fit_sec,
+        "curation_total_sec": total,
+        "per_stage": ledger["stage_sec"],
+        "written": ledger["written"],
+        "dropped": {
+            k: (sum(v.values()) if isinstance(v, dict) else v)
+            for k, v in ledger.items()
+            if k.endswith("_dropped") or k == "lines_removed"
+        },
     }
 
 

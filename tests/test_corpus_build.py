@@ -391,7 +391,14 @@ def test_corpus_manifest_sidecar(spark, tmp_path):
         df, str(out), quality=None, dedup="exact", n_shards=2
     )
     man = read_json_sidecar(spark, str(out), "_xes_corpus_manifest.json")
-    assert man["ledger"] == ledger
+    # stage wall-times are bench telemetry, returned to the caller but
+    # deliberately NOT stamped: the manifest's contract is bit-identical
+    # re-runs of the same recipe on the same input
+    assert "stage_sec" not in man["ledger"]
+    assert man["ledger"] == {
+        k: v for k, v in ledger.items() if k != "stage_sec"
+    }
+    assert set(ledger["stage_sec"]) >= {"exact_dedup", "shard_write"}
     assert man["recipe"]["dedup"] == "exact"
     assert man["recipe"]["n_shards"] == 2
     assert man["recipe"]["lm_gate"] is False

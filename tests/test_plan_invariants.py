@@ -139,3 +139,39 @@ def test_runtime_bloom_filter_arms_at_scale_thresholds(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q3_degrades_to_shuffle_join_not_bnlj(spark):
+    """The one standing scale-audit flag, pinned as BY-DESIGN: the
+    filtered-customer broadcast side of tpch_q3 grows at e=0.77 and
+    at ~100x SF exceeds any broadcast threshold. The INTENDED
+    degradation is a shuffled equi-join (both sides genuinely large);
+    the failure modes this test exists to catch are (a) a
+    BroadcastNestedLoopJoin (the join condition losing its equi-key)
+    and (b) the plan silently keeping a broadcast of an
+    over-threshold side. Emulated by forcing the threshold to -1 --
+    the same arm-under-at-scale-thresholds trick as the bloom test."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "tpch_q3")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, (
+        "join stayed broadcast despite the threshold -- the at-scale "
+        "plan shape is untested"
+    )
+    import re
+
+    # formatted explain lists each node once in the tree and once in
+    # the details section; count unique node ids
+    shuffle_joins = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin)", plan
+        )
+    }
+    assert len(shuffle_joins) == 2, plan  # customer-orders, orders-lineitem
+    # the degradation must not cost the pushed-down scan filters
+    assert "PushedFilters" in plan and "BUILDING" in plan

@@ -25,6 +25,8 @@ whole chain is the batch twin of the streaming
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -149,6 +151,17 @@ def build_training_corpus(
     ledger: dict = {"input": df.count()}
     kept = df
     _persisted = []
+    # wall time per stage (each block ends on a materializing count,
+    # so block wall time is that stage's cost). Recorded into the
+    # returned ledger ONLY -- never the manifest, whose bit-identical-
+    # re-run contract timings would break.
+    stage_sec: dict = {}
+    _t0 = time.perf_counter()
+
+    def _stage(name):
+        nonlocal _t0
+        stage_sec[name] = round(time.perf_counter() - _t0, 3)
+        _t0 = time.perf_counter()
 
     if line_level_dedup:
         # RefinedWeb order: boilerplate-line removal FIRST, so the
@@ -167,6 +180,7 @@ def build_training_corpus(
             or 0
         )
         kept = deduped.drop("n_lines_removed")
+        _stage("line_dedup")
     else:
         ledger["lines_removed"] = 0
 
@@ -188,6 +202,7 @@ def build_training_corpus(
             .collect()
         }
         kept = marked.filter(F.col("_q_reason").isNull()).drop("_q_reason")
+        _stage("quality")
     else:
         ledger["quality_dropped"] = {}
 
@@ -212,6 +227,7 @@ def build_training_corpus(
         kept = kept.join(passing_ids, id_col).persist()
         _persisted.append(kept)
         ledger["lm_dropped"] = before - kept.count()
+        _stage("lm_gate")
     else:
         ledger["lm_dropped"] = 0
 
@@ -227,6 +243,7 @@ def build_training_corpus(
         kept = kept.join(passing, id_col).persist()
         _persisted.append(kept)
         ledger["classifier_dropped"] = before - kept.count()
+        _stage("nb_gate")
     else:
         ledger["classifier_dropped"] = 0
 
@@ -250,6 +267,7 @@ def build_training_corpus(
         kept = kept.join(picked, id_col).persist()
         _persisted.append(kept)
         ledger["dsir_dropped"] = before - kept.count()
+        _stage("dsir")
     else:
         ledger["dsir_dropped"] = 0
 
@@ -276,6 +294,7 @@ def build_training_corpus(
         kept = kept.persist()
         _persisted.append(kept)
         ledger["decontaminated_dropped"] = before - kept.count()
+        _stage("decontaminate")
     else:
         ledger["decontaminated_dropped"] = 0
 
@@ -301,10 +320,21 @@ def build_training_corpus(
         )
         after = kept.count()
         ledger["exact_dups_dropped"] = before - after
+        _stage("exact_dedup")
     else:
         ledger["exact_dups_dropped"] = 0
 
     if dedup in ("near", "both"):
+        # Truncate the gate lineage before the LSH self-join: the
+        # candidate join embeds its input subtree on BOTH sides, and
+        # after several model-join gates (LM + NB + DSIR each splice
+        # vocab-relation joins into the plan) the doubled tree alone
+        # can exhaust the driver during planning -- the same
+        # plan-volume failure mode lexical_semdedup documents. The
+        # rows are already materialized by the per-stage persists, so
+        # the eager localCheckpoint re-serializes rows, not recompute,
+        # and every downstream plan starts from a leaf.
+        kept = kept.localCheckpoint(eager=True)
         before = kept.count()
         pairs = minhash_lsh_candidates(
             kept, text_col, id_col, num_hashes, bands, shingle_n
@@ -317,6 +347,7 @@ def build_training_corpus(
         )
         after = kept.count()
         ledger["near_dups_dropped"] = before - after
+        _stage("near_dedup")
     else:
         ledger["near_dups_dropped"] = 0
 
@@ -332,6 +363,7 @@ def build_training_corpus(
             pack_budget=pack_budget,
         )
         ledger["written"] = staged.count()
+        _stage("shard_write")
         # reproducibility manifest: the full recipe + ledger stamped
         # next to the shards (Hadoop FS sidecar -- object-store safe,
         # invisible to parquet readers). Re-running the same recipe on
@@ -385,6 +417,7 @@ def build_training_corpus(
     finally:
         for p in _persisted:
             p.unpersist()
+    ledger["stage_sec"] = stage_sec
     return ledger
 
 
