@@ -264,6 +264,8 @@ OFF_REGISTRY = [
     "user_value_trend",
     "table_profile",
     "top_users_per_type",
+    "running_user_value",
+    "events_cube",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -300,6 +302,9 @@ OFF_REGISTRY_EVIDENCE = {
     "table_profile": "tests/test_components.py::test_off_registry_parity",
     # rotated out in r4 to admit DSIR importance weights
     "top_users_per_type": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r5 to admit ann_rerank_exact + frequent_tokens
+    "running_user_value": "tests/test_components.py::test_off_registry_parity",
+    "events_cube": "tests/test_components.py::test_off_registry_parity",
 }
 
 
