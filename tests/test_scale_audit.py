@@ -93,3 +93,31 @@ def test_measure_is_reusable(spark):
     b = measure(spark, QUERIES["tpch_q1"].fn, SF_SMALL)
     assert a["scan_bytes"] == b["scan_bytes"]
     assert a["n_exchanges"] == b["n_exchanges"]
+
+
+def test_checked_in_artifact_covers_current_registry():
+    """The committed SCALE_AUDIT.json must be a FULL-registry snapshot
+    of the registry as it exists now -- the same source-derived-gate
+    trick as the rotation policy. A rotation that adds a query without
+    re-running `SPARK_GRAFT_AUDIT_FULL=1 python scale_audit.py` fails
+    here, so no registry query can claim at-scale plan shapes without
+    measured volume evidence in the tree (the r4 verdict's stale-
+    artifact finding, made structurally impossible)."""
+    import json
+    from pathlib import Path
+
+    artifact = json.loads(
+        (Path(__file__).resolve().parent.parent / "SCALE_AUDIT.json")
+        .read_text()
+    )
+    assert artifact["full_registry"] is True, (
+        "SCALE_AUDIT.json is a headline-only snapshot -- regenerate "
+        "with SPARK_GRAFT_AUDIT_FULL=1 python scale_audit.py"
+    )
+    audited = set(artifact["queries"])
+    registry = set(QUERIES)
+    assert audited == registry, (
+        f"scale audit is stale vs the registry: unaudited "
+        f"{sorted(registry - audited)}, ghost entries "
+        f"{sorted(audited - registry)} -- regenerate the artifact"
+    )
