@@ -109,3 +109,37 @@ def test_phi_validation(spark, tail_corpus):
         frequent_tokens_exact(tail_corpus, 0.0)
     with pytest.raises(ValueError, match="phi"):
         frequent_ngrams_exact(tail_corpus, phi=1.5)
+
+
+# -- properties (hypothesis): the merge rule's bound on ANY stream ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    s=st.integers(min_value=2, max_value=12),
+    batch=st.integers(min_value=1, max_value=50),
+)
+def test_merge_mg_properties(stream, s, batch):
+    """For ANY stream, batching, and summary size: (a) the summary
+    never exceeds s+1 entries, (b) no estimate overcounts, (c) no
+    item is undercounted by more than N/(s+1) -- so every item with
+    true count > N/(s+1) is present."""
+    from collections import Counter
+
+    toks = [f"t{i}" for i in stream]
+    summary: dict = {}
+    for i in range(0, len(toks), batch):
+        summary = _merge_mg(
+            summary, pd.Series(toks[i : i + batch]).value_counts(), s
+        )
+    true = Counter(toks)
+    n = len(toks)
+    assert len(summary) <= s + 1
+    for tok, est in summary.items():
+        assert est <= true[tok]
+    for tok, cnt in true.items():
+        assert summary.get(tok, 0) >= cnt - n / (s + 1)
