@@ -125,3 +125,52 @@ def test_guards(spark, tmp_path):
         merge_upsert(
             spark, plain, spark.createDataFrame([(1, "x")], SCHEMA)
         )
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """allow_new_columns=True: updates carry a column the table lacks.
+    Touched partitions rewrite with the wider schema; untouched
+    partition FILES stay bit-identical and their rows read back with
+    nulls via mergeSchema -- additive evolution without a table
+    rewrite."""
+    path = _table(spark, tmp_path, [(i, f"v{i}") for i in range(200)])
+    before = _file_states(path)
+    updates = spark.createDataFrame(
+        [(5, "v5-new", 0.9), (1000, "v1000", 0.5)],
+        "doc_id long, text string, quality double",
+    )
+    stats = merge_upsert(spark, path, updates, allow_new_columns=True)
+    back = {
+        r["doc_id"]: (r["text"], r["quality"])
+        for r in read_keyed_table(spark, path).collect()
+    }
+    assert back[5] == ("v5-new", 0.9)
+    assert back[1000] == ("v1000", 0.5)
+    assert back[3][1] is None  # pre-evolution row: null quality
+    assert len(back) == 201
+    # untouched partitions: same files, byte-for-byte mtimes
+    touched_dirs = {f"_kbucket={b}" for b in stats["touched_buckets"]}
+    after = _file_states(path)
+    for f in before:
+        if not any(d in f for d in touched_dirs):
+            assert after.get(f) == before[f]
+
+
+def test_schema_evolution_requires_flag(spark, tmp_path):
+    path = _table(spark, tmp_path, [(i, f"v{i}") for i in range(10)])
+    updates = spark.createDataFrame(
+        [(5, "x", 1.0)], "doc_id long, text string, quality double"
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        merge_upsert(spark, path, updates)
+
+
+def test_update_omitting_existing_column_refused(spark, tmp_path):
+    """A replacement row missing a stored column would null data on
+    that key -- refused loudly, with or without the evolution flag."""
+    path = _table(spark, tmp_path, [(i, f"v{i}") for i in range(10)])
+    updates = spark.createDataFrame([(5,)], "doc_id long")
+    with pytest.raises(ValueError, match="omits existing table columns"):
+        merge_upsert(spark, path, updates)
+    with pytest.raises(ValueError, match="omits existing table columns"):
+        merge_upsert(spark, path, updates, allow_new_columns=True)

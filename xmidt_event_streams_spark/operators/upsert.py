@@ -74,7 +74,14 @@ def write_keyed_table(
 
 
 def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop(_BUCKET)
+    # mergeSchema: after an additive-evolution merge (see
+    # merge_upsert(allow_new_columns=True)) touched partitions carry
+    # the wider schema while untouched ones keep the old; the union
+    # schema with nulls for absent columns is exactly the evolved
+    # table's contract
+    return (
+        spark.read.option("mergeSchema", "true").parquet(path).drop(_BUCKET)
+    )
 
 
 def merge_upsert(
@@ -82,11 +89,21 @@ def merge_upsert(
     path: str,
     updates: DataFrame,
     key_col: str | None = None,
+    allow_new_columns: bool = False,
 ) -> dict:
     """Apply ``updates`` (inserts + replacements + ``_deleted``
     tombstones) to the keyed table at ``path``. Returns a stats dict
     {touched_buckets, upserts, deletes} -- maintenance jobs should
-    ledger it, never discard it."""
+    ledger it, never discard it.
+
+    Schema evolution is ADDITIVE and explicit: with
+    ``allow_new_columns=True`` the update set may carry columns the
+    table lacks -- kept current rows in touched partitions gain them
+    as nulls, untouched partitions stay bit-identical (their readers
+    see nulls via mergeSchema -- read_keyed_table's contract). An
+    update set may never OMIT an existing table column (a replacement
+    row missing a column would silently null stored data) and never
+    evolve the schema without the flag; both raise."""
     meta = check_sidecar_params(
         spark,
         path,
@@ -113,18 +130,44 @@ def merge_upsert(
         up = up.withColumn(DELETED_COL, F.lit(False))
     up = up.persist()
     try:
+        table_cols = set(
+            spark.read.option("mergeSchema", "true").parquet(path).columns
+        ) - {_BUCKET}
+        update_cols = set(up.columns) - {_BUCKET, DELETED_COL}
+        missing = table_cols - update_cols
+        if missing:
+            raise ValueError(
+                f"update set omits existing table columns "
+                f"{sorted(missing)}: a replacement row without them "
+                "would silently null stored data -- select them "
+                "through (or supply their current values)"
+            )
+        new_cols = update_cols - table_cols
+        if new_cols and not allow_new_columns:
+            raise ValueError(
+                f"update set adds columns {sorted(new_cols)} the table "
+                "lacks; pass allow_new_columns=True to evolve the "
+                "schema additively"
+            )
+
         touched = [r[0] for r in up.select(_BUCKET).distinct().collect()]
         n_del = up.filter(F.col(DELETED_COL)).count()
         n_ups = up.count() - n_del
 
-        current = spark.read.parquet(path).filter(
-            F.col(_BUCKET).isin(touched)
+        current = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .filter(F.col(_BUCKET).isin(touched))
         )
         keys = up.select(key_col)
         keep = current.join(F.broadcast(keys), key_col, "left_anti")
+        # kept current rows gain any new columns as nulls
+        # (allowMissingColumns is safe HERE because the omit-existing
+        # check above already ruled out data-nulling in the other
+        # direction)
         merged = keep.unionByName(
             up.filter(~F.col(DELETED_COL)).drop(DELETED_COL),
-            allowMissingColumns=False,
+            allowMissingColumns=bool(new_cols),
         )
         # localCheckpoint: materialize BEFORE overwriting the
         # partitions the plan reads from (self-overwrite hazard, same
