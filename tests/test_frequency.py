@@ -143,3 +143,54 @@ def test_merge_mg_properties(stream, s, batch):
         assert est <= true[tok]
     for tok, cnt in true.items():
         assert summary.get(tok, 0) >= cnt - n / (s + 1)
+
+
+# -- frequency drift --------------------------------------------------
+
+
+def test_token_drift_stable_and_shifted(spark, tmp_path, tail_corpus):
+    from xmidt_event_streams_spark.operators.frequency import (
+        save_token_baseline,
+        token_drift,
+    )
+
+    base = str(tmp_path / "freq_base")
+    info = save_token_baseline(tail_corpus, base, phi=0.05)
+    assert info["n_tokens"] == 2 and info["total"] > 0
+
+    same = token_drift(spark, base, tail_corpus)
+    assert same["verdict"] == "stable" and same["psi"] < 0.01
+
+    shifted_corpus = spark.createDataFrame(
+        [(i, "entirely different boilerplate inventory here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    moved = token_drift(spark, base, shifted_corpus)
+    assert moved["verdict"] == "shifted"
+    assert moved["psi"] > same["psi"]
+
+
+def test_token_drift_requires_baseline_sidecar(spark, tmp_path, tail_corpus):
+    from xmidt_event_streams_spark.operators.frequency import token_drift
+
+    plain = str(tmp_path / "plain")
+    tail_corpus.write.parquet(plain)
+    with pytest.raises(ValueError, match="frequency-baseline sidecar"):
+        token_drift(spark, plain, tail_corpus)
+
+
+def test_token_drift_in_maintenance_window(spark, tmp_path, tail_corpus):
+    from xmidt_event_streams_spark.maintenance import run_maintenance
+    from xmidt_event_streams_spark.operators.frequency import (
+        save_token_baseline,
+    )
+
+    base = str(tmp_path / "freq_base")
+    corpus_path = str(tmp_path / "corpus")
+    save_token_baseline(tail_corpus, base, phi=0.05)
+    tail_corpus.write.parquet(corpus_path)
+    report = run_maintenance(
+        spark, token_baselines=((base, corpus_path),)
+    )
+    assert report[base]["kind"] == "token_drift"
+    assert report[base]["verdict"] == "stable"

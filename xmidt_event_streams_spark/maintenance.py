@@ -76,6 +76,7 @@ def run_maintenance(
     rollups: tuple[tuple[str, list, dict], ...] = (),
     ivf_indexes: tuple[str, ...] = (),
     kmv_baselines: tuple[tuple[str, str], ...] = (),
+    token_baselines: tuple[tuple[str, str], ...] = (),
     tombstones: dict[str, list] | None = None,
     batches_per_partition: int = 1_000,
     checkpoints: dict[str, str] | None = None,
@@ -99,7 +100,10 @@ def run_maintenance(
     drift check (``contamination.kmv_drift``): n-gram-set Jaccard of
     the corpus today vs its stamped baseline, with a
     stable/drifting/shifted verdict (keyed by sketch_path in the
-    report).
+    report). ``token_baselines``: (baseline_path, corpus_parquet_path)
+    pairs -- a READ-ONLY heavy-token frequency drift check
+    (``frequency.token_drift``): PSI of the exact heavy-hitter
+    profile vs its stamped baseline, same verdict bands.
 
     ``checkpoints`` maps write-target paths (sinks/indexes/rollups)
     to the checkpoint dirs of the streams that write them; guarded
@@ -114,6 +118,7 @@ def run_maintenance(
     {"kind", "error"} for targets whose compactor raised.
     """
     from xmidt_event_streams_spark.operators.contamination import kmv_drift
+    from xmidt_event_streams_spark.operators.frequency import token_drift
     from xmidt_event_streams_spark.operators.incremental import (
         compact_minhash_index,
     )
@@ -175,6 +180,14 @@ def run_maintenance(
             "kmv_drift",
             lambda s=sketch_path, c=corpus_path: kmv_drift(
                 spark, s, spark.read.parquet(c)
+            ),
+        )
+    for base_path, corpus_path in token_baselines:
+        _run(
+            base_path,
+            "token_drift",
+            lambda b=base_path, c=corpus_path: token_drift(
+                spark, b, spark.read.parquet(c)
             ),
         )
     return report

@@ -144,3 +144,98 @@ def frequent_ngrams_exact(
         .filter(F.col("cnt") >= F.lit(float(phi)) * F.col("total"))
         .select(F.col("tok").alias("ngram"), "cnt", "total")
     )
+
+
+# ---------------------------------------------------- frequency drift
+
+_FREQ_META_FILE = "_xes_token_baseline_meta.json"
+
+# PSI interpretation thresholds -- the standard population-stability
+# bands (same convention as ivf.ivf_occupancy_drift)
+_PSI_STABLE, _PSI_DRIFTING = 0.1, 0.25
+
+
+def save_token_baseline(
+    df: DataFrame,
+    path: str,
+    phi: float = 0.001,
+    text_col: str = "text",
+) -> dict:
+    """Persist the exact heavy-hitter profile of a corpus as the
+    frequency baseline: (token, cnt, total) parquet plus a sidecar
+    stamping phi, so later drift checks rehash identically. Returns
+    {n_tokens, total}."""
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    hh = frequent_tokens_exact(df, phi, text_col)
+    hh.write.mode("overwrite").parquet(path)
+    row = (
+        df.sparkSession.read.parquet(path)
+        .agg(F.count("*").alias("k"), F.max("total").alias("n"))
+        .collect()[0]
+    )
+    write_json_sidecar(
+        df.sparkSession, path, _FREQ_META_FILE, {"phi": phi, "text_col": text_col}
+    )
+    return {"n_tokens": int(row["k"] or 0), "total": int(row["n"] or 0)}
+
+
+def token_drift(spark, baseline_path: str, corpus: DataFrame) -> dict:
+    """Population-stability drift of the heavy-token profile vs a
+    persisted baseline: PSI over the union of both heavy-hitter sets
+    plus an OTHER bucket for the remaining mass (add-one smoothing,
+    the ivf_occupancy_drift recipe applied to token space). A corpus
+    whose boilerplate / vocabulary mix moved enough to matter for
+    curation shows up here before any model does.
+
+    Read-only; one exact heavy-hitter pass over the current corpus
+    (driver state: the two bounded heavy sets). Verdict bands:
+    psi < 0.1 stable, < 0.25 drifting, else shifted (re-baseline with
+    save_token_baseline after investigating)."""
+    import math
+
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    meta = read_json_sidecar(spark, baseline_path, _FREQ_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"no frequency-baseline sidecar at {baseline_path}: build "
+            "with save_token_baseline"
+        )
+    base_rows = spark.read.parquet(baseline_path).collect()
+    base = {r["token"]: r["cnt"] for r in base_rows}
+    n_base = base_rows[0]["total"] if base_rows else 0
+    cur_rows = frequent_tokens_exact(
+        corpus, float(meta["phi"]), meta["text_col"]
+    ).collect()
+    cur = {r["token"]: r["cnt"] for r in cur_rows}
+    n_cur = cur_rows[0]["total"] if cur_rows else 0
+
+    toks = sorted(set(base) | set(cur))
+    cells = len(toks) + 1  # + OTHER
+    nb = n_base + cells
+    nc = n_cur + cells
+    psi = 0.0
+    for t in toks + [None]:  # None = OTHER (tail mass)
+        if t is None:
+            b_cnt = n_base - sum(base.values())
+            c_cnt = n_cur - sum(cur.values())
+        else:
+            b_cnt, c_cnt = base.get(t, 0), cur.get(t, 0)
+        bf = (b_cnt + 1) / nb
+        cf = (c_cnt + 1) / nc
+        psi += (cf - bf) * math.log(cf / bf)
+    verdict = (
+        "stable"
+        if psi < _PSI_STABLE
+        else "drifting" if psi < _PSI_DRIFTING else "shifted"
+    )
+    return {
+        "psi": round(psi, 6),
+        "verdict": verdict,
+        "phi": float(meta["phi"]),
+        "n_baseline_tokens": len(base),
+        "n_current_tokens": len(cur),
+        "baseline_total": n_base,
+        "current_total": n_cur,
+    }
