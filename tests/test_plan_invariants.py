@@ -175,3 +175,26 @@ def test_tpch_q3_degrades_to_shuffle_join_not_bnlj(spark):
     assert len(shuffle_joins) == 2, plan  # customer-orders, orders-lineitem
     # the degradation must not cost the pushed-down scan filters
     assert "PushedFilters" in plan and "BUILDING" in plan
+
+
+def test_frequent_tokens_candidate_then_verify_shape(spark):
+    """The heavy-hitter query's scale contract, pinned at plan level:
+    the Misra-Gries candidate pass is NARROW (MapInPandas directly
+    over the exploded scan, no exchange before it), the candidate set
+    reaches the verify join as a BROADCAST build side (the corpus
+    token stream never shuffles for the join), and the verify count
+    aggregates with map-side partials."""
+    plan = _plan(spark, "frequent_tokens")
+    import re
+
+    # MapInPandas consumes the Generate (explode) output directly --
+    # the node listed immediately before it in the details section
+    # must be a Generate, not an Exchange
+    order = re.findall(r"\(\d+\) (\w+)", plan)
+    mg_idx = order.index("MapInPandas")
+    assert order[mg_idx - 1] == "Generate", order
+    # candidate relation is broadcast into the verify join
+    assert "BroadcastHashJoin" in plan
+    # verify agg keeps map-side partials (partial_count before the
+    # exchange on the token key)
+    assert "partial_count" in plan
