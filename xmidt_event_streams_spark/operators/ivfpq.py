@@ -214,10 +214,16 @@ def probe_ivfpq_index(
         ]
     )
 
+    n_short = k_neighbors if rerank is None else max(rerank, k_neighbors)
+
     def _score(batches):
         import pandas as pd
 
+        # map-side partial top-k per query (see pq.pq_topk._score):
+        # the rank-window exchange carries O(partitions x queries x C)
+        # rows, not every scored (query, row) pair
         rng = np.arange(m)
+        best: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -229,13 +235,22 @@ def probe_ivfpq_index(
                 if not mask.any():
                     continue
                 d = lut[rng[None, :], codes[mask]].sum(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(mask.sum(), qid, dtype=np.int64),
-                        id_col: ids[mask],
-                        "adc_dist": d,
-                    }
-                )
+                cur_ids = ids[mask]
+                if qid in best:
+                    d = np.concatenate([best[qid][1], d])
+                    cur_ids = np.concatenate([best[qid][0], cur_ids])
+                if len(d) > n_short:
+                    keep = np.lexsort((cur_ids, d))[:n_short]
+                    d, cur_ids = d[keep], cur_ids[keep]
+                best[qid] = (cur_ids, d)
+        for qid, (ids_, d_) in best.items():
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(len(ids_), qid, dtype=np.int64),
+                    id_col: ids_,
+                    "adc_dist": d_,
+                }
+            )
 
     probed = sorted({c for cs in cells_per_q for c in cs})
     scored = (
@@ -244,7 +259,6 @@ def probe_ivfpq_index(
         .filter(F.col("codes").isNotNull())
         .mapInPandas(_score, out_schema)
     )
-    n_short = k_neighbors if rerank is None else max(rerank, k_neighbors)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )

@@ -334,8 +334,17 @@ def pq_topk(
         ]
     )
 
+    n_short = k_neighbors if rerank is None else max(rerank, k_neighbors)
+
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # map-side partial top-k (the WindowGroupLimit idea, applied
+        # inside the kernel): each partition keeps only its n_short
+        # best rows per query, so the rank-window exchange carries
+        # O(partitions x queries x C) rows instead of every scored
+        # (query, row) pair -- at 2M rows x 8 queries that is the
+        # difference between ~10^3 and 16M shuffled rows.
         rng = np.arange(m)
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -343,13 +352,26 @@ def pq_topk(
             ids = pdf[id_col].to_numpy()
             for qid, lut in luts:
                 d = lut[rng[None, :], codes].sum(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(len(ids), qid, dtype=np.int64),
-                        id_col: ids,
-                        "adc_dist": d,
-                    }
-                )
+                if qid in best:
+                    d = np.concatenate([best[qid][1], d])
+                    cur_ids = np.concatenate([best[qid][0], ids])
+                else:
+                    cur_ids = ids
+                if len(d) > n_short:
+                    # ties at the cut resolved later by the exact
+                    # (dist, id) rank window -- keeping by (dist, id)
+                    # lexsort here preserves the window's winners
+                    keep = np.lexsort((cur_ids, d))[:n_short]
+                    d, cur_ids = d[keep], cur_ids[keep]
+                best[qid] = (cur_ids, d)
+        for qid, (ids_, d_) in best.items():
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(len(ids_), qid, dtype=np.int64),
+                    id_col: ids_,
+                    "adc_dist": d_,
+                }
+            )
 
     # null codes are pq_encode's poison-row containment (null/ragged
     # vectors) -- they carry no searchable signal and a null cell
@@ -362,7 +384,6 @@ def pq_topk(
     )
     from pyspark.sql import Window
 
-    n_short = k_neighbors if rerank is None else max(rerank, k_neighbors)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
