@@ -129,18 +129,85 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k per query. ``queries`` must be small (it is
-    broadcast). Ties broken by corpus id (deterministic). Self-matches
+    """Exact cosine top-k per query. ``queries`` must be small (their
+    vectors ride the kernel closure -- same contract as the index
+    probes). Ties broken by corpus id (deterministic). Self-matches
     (same id) excluded. Scores rounded to 6dp for engine-portable
-    comparison."""
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    comparison.
+
+    Scale shape: one narrow mapInPandas over the corpus -- a BLAS
+    matmul per Arrow batch against the query matrix, folding a
+    PARTIAL top-k per query inside each partition (kept by the same
+    (rounded score desc, id asc) order the final window uses, so
+    boundary ties are preserved). The rank-window exchange then
+    carries O(partitions x queries x k) rows; the previous
+    join-then-window shape shuffled every scored (corpus x query)
+    pair, which at 100 TB is a corpus-sized-times-queries shuffle.
+    Null / dim-mismatched corpus vectors are excluded from results
+    (they carry no comparable signal; same poison-row posture as the
+    PQ scan's null codes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine_pairs(vec_col, "_qvec"), 6).alias("cos_sim"),
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    dim = qmat.shape[1] if len(qrows) else 0
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
+
+    def _score(batches):
+        best: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf[vec_col].tolist()
+            valid = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            if not valid.any():
+                continue
+            idx = np.nonzero(valid)[0]
+            mat = np.vstack([vecs[i] for i in idx]).astype(np.float64)
+            ids = pdf[id_col].to_numpy()[idx]
+            num = mat @ qmat.T
+            den = np.sqrt((mat * mat).sum(axis=1))[:, None] * qnorm[None, :]
+            sims = np.round(
+                np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0), 6
+            )
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                s, i_ = sims[mask, j], ids[mask]
+                if qid in best:
+                    s = np.concatenate([best[qid][1], s])
+                    i_ = np.concatenate([best[qid][0], i_])
+                if len(s) > k:
+                    keep = np.lexsort((i_, -s))[:k]
+                    s, i_ = s[keep], i_[keep]
+                best[qid] = (i_, s)
+        for qid, (i_, s) in best.items():
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.full(len(i_), qid, dtype=np.int64),
+                    id_col: i_,
+                    "cos_sim": s,
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
     return _topk_by_query(scored, k, query_id_col, id_col)
 
 
