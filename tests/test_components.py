@@ -266,6 +266,7 @@ OFF_REGISTRY = [
     "top_users_per_type",
     "running_user_value",
     "events_cube",
+    "value_percentiles",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -305,6 +306,9 @@ OFF_REGISTRY_EVIDENCE = {
     # rotated out in r5 to admit ann_rerank_exact + frequent_tokens
     "running_user_value": "tests/test_components.py::test_off_registry_parity",
     "events_cube": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r5 to admit dup_span_removal (exact-substring
+    # span excision, the substring_spans ledger's consumer)
+    "value_percentiles": "tests/test_components.py::test_off_registry_parity",
 }
 
 

@@ -236,3 +236,105 @@ class TestWinnowedSpans:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError, match="winnow"):
             repeated_window_spans(df, winnow=0)
+
+
+class TestRemoveDuplicateSpans:
+    """Span EXCISION (the ledger's consumer): keep-first semantics,
+    interval merge, row-count preservation, token accounting."""
+
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        return {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(df, **kw).collect()
+        }
+
+    def test_keep_first_cut_second(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "x a b c d e y"),
+                (2, "q a b c d e r"),
+                (3, "nothing shared with anyone here ok"),
+            ],
+            window=5,
+        )
+        assert out[1]["clean_text"] == "x a b c d e y"
+        assert out[1]["n_removed"] == 0
+        assert out[2]["clean_text"] == "q r"
+        assert out[2]["n_removed"] == 5 and out[2]["n_tokens"] == 7
+        assert out[3]["n_removed"] == 0
+
+    def test_within_doc_repeat_collapses(self, spark):
+        # every 4-window of 8x"la" is content-equal: keep pos 1's
+        # window, cut 2..5 -> merged interval [2,8] -> one token left
+        out = self._run(spark, [(1, "la la la la la la la la")], window=4)
+        assert out[1]["clean_text"] == "la"
+        assert (out[1]["n_tokens"], out[1]["n_removed"]) == (8, 7)
+
+    def test_cross_doc_only_keeps_within_repeats(self, spark):
+        out = self._run(
+            spark,
+            [(1, "la la la la la la la la"), (2, "all different here yes")],
+            window=4,
+            cross_doc_only=True,
+        )
+        assert out[1]["n_removed"] == 0
+        assert out[1]["clean_text"] == "la la la la la la la la"
+
+    def test_long_shared_region_merges_intervals(self, spark):
+        shared = " ".join(f"s{i}" for i in range(12))
+        out = self._run(
+            spark,
+            [(1, f"head {shared} tail"), (2, f"pre {shared} post end")],
+            window=5,
+        )
+        # doc 2's whole 12-token region is one merged interval
+        assert out[2]["clean_text"] == "pre post end"
+        assert out[2]["n_removed"] == 12
+        assert out[1]["n_removed"] == 0
+
+    def test_full_duplicate_and_short_docs(self, spark):
+        text = "alpha beta gamma delta epsilon zeta"
+        out = self._run(
+            spark,
+            [(1, text), (2, text), (3, "tiny"), (4, "  ")],
+            window=5,
+        )
+        assert out[1]["clean_text"] == text  # canonical copy intact
+        assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 6
+        assert out[3]["clean_text"] == "tiny"  # under window: untouched
+        assert out[4]["n_tokens"] == 0 and out[4]["clean_text"] == ""
+        assert len(out) == 4  # row count preserved, always
+
+    def test_token_accounting_invariant(self, spark, sf_dir):
+        """kept + removed == total for every real document, and the
+        clean text re-tokenizes to exactly n_tokens - n_removed."""
+        from xmidt_event_streams_spark.functions.text import tokens
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = remove_duplicate_spans(docs, window=5)
+        bad = got.filter(
+            F.size(tokens("clean_text"))
+            != F.col("n_tokens") - F.col("n_removed")
+        )
+        assert bad.count() == 0
+        assert got.count() == docs.count()
+
+    def test_rejects_degenerate_window(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="window"):
+            remove_duplicate_spans(df, window=1)

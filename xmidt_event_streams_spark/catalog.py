@@ -1520,6 +1520,83 @@ FROM wins JOIN hot USING (whash)
 """
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring span EXCISION (arXiv:2107.06499 ExactSubstr):
+    every duplicated 5-token window keeps its globally-first
+    occurrence and is cut everywhere else; cut windows merge into
+    maximal intervals and the covered tokens are removed. The
+    consumer of the `substring_spans` ledger -- row count preserved,
+    text shrinks. Plan: window hash-agg on uniform md5 keys, ONE
+    keep-first window fn partitioned by whash (partition size =
+    duplication multiplicity), per-doc gaps-and-islands merge,
+    (doc_id, pos) equi anti-join for the cut (see
+    operators/dedup.py:remove_duplicate_spans for the scale notes)."""
+    from xmidt_event_streams_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), window=5)
+
+
+SQL_DUP_SPAN_REMOVAL = f"""WITH {_WORDS_CTE},
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i:i+4], ' ')) AS whash
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+),
+hot AS (
+  SELECT whash FROM wins GROUP BY whash HAVING count(*) > 1
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn
+  FROM wins JOIN hot USING (whash)
+),
+cut AS (SELECT doc_id, pos AS s, pos + 4 AS e FROM occ WHERE rn > 1),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM cut
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS iid
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, iid
+),
+cov AS (
+  SELECT doc_id, UNNEST(generate_series(s, e)) AS pos FROM merged
+),
+toks AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM words, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+kept AS (
+  SELECT toks.doc_id, toks.pos, toks.tok
+  FROM toks LEFT JOIN cov
+    ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+  WHERE cov.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+nt AS (SELECT doc_id, len(w) AS n_tokens FROM words)
+SELECT nt.doc_id, nt.n_tokens,
+       nt.n_tokens - coalesce(agg.n_kept, 0) AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM nt LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_tpch_q10ish(spark, sf_dir):
     """Returned-item revenue per customer (TPC-H Q10 shape): 3-way
     join, agg, deterministic top-20."""
@@ -3354,6 +3431,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_quality_quantile_filter, SQL_QUALITY_QUANTILE_FILTER
     ),
     "substring_spans": QuerySpec(q_substring_spans, SQL_SUBSTRING_SPANS),
+    "dup_span_removal": QuerySpec(q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
     "repetition_stats": QuerySpec(q_repetition_stats, SQL_REPETITION_STATS),
     "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),
     "session_gaps": QuerySpec(q_session_gaps, SQL_SESSION_GAPS),
@@ -3363,7 +3441,10 @@ QUERIES: dict[str, QuerySpec] = {
     # frequent_tokens under the 50-entry cap
     "ann_rerank_exact": QuerySpec(q_ann_rerank_exact, SQL_ANN_RERANK_EXACT),
     "frequent_tokens": QuerySpec(q_frequent_tokens, SQL_FREQUENT_TOKENS),
-    "value_percentiles": QuerySpec(q_value_percentiles, SQL_VALUE_PERCENTILES),
+    # value_percentiles rotated to the off-registry parity set in r5
+    # to admit dup_span_removal (exact-substring excision); percentile
+    # evidence stays via value_histogram + quality_quantile_filter and
+    # the off-registry DuckDB twin.
     "approx_distinct_users": QuerySpec(
         q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS
     ),

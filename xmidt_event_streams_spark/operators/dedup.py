@@ -560,3 +560,134 @@ def choose_lsh_params(
                 fallback = (key, b, r)
     _, b, r = in_tol or fallback
     return b * r, b, r
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Exact-substring dedup that actually EXCISES the duplicated
+    spans (Lee et al. 2021, arXiv:2107.06499 "ExactSubstr": remove
+    every occurrence of a repeated substring except one) -- the
+    consumer of the :func:`repeated_window_spans` ledger.
+
+    Semantics: every ``window``-token sliding window whose content
+    recurs elsewhere (``cross_doc_only=False`` counts within-doc
+    repeats too -- the paper's setting) keeps its globally-first
+    occurrence (min ``(doc_id, pos)``) and is cut everywhere else.
+    Cut windows are merged into maximal intervals per document
+    (overlap or adjacency), the covered tokens removed, and the
+    document rebuilt from the surviving normalized tokens.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY input
+    document -- untouched docs pass through with n_removed = 0 and
+    clean_text = their normalized token stream; fully-duplicated docs
+    come back with clean_text = ''. Downstream keeps provenance: the
+    row count never changes, only the text shrinks.
+
+    Plan shape (no all-pairs anywhere): window relation = one explode
+    + one md5 per window (shared tokenization with the ledger); the
+    >1-occurrence filter is a hash-agg on the uniform md5 key; the
+    keep-first rank is ONE window function partitioned by whash
+    (partitions = occurrence counts of one window's content --
+    bounded by duplication multiplicity, not corpus size); interval
+    merge is a per-document gaps-and-islands window (partition size
+    <= tokens per doc); the token cut is an equi anti-join on the
+    unique (doc_id, pos) key. Rebuild aggregates sorted (pos, token)
+    structs per doc -- the same per-doc-length memory bound as
+    tokenizing the document in the first place. At 100 TB the token
+    stream is scanned twice (window relation + rebuild); persist the
+    token relation between the two consumers if the scan dominates.
+    """
+    from pyspark.sql import Window
+    from xmidt_event_streams_spark.functions.text import tokens
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(text_col)).alias("p", "tok"),
+    ).select(F.col(id_col), (F.col("p") + 1).alias("pos"), "tok")
+
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, window)).alias("p", "win"),
+    ).select(
+        F.col(id_col),
+        (F.col("p") + 1).alias("pos"),
+        F.md5("win").alias("whash"),
+    )
+    occurrence = (
+        F.countDistinct(id_col) if cross_doc_only else F.count("*")
+    )
+    hot = (
+        wins.groupBy("whash")
+        .agg(occurrence.alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("whash")
+    )
+    rank = Window.partitionBy("whash").orderBy(id_col, "pos")
+    cut = (
+        wins.join(hot, "whash")
+        .withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") > 1)
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(window - 1)).alias("e"),
+        )
+    )
+    # gaps-and-islands: merge overlapping/adjacent cut intervals
+    by_doc = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = cut.withColumn(
+        "_new",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_iid",
+        F.sum("_new").over(
+            by_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    covered = (
+        islands.groupBy(id_col, "_iid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence("s", "e")).alias("pos"),
+        )
+    )
+    kept = tok.filter(F.col("tok").isNotNull()).join(
+        covered, [id_col, "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = tok.groupBy(id_col).agg(
+        F.count("tok").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
