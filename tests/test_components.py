@@ -267,6 +267,7 @@ OFF_REGISTRY = [
     "running_user_value",
     "events_cube",
     "value_percentiles",
+    "events_windowed",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -309,6 +310,9 @@ OFF_REGISTRY_EVIDENCE = {
     # rotated out in r5 to admit dup_span_removal (exact-substring
     # span excision, the substring_spans ledger's consumer)
     "value_percentiles": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r5 to admit ngram_scrub (benchmark span
+    # decontamination, GPT-3 appendix-C shape)
+    "events_windowed": "tests/test_components.py::test_off_registry_parity",
 }
 
 

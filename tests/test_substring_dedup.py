@@ -338,3 +338,85 @@ class TestRemoveDuplicateSpans:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="window"):
             remove_duplicate_spans(df, window=1)
+
+
+class TestRemoveContaminatedSpans:
+    """Benchmark n-gram scrub: every matching span cut (no
+    keep-first), benchmark quoted mid-document, clean docs untouched."""
+
+    def _run(self, spark, corpus, bench, **kw):
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_contaminated_spans,
+        )
+
+        cdf = spark.createDataFrame(corpus, "doc_id: long, text: string")
+        bdf = spark.createDataFrame(bench, "doc_id: long, text: string")
+        return {
+            r["doc_id"]: r
+            for r in remove_contaminated_spans(cdf, bdf, **kw).collect()
+        }
+
+    def test_quoted_benchmark_sentence_excised(self, spark):
+        bench_sent = "the quick brown fox jumps over the lazy dog"
+        out = self._run(
+            spark,
+            [
+                (1, f"intro words {bench_sent} outro words"),
+                (2, "totally unrelated content in this document here"),
+            ],
+            [(100, f"prompt: {bench_sent} answer: maybe")],
+            window=5,
+        )
+        assert out[1]["clean_text"] == "intro words outro words"
+        assert out[1]["n_removed"] == 9
+        assert out[2]["n_removed"] == 0
+        assert 100 not in out  # benchmark rows are not output
+
+    def test_every_occurrence_cut_no_keep_first(self, spark):
+        # the same benchmark span in TWO corpus docs: both cut
+        # (contrast with remove_duplicate_spans' keep-first)
+        span = "a b c d e"
+        out = self._run(
+            spark,
+            [(1, f"x {span} y"), (2, f"p {span} q")],
+            [(9, span)],
+            window=5,
+        )
+        assert out[1]["clean_text"] == "x y"
+        assert out[2]["clean_text"] == "p q"
+
+    def test_no_window_no_cut(self, spark):
+        # benchmark shorter than the window contributes no hashes
+        out = self._run(
+            spark,
+            [(1, "one two three four five six seven")],
+            [(9, "one two three")],
+            window=5,
+        )
+        assert out[1]["n_removed"] == 0
+
+    def test_shuffle_arm_matches_broadcast(self, spark):
+        bench_sent = "w1 w2 w3 w4 w5 w6 w7"
+        corpus = [(i, f"doc {i} prefix {bench_sent} suffix {i}") for i in range(6)]
+        a = self._run(spark, corpus, [(9, bench_sent)], window=5)
+        b = self._run(
+            spark, corpus, [(9, bench_sent)], window=5,
+            broadcast_benchmark=False,
+        )
+        assert a == b
+
+    def test_benchmark_hashes_are_broadcast(self, spark):
+        """The default plan must broadcast the benchmark hash relation
+        (the corpus-never-shuffles-for-the-match claim)."""
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_contaminated_spans,
+        )
+
+        cdf = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id: long, text: string"
+        )
+        bdf = spark.createDataFrame(
+            [(9, "c d e f g")], "doc_id: long, text: string"
+        )
+        plan = remove_contaminated_spans(cdf, bdf, window=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -1597,6 +1597,88 @@ FROM nt LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_ngram_scrub(spark, sf_dir):
+    """Benchmark n-gram scrub (GPT-3 appendix-C shape,
+    arXiv:2005.14165 §4): every 5-token window of the corpus (sources
+    other than src0) whose content appears anywhere in the benchmark
+    set (source src0) is cut; spans merge and the covered tokens are
+    excised -- span-level decontamination instead of whole-doc drops.
+    Plan: benchmark reduces to its distinct window hashes and
+    BROADCASTS (eval sets are small by nature), so the corpus never
+    shuffles for the match (see
+    operators/dedup.py:remove_contaminated_spans)."""
+    from xmidt_event_streams_spark.operators.dedup import (
+        remove_contaminated_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return remove_contaminated_spans(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        window=5,
+    )
+
+
+SQL_NGRAM_SCRUB = f"""WITH {_WORDS_CTE},
+cw AS (SELECT doc_id, w FROM words WHERE source <> 'src0'),
+bw AS (
+  SELECT DISTINCT md5(array_to_string(w[i:i+4], ' ')) AS whash
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+  WHERE source = 'src0'
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i:i+4], ' ')) AS whash
+  FROM cw, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+),
+cut AS (
+  SELECT doc_id, pos AS s, pos + 4 AS e
+  FROM wins JOIN bw USING (whash)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM cut
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS iid
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, iid
+),
+cov AS (
+  SELECT doc_id, UNNEST(generate_series(s, e)) AS pos FROM merged
+),
+toks AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM cw, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+kept AS (
+  SELECT toks.doc_id, toks.pos, toks.tok
+  FROM toks LEFT JOIN cov
+    ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+  WHERE cov.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+nt AS (SELECT doc_id, len(w) AS n_tokens FROM cw)
+SELECT nt.doc_id, nt.n_tokens,
+       nt.n_tokens - coalesce(agg.n_kept, 0) AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM nt LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_tpch_q10ish(spark, sf_dir):
     """Returned-item revenue per customer (TPC-H Q10 shape): 3-way
     join, agg, deterministic top-20."""
@@ -3410,7 +3492,10 @@ QUERIES: dict[str, QuerySpec] = {
     "lsh_ann": QuerySpec(q_lsh_ann, SQL_LSH_ANN),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1, True),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3, True),
-    "events_windowed": QuerySpec(q_events_windowed, SQL_EVENTS_WINDOWED),
+    # events_windowed rotated to the off-registry parity set in r5 to
+    # admit ngram_scrub (benchmark span decontamination); tumbling-
+    # window evidence stays via session_windows + the off-registry twin.
+    "ngram_scrub": QuerySpec(q_ngram_scrub, SQL_NGRAM_SCRUB),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": QuerySpec(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "partner_overlap": QuerySpec(q_partner_overlap, SQL_PARTNER_OVERLAP),

@@ -603,23 +603,10 @@ def remove_duplicate_spans(
     token relation between the two consumers if the scan dominates.
     """
     from pyspark.sql import Window
-    from xmidt_event_streams_spark.functions.text import tokens
 
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
-    tok = df.select(
-        F.col(id_col),
-        F.posexplode_outer(tokens(text_col)).alias("p", "tok"),
-    ).select(F.col(id_col), (F.col("p") + 1).alias("pos"), "tok")
-
-    wins = df.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(text_col, window)).alias("p", "win"),
-    ).select(
-        F.col(id_col),
-        (F.col("p") + 1).alias("pos"),
-        F.md5("win").alias("whash"),
-    )
+    wins = _window_relation(df, text_col, id_col, window)
     occurrence = (
         F.countDistinct(id_col) if cross_doc_only else F.count("*")
     )
@@ -640,6 +627,46 @@ def remove_duplicate_spans(
             (F.col("pos") + F.lit(window - 1)).alias("e"),
         )
     )
+    return _excise_and_rebuild(df, cut, text_col, id_col)
+
+
+def _window_relation(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(id, pos, whash): one md5 per ``window``-token sliding window,
+    1-based token position -- the shared scan for the span ledger,
+    the excision operators, and the benchmark scrub."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, window)).alias("p", "win"),
+    ).select(
+        F.col(id_col),
+        (F.col("p") + 1).alias("pos"),
+        F.md5("win").alias("whash"),
+    )
+
+
+def _excise_and_rebuild(
+    df: DataFrame, cut: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Merge cut intervals (id, s, e) into maximal per-doc islands,
+    remove the covered tokens, and rebuild (doc_id, n_tokens,
+    n_removed, clean_text) for EVERY input document.
+
+    Interval merge is a per-document gaps-and-islands window
+    (partition size <= tokens per doc); the token cut is an equi
+    anti-join on the unique (doc_id, pos) key; rebuild aggregates
+    sorted (pos, token) structs per doc -- the same per-doc-length
+    memory bound as tokenizing the document in the first place.
+    """
+    from pyspark.sql import Window
+    from xmidt_event_streams_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(text_col)).alias("p", "tok"),
+    ).select(F.col(id_col), (F.col("p") + 1).alias("pos"), "tok")
+
     # gaps-and-islands: merge overlapping/adjacent cut intervals
     by_doc = Window.partitionBy(id_col).orderBy("s")
     prev_max_e = F.max("e").over(
@@ -691,3 +718,64 @@ def remove_duplicate_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    window: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark n-gram scrub (the GPT-3 appendix-C / PaLM
+    decontamination shape, arXiv:2005.14165 §4: remove every corpus
+    span whose ``window``-gram content appears in an evaluation set --
+    span-level surgery instead of dropping whole documents, so one
+    quoted benchmark sentence doesn't cost an entire web page).
+
+    Every corpus window whose hash matches ANY benchmark window is
+    cut (no keep-first: benchmark content must not survive anywhere);
+    cut windows merge into maximal intervals and the covered tokens
+    are removed. Output is the same contract as
+    :func:`remove_duplicate_spans`: (doc_id, n_tokens, n_removed,
+    clean_text) for every corpus document, row count preserved.
+
+    Complements :func:`~xmidt_event_streams_spark.operators.incremental.decontaminate_near_dups`
+    (whole-doc near-dup verdicts): run the near-dup pass for documents
+    that ARE the benchmark, this pass for documents that QUOTE it.
+
+    Plan shape: the benchmark side reduces to its distinct window
+    hashes -- eval sets are small by nature, so the default broadcasts
+    them and the corpus NEVER shuffles (scan -> explode -> broadcast
+    semi-join -> per-doc windows). ``broadcast_benchmark=False`` falls
+    back to a shuffle semi-join on the uniform md5 key for
+    benchmark-sized "benchmarks". The excise/rebuild tail shares
+    :func:`_excise_and_rebuild` (per-doc-bounded windows, equi
+    anti-join on (doc_id, pos)).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    # no id needed on the benchmark side -- just its distinct hashes
+    bench_hashes = (
+        benchmark.select(
+            F.explode(
+                word_ngrams(bench_text_col or text_col, window)
+            ).alias("win")
+        )
+        .select(F.md5("win").alias("whash"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_hashes = F.broadcast(bench_hashes)
+    cut = (
+        _window_relation(df, text_col, id_col, window)
+        .join(bench_hashes, "whash", "left_semi")
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(window - 1)).alias("e"),
+        )
+    )
+    return _excise_and_rebuild(df, cut, text_col, id_col)
