@@ -499,3 +499,48 @@ def test_refresh_corpus_with_callable_gate(spark, tmp_path):
     assert ledger["quality_dropped"] == {"lm_perplexity": 1}
     ids = {r["doc_id"] for r in read_keyed_table(spark, corpus).collect()}
     assert 100 in ids and 101 not in ids
+
+
+def test_build_with_benchmark_span_scrub(spark, tmp_path):
+    """The ngram_scrub stage: a doc quoting a benchmark sentence ships
+    with the quote excised (case preserved elsewhere); untouched docs
+    keep their exact original bytes; the ledger counts tokens and
+    touched docs; the doc-count invariant is unaffected."""
+    bench_sent = "The Quick Brown Fox Jumps Over The Lazy Dog Again Tonight"
+    quoting = (
+        _line_doc("alpha")
+        + "\n"
+        + f"Someone Wrote {bench_sent} In This Line Here Obviously."
+    )
+    rows = [
+        (1, quoting),
+        (2, _line_doc("beta")),
+        (3, _line_doc("gamma")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame(
+        [(100, f"prompt {bench_sent.lower()} answer")],
+        "doc_id: long, text: string",
+    )
+    out = str(tmp_path / "corpus")
+    ledger = build_training_corpus(
+        df,
+        out,
+        quality=None,
+        dedup="exact",
+        scrub_spans_against=bench,
+        scrub_window=5,
+    )
+    assert ledger["scrub_docs_touched"] == 1
+    assert ledger["scrub_tokens_removed"] == len(bench_sent.split())
+    assert ledger["written"] == 3  # scrub never drops docs
+
+    back = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(out).select("doc_id", "text").collect()}
+    # quote gone, case of the surviving tokens preserved
+    assert bench_sent not in back[1]
+    assert bench_sent.lower() not in back[1]
+    assert "Someone Wrote" in back[1] and "In This Line Here" in back[1]
+    # untouched docs: exact original bytes (newlines intact)
+    assert back[2] == _line_doc("beta")
+    assert back[3] == _line_doc("gamma")

@@ -420,3 +420,24 @@ class TestRemoveContaminatedSpans:
         )
         plan = remove_contaminated_spans(cdf, bdf, window=5)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_preserve_case_rebuild(spark):
+    """preserve_case: matching stays case-insensitive, surviving
+    tokens keep their original case (the corpus-build setting)."""
+    from xmidt_event_streams_spark.operators.dedup import (
+        remove_contaminated_spans,
+    )
+
+    cdf = spark.createDataFrame(
+        [(1, "Head Words A B C D E Tail Words")],
+        "doc_id: long, text: string",
+    )
+    bdf = spark.createDataFrame(
+        [(9, "a b c d e")], "doc_id: long, text: string"
+    )
+    out = remove_contaminated_spans(
+        cdf, bdf, window=5, preserve_case=True
+    ).collect()[0]
+    assert out["clean_text"] == "Head Words Tail Words"
+    assert out["n_removed"] == 5

@@ -70,11 +70,14 @@ def build_training_corpus(
     near_prefer_col: str | None = None,
     decontaminate_against: DataFrame | None = None,
     decontaminate_min_agreement: float = 0.5,
+    scrub_spans_against: DataFrame | None = None,
+    scrub_window: int = 13,
 ) -> dict:
     """Run the full assembly and write the sharded corpus; returns the
     drop ledger:
 
-        {"input", "lines_removed",
+        {"input", "lines_removed", "scrub_tokens_removed",
+         "scrub_docs_touched",
          "quality_dropped": {reason: n, ...},
          "lm_dropped", "classifier_dropped", "dsir_dropped",
          "decontaminated_dropped",
@@ -183,6 +186,51 @@ def build_training_corpus(
         _stage("line_dedup")
     else:
         ledger["lines_removed"] = 0
+
+    if scrub_spans_against is not None:
+        # benchmark n-gram scrub EARLY (with the other text rewrite),
+        # so the quality rules, learned gates, and both dedup tiers
+        # judge the text that will actually ship. Case-insensitive
+        # match, case-preserving rewrite; only touched docs get their
+        # text replaced (untouched rows keep their bytes -- the
+        # rebuild's whitespace normalization must not rewrite the
+        # whole corpus). Token counts, not docs: the doc-count
+        # invariant written + drops == input is unaffected.
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_contaminated_spans,
+        )
+
+        scrubbed = remove_contaminated_spans(
+            kept,
+            scrub_spans_against,
+            text_col=text_col,
+            id_col=id_col,
+            window=scrub_window,
+            preserve_case=True,
+        ).persist()
+        _persisted.append(scrubbed)
+        stats = scrubbed.agg(
+            F.sum("n_removed").alias("toks"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("docs"),
+        ).collect()[0]
+        ledger["scrub_tokens_removed"] = int(stats["toks"] or 0)
+        ledger["scrub_docs_touched"] = int(stats["docs"] or 0)
+        touched = scrubbed.filter(F.col("n_removed") > 0).select(
+            F.col(id_col),
+            F.col("clean_text").alias("_xes_scrubbed_text"),
+        )
+        kept = (
+            kept.join(touched, id_col, "left")
+            .withColumn(
+                text_col,
+                F.coalesce(F.col("_xes_scrubbed_text"), F.col(text_col)),
+            )
+            .drop("_xes_scrubbed_text")
+        )
+        _stage("ngram_scrub")
+    else:
+        ledger["scrub_tokens_removed"] = 0
+        ledger["scrub_docs_touched"] = 0
 
     if quality is not None:
         reason = F.lit(None).cast("string")

@@ -84,6 +84,18 @@ def md5_bucket(col: Column | str, n_buckets: int) -> Column:
     )
 
 
+def cased_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization WITHOUT case folding: same whitespace
+    class as :func:`normalize_text`, so position i here is the cased
+    form of position i in :func:`tokens` (lowercasing never changes
+    token boundaries). For rebuilds that must preserve the original
+    text's case while MATCHING on the normalized form (span excision
+    inside a corpus build)."""
+    c = F.col(col) if isinstance(col, str) else col
+    collapsed = F.trim(F.regexp_replace(c, r"[ \t\n\x0B\f\r]+", " "))
+    return F.filter(F.split(collapsed, " "), lambda t: t != "")
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of normalized text -> array<string>.
     Empty text -> empty array (split of '' yields [''] -- filtered)."""

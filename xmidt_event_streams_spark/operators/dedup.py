@@ -568,6 +568,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     window: int = 20,
     cross_doc_only: bool = False,
+    preserve_case: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup that actually EXCISES the duplicated
     spans (Lee et al. 2021, arXiv:2107.06499 "ExactSubstr": remove
@@ -627,7 +628,7 @@ def remove_duplicate_spans(
             (F.col("pos") + F.lit(window - 1)).alias("e"),
         )
     )
-    return _excise_and_rebuild(df, cut, text_col, id_col)
+    return _excise_and_rebuild(df, cut, text_col, id_col, preserve_case)
 
 
 def _window_relation(
@@ -647,11 +648,21 @@ def _window_relation(
 
 
 def _excise_and_rebuild(
-    df: DataFrame, cut: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    cut: DataFrame,
+    text_col: str,
+    id_col: str,
+    preserve_case: bool = False,
 ) -> DataFrame:
     """Merge cut intervals (id, s, e) into maximal per-doc islands,
     remove the covered tokens, and rebuild (doc_id, n_tokens,
     n_removed, clean_text) for EVERY input document.
+
+    ``preserve_case=True`` rebuilds from the CASED token stream
+    (position-aligned with the normalized one -- lowercasing never
+    moves token boundaries), so matching stays case-insensitive but
+    the surviving text keeps its original case: the corpus-build
+    setting, where rewriting untouched text would be destructive.
 
     Interval merge is a per-document gaps-and-islands window
     (partition size <= tokens per doc); the token cut is an equi
@@ -660,11 +671,15 @@ def _excise_and_rebuild(
     memory bound as tokenizing the document in the first place.
     """
     from pyspark.sql import Window
-    from xmidt_event_streams_spark.functions.text import tokens
+    from xmidt_event_streams_spark.functions.text import (
+        cased_tokens,
+        tokens,
+    )
 
+    tokenizer = cased_tokens if preserve_case else tokens
     tok = df.select(
         F.col(id_col),
-        F.posexplode_outer(tokens(text_col)).alias("p", "tok"),
+        F.posexplode_outer(tokenizer(text_col)).alias("p", "tok"),
     ).select(F.col(id_col), (F.col("p") + 1).alias("pos"), "tok")
 
     # gaps-and-islands: merge overlapping/adjacent cut intervals
@@ -728,6 +743,7 @@ def remove_contaminated_spans(
     bench_text_col: str | None = None,
     window: int = 13,
     broadcast_benchmark: bool = True,
+    preserve_case: bool = False,
 ) -> DataFrame:
     """Benchmark n-gram scrub (the GPT-3 appendix-C / PaLM
     decontamination shape, arXiv:2005.14165 §4: remove every corpus
@@ -778,4 +794,4 @@ def remove_contaminated_spans(
             (F.col("pos") + F.lit(window - 1)).alias("e"),
         )
     )
-    return _excise_and_rebuild(df, cut, text_col, id_col)
+    return _excise_and_rebuild(df, cut, text_col, id_col, preserve_case)
