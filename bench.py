@@ -428,11 +428,15 @@ def curation_bench(spark) -> dict:
     dsir = dsir_fit_labeled(labeled, "label", dim=2048)
     fit_sec = round(time.perf_counter() - t0, 3)
 
+    # benchmark arm for the span scrub: a small slice standing in for
+    # an eval set (distinct hashes broadcast; corpus never shuffles)
+    bench_set = docs.filter(F.col("source") == "src0")
+
     outdir = tempfile.mkdtemp(prefix="xes-curation-bench-")
     try:
         t0 = time.perf_counter()
         ledger = build_training_corpus(
-            docs,
+            docs.filter(F.col("source") != "src0"),
             outdir + "/corpus",
             quality="gopher",
             dedup="both",
@@ -443,6 +447,8 @@ def curation_bench(spark) -> dict:
             nb_min_score=-1e9,
             dsir_model=dsir,
             dsir_fraction=0.8,
+            scrub_spans_against=bench_set,
+            scrub_window=5,
             n_shards=8,
         )
         total = round(time.perf_counter() - t0, 3)

@@ -15,8 +15,8 @@ def test_curation_bench_smoke(spark, monkeypatch):
     assert out["curation_total_sec"] > 0 and out["fit_sec"] > 0
     # every stage that ran reports a wall time
     assert set(out["per_stage"]) == {
-        "line_dedup", "quality", "lm_gate", "nb_gate", "dsir",
-        "exact_dedup", "near_dedup", "shard_write",
+        "line_dedup", "ngram_scrub", "quality", "lm_gate", "nb_gate",
+        "dsir", "exact_dedup", "near_dedup", "shard_write",
     }
     assert all(v >= 0 for v in out["per_stage"].values())
     # the ledger discipline: drops are accounted, never silent
