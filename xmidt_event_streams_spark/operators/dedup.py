@@ -589,39 +589,50 @@ def remove_duplicate_spans(
     come back with clean_text = ''. Downstream keeps provenance: the
     row count never changes, only the text shrinks.
 
-    Plan shape (no all-pairs anywhere): window relation = one explode
-    + one md5 per window (shared tokenization with the ledger); the
-    >1-occurrence filter is a hash-agg on the uniform md5 key; the
-    keep-first rank is ONE window function partitioned by whash
-    (partitions = occurrence counts of one window's content --
-    bounded by duplication multiplicity, not corpus size); interval
-    merge is a per-document gaps-and-islands window (partition size
-    <= tokens per doc); the token cut is an equi anti-join on the
-    unique (doc_id, pos) key. Rebuild aggregates sorted (pos, token)
-    structs per doc -- the same per-doc-length memory bound as
-    tokenizing the document in the first place. At 100 TB the token
-    stream is scanned twice (window relation + rebuild); persist the
-    token relation between the two consumers if the scan dominates.
+    Plan shape (no all-pairs, no sort anywhere on the corpus-sized
+    path): window relation = one explode + one md5 per window (shared
+    tokenization with the ledger); ONE hash-agg on the uniform md5
+    key yields both the >1-occurrence filter and the canonical
+    min-(doc_id, pos) occurrence -- map-side combinable, so a
+    boilerplate window occurring a billion times costs a constant
+    per row instead of the per-partition sort a rank would need;
+    interval merge is a per-document gaps-and-islands window
+    (partition size <= tokens per doc); the token cut is an equi
+    anti-join on the unique (doc_id, pos) key. Rebuild aggregates
+    sorted (pos, token) structs per doc -- the same per-doc-length
+    memory bound as tokenizing the document in the first place. At
+    100 TB the token stream is scanned twice (window relation +
+    rebuild); persist the token relation between the two consumers
+    if the scan dominates.
     """
-    from pyspark.sql import Window
-
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
     wins = _window_relation(df, text_col, id_col, window)
     occurrence = (
         F.countDistinct(id_col) if cross_doc_only else F.count("*")
     )
+    # keep-first WITHOUT a rank: one hash-agg yields both the >1
+    # filter and the canonical occurrence (min (doc_id, pos) struct).
+    # A row_number over whash partitions would SORT each partition --
+    # and a boilerplate window occurring 10^9 times makes that
+    # partition a straggler. min(struct) keeps the whole path on
+    # map-side-combinable HashAggregates: hot keys cost a constant
+    # per input row, never a sort.
     hot = (
         wins.groupBy("whash")
-        .agg(occurrence.alias("_n"))
+        .agg(
+            occurrence.alias("_n"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
+        )
         .filter(F.col("_n") > 1)
-        .select("whash")
+        .select("whash", "_keep")
     )
-    rank = Window.partitionBy("whash").orderBy(id_col, "pos")
     cut = (
         wins.join(hot, "whash")
-        .withColumn("_rn", F.row_number().over(rank))
-        .filter(F.col("_rn") > 1)
+        .filter(
+            (F.col(id_col) != F.col("_keep")[id_col])
+            | (F.col("pos") != F.col("_keep")["pos"])
+        )
         .select(
             F.col(id_col),
             F.col("pos").alias("s"),
