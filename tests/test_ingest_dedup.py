@@ -473,3 +473,49 @@ class TestReadSinkAsOf:
         )
         pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert pf and "_ingest_batch_id" in pf[0], plan
+
+
+def test_ingest_with_span_scrub_gate(spark, tmp_path):
+    """span_scrub_gate as the streaming quality hook: a doc quoting a
+    benchmark sentence lands in the corpus SCRUBBED (rejected
+    nothing), and the scrubbed form is what the dedup index learned --
+    a later doc equal to the scrubbed text is flagged duplicate."""
+    from xmidt_event_streams_spark.corpus import chain_gates, span_scrub_gate
+    from xmidt_event_streams_spark.operators.incremental import (
+        init_minhash_index,
+    )
+
+    idx = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "corpus")
+    rejects_out = str(tmp_path / "rejects")
+    init_minhash_index(spark, idx, id_type="bigint")
+
+    bench_sent = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame(
+        [(900, f"prompt {bench_sent} answer")], "doc_id: long, text: string"
+    )
+    base = (
+        "Document alpha0 carries long sentence alphaword0 reading fine. "
+        "Document alpha1 carries long sentence alphaword1 reading fine."
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch_file(
+        src,
+        "b1.json",
+        [(1, f"{base} Quoted: {bench_sent} end of quote here.")],
+    )
+    gate = chain_gates(span_scrub_gate(bench, window=5))
+    q = _run_ingest_q(spark, src, idx, corpus_out, rejects_out,
+                      str(tmp_path / "ckpt"), quality=gate)
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(corpus_out).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    shipped = rows[0]["text"]
+    assert bench_sent not in shipped.lower()
+    assert "Quoted:" in shipped and "end of quote here." in shipped
+    # nothing rejected: the rejects sink never materialized a file
+    import pathlib
+
+    assert not list(pathlib.Path(rejects_out).rglob("*.parquet"))

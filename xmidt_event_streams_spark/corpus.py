@@ -687,6 +687,57 @@ def chain_gates(*gates):
     return gate
 
 
+def span_scrub_gate(
+    benchmark: DataFrame,
+    window: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gate-protocol wrapper for the benchmark n-gram scrub
+    (operators/dedup.remove_contaminated_spans): rewrites the batch's
+    text case-preservingly, REJECTS NOTHING -- returns
+    ``(rewritten, None)``. Compose with :func:`chain_gates` (put it
+    FIRST so learned gates score the text that will actually ship) or
+    pass straight to ``start_ingest_dedup(quality=...)`` for
+    scrub-on-ingest: every micro-batch is cut against the benchmark
+    before the dedup index sees it.
+
+    The benchmark reduces to its distinct window hashes inside each
+    batch plan -- eval-set-sized, broadcast by the operator's default,
+    so the per-trigger cost tracks the batch, not the benchmark
+    corpus product. Only touched docs get their text replaced;
+    untouched rows keep their exact bytes.
+    """
+    from xmidt_event_streams_spark.operators.dedup import (
+        remove_contaminated_spans,
+    )
+
+    def gate(batch: DataFrame):
+        scrubbed = remove_contaminated_spans(
+            batch,
+            benchmark,
+            text_col=text_col,
+            id_col=id_col,
+            window=window,
+            preserve_case=True,
+        )
+        touched = scrubbed.filter(F.col("n_removed") > 0).select(
+            F.col(id_col),
+            F.col("clean_text").alias("_xes_scrubbed_text"),
+        )
+        out = (
+            batch.join(touched, id_col, "left")
+            .withColumn(
+                text_col,
+                F.coalesce(F.col("_xes_scrubbed_text"), F.col(text_col)),
+            )
+            .drop("_xes_scrubbed_text")
+        )
+        return out, None
+
+    return gate
+
+
 def corpus_datasheet(
     df: DataFrame,
     text_col: str = "text",
