@@ -544,3 +544,38 @@ def test_build_with_benchmark_span_scrub(spark, tmp_path):
     # untouched docs: exact original bytes (newlines intact)
     assert back[2] == _line_doc("beta")
     assert back[3] == _line_doc("gamma")
+
+
+def test_build_with_span_excision(spark, tmp_path):
+    """excise_duplicate_spans: near-dup survivors that still share a
+    long span get it excised (keep-first: the min-id copy keeps its
+    text), after doc-level dedup and before shard token pricing."""
+    shared = " ".join(f"Shared{i} Token{i}" for i in range(6))  # 12 toks
+    rows = [
+        (1, _line_doc("alpha") + f"\n{shared} closing alpha line here."),
+        (2, _line_doc("beta") + f"\n{shared} closing beta line here."),
+        (3, _line_doc("gamma")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = str(tmp_path / "corpus")
+    ledger = build_training_corpus(
+        df,
+        out,
+        quality=None,
+        dedup="exact",
+        excise_duplicate_spans=True,
+        excise_window=5,
+    )
+    assert ledger["written"] == 3
+    assert ledger["excise_docs_touched"] == 1
+    # 12 span tokens + the shared "closing" right after it (the window
+    # [Shared4 Token4 Shared5 Token5 closing] also recurs verbatim)
+    assert ledger["excise_tokens_removed"] == 13
+    assert set(ledger["stage_sec"]) >= {"span_excise", "shard_write"}
+
+    back = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(out).select("doc_id", "text").collect()}
+    assert shared in back[1]          # min-id copy keeps the span
+    assert shared not in back[2]      # later copy excised, case kept
+    assert "beta line here." in back[2] and "closing" not in back[2]
+    assert back[3] == _line_doc("gamma")

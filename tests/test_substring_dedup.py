@@ -441,3 +441,53 @@ def test_preserve_case_rebuild(spark):
     ).collect()[0]
     assert out["clean_text"] == "Head Words Tail Words"
     assert out["n_removed"] == 5
+
+
+class TestBoilerplateArm:
+    """min_occurrences / keep_first generalize excision into a
+    boilerplate scrubber."""
+
+    def _run(self, spark, rows, **kw):
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        return {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(df, **kw).collect()
+        }
+
+    def test_threshold_spares_low_multiplicity(self, spark):
+        banner = "accept all cookies to continue browsing"
+        pair = "a rare shared phrase appears twice"
+        # doc-UNIQUE context on both sides: windows spanning the
+        # banner boundary contain a per-doc token and never recur
+        rows = [(i, f"head{i} mid{i} {banner} tail{i} foot{i}") for i in range(4)]
+        rows += [(10, f"x {pair} y"), (11, f"p {pair} q")]
+        out = self._run(
+            spark, rows, window=6, min_occurrences=4, keep_first=False
+        )
+        # banner (4 occurrences) cut EVERYWHERE, no canonical survivor
+        for i in range(4):
+            assert out[i]["clean_text"] == f"head{i} mid{i} tail{i} foot{i}"
+        # the rare pair (2 < 4) survives in both docs
+        assert out[10]["n_removed"] == 0 and out[11]["n_removed"] == 0
+
+    def test_default_is_lee_et_al(self, spark):
+        pair = "a b c d e"
+        out = self._run(
+            spark, [(1, f"x {pair} y"), (2, f"p {pair} q")], window=5
+        )
+        assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 5
+
+    def test_min_occurrences_guard(self, spark):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_occurrences"):
+            remove_duplicate_spans(df, min_occurrences=1)

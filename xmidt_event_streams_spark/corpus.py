@@ -72,12 +72,17 @@ def build_training_corpus(
     decontaminate_min_agreement: float = 0.5,
     scrub_spans_against: DataFrame | None = None,
     scrub_window: int = 13,
+    excise_duplicate_spans: bool = False,
+    excise_window: int = 20,
+    excise_min_occurrences: int = 2,
+    excise_keep_first: bool = True,
 ) -> dict:
     """Run the full assembly and write the sharded corpus; returns the
     drop ledger:
 
         {"input", "lines_removed", "scrub_tokens_removed",
-         "scrub_docs_touched",
+         "scrub_docs_touched", "excise_tokens_removed",
+         "excise_docs_touched",
          "quality_dropped": {reason: n, ...},
          "lm_dropped", "classifier_dropped", "dsir_dropped",
          "decontaminated_dropped",
@@ -398,6 +403,50 @@ def build_training_corpus(
         _stage("near_dedup")
     else:
         ledger["near_dups_dropped"] = 0
+
+    if excise_duplicate_spans:
+        # within-corpus span excision AFTER doc-level dedup (excise
+        # among survivors only -- cutting spans from docs the dedup
+        # tiers are about to drop is wasted work), BEFORE the token
+        # count that prices the shards. Same replace-touched-only
+        # discipline as the benchmark scrub: untouched rows keep
+        # their exact bytes.
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        excised = remove_duplicate_spans(
+            kept,
+            text_col=text_col,
+            id_col=id_col,
+            window=excise_window,
+            min_occurrences=excise_min_occurrences,
+            keep_first=excise_keep_first,
+            preserve_case=True,
+        ).persist()
+        _persisted.append(excised)
+        stats = excised.agg(
+            F.sum("n_removed").alias("toks"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("docs"),
+        ).collect()[0]
+        ledger["excise_tokens_removed"] = int(stats["toks"] or 0)
+        ledger["excise_docs_touched"] = int(stats["docs"] or 0)
+        touched = excised.filter(F.col("n_removed") > 0).select(
+            F.col(id_col),
+            F.col("clean_text").alias("_xes_excised_text"),
+        )
+        kept = (
+            kept.join(touched, id_col, "left")
+            .withColumn(
+                text_col,
+                F.coalesce(F.col("_xes_excised_text"), F.col(text_col)),
+            )
+            .drop("_xes_excised_text")
+        )
+        _stage("span_excise")
+    else:
+        ledger["excise_tokens_removed"] = 0
+        ledger["excise_docs_touched"] = 0
 
     try:
         staged = kept.withColumn("n_tokens", token_count(text_col))

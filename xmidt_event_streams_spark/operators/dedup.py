@@ -569,11 +569,20 @@ def remove_duplicate_spans(
     window: int = 20,
     cross_doc_only: bool = False,
     preserve_case: bool = False,
+    min_occurrences: int = 2,
+    keep_first: bool = True,
 ) -> DataFrame:
     """Exact-substring dedup that actually EXCISES the duplicated
     spans (Lee et al. 2021, arXiv:2107.06499 "ExactSubstr": remove
     every occurrence of a repeated substring except one) -- the
     consumer of the :func:`repeated_window_spans` ledger.
+
+    ``min_occurrences``/``keep_first`` generalize the same machinery
+    into a BOILERPLATE scrubber: ``min_occurrences=1000,
+    keep_first=False`` cuts every occurrence of any span recurring a
+    thousand times (cookie banners, nav chrome -- content no copy of
+    which belongs in training text), while the defaults give the
+    paper's keep-one dedup.
 
     Semantics: every ``window``-token sliding window whose content
     recurs elsewhere (``cross_doc_only=False`` counts within-doc
@@ -607,37 +616,42 @@ def remove_duplicate_spans(
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2, got {min_occurrences} "
+            "(1 would cut every token with keep_first=False, and is "
+            "identical to 2 with keep_first=True)"
+        )
     wins = _window_relation(df, text_col, id_col, window)
     occurrence = (
         F.countDistinct(id_col) if cross_doc_only else F.count("*")
     )
-    # keep-first WITHOUT a rank: one hash-agg yields both the >1
-    # filter and the canonical occurrence (min (doc_id, pos) struct).
-    # A row_number over whash partitions would SORT each partition --
-    # and a boilerplate window occurring 10^9 times makes that
-    # partition a straggler. min(struct) keeps the whole path on
-    # map-side-combinable HashAggregates: hot keys cost a constant
-    # per input row, never a sort.
+    # keep-first WITHOUT a rank: one hash-agg yields both the
+    # occurrence filter and the canonical occurrence (min (doc_id,
+    # pos) struct). A row_number over whash partitions would SORT
+    # each partition -- and a boilerplate window occurring 10^9 times
+    # makes that partition a straggler. min(struct) keeps the whole
+    # path on map-side-combinable HashAggregates: hot keys cost a
+    # constant per input row, never a sort.
     hot = (
         wins.groupBy("whash")
         .agg(
             occurrence.alias("_n"),
             F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
         )
-        .filter(F.col("_n") > 1)
+        .filter(F.col("_n") >= F.lit(min_occurrences))
         .select("whash", "_keep")
     )
-    cut = (
-        wins.join(hot, "whash")
-        .filter(
+    hit = wins.join(hot, "whash")
+    if keep_first:
+        hit = hit.filter(
             (F.col(id_col) != F.col("_keep")[id_col])
             | (F.col("pos") != F.col("_keep")["pos"])
         )
-        .select(
-            F.col(id_col),
-            F.col("pos").alias("s"),
-            (F.col("pos") + F.lit(window - 1)).alias("e"),
-        )
+    cut = hit.select(
+        F.col(id_col),
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(window - 1)).alias("e"),
     )
     return _excise_and_rebuild(df, cut, text_col, id_col, preserve_case)
 
