@@ -198,3 +198,19 @@ def test_frequent_tokens_candidate_then_verify_shape(spark):
     # verify agg keeps map-side partials (partial_count before the
     # exchange on the token key)
     assert "partial_count" in plan
+
+
+def test_span_excision_keep_first_is_rank_free(spark):
+    """dup_span_removal's keep-first pick must stay a hash-agg
+    min-struct, never a rank: a Window partitioned by whash sorts
+    each partition, and partition size equals duplication
+    multiplicity -- a billion-occurrence boilerplate window becomes
+    one straggler task. The only Window nodes allowed are the per-doc
+    gaps-and-islands merges (partition size <= tokens per doc)."""
+    import re
+
+    plan = _plan(spark, "dup_span_removal")
+    for m in re.finditer(r"\(\d+\) Window", plan):
+        detail = plan[m.end():]
+        args = detail[: detail.find("\n(")] if "\n(" in detail else detail
+        assert "whash" not in args, "keep-first regressed to a rank"

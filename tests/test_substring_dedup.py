@@ -491,3 +491,23 @@ class TestBoilerplateArm:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="min_occurrences"):
             remove_duplicate_spans(df, min_occurrences=1)
+
+
+def test_keep_first_string_ids_struct_fallback(spark):
+    """Non-integral ids can't use the packed-bigint keeper and fall
+    back to the struct min (keyed sort-agg accepted): semantics must
+    match the integral path."""
+    from xmidt_event_streams_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [("docA", "x a b c d e y"), ("docB", "q a b c d e r")],
+        "doc_id: string, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, window=5).collect()
+    }
+    assert out["docA"]["clean_text"] == "x a b c d e y"
+    assert out["docB"]["clean_text"] == "q r"

@@ -626,28 +626,57 @@ def remove_duplicate_spans(
     occurrence = (
         F.countDistinct(id_col) if cross_doc_only else F.count("*")
     )
-    # keep-first WITHOUT a rank: one hash-agg yields both the
-    # occurrence filter and the canonical occurrence (min (doc_id,
-    # pos) struct). A row_number over whash partitions would SORT
-    # each partition -- and a boilerplate window occurring 10^9 times
-    # makes that partition a straggler. min(struct) keeps the whole
-    # path on map-side-combinable HashAggregates: hot keys cost a
-    # constant per input row, never a sort.
+    # keep-first WITHOUT a rank or a sort: one hash-agg yields both
+    # the occurrence filter and the canonical occurrence. A
+    # row_number over whash partitions would SORT each partition --
+    # and a boilerplate window occurring 10^9 times makes that
+    # partition a straggler; min(struct(id, pos)) is no better,
+    # because structs are not valid hash-agg buffer types and Spark
+    # silently falls back to a keyed SortAggregate (the same sort,
+    # hidden in the agg -- tests/test_plan_invariants.py pins this).
+    # For integral ids, pack (doc_id, pos) into ONE order-preserving
+    # bigint (doc_id * 2^22 + pos: strictly lexicographic while
+    # pos < 2^22, i.e. docs under ~4.2M tokens -- enforced with a
+    # raise, never a silent corruption; |doc_id| must fit 2^41).
+    # min(bigint) keeps the whole path on map-side-combinable
+    # HashAggregates: hot keys cost a constant per input row.
+    # Non-integral ids take the struct fallback and accept the
+    # sort-agg.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = isinstance(
+        df.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    if integral:
+        _POS_BITS = 22
+
+        def occ_key():
+            return F.when(
+                F.col("pos") < F.lit(1 << _POS_BITS),
+                F.shiftleft(F.col(id_col).cast("long"), _POS_BITS)
+                + F.col("pos"),
+            ).otherwise(
+                F.raise_error(
+                    f"document exceeds 2^{_POS_BITS} tokens; "
+                    "keep-first packing would corrupt"
+                )
+            )
+
+    else:
+
+        def occ_key():
+            return F.struct(F.col(id_col), F.col("pos"))
+
     hot = (
         wins.groupBy("whash")
-        .agg(
-            occurrence.alias("_n"),
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
-        )
+        .agg(occurrence.alias("_n"), F.min(occ_key()).alias("_keep"))
         .filter(F.col("_n") >= F.lit(min_occurrences))
         .select("whash", "_keep")
     )
     hit = wins.join(hot, "whash")
     if keep_first:
-        hit = hit.filter(
-            (F.col(id_col) != F.col("_keep")[id_col])
-            | (F.col("pos") != F.col("_keep")["pos"])
-        )
+        hit = hit.filter(occ_key() != F.col("_keep"))
     cut = hit.select(
         F.col(id_col),
         F.col("pos").alias("s"),
