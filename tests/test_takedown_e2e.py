@@ -165,3 +165,128 @@ def test_takedown_is_idempotent(spark, tmp_path):
         tuple(r) for r in read_keyed_table(spark, corpus_path).collect()
     ) == snap_corpus
     assert second["rows_after"] == first["rows_after"]
+
+
+def test_takedown_ids_api_matches_manual_flow(spark, tmp_path):
+    """The packaged takedown_ids wrapper = tombstone MERGE + index
+    compaction, one call."""
+    from xmidt_event_streams_spark.takedown import takedown_ids
+
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    df = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    write_keyed_table(df, corpus_path, "doc_id")
+    write_minhash_index(read_keyed_table(spark, corpus_path), index_path)
+
+    stats = takedown_ids(spark, corpus_path, [TARGET], index_path)
+    assert stats["deletes"] == 1 and stats["upserts"] == 0
+    assert stats["index"]["rows_after"] < stats["index"]["rows_before"]
+    post = {r["doc_id"] for r in read_keyed_table(spark, corpus_path).collect()}
+    assert TARGET not in post and len(post) == 39
+
+
+def test_takedown_phrases_end_to_end(spark, tmp_path):
+    """Content takedown: one passage driven out of every document
+    that quotes it -- corpus reads, index probes, and re-exported
+    shards -- while untouched documents and placements stay
+    byte-identical, and a document that WAS the passage is
+    tombstoned, not left an empty husk."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        incremental_dedup_candidates,
+    )
+    from xmidt_event_streams_spark.takedown import takedown_phrases
+
+    passage = ("The Forbidden Passage Must Vanish From Every "
+               "Document It Appears In Completely")
+    rows = [
+        (i, f"document {i} original terms alpha{i} beta{i} gamma{i} "
+            f"delta{i} epsilon{i} zeta{i}")
+        for i in range(20)
+    ]
+    rows[3] = (3, rows[3][1] + f" quoted here: {passage} end of quote")
+    rows[11] = (11, f"{passage} and then {rows[11][1]}")
+    rows.append((50, passage))  # nothing but the passage
+
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    shards_a = str(tmp_path / "shards_a")
+    shards_b = str(tmp_path / "shards_b")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    write_keyed_table(df, corpus_path, "doc_id")
+    write_minhash_index(read_keyed_table(spark, corpus_path), index_path)
+    pre_corpus = {
+        r["doc_id"]: r["text"]
+        for r in read_keyed_table(spark, corpus_path).collect()
+    }
+    write_training_shards(
+        read_keyed_table(spark, corpus_path).withColumn(
+            "n_tokens", F.size(F.split("text", " "))
+        ),
+        shards_a,
+        token_col="n_tokens",
+        n_shards=4,
+    )
+
+    stats = takedown_phrases(
+        spark, corpus_path, [passage], window=5, index_path=index_path
+    )
+    assert stats["docs_touched"] == 3
+    assert stats["deletes"] == 1          # doc 50 tombstoned
+    assert stats["upserts"] == 2          # docs 3, 11 rewritten
+    assert stats["tokens_removed"] >= 3 * len(passage.split())
+
+    post_corpus = {
+        r["doc_id"]: r["text"]
+        for r in read_keyed_table(spark, corpus_path).collect()
+    }
+    # passage gone everywhere; quoting docs survive, case preserved
+    assert 50 not in post_corpus
+    for did, text in post_corpus.items():
+        assert "Forbidden Passage" not in text and "vanish" not in text.lower()
+    assert "quoted here:" in post_corpus[3] and "alpha3" in post_corpus[3]
+    assert "and then" in post_corpus[11]
+    # untouched docs byte-identical
+    for did in set(pre_corpus) - {3, 11, 50}:
+        assert post_corpus[did] == pre_corpus[did]
+
+    # index: a near-copy of the passage finds NO candidates; a
+    # near-copy of an untouched doc still does
+    probe = spark.createDataFrame(
+        [(999, passage + " extra"), (998, pre_corpus[7])],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r["new_id"], r["dup_id"])
+        for r in incremental_dedup_candidates(spark, index_path, probe).collect()
+    }
+    assert all(new != 999 for new, _ in hits)
+    assert (998, 7) in hits
+
+    # shards re-exported from the post-takedown corpus: no passage,
+    # untouched rows keep identical (split, shard) placement
+    write_training_shards(
+        read_keyed_table(spark, corpus_path).withColumn(
+            "n_tokens", F.size(F.split("text", " "))
+        ),
+        shards_b,
+        token_col="n_tokens",
+        n_shards=4,
+    )
+    pre_shards = _shard_rows(spark, shards_a)
+    post_shards = _shard_rows(spark, shards_b)
+    assert all("Forbidden Passage" not in r[1] for r in post_shards)
+    pre_untouched = [r for r in pre_shards if r[0] not in (3, 11, 50)]
+    post_untouched = [r for r in post_shards if r[0] not in (3, 11)]
+    assert pre_untouched == post_untouched
+
+
+def test_takedown_phrases_refuses_short_phrase(spark, tmp_path):
+    from xmidt_event_streams_spark.takedown import takedown_phrases
+
+    corpus_path = str(tmp_path / "corpus")
+    df = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    write_keyed_table(df, corpus_path, "doc_id")
+    import pytest
+
+    with pytest.raises(ValueError, match="shorter than window"):
+        takedown_phrases(spark, corpus_path, ["too short"], window=5)

@@ -187,9 +187,17 @@ def merge_upsert(
         }
         from xmidt_event_streams_spark.fsutil import delete_path
 
-        for b in touched:
-            if b not in nonempty:
-                delete_path(spark, f"{path}/{_BUCKET}={b}")
+        cleared = [b for b in touched if b not in nonempty]
+        for b in cleared:
+            delete_path(spark, f"{path}/{_BUCKET}={b}")
+        if cleared:
+            # the dynamic overwrite refreshed Spark's file-listing
+            # cache, but this raw FS delete did not: without an
+            # explicit refresh the next read of the table still lists
+            # the deleted bucket's files and fails with
+            # FAILED_READ_FILE (caught by the phrase-takedown e2e:
+            # a bucket whose only doc was tombstoned)
+            spark.catalog.refreshByPath(path)
         return {
             "touched_buckets": sorted(touched),
             "upserts": n_ups,
