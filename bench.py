@@ -369,6 +369,17 @@ def ann_bench(spark) -> dict:
         "pq_encode_sec": encode_sec,
         "pq_search_sec": pq_sec,
         "speedup_search": round(brute_sec / pq_sec, 2),
+        # the channel that scales: bytes touched per corpus row by
+        # each scan. Locally both arms run over page-cached data and
+        # per-job overhead (~0.5 s) dominates, so WALL ratios here
+        # understate the ADC win badly; at 100 TB the scan is
+        # bandwidth-bound and the bytes ratio IS the speedup
+        # (8-byte codes vs 512-byte float64 vectors = 64x less to
+        # stream; rerank adds C*dim*8 bytes per query, independent
+        # of corpus size).
+        "brute_bytes_per_row": 8 * dim,
+        "adc_bytes_per_row": m,
+        "adc_bytes_frac": round(m / (8 * dim), 4),
         "recall_at_10": recall,
         "rerank_c": rerank_c,
         "pq_rerank_search_sec": pq_rr_sec,
