@@ -430,7 +430,9 @@ def curation_bench(spark) -> dict:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
-    n_docs = docs.count()
+    # "docs" must be the BUILD's input (the non-benchmark slice), or
+    # written+drops stops reconciling against it round over round
+    n_docs = docs.filter(F.col("source") != "src0").count()
     labeled = docs.withColumn("label", F.col("lang") == "en")
 
     t0 = time.perf_counter()

@@ -511,3 +511,96 @@ def test_keep_first_string_ids_struct_fallback(spark):
     }
     assert out["docA"]["clean_text"] == "x a b c d e y"
     assert out["docB"]["clean_text"] == "q r"
+
+
+class TestScrubFixpoint:
+    """Excision is not idempotent: cutting a span can stitch the
+    surviving neighbors into a fresh occurrence. fixpoint=True must
+    leave NO matching window; the review's confirmed repro is the
+    regression case."""
+
+    def _scrub(self, spark, text, phrase, **kw):
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_contaminated_spans,
+        )
+
+        cdf = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+        bdf = spark.createDataFrame([(9, phrase)], "doc_id: long, text: string")
+        return remove_contaminated_spans(cdf, bdf, window=5, **kw).collect()
+
+    def test_single_pass_stitches(self, spark):
+        # documented limitation of the single pass: the repro from the
+        # r5 review -- excising tokens 5..9 leaves exactly the phrase
+        out = self._scrub(spark, "a b c d a b c d e e", "a b c d e")
+        assert out[0]["clean_text"] == "a b c d e"
+
+    def test_fixpoint_removes_everything(self, spark):
+        out = self._scrub(
+            spark, "a b c d a b c d e e", "a b c d e", fixpoint=True
+        )
+        assert out[0]["clean_text"] == ""
+        assert out[0]["n_removed"] == 10 and out[0]["n_tokens"] == 10
+
+    def test_fixpoint_full_output_keeps_untouched_docs(self, spark):
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_contaminated_spans,
+        )
+
+        cdf = spark.createDataFrame(
+            [(1, "a b c d a b c d e e"), (2, "nothing to see here folks")],
+            "doc_id: long, text: string",
+        )
+        bdf = spark.createDataFrame(
+            [(9, "a b c d e")], "doc_id: long, text: string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_contaminated_spans(
+                cdf, bdf, window=5, fixpoint=True
+            ).collect()
+        }
+        assert len(out) == 2
+        assert out[1]["clean_text"] == ""
+        assert out[2]["n_removed"] == 0
+        touched = remove_contaminated_spans(
+            cdf, bdf, window=5, fixpoint=True, touched_only=True
+        ).collect()
+        assert [r["doc_id"] for r in touched] == [1]
+
+    def test_touched_only_single_pass(self, spark):
+        from xmidt_event_streams_spark.operators.dedup import (
+            remove_contaminated_spans,
+        )
+
+        cdf = spark.createDataFrame(
+            [(1, "x a b c d e y"), (2, "unrelated words entirely here")],
+            "doc_id: long, text: string",
+        )
+        bdf = spark.createDataFrame(
+            [(9, "a b c d e")], "doc_id: long, text: string"
+        )
+        rows = remove_contaminated_spans(
+            cdf, bdf, window=5, touched_only=True
+        ).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["clean_text"] == "x y"
+
+
+def test_packed_keeper_refuses_huge_ids(spark):
+    """|doc_id| >= 2^41 would overflow the packed (id, pos) keeper;
+    the guard must raise, never silently skip the dedup (review
+    repro: ids 1 and 1+2^42 collided and nothing was excised)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from xmidt_event_streams_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    big = (1 << 42) + 1
+    df = spark.createDataFrame(
+        [(1, "x a b c d e y"), (big, "q a b c d e r")],
+        "doc_id: long, text: string",
+    )
+    with pytest.raises(SparkRuntimeException, match="packing would corrupt"):
+        remove_duplicate_spans(df, window=5).collect()

@@ -196,12 +196,16 @@ def build_training_corpus(
         # benchmark n-gram scrub EARLY (with the other text rewrite),
         # so the quality rules, learned gates, and both dedup tiers
         # judge the text that will actually ship. Case-insensitive
-        # match, case-preserving rewrite; only touched docs get their
-        # text replaced (untouched rows keep their bytes -- the
-        # rebuild's whitespace normalization must not rewrite the
-        # whole corpus). Token counts, not docs: the doc-count
-        # invariant written + drops == input is unaffected.
+        # match, case-preserving rewrite, fixpoint (excision can
+        # stitch neighbors into a fresh match -- a single pass may
+        # ship benchmark content), touched-only (the corpus-sized
+        # rebuild is skipped for clean docs; apply_clean_text keeps
+        # untouched rows' exact bytes). PRECONDITION inherited from
+        # the rebuild: ids unique at this point in the chain.
+        # Token counts, not docs: the doc-count invariant
+        # written + drops == input is unaffected.
         from xmidt_event_streams_spark.operators.dedup import (
+            apply_clean_text,
             remove_contaminated_spans,
         )
 
@@ -212,26 +216,17 @@ def build_training_corpus(
             id_col=id_col,
             window=scrub_window,
             preserve_case=True,
+            touched_only=True,
+            fixpoint=True,
         ).persist()
         _persisted.append(scrubbed)
         stats = scrubbed.agg(
             F.sum("n_removed").alias("toks"),
-            F.sum((F.col("n_removed") > 0).cast("long")).alias("docs"),
+            F.count("*").alias("docs"),
         ).collect()[0]
         ledger["scrub_tokens_removed"] = int(stats["toks"] or 0)
         ledger["scrub_docs_touched"] = int(stats["docs"] or 0)
-        touched = scrubbed.filter(F.col("n_removed") > 0).select(
-            F.col(id_col),
-            F.col("clean_text").alias("_xes_scrubbed_text"),
-        )
-        kept = (
-            kept.join(touched, id_col, "left")
-            .withColumn(
-                text_col,
-                F.coalesce(F.col("_xes_scrubbed_text"), F.col(text_col)),
-            )
-            .drop("_xes_scrubbed_text")
-        )
+        kept = apply_clean_text(kept, scrubbed, text_col, id_col)
         _stage("ngram_scrub")
     else:
         ledger["scrub_tokens_removed"] = 0
@@ -412,6 +407,7 @@ def build_training_corpus(
         # discipline as the benchmark scrub: untouched rows keep
         # their exact bytes.
         from xmidt_event_streams_spark.operators.dedup import (
+            apply_clean_text,
             remove_duplicate_spans,
         )
 
@@ -423,26 +419,16 @@ def build_training_corpus(
             min_occurrences=excise_min_occurrences,
             keep_first=excise_keep_first,
             preserve_case=True,
+            touched_only=True,
         ).persist()
         _persisted.append(excised)
         stats = excised.agg(
             F.sum("n_removed").alias("toks"),
-            F.sum((F.col("n_removed") > 0).cast("long")).alias("docs"),
+            F.count("*").alias("docs"),
         ).collect()[0]
         ledger["excise_tokens_removed"] = int(stats["toks"] or 0)
         ledger["excise_docs_touched"] = int(stats["docs"] or 0)
-        touched = excised.filter(F.col("n_removed") > 0).select(
-            F.col(id_col),
-            F.col("clean_text").alias("_xes_excised_text"),
-        )
-        kept = (
-            kept.join(touched, id_col, "left")
-            .withColumn(
-                text_col,
-                F.coalesce(F.col("_xes_excised_text"), F.col(text_col)),
-            )
-            .drop("_xes_excised_text")
-        )
+        kept = apply_clean_text(kept, excised, text_col, id_col)
         _stage("span_excise")
     else:
         ledger["excise_tokens_removed"] = 0
@@ -758,6 +744,7 @@ def span_scrub_gate(
     untouched rows keep their exact bytes.
     """
     from xmidt_event_streams_spark.operators.dedup import (
+        apply_clean_text,
         remove_contaminated_spans,
     )
 
@@ -769,20 +756,10 @@ def span_scrub_gate(
             id_col=id_col,
             window=window,
             preserve_case=True,
+            touched_only=True,
+            fixpoint=True,
         )
-        touched = scrubbed.filter(F.col("n_removed") > 0).select(
-            F.col(id_col),
-            F.col("clean_text").alias("_xes_scrubbed_text"),
-        )
-        out = (
-            batch.join(touched, id_col, "left")
-            .withColumn(
-                text_col,
-                F.coalesce(F.col("_xes_scrubbed_text"), F.col(text_col)),
-            )
-            .drop("_xes_scrubbed_text")
-        )
-        return out, None
+        return apply_clean_text(batch, scrubbed, text_col, id_col), None
 
     return gate
 

@@ -424,14 +424,10 @@ def repeated_window_spans(
     between the two consumers. No all-pairs shape anywhere.
     """
     if winnow is None:
-        wins = df.select(
-            F.col(id_col),
-            F.posexplode(word_ngrams(text_col, window)).alias("pos", "win"),
-        ).select(
-            F.col(id_col),
-            (F.col("pos") + 1).alias("pos"),
-            F.md5("win").alias("whash"),
-        )
+        # the SAME relation the excision consumers build -- one
+        # definition (see _window_relation), so ledger and excision
+        # can never de-sync on position/hash semantics
+        wins = _window_relation(df, text_col, id_col, window)
     else:
         from xmidt_event_streams_spark.functions.text import let_bind
 
@@ -571,6 +567,7 @@ def remove_duplicate_spans(
     preserve_case: bool = False,
     min_occurrences: int = 2,
     keep_first: bool = True,
+    touched_only: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup that actually EXCISES the duplicated
     spans (Lee et al. 2021, arXiv:2107.06499 "ExactSubstr": remove
@@ -650,16 +647,23 @@ def remove_duplicate_spans(
     )
     if integral:
         _POS_BITS = 22
+        _ID_BITS = 63 - _POS_BITS  # 41: shiftleft must not drop id bits
 
         def occ_key():
             return F.when(
-                F.col("pos") < F.lit(1 << _POS_BITS),
+                (F.col("pos") < F.lit(1 << _POS_BITS))
+                & (
+                    F.abs(F.col(id_col).cast("long"))
+                    < F.lit(1 << _ID_BITS)
+                ),
                 F.shiftleft(F.col(id_col).cast("long"), _POS_BITS)
                 + F.col("pos"),
             ).otherwise(
                 F.raise_error(
-                    f"document exceeds 2^{_POS_BITS} tokens; "
-                    "keep-first packing would corrupt"
+                    f"keep-first packing would corrupt: document over "
+                    f"2^{_POS_BITS} tokens or |{id_col}| >= "
+                    f"2^{_ID_BITS} (dense re-key the ids, or use "
+                    "string ids for the struct path)"
                 )
             )
 
@@ -682,6 +686,14 @@ def remove_duplicate_spans(
         F.col("pos").alias("s"),
         (F.col("pos") + F.lit(window - 1)).alias("e"),
     )
+    if touched_only:
+        # rebuild only docs that actually have cuts: the corpus-sized
+        # tokenize+shuffle+collect of the rebuild is the dominant cost
+        # when few docs are touched, and replace-touched-only
+        # consumers discard untouched rows anyway
+        df = df.join(
+            cut.select(id_col).distinct(), id_col, "left_semi"
+        )
     return _excise_and_rebuild(df, cut, text_col, id_col, preserve_case)
 
 
@@ -711,6 +723,11 @@ def _excise_and_rebuild(
     """Merge cut intervals (id, s, e) into maximal per-doc islands,
     remove the covered tokens, and rebuild (doc_id, n_tokens,
     n_removed, clean_text) for EVERY input document.
+
+    PRECONDITION: ``df`` is unique on ``id_col``. Duplicate ids
+    interleave two documents' (pos, token) streams in the per-id
+    rebuild and garble both; run this before any step that can
+    introduce id collisions, or exact-dedup ids first.
 
     ``preserve_case=True`` rebuilds from the CASED token stream
     (position-aligned with the normalized one -- lowercasing never
@@ -798,6 +815,9 @@ def remove_contaminated_spans(
     window: int = 13,
     broadcast_benchmark: bool = True,
     preserve_case: bool = False,
+    touched_only: bool = False,
+    fixpoint: bool = False,
+    max_passes: int = 16,
 ) -> DataFrame:
     """Benchmark n-gram scrub (the GPT-3 appendix-C / PaLM
     decontamination shape, arXiv:2005.14165 §4: remove every corpus
@@ -810,7 +830,23 @@ def remove_contaminated_spans(
     cut windows merge into maximal intervals and the covered tokens
     are removed. Output is the same contract as
     :func:`remove_duplicate_spans`: (doc_id, n_tokens, n_removed,
-    clean_text) for every corpus document, row count preserved.
+    clean_text) for every corpus document, row count preserved --
+    unless ``touched_only=True``, which returns ONLY documents with
+    cuts and skips the corpus-sized rebuild for everything else (the
+    replace-touched-only consumers' setting). Documents must be
+    unique on ``id_col``: duplicate ids interleave token streams in
+    the rebuild and garble both copies.
+
+    **Excision is not idempotent**: removing a span can STITCH the
+    surviving neighbors into a fresh occurrence of a benchmark
+    window ('a b c d a b c d e e' scrubbed of 'a b c d e' leaves
+    exactly 'a b c d e'). ``fixpoint=True`` re-scrubs the touched
+    documents until none matches (each pass strictly shrinks every
+    still-matching doc, so termination is guaranteed; ``max_passes``
+    is a loud safety valve, not a silent cap). Takedown-grade
+    consumers (takedown_phrases, span_scrub_gate, the corpus-build
+    stage) run fixpoint; the single pass is the documented
+    Lee-et-al-style approximation the oracle twin checks.
 
     Complements :func:`~xmidt_event_streams_spark.operators.incremental.decontaminate_near_dups`
     (whole-doc near-dup verdicts): run the near-dup pass for documents
@@ -823,7 +859,9 @@ def remove_contaminated_spans(
     back to a shuffle semi-join on the uniform md5 key for
     benchmark-sized "benchmarks". The excise/rebuild tail shares
     :func:`_excise_and_rebuild` (per-doc-bounded windows, equi
-    anti-join on (doc_id, pos)).
+    anti-join on (doc_id, pos)). Fixpoint passes beyond the first run
+    over the still-contaminated rows only (localCheckpointed per
+    round: bounded rows, truncated lineage).
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -839,13 +877,107 @@ def remove_contaminated_spans(
     )
     if broadcast_benchmark:
         bench_hashes = F.broadcast(bench_hashes)
-    cut = (
-        _window_relation(df, text_col, id_col, window)
-        .join(bench_hashes, "whash", "left_semi")
-        .select(
-            F.col(id_col),
-            F.col("pos").alias("s"),
-            (F.col("pos") + F.lit(window - 1)).alias("e"),
+
+    def _one_pass(frame: DataFrame, only_touched: bool) -> DataFrame:
+        cut = (
+            _window_relation(frame, text_col, id_col, window)
+            .join(bench_hashes, "whash", "left_semi")
+            .select(
+                F.col(id_col),
+                F.col("pos").alias("s"),
+                (F.col("pos") + F.lit(window - 1)).alias("e"),
+            )
         )
+        if only_touched:
+            frame = frame.join(
+                cut.select(id_col).distinct(), id_col, "left_semi"
+            )
+        return _excise_and_rebuild(
+            frame, cut, text_col, id_col, preserve_case
+        )
+
+    first = _one_pass(df, touched_only)
+    if not fixpoint:
+        return first
+
+    # iterate the TOUCHED docs to a fixpoint; each round's pending
+    # set strictly shrinks in tokens, so this terminates
+    cur = first.filter(F.col("n_removed") > 0).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_removed").alias("_cum"),
+        F.col("clean_text"),
+    ).localCheckpoint(eager=True)
+    done = []
+    for _ in range(max_passes):
+        if not cur.take(1):
+            break
+        nxt = _one_pass(
+            cur.withColumnRenamed("clean_text", text_col).select(
+                id_col, text_col
+            ),
+            False,
+        )
+        merged = (
+            cur.select(id_col, "n_tokens", "_cum")
+            .join(
+                nxt.select(
+                    F.col(id_col),
+                    F.col("n_removed").alias("_new"),
+                    "clean_text",
+                ),
+                id_col,
+            )
+            .withColumn("_cum", F.col("_cum") + F.col("_new"))
+            .localCheckpoint(eager=True)
+        )
+        done.append(
+            merged.filter(F.col("_new") == 0).select(
+                F.col(id_col),
+                "n_tokens",
+                F.col("_cum").alias("n_removed"),
+                "clean_text",
+            )
+        )
+        cur = merged.filter(F.col("_new") > 0).select(
+            id_col, "n_tokens", "_cum", "clean_text"
+        )
+    else:
+        if cur.take(1):
+            raise RuntimeError(
+                f"scrub did not reach a fixpoint in {max_passes} "
+                "passes; raise max_passes (every pass strictly "
+                "shrinks the pending docs, so this converges)"
+            )
+    out = first.filter(F.col("n_removed") == 0)
+    for d in done:
+        out = out.unionByName(d)
+    if touched_only:
+        out = out.filter(F.col("n_removed") > 0)
+    return out
+
+
+def apply_clean_text(
+    df: DataFrame,
+    scrubbed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replace-touched-only rewrite: join an excision output
+    (id, n_removed, clean_text) back onto the caller's full rows --
+    touched docs get the rebuilt text, untouched rows keep their
+    EXACT original bytes (never the whitespace-collapsed rebuild).
+    The one definition shared by the corpus-build stages, the
+    streaming scrub gate, and phrase takedown."""
+    touched = scrubbed.filter(F.col("n_removed") > 0).select(
+        F.col(id_col),
+        F.col("clean_text").alias("_xes_clean_text"),
     )
-    return _excise_and_rebuild(df, cut, text_col, id_col, preserve_case)
+    return (
+        df.join(touched, id_col, "left")
+        .withColumn(
+            text_col,
+            F.coalesce(F.col("_xes_clean_text"), F.col(text_col)),
+        )
+        .drop("_xes_clean_text")
+    )

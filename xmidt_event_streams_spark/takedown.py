@@ -55,7 +55,12 @@ def takedown_ids(
     surviving rows is a pure row hash, so nobody else moves).
     """
     if not ids:
-        return {"upserts": 0, "deletes": 0, "index": None}
+        return {
+            "upserts": 0,
+            "deletes": 0,
+            "touched_buckets": [],
+            "index": None,
+        }
     table = read_keyed_table(spark, corpus_path)
     key_col = _key_col(spark, corpus_path)
     tomb = (
@@ -110,7 +115,14 @@ def takedown_phrases(
     tombstone-compaction + one append of the touched rows.
     """
     if not phrases:
-        return {"docs_touched": 0, "tokens_removed": 0, "deletes": 0}
+        return {
+            "docs_touched": 0,
+            "tokens_removed": 0,
+            "upserts": 0,
+            "deletes": 0,
+            "touched_buckets": [],
+            "index": None,
+        }
     short = [p for p in phrases if len(_py_tokens(p)) < window]
     if short:
         raise ValueError(
@@ -124,15 +136,20 @@ def takedown_phrases(
     key_col = _key_col(spark, corpus_path)
     table = read_keyed_table(spark, corpus_path)
     bench = spark.createDataFrame([(p,) for p in phrases], [text_col])
-    scrubbed = remove_contaminated_spans(
+    # fixpoint: excision can stitch surviving neighbors into a fresh
+    # occurrence of the phrase -- a single pass may ship taken-down
+    # content verbatim. touched_only skips the corpus-sized rebuild
+    # for the (vast) untouched majority.
+    touched = remove_contaminated_spans(
         table,
         bench,
         text_col=text_col,
         id_col=key_col,
         window=window,
         preserve_case=True,
-    )
-    touched = scrubbed.filter(F.col("n_removed") > 0).persist()
+        touched_only=True,
+        fixpoint=True,
+    ).persist()
     try:
         agg = touched.agg(
             F.count("*").alias("docs"),
@@ -151,6 +168,7 @@ def takedown_phrases(
                 "tokens_removed": 0,
                 "upserts": 0,
                 "deletes": 0,
+                "touched_buckets": [],
                 "index": None,
             }
         empty = F.col("_xes_clean") == ""
