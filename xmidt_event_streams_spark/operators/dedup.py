@@ -877,16 +877,43 @@ def remove_contaminated_spans(
     )
     if broadcast_benchmark:
         bench_hashes = F.broadcast(bench_hashes)
+    return _scrub_to_fixpoint(
+        df,
+        lambda wins: bench_hashes,
+        window,
+        text_col,
+        id_col,
+        preserve_case,
+        touched_only,
+        fixpoint,
+        max_passes,
+    )
+
+
+def _scrub_to_fixpoint(
+    df: DataFrame,
+    hash_lookup,
+    window: int,
+    text_col: str,
+    id_col: str,
+    preserve_case: bool,
+    touched_only: bool,
+    fixpoint: bool,
+    max_passes: int,
+) -> DataFrame:
+    """The shared scrub engine. ``hash_lookup(wins)`` maps this
+    pass's window relation to the whash set to cut -- a static
+    benchmark hash relation for :func:`remove_contaminated_spans`, an
+    index probe for the incremental window index (re-evaluated EVERY
+    fixpoint pass: stitched windows can match history that the
+    original batch's windows never touched)."""
 
     def _one_pass(frame: DataFrame, only_touched: bool) -> DataFrame:
-        cut = (
-            _window_relation(frame, text_col, id_col, window)
-            .join(bench_hashes, "whash", "left_semi")
-            .select(
-                F.col(id_col),
-                F.col("pos").alias("s"),
-                (F.col("pos") + F.lit(window - 1)).alias("e"),
-            )
+        wins = _window_relation(frame, text_col, id_col, window)
+        cut = wins.join(hash_lookup(wins), "whash", "left_semi").select(
+            F.col(id_col),
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(window - 1)).alias("e"),
         )
         if only_touched:
             frame = frame.join(
