@@ -49,15 +49,28 @@ def test_all_kinds_in_one_window(spark, tmp_path):
             b, roll, max_files=1,
         )
 
+    # window-hash index with a replay-duplicated append
+    from xmidt_event_streams_spark.operators.spandedup import (
+        append_to_window_index,
+        write_window_index,
+    )
+
+    widx = str(tmp_path / "widx")
+    write_window_index(docs, widx, window=5, src_batch=1)
+    append_to_window_index(docs.filter("doc_id = 0"), widx, src_batch=1)
+
     report = run_maintenance(
         spark,
         ingest_sinks=(sink,),
         minhash_indexes=(index,),
+        window_indexes=(widx,),
         rollups=((roll, ["k"], m),),
         batches_per_partition=10,
     )
     assert report[sink]["kind"] == "ingest_sink" and "error" not in report[sink]
     assert report[index]["kind"] == "minhash_index" and "error" not in report[index]
+    assert report[widx]["kind"] == "window_index" and "error" not in report[widx]
+    assert report[widx]["rows_after"] < report[widx]["rows_before"]
     assert report[roll]["kind"] == "rollup" and "error" not in report[roll]
     # the compacted state still answers correctly
     assert spark.read.parquet(sink).count() == 5

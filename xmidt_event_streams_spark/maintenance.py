@@ -73,6 +73,7 @@ def run_maintenance(
     spark: SparkSession,
     ingest_sinks: tuple[str, ...] = (),
     minhash_indexes: tuple[str, ...] = (),
+    window_indexes: tuple[str, ...] = (),
     rollups: tuple[tuple[str, list, dict], ...] = (),
     ivf_indexes: tuple[str, ...] = (),
     kmv_baselines: tuple[tuple[str, str], ...] = (),
@@ -89,7 +90,9 @@ def run_maintenance(
     ``ingest_dedup.compact_ingest_sink``). ``minhash_indexes``: index
     paths (replay-dup + tombstone rewrite,
     ``incremental.compact_minhash_index``; per-path tombstone id
-    lists via ``tombstones``). ``rollups``: (path, dims, measures)
+    lists via ``tombstones``). ``window_indexes``: window-hash index
+    paths (replay-dup rewrite keeping each hash's first writer,
+    ``spandedup.compact_window_index``). ``rollups``: (path, dims, measures)
     triples (partial fold, ``rollup.compact_rollup``).
     ``ivf_indexes``: IVF index paths -- a READ-ONLY occupancy-drift
     check (``ivf.ivf_occupancy_drift``): the report carries the PSI
@@ -123,15 +126,21 @@ def run_maintenance(
         compact_minhash_index,
     )
     from xmidt_event_streams_spark.operators.ivf import ivf_occupancy_drift
+    from xmidt_event_streams_spark.operators.spandedup import (
+        compact_window_index,
+    )
     from xmidt_event_streams_spark.streaming.ingest_dedup import (
         compact_ingest_sink,
     )
     from xmidt_event_streams_spark.streaming.rollup import compact_rollup
 
     if checkpoints and not force:
-        write_targets = set(ingest_sinks) | set(minhash_indexes) | {
-            p for p, _, _ in rollups
-        }
+        write_targets = (
+            set(ingest_sinks)
+            | set(minhash_indexes)
+            | set(window_indexes)
+            | {p for p, _, _ in rollups}
+        )
         for target, ckpt in checkpoints.items():
             if target in write_targets:
                 assert_writer_quiesced(
@@ -161,6 +170,12 @@ def run_maintenance(
             path,
             "minhash_index",
             lambda p=path, t=tl: compact_minhash_index(spark, p, tombstones=t),
+        )
+    for path in window_indexes:
+        _run(
+            path,
+            "window_index",
+            lambda p=path: compact_window_index(spark, p),
         )
     for path, dims, measures in rollups:
         _run(
