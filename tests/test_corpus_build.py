@@ -579,3 +579,57 @@ def test_build_with_span_excision(spark, tmp_path):
     assert shared not in back[2]      # later copy excised, case kept
     assert "beta line here." in back[2] and "closing" not in back[2]
     assert back[3] == _line_doc("gamma")
+
+
+def test_corpus_diff_verdicts_match_duckdb(spark, sf_dir):
+    """corpus_diff vs a DuckDB twin over two derived snapshots of the
+    real documents table: old = docs with even ids, new = docs with
+    id > 100 and doc 102's text rewritten."""
+    from tests.test_oracle_parity import _rowset, duck_run
+
+    from xmidt_event_streams_spark.corpus import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    new = (
+        docs.filter("doc_id > 100")
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 102, F.lit("totally new text"))
+            .otherwise(F.col("text")),
+        )
+        .select("doc_id", "text")
+    )
+    got = corpus_diff(old, new)
+    norm = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
+    cols, rows = duck_run(
+        f"""WITH o AS (
+  SELECT doc_id, md5({norm}) AS fp,
+         len(list_filter(string_split({norm}, ' '), t -> t <> ''))
+           AS tokens_before
+  FROM documents WHERE doc_id % 2 = 0
+), nn AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 102 THEN 'totally new text' ELSE text END AS text
+  FROM documents WHERE doc_id > 100
+), n AS (
+  SELECT doc_id, md5({norm.replace("text", "text")}) AS fp,
+         len(list_filter(string_split({norm}, ' '), t -> t <> ''))
+           AS tokens_after
+  FROM nn
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.tokens_before, n.tokens_after
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+        sf_dir,
+    )
+    assert _rowset(got.columns, [tuple(r) for r in got.collect()]) == _rowset(
+        cols, rows
+    )
+    statuses = {r["status"] for r in got.collect()}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
+    assert got.filter("status = 'changed'").collect()[0]["doc_id"] == 102

@@ -764,6 +764,52 @@ def span_scrub_gate(
     return gate
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Release-to-release diff verdict: what changed between two
+    corpus snapshots, per document -- the first thing to run before
+    shipping a refreshed dataset (and the companion to
+    :func:`corpus_datasheet`'s per-snapshot card).
+
+    Output: (doc_id, status in added|removed|changed|unchanged,
+    tokens_before, tokens_after) -- nulls for the absent side.
+    'changed' is fingerprint-based (md5 of normalized text), so
+    whitespace-only edits don't count as changes.
+
+    Plan: two narrow projections (fingerprint + token count per row)
+    and ONE full-outer shuffle join on the id -- the minimum the
+    question costs. Aggregate the verdicts for the release note:
+    ``diff.groupBy("status").count()`` and
+    ``diff.agg(F.sum(F.coalesce("tokens_after", F.lit(0)) -
+    F.coalesce("tokens_before", F.lit(0))))``.
+    """
+    o = old.select(
+        F.col(id_col),
+        fingerprint(text_col).alias("_fp_a"),
+        token_count(text_col).alias("tokens_before"),
+    )
+    n = new.select(
+        F.col(id_col),
+        fingerprint(text_col).alias("_fp_b"),
+        token_count(text_col).alias("tokens_after"),
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("_fp_a").isNull(), F.lit("added"))
+            .when(F.col("_fp_b").isNull(), F.lit("removed"))
+            .when(F.col("_fp_a") == F.col("_fp_b"), F.lit("unchanged"))
+            .otherwise(F.lit("changed")),
+        )
+        .select(id_col, "status", "tokens_before", "tokens_after")
+    )
+
+
 def corpus_datasheet(
     df: DataFrame,
     text_col: str = "text",
