@@ -926,6 +926,13 @@ def _scrub_to_fixpoint(
     first = _one_pass(df, touched_only)
     if not fixpoint:
         return first
+    if touched_only:
+        # the first-pass plan spans the whole corpus and is consumed
+        # 2-3x below (loop seed + final union); with touched_only its
+        # OUTPUT is small, so materialize once and hand every
+        # consumer a leaf. (Without touched_only the output is
+        # corpus-sized -- recompute beats materializing it.)
+        first = first.localCheckpoint(eager=True)
 
     # iterate the TOUCHED docs to a fixpoint; each round's pending
     # set strictly shrinks in tokens, so this terminates
