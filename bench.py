@@ -462,6 +462,8 @@ def curation_bench(spark) -> dict:
             dsir_fraction=0.8,
             scrub_spans_against=bench_set,
             scrub_window=5,
+            excise_duplicate_spans=True,
+            excise_window=5,
             n_shards=8,
         )
         total = round(time.perf_counter() - t0, 3)

@@ -16,7 +16,8 @@ def test_curation_bench_smoke(spark, monkeypatch):
     # every stage that ran reports a wall time
     assert set(out["per_stage"]) == {
         "line_dedup", "ngram_scrub", "quality", "lm_gate", "nb_gate",
-        "dsir", "exact_dedup", "near_dedup", "shard_write",
+        "dsir", "exact_dedup", "near_dedup", "span_excise",
+        "shard_write",
     }
     assert all(v >= 0 for v in out["per_stage"].values())
     # the ledger discipline: drops are accounted, never silent
