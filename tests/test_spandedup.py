@@ -220,3 +220,64 @@ def test_streaming_scrub_on_ingest(spark, tmp_path):
     # shared window and 'doc' is covered too
     assert rows[2] == "later again"
     assert rows[3] == "novel content only here"
+
+
+class TestWinnowedIndex:
+    """The 100 TB arm: winnowed fingerprints only (~(k+1)/2x fewer
+    rows), exact-census probing keeps the t = w + k - 1 detection
+    guarantee; excision covers span interiors with <= k-1 tokens
+    surviving per boundary (k <= w)."""
+
+    def test_index_is_smaller(self, spark, tmp_path):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        exact = str(tmp_path / "exact")
+        win = str(tmp_path / "winnowed")
+        write_window_index(docs, exact, window=5)
+        write_window_index(docs, win, window=5, winnow=4)
+        n_exact = spark.read.parquet(exact).count()
+        n_win = spark.read.parquet(win).count()
+        assert 0 < n_win < 0.6 * n_exact, (n_win, n_exact)
+
+    def test_long_span_detected_interior_excised(self, spark, tmp_path):
+        w, k = 5, 4
+        span_toks = [f"s{i}" for i in range(20)]  # >= w + k - 1
+        span = " ".join(span_toks)
+        path = str(tmp_path / "widx")
+        write_window_index(
+            _df(spark, [(1, f"history doc holds {span} entirely")]),
+            path, window=w, winnow=k,
+        )
+        batch = _df(spark, [(10, f"u1 u2 {span} u3 u4")])
+        out = scrub_batch_against_index(
+            spark, path, batch, fixpoint=False
+        ).collect()
+        assert out, "guaranteed span not detected"
+        r = out[0]
+        # interior fully cut: at most k-1 span tokens survive per side
+        surviving = [t for t in r["clean_text"].split() if t in span_toks]
+        assert r["n_removed"] >= len(span_toks) - 2 * (k - 1)
+        assert len(surviving) <= 2 * (k - 1)
+        # the unique context tokens survive
+        for t in ("u1", "u2", "u3", "u4"):
+            assert t in r["clean_text"]
+
+    def test_append_respects_stamped_winnow(self, spark, tmp_path):
+        path = str(tmp_path / "widx")
+        init_window_index(spark, path, window=5, winnow=4)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text").limit(20)
+        append_to_window_index(docs, path)
+        appended = spark.read.parquet(path).count()
+        exact = str(tmp_path / "exact")
+        write_window_index(docs, exact, window=5)
+        assert appended < 0.6 * spark.read.parquet(exact).count()
+
+    def test_bad_winnow_refused(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="winnow"):
+            write_window_index(
+                _df(spark, [(1, "a b c d e f")]),
+                str(tmp_path / "w"), window=5, winnow=6,
+            )

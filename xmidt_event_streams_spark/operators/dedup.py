@@ -435,32 +435,9 @@ def repeated_window_spans(
             raise ValueError(f"winnow must be >= 1, got {winnow}")
         k = winnow
 
-        def _selected(hs):
-            # struct per position; keep those minimal over the last-k
-            # frame (1-based pos p: slice(hs, p-k+1 clamped, min(k,p)))
-            return F.filter(
-                F.transform(
-                    hs,
-                    lambda h, i: F.struct(
-                        (i + 1).alias("pos"),
-                        h.alias("whash"),
-                        (
-                            h
-                            == F.array_min(
-                                F.slice(
-                                    hs,
-                                    F.greatest(i - k + 2, F.lit(1)),
-                                    F.least(F.lit(k), i + 1),
-                                )
-                            )
-                        ).alias("keep"),
-                    ),
-                ),
-                lambda s: s["keep"],
-            )
-
         picked = let_bind(
-            F.transform(word_ngrams(text_col, window), F.md5), _selected
+            F.transform(word_ngrams(text_col, window), F.md5),
+            lambda hs: _winnow_selected(hs, k),
         )
         wins = df.select(
             F.col(id_col), F.explode(picked).alias("s")
@@ -695,6 +672,35 @@ def remove_duplicate_spans(
             cut.select(id_col).distinct(), id_col, "left_semi"
         )
     return _excise_and_rebuild(df, cut, text_col, id_col, preserve_case)
+
+
+def _winnow_selected(hs: Column, k: int) -> Column:
+    """Winnowing selection (Schleimer et al. 2003) over an array of
+    window hashes: struct per position, keeping those minimal over
+    the last-k frame (1-based pos p: slice(hs, p-k+1 clamped,
+    min(k, p))), ties kept. Shared by the ledger's winnow arm and the
+    winnowed window index -- ONE definition, so their selections can
+    never de-sync."""
+    return F.filter(
+        F.transform(
+            hs,
+            lambda h, i: F.struct(
+                (i + 1).alias("pos"),
+                h.alias("whash"),
+                (
+                    h
+                    == F.array_min(
+                        F.slice(
+                            hs,
+                            F.greatest(i - k + 2, F.lit(1)),
+                            F.least(F.lit(k), i + 1),
+                        )
+                    )
+                ).alias("keep"),
+            ),
+        ),
+        lambda s: s["keep"],
+    )
 
 
 def _window_relation(

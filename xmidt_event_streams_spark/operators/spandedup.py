@@ -52,19 +52,36 @@ def _meta(spark: SparkSession, path: str) -> dict:
 
 
 def _batch_windows(
-    df: DataFrame, text_col: str, window: int
+    df: DataFrame, text_col: str, window: int, winnow: int | None = None
 ) -> DataFrame:
     """Distinct (bp, whash) for a batch -- the probe/append payload.
-    No ids: the index stores CONTENT history, not provenance."""
-    from xmidt_event_streams_spark.functions.text import word_ngrams
+    No ids: the index stores CONTENT history, not provenance.
+    ``winnow=k`` stores only the winnowing-selected fingerprints
+    (Schleimer et al. 2003), shrinking the relation ~(k+1)/2x with
+    selection done in the array domain (no added shuffle)."""
+    from xmidt_event_streams_spark.functions.text import (
+        let_bind,
+        word_ngrams,
+    )
 
-    return (
-        df.select(
+    if winnow is None:
+        hashes = df.select(
             F.explode(word_ngrams(text_col, window)).alias("win")
+        ).select(F.md5("win").alias("whash"))
+    else:
+        from xmidt_event_streams_spark.operators.dedup import (
+            _winnow_selected,
         )
-        .select(F.md5("win").alias("whash"))
-        .distinct()
-        .withColumn("bp", F.substring("whash", 1, 2))
+
+        picked = let_bind(
+            F.transform(word_ngrams(text_col, window), F.md5),
+            lambda hs: _winnow_selected(hs, winnow),
+        )
+        hashes = df.select(F.explode(picked).alias("s")).select(
+            F.col("s.whash").alias("whash")
+        )
+    return hashes.distinct().withColumn(
+        "bp", F.substring("whash", 1, 2)
     )
 
 
@@ -75,12 +92,31 @@ def write_window_index(
     id_col: str = "doc_id",
     window: int = 20,
     src_batch: int = -1,
+    winnow: int | None = None,
 ) -> None:
     """Materialize the window index over a corpus (one row per
-    distinct window hash), prefix-partitioned, meta-stamped."""
+    distinct window hash), prefix-partitioned, meta-stamped.
+
+    ``winnow=k`` (requires k <= window) is the 100 TB arm: store only
+    the winnowing-selected fingerprints -- ~(k+1)/2x fewer index rows
+    (the index is otherwise one row per distinct corpus window).
+    Probes still use the batch's EXACT window census, so the
+    Schleimer t = w + k - 1 theorem gives DETECTION of every shared
+    span of >= window + k - 1 tokens; EXCISION covers the span's
+    interior fully (selected positions are <= k apart and k <= w
+    makes their cut intervals merge) but up to k - 1 tokens can
+    survive at each boundary. The right trade for cross-batch
+    boilerplate dedup; for takedown-grade guarantees use the exact
+    index."""
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
-    rel = _batch_windows(df, text_col, window).withColumn(
+    if winnow is not None and not 1 <= winnow <= window:
+        raise ValueError(
+            f"winnow must be in [1, window]; got winnow={winnow}, "
+            f"window={window} (k > w leaves holes INSIDE excised "
+            "spans, not just at boundaries)"
+        )
+    rel = _batch_windows(df, text_col, window, winnow).withColumn(
         "src_batch", F.lit(src_batch).cast("long")
     )
     (
@@ -89,23 +125,32 @@ def write_window_index(
         .mode("overwrite")
         .parquet(path)
     )
-    write_json_sidecar(df.sparkSession, path, _META, {"window": window})
+    write_json_sidecar(
+        df.sparkSession, path, _META, {"window": window, "winnow": winnow}
+    )
 
 
 def init_window_index(
-    spark: SparkSession, path: str, window: int = 20
+    spark: SparkSession, path: str, window: int = 20,
+    winnow: int | None = None,
 ) -> None:
     """Cold start: stamp an EMPTY index (meta only); the first probe
     sees an empty relation, the first append folds the first batch."""
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
+    if winnow is not None and not 1 <= winnow <= window:
+        raise ValueError(
+            f"winnow must be in [1, window]; got winnow={winnow}"
+        )
     from xmidt_event_streams_spark.operators.incremental import (
         _fs_and_path,
     )
 
     fs, hpath, _ = _fs_and_path(spark, path)
     fs.mkdirs(hpath)
-    write_json_sidecar(spark, path, _META, {"window": window})
+    write_json_sidecar(
+        spark, path, _META, {"window": window, "winnow": winnow}
+    )
 
 
 def append_to_window_index(
@@ -123,9 +168,9 @@ def append_to_window_index(
             f"index at {path} was built with window={meta['window']}, "
             f"append asked for {window}"
         )
-    rel = _batch_windows(df, text_col, meta["window"]).withColumn(
-        "src_batch", F.lit(src_batch).cast("long")
-    )
+    rel = _batch_windows(
+        df, text_col, meta["window"], meta.get("winnow")
+    ).withColumn("src_batch", F.lit(src_batch).cast("long"))
     (
         rel.repartition(F.col("bp"))
         .write.partitionBy("bp")
