@@ -633,3 +633,26 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
     statuses = {r["status"] for r in got.collect()}
     assert statuses == {"added", "removed", "changed", "unchanged"}
     assert got.filter("status = 'changed'").collect()[0]["doc_id"] == 102
+
+
+def test_corpus_diff_null_text_is_presence_not_fingerprint(spark):
+    """A row with null text still EXISTS in its snapshot: presence
+    comes from marker columns, not fingerprint nullness (r5 review:
+    a removed null-text doc was reported 'added')."""
+    from xmidt_event_streams_spark.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same text here")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(2, "now real text"), (3, "same text here"), (4, None)],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "removed",     # null-text doc removed, NOT 'added'
+        2: "changed",     # null -> real text
+        3: "unchanged",
+        4: "added",       # null-text doc added
+    }

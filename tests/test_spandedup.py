@@ -281,3 +281,20 @@ class TestWinnowedIndex:
                 _df(spark, [(1, "a b c d e f")]),
                 str(tmp_path / "w"), window=5, winnow=6,
             )
+
+
+def test_returned_verdicts_pinned_before_append(spark, tmp_path):
+    """update_index must not poison the RETURNED verdicts: the plan
+    is materialized before the batch's own windows land in the index,
+    so a later collect() sees the pre-append verdict even with
+    fixpoint=False and no exclude_batch (r5 review finding)."""
+    path = str(tmp_path / "widx")
+    init_window_index(spark, path, window=5)
+    batch = _df(spark, [(1, f"novel doc with {HIST_SPAN} content")])
+    out = scrub_batch_against_index(
+        spark, path, batch, fixpoint=False, update_index=True
+    )
+    # evaluate AFTER the append: index now holds this batch's windows
+    assert out.count() == 0  # not self-excised
+    cleaned = apply_clean_text(batch, out)
+    assert cleaned.collect()[0]["text"].startswith("novel doc with h1")

@@ -135,14 +135,25 @@ class TestWinnowedSpans:
     @staticmethod
     def _py_winnow(hashes, k):
         """Reference: position p (1-based) selected iff its hash is
-        minimal over the last-k frame [max(1, p-k+1), p], all ties
-        kept."""
+        minimal in AT LEAST ONE window of k consecutive positions
+        containing p, all ties kept -- the rule the t = w + k - 1
+        guarantee requires (Schleimer et al. 2003)."""
+        n = len(hashes)
         out = []
-        for p in range(1, len(hashes) + 1):
-            frame = hashes[max(0, p - k) : p]
-            if hashes[p - 1] == min(frame):
-                out.append((p, hashes[p - 1]))
+        for p in range(1, n + 1):
+            for q in range(max(1, p - k + 1), min(p, max(n - k + 1, 1)) + 1):
+                win = hashes[q - 1 : q - 1 + min(k, n)]
+                if hashes[p - 1] == min(win):
+                    out.append((p, hashes[p - 1]))
+                    break
         return out
+
+    def test_counterexample_increasing_run(self, spark):
+        """The r5 review's counterexample: hashes [0,5,9,8], k=3 --
+        the trailing-frame rule selects only position 1 and misses
+        the span; true winnowing must select position 2 (min of the
+        window [5,9,8])."""
+        assert (2, 5) in self._py_winnow([0, 5, 9, 8], 3)
 
     def test_selection_matches_reference(self, spark):
         import hashlib
@@ -604,3 +615,27 @@ def test_packed_keeper_refuses_huge_ids(spark):
     )
     with pytest.raises(SparkRuntimeException, match="packing would corrupt"):
         remove_duplicate_spans(df, window=5).collect()
+
+
+def test_winnow_selection_density_bound(spark):
+    """True winnowing: every k consecutive window positions contain
+    >= 1 selection, so consecutive selected positions differ by <= k
+    (the property the excision interval-merge relies on)."""
+    from xmidt_event_streams_spark.operators.dedup import (
+        repeated_window_spans,
+    )
+
+    w, k = 3, 4
+    text = " ".join(f"t{i * 37 % 101}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    pos = sorted(
+        r["pos"]
+        for r in repeated_window_spans(df, window=w, winnow=k)
+        .filter("doc_id = 1")
+        .collect()
+    )
+    assert pos, "identical docs must share selections"
+    assert pos[0] <= k
+    assert all(b - a <= k for a, b in zip(pos, pos[1:])), pos

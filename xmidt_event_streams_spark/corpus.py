@@ -497,6 +497,24 @@ def build_training_corpus(
                         if decontaminate_against is not None
                         else None
                     ),
+                    "scrub_spans": scrub_spans_against is not None,
+                    "scrub_window": (
+                        scrub_window
+                        if scrub_spans_against is not None
+                        else None
+                    ),
+                    "excise_duplicate_spans": excise_duplicate_spans,
+                    "excise_window": (
+                        excise_window if excise_duplicate_spans else None
+                    ),
+                    "excise_min_occurrences": (
+                        excise_min_occurrences
+                        if excise_duplicate_spans
+                        else None
+                    ),
+                    "excise_keep_first": (
+                        excise_keep_first if excise_duplicate_spans else None
+                    ),
                     "text_col": text_col,
                     "id_col": id_col,
                 },
@@ -786,20 +804,29 @@ def corpus_diff(
     'changed' is fingerprint-based (md5 of normalized text), so
     whitespace-only edits don't count as changes.
 
+    PRECONDITION: each snapshot is unique on ``id_col`` (a keyed
+    corpus table's contract) -- duplicate ids multiply the outer
+    join's verdict rows and inflate the aggregates.
+
     Plan: two narrow projections (fingerprint + token count per row)
     and ONE full-outer shuffle join on the id -- the minimum the
-    question costs. Aggregate the verdicts for the release note:
+    question costs. Presence is tested with explicit marker columns,
+    NOT fingerprint nullness: a row whose text is null still EXISTS
+    in its snapshot (null-text on one side is 'changed', on both
+    sides 'unchanged'). Aggregate the verdicts for the release note:
     ``diff.groupBy("status").count()`` and
     ``diff.agg(F.sum(F.coalesce("tokens_after", F.lit(0)) -
     F.coalesce("tokens_before", F.lit(0))))``.
     """
     o = old.select(
         F.col(id_col),
+        F.lit(True).alias("_in_a"),
         fingerprint(text_col).alias("_fp_a"),
         token_count(text_col).alias("tokens_before"),
     )
     n = new.select(
         F.col(id_col),
+        F.lit(True).alias("_in_b"),
         fingerprint(text_col).alias("_fp_b"),
         token_count(text_col).alias("tokens_after"),
     )
@@ -807,9 +834,12 @@ def corpus_diff(
         o.join(n, id_col, "full_outer")
         .withColumn(
             "status",
-            F.when(F.col("_fp_a").isNull(), F.lit("added"))
-            .when(F.col("_fp_b").isNull(), F.lit("removed"))
-            .when(F.col("_fp_a") == F.col("_fp_b"), F.lit("unchanged"))
+            F.when(F.col("_in_a").isNull(), F.lit("added"))
+            .when(F.col("_in_b").isNull(), F.lit("removed"))
+            .when(
+                F.col("_fp_a").eqNullSafe(F.col("_fp_b")),
+                F.lit("unchanged"),
+            )
             .otherwise(F.lit("changed")),
         )
         .select(id_col, "status", "tokens_before", "tokens_after")

@@ -676,27 +676,37 @@ def remove_duplicate_spans(
 
 def _winnow_selected(hs: Column, k: int) -> Column:
     """Winnowing selection (Schleimer et al. 2003) over an array of
-    window hashes: struct per position, keeping those minimal over
-    the last-k frame (1-based pos p: slice(hs, p-k+1 clamped,
-    min(k, p))), ties kept. Shared by the ledger's winnow arm and the
-    winnowed window index -- ONE definition, so their selections can
-    never de-sync."""
+    window hashes: position p is selected iff its hash is minimal in
+    AT LEAST ONE window of k consecutive positions containing p (all
+    ties kept). This is the rule the t = w + k - 1 guarantee needs:
+    every k consecutive positions contribute >= 1 selection, so
+    selected positions are <= k apart. (A trailing-frame-only rule --
+    'min over the last k ending at p' -- selects NOTHING along an
+    increasing hash run and silently misses whole spans; caught in
+    the r5 review with counterexample hashes [0,5,9,8], k=3.)
+    Shared by the ledger's winnow arm and the winnowed window index
+    -- ONE definition, so their selections can never de-sync. Cost is
+    O(k^2) comparisons per position with k in the single digits --
+    still array-domain, no added shuffle."""
+
+    def keep(h, i):
+        # 1-based window starts q covering 0-based position i:
+        # q in [i-k+2 .. i+1], clamped to valid starts [1 .. n-k+1]
+        n = F.size(hs)
+        q_lo = F.greatest(i - k + 2, F.lit(1))
+        q_hi = F.least(i + 1, F.greatest(n - k + 1, F.lit(1)))
+        return F.exists(
+            F.sequence(q_lo, q_hi),
+            lambda q: h == F.array_min(F.slice(hs, q, F.least(F.lit(k), n))),
+        )
+
     return F.filter(
         F.transform(
             hs,
             lambda h, i: F.struct(
                 (i + 1).alias("pos"),
                 h.alias("whash"),
-                (
-                    h
-                    == F.array_min(
-                        F.slice(
-                            hs,
-                            F.greatest(i - k + 2, F.lit(1)),
-                            F.least(F.lit(k), i + 1),
-                        )
-                    )
-                ).alias("keep"),
+                keep(h, i).alias("keep"),
             ),
         ),
         lambda s: s["keep"],

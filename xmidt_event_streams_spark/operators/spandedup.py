@@ -89,7 +89,6 @@ def write_window_index(
     df: DataFrame,
     path: str,
     text_col: str = "text",
-    id_col: str = "doc_id",
     window: int = 20,
     src_batch: int = -1,
     winnow: int | None = None,
@@ -257,6 +256,14 @@ def scrub_batch_against_index(
             apply_clean_text,
         )
 
+        # PIN the verdicts BEFORE appending: the returned plan
+        # otherwise re-probes the index lazily at the caller's
+        # action, and by then it contains this batch's own windows --
+        # without exclude_batch (or on the non-checkpointed scrub
+        # arms) every doc would excise itself against itself. The
+        # output is touched-/batch-bounded, so materializing is
+        # trigger-sized. (r5 review finding, pinned by test.)
+        out = out.localCheckpoint(eager=True)
         cleaned = apply_clean_text(batch, out, text_col, id_col)
         append_to_window_index(
             cleaned,
