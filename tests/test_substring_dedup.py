@@ -639,3 +639,47 @@ def test_winnow_selection_density_bound(spark):
     assert pos, "identical docs must share selections"
     assert pos[0] <= k
     assert all(b - a <= k for a, b in zip(pos, pos[1:])), pos
+
+
+def test_fixpoint_no_survival_property(spark):
+    """Adversarial property: after a fixpoint scrub NO window-gram of
+    the benchmark survives in any clean text -- driven over many
+    random corpora on a 3-token alphabet, where excision stitching is
+    the common case, not the corner case. One Spark job per corpus;
+    token accounting holds throughout."""
+    import random
+
+    from xmidt_event_streams_spark.operators.dedup import (
+        remove_contaminated_spans,
+    )
+
+    w = 3
+    rng = random.Random(20260815)
+    alphabet = ["a", "b", "c"]
+    for trial in range(6):
+        phrase = [rng.choice(alphabet) for _ in range(5)]
+        bench_grams = {
+            tuple(phrase[i : i + w]) for i in range(len(phrase) - w + 1)
+        }
+        docs = []
+        for d in range(5):
+            toks = [rng.choice(alphabet) for _ in range(rng.randint(8, 25))]
+            if d % 2 == 0:  # splice the phrase in somewhere
+                at = rng.randint(0, len(toks))
+                toks = toks[:at] + phrase + toks[at:]
+            docs.append((d, " ".join(toks)))
+        cdf = spark.createDataFrame(docs, "doc_id: long, text: string")
+        bdf = spark.createDataFrame(
+            [(99, " ".join(phrase))], "doc_id: long, text: string"
+        )
+        out = remove_contaminated_spans(
+            cdf, bdf, window=w, fixpoint=True
+        ).collect()
+        assert len(out) == len(docs)
+        for r in out:
+            clean = r["clean_text"].split() if r["clean_text"] else []
+            assert len(clean) == r["n_tokens"] - r["n_removed"], (trial, r)
+            grams = {
+                tuple(clean[i : i + w]) for i in range(len(clean) - w + 1)
+            }
+            assert not (grams & bench_grams), (trial, r["doc_id"], clean)
