@@ -268,6 +268,7 @@ OFF_REGISTRY = [
     "events_cube",
     "value_percentiles",
     "events_windowed",
+    "latest_per_key",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -313,6 +314,8 @@ OFF_REGISTRY_EVIDENCE = {
     # rotated out in r5 to admit ngram_scrub (benchmark span
     # decontamination, GPT-3 appendix-C shape)
     "events_windowed": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r5 to admit corpus_diff (release diff verdicts)
+    "latest_per_key": "tests/test_components.py::test_off_registry_parity",
 }
 
 

@@ -298,3 +298,43 @@ def test_returned_verdicts_pinned_before_append(spark, tmp_path):
     assert out.count() == 0  # not self-excised
     cleaned = apply_clean_text(batch, out)
     assert cleaned.collect()[0]["text"].startswith("novel doc with h1")
+
+
+def test_index_fixpoint_no_survival_property(spark, tmp_path):
+    """Adversarial property for the INDEX path (per-pass re-probe):
+    after a fixpoint scrub no window-gram stored in an exact index
+    survives in any clean text -- random corpora on a 3-token
+    alphabet, where stitching against history is common."""
+    import random
+
+    w = 3
+    rng = random.Random(20260815)
+    alphabet = ["a", "b", "c"]
+    for trial in range(4):
+        hist_toks = [rng.choice(alphabet) for _ in range(30)]
+        path = str(tmp_path / f"widx{trial}")
+        write_window_index(
+            _df(spark, [(1, " ".join(hist_toks))]), path, window=w
+        )
+        hist_grams = {
+            tuple(hist_toks[i : i + w])
+            for i in range(len(hist_toks) - w + 1)
+        }
+        batch = _df(
+            spark,
+            [
+                (d, " ".join(rng.choice(alphabet) for _ in range(rng.randint(8, 25))))
+                for d in range(4)
+            ],
+        )
+        out = scrub_batch_against_index(
+            spark, path, batch, fixpoint=True, touched_only=False
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            clean = r["clean_text"].split() if r["clean_text"] else []
+            assert len(clean) == r["n_tokens"] - r["n_removed"], (trial, r)
+            grams = {
+                tuple(clean[i : i + w]) for i in range(len(clean) - w + 1)
+            }
+            assert not (grams & hist_grams), (trial, r["doc_id"], clean)

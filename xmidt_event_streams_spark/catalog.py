@@ -1597,6 +1597,56 @@ FROM nt LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Release-to-release corpus diff (corpus.py:corpus_diff): two
+    derived snapshots of the documents table (old = even ids, new =
+    ids > 100 with doc 102's text rewritten) -> per-doc verdicts
+    added|removed|changed|unchanged + token deltas. Presence is
+    marker-based (null text still EXISTS); 'changed' is
+    normalized-fingerprint-based. Plan: two narrow projections + ONE
+    full-outer shuffle join on the id."""
+    from xmidt_event_streams_spark.corpus import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") > 100)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == 102, F.lit("totally new text")
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "text")
+    )
+    return corpus_diff(old, new)
+
+
+SQL_CORPUS_DIFF = f"""WITH o AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fp,
+         len(list_filter(string_split({_NORM_SQL}, ' '), t -> t <> ''))
+           AS tokens_before
+  FROM documents WHERE doc_id % 2 = 0
+), nn AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 102 THEN 'totally new text' ELSE text END AS text
+  FROM documents WHERE doc_id > 100
+), n AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fp,
+         len(list_filter(string_split({_NORM_SQL}, ' '), t -> t <> ''))
+           AS tokens_after
+  FROM nn
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.tokens_before, n.tokens_after
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def q_ngram_scrub(spark, sf_dir):
     """Benchmark n-gram scrub (GPT-3 appendix-C shape,
     arXiv:2005.14165 §4): every 5-token window of the corpus (sources
@@ -3475,7 +3525,11 @@ QUERIES: dict[str, QuerySpec] = {
     "json_serialize": QuerySpec(q_json_serialize, SQL_JSON_SERIALIZE),
     "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
     "session_windows": QuerySpec(q_session_windows, SQL_SESSION_WINDOWS, True),
-    "latest_per_key": QuerySpec(q_latest_per_key, SQL_LATEST_PER_KEY),
+    # latest_per_key rotated to the off-registry parity set in r5 to
+    # admit corpus_diff (release-to-release diff verdicts); per-key
+    # window-top-k evidence stays via session_gaps + the off-registry
+    # twin.
+    "corpus_diff": QuerySpec(q_corpus_diff, SQL_CORPUS_DIFF),
     "dedup_by_txn": QuerySpec(q_dedup_by_txn, SQL_DEDUP_BY_TXN),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, True),
     "minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, SQL_MINHASH, True),
