@@ -269,6 +269,7 @@ OFF_REGISTRY = [
     "value_percentiles",
     "events_windowed",
     "latest_per_key",
+    "events_pivot",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -316,6 +317,10 @@ OFF_REGISTRY_EVIDENCE = {
     "events_windowed": "tests/test_components.py::test_off_registry_parity",
     # rotated out in r5 to admit corpus_diff (release diff verdicts)
     "latest_per_key": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r5 to admit knn_join_exact (two-sided distributed
+    # kNN join, exact block-nested arm) -- grouping-set evidence stays
+    # via the off-registry twin + events_cube's parity row
+    "events_pivot": "tests/test_components.py::test_off_registry_parity",
 }
 
 

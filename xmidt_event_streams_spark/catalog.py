@@ -740,6 +740,55 @@ SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
 """
 
 
+def q_knn_join_exact(spark, sf_dir):
+    """Two-sided distributed k-NN join (operators/knn.knn_join): the
+    10%-anchor slice joined against the full embeddings relation via
+    the IVF-partitioned cogroup — with n_probe = n_cells every
+    (query, corpus) pair shares a group, so the output IS the exact
+    cosine top-5 per anchor and DuckDB replays it row for row. This
+    pins the whole composition: portable centroid fit -> cell
+    assign/probe -> cogroup matmul with in-group partial top-k ->
+    global rank merge (incl. the rounding and id tie-break contract
+    shared with brute_force_topk). The pruned production regime
+    (n_probe < cells, cell_salt for hot cells) is recall-floor- and
+    invariance-pinned in tests/test_knn_join.py."""
+    from xmidt_event_streams_spark.operators.ivf import kmeans_fit_portable
+    from xmidt_event_streams_spark.operators.knn import knn_join
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit_portable(emb, k=8, n_iters=3)
+    out = knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 10 == 3),
+        cents,
+        k=5,
+        n_probe=8,
+        exclude_self=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_KNN_JOIN_EXACT = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 10 = 3
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT query_id, vec_id,
+    round(CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)) > 0
+      THEN list_dot_product(v, qv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+      ELSE 0 END, 6) AS cos_sim
+  FROM c CROSS JOIN q WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM s
+) WHERE rnk <= 5
+"""
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label centroid, one row per (label, dimension)."""
     emb = _emb(spark, sf_dir)
@@ -3554,7 +3603,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "partner_overlap": QuerySpec(q_partner_overlap, SQL_PARTNER_OVERLAP),
     "asof_last_click": QuerySpec(q_asof_last_click, SQL_ASOF_LAST_CLICK, True),
-    "events_pivot": QuerySpec(q_events_pivot, SQL_EVENTS_PIVOT),
+    "knn_join_exact": QuerySpec(q_knn_join_exact, SQL_KNN_JOIN_EXACT),
     "distinct_users_salted": QuerySpec(
         q_distinct_users_salted, SQL_DISTINCT_USERS_SALTED
     ),
