@@ -270,6 +270,7 @@ OFF_REGISTRY = [
     "events_windowed",
     "latest_per_key",
     "events_pivot",
+    "doc_fingerprint_rolling",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -321,6 +322,10 @@ OFF_REGISTRY_EVIDENCE = {
     # kNN join, exact block-nested arm) -- grouping-set evidence stays
     # via the off-registry twin + events_cube's parity row
     "events_pivot": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r5 to admit phrase_hits (positional inverted
+    # index + phrase search) -- rolling-hash evidence stays via
+    # substring_spans (window-hash census) and the off-registry twin
+    "doc_fingerprint_rolling": "tests/test_components.py::test_off_registry_parity",
 }
 
 

@@ -1,0 +1,150 @@
+"""Positional inverted index (operators/invindex.py): build contract,
+DuckDB phrase oracle, overlapping matches, persisted-index pruning,
+sidecar guard, tokenizer parity with the takedown surface.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.invindex import (
+    build_inverted_index,
+    phrase_search,
+    read_inverted_index,
+    write_inverted_index,
+)
+
+PHRASE = "table value"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return build_inverted_index(docs).persist()
+
+
+def _oracle_hits(sf_dir, t0, t1):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            r"""
+WITH words AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(trim(regexp_replace(lower(text),
+        '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '),
+      t -> t <> ''
+    ) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, i FROM words,
+    unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE w[i] = ? AND w[i+1] = ?
+)
+SELECT doc_id, count(*)::BIGINT, CAST(min(i) - 1 AS BIGINT)
+FROM h GROUP BY doc_id
+""",
+            [t0, t1],
+        ).fetchall()
+    }
+
+
+def test_build_contract(index):
+    """Positions are sorted, 0-based, tf = len(positions), one row
+    per (term, doc)."""
+    rows = index.filter(F.col("term") == "table").limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r["positions"] == sorted(r["positions"])
+        assert r["tf"] == len(r["positions"])
+        assert all(p >= 0 for p in r["positions"])
+        assert 0 <= r["bkt"] < 64
+    dup = (
+        index.groupBy("term", "doc_id").count().filter("count > 1").count()
+    )
+    assert dup == 0
+
+
+def test_phrase_search_matches_duckdb(index, sf_dir):
+    got = {
+        (r["doc_id"], r["n_hits"], r["first_pos"])
+        for r in phrase_search(index, PHRASE).collect()
+    }
+    assert got == _oracle_hits(sf_dir, "table", "value")
+
+
+def test_overlapping_matches_count(spark):
+    """'a a a a' holds three 'a a' hits (overlap counted, the span
+    family's census rule); hit positions are the match starts."""
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b a b"), (3, "A  a\tx")], ["doc_id", "text"]
+    )
+    ix = build_inverted_index(df)
+    rows = {r["doc_id"]: r for r in phrase_search(ix, "a a").collect()}
+    assert rows[1]["n_hits"] == 3
+    assert rows[1]["hit_positions"] == [0, 1, 2]
+    assert rows[3]["hit_positions"] == [0]  # case-folded + ws collapsed
+    assert 2 not in rows
+
+
+def test_single_and_missing_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "y z x y")], ["doc_id", "text"]
+    )
+    ix = build_inverted_index(df)
+    single = {r["doc_id"]: r["n_hits"] for r in phrase_search(ix, "y").collect()}
+    assert single == {1: 1, 2: 2}
+    assert phrase_search(ix, "z q").count() == 0
+    with pytest.raises(ValueError, match="no tokens"):
+        phrase_search(ix, "   ")
+
+
+def test_persisted_index_prunes_partitions(docs, tmp_path):
+    """A materialized probe reads <= #distinct-phrase-term buckets:
+    PartitionFilters carries the bkt IN-list at plan time, and the
+    result matches the in-memory index's."""
+    path = str(tmp_path / "ix")
+    write_inverted_index(docs, path)
+    ix = read_inverted_index(docs.sparkSession, path)
+    got = phrase_search(ix, PHRASE)
+    want = {
+        (r["doc_id"], r["n_hits"]) for r in
+        phrase_search(build_inverted_index(docs), PHRASE).collect()
+    }
+    assert {(r["doc_id"], r["n_hits"]) for r in got.collect()} == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    scan_line = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "bkt" in scan_line
+
+
+def test_sidecar_guard(docs, tmp_path):
+    path = str(tmp_path / "ix2")
+    write_inverted_index(docs, path, n_buckets=16)
+    with pytest.raises(ValueError, match="built with"):
+        read_inverted_index(docs.sparkSession, path, n_buckets=64)
+    assert read_inverted_index(docs.sparkSession, path, n_buckets=16)
+
+
+def test_py_tokens_shared_with_takedown():
+    """One tokenizer contract: takedown's driver-side twin IS the
+    shared functions/text.py_tokens."""
+    from xmidt_event_streams_spark.functions.text import py_tokens
+    from xmidt_event_streams_spark.takedown import _py_tokens
+
+    assert _py_tokens is py_tokens
+    assert py_tokens("  Foo\tBAR \n baz ") == ["foo", "bar", "baz"]

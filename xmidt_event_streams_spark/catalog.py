@@ -1287,6 +1287,43 @@ FROM n
 """
 
 
+PHRASE_HITS_PHRASE = "table value"
+
+
+def q_phrase_hits(spark, sf_dir):
+    """Positional-inverted-index phrase search
+    (operators/invindex.py): build the (term, doc, positions) index
+    over documents, then find every doc containing the phrase as
+    consecutive tokens -- overlap-counted match census with 0-based
+    start positions. Probe filters to the phrase's terms (pushed
+    predicate; bucket partition pruning on a materialized index,
+    pinned in tests/test_invindex.py) and the adjacency check is a
+    JVM higher-order intersection over per-doc position lists --
+    corpus-size-independent work for rare phrases."""
+    from xmidt_event_streams_spark.operators.invindex import (
+        build_inverted_index,
+        phrase_search,
+    )
+
+    ix = build_inverted_index(_docs(spark, sf_dir))
+    return phrase_search(ix, PHRASE_HITS_PHRASE).select(
+        "doc_id", "n_hits", "first_pos"
+    )
+
+
+SQL_PHRASE_HITS = f"""
+WITH {{words_cte}},
+h AS (
+  SELECT doc_id, i FROM words,
+    unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE w[i] = 'table' AND w[i+1] = 'value'
+)
+SELECT doc_id, count(*)::BIGINT AS n_hits,
+  CAST(min(i) - 1 AS BIGINT) AS first_pos
+FROM h GROUP BY doc_id
+""".format(words_cte=_WORDS_CTE)
+
+
 # portable cosine for DuckDB twins (6dp rounding + zero-denominator
 # guard match functions/vectors.py kernels)
 _COS_SQL = (
@@ -3610,9 +3647,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dsir_weights": QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "lm_perplexity": QuerySpec(q_lm_perplexity, SQL_LM_PERPLEXITY),
     "nb_quality_scores": QuerySpec(q_nb_quality_scores, SQL_NB_QUALITY_SCORES),
-    "doc_fingerprint_rolling": QuerySpec(
-        q_doc_fingerprint_rolling, SQL_DOC_FINGERPRINT_ROLLING
-    ),
+    "phrase_hits": QuerySpec(q_phrase_hits, SQL_PHRASE_HITS),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6, True),
     "quality_quantile_filter": QuerySpec(

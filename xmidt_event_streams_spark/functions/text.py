@@ -8,6 +8,8 @@ drops to Python per row. These back the documents-table operators
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -101,6 +103,16 @@ def tokens(col: Column | str) -> Column:
     Empty text -> empty array (split of '' yields [''] -- filtered)."""
     norm = normalize_text(col)
     return F.filter(F.split(norm, " "), lambda t: t != "")
+
+
+_PY_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(s: str) -> list[str]:
+    """Driver-side twin of :func:`tokens` (same whitespace class, same
+    lowercase) for tokenizing driver-held strings -- takedown phrases,
+    search phrases -- identically to the corpus."""
+    return [t for t in _PY_WS.sub(" ", s.lower()).strip().split(" ") if t]
 
 
 def token_count(col: Column | str) -> Column:

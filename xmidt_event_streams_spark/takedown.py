@@ -22,7 +22,7 @@ Both return a stats dict; ledger it, never discard it.
 
 from __future__ import annotations
 
-import re
+from xmidt_event_streams_spark.functions.text import py_tokens
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,13 +33,8 @@ from xmidt_event_streams_spark.operators.upsert import (
     read_keyed_table,
 )
 
-_WS = re.compile(r"[ \t\n\x0b\f\r]+")
-
-
-def _py_tokens(s: str) -> list[str]:
-    """Driver-side twin of functions/text.tokens (same whitespace
-    class, same lowercase) for validating phrase lengths."""
-    return [t for t in _WS.sub(" ", s.lower()).strip().split(" ") if t]
+# driver-side tokenizer twin now lives with the column contract
+_py_tokens = py_tokens
 
 
 def takedown_ids(
