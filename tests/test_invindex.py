@@ -148,3 +148,31 @@ def test_py_tokens_shared_with_takedown():
 
     assert _py_tokens is py_tokens
     assert py_tokens("  Foo\tBAR \n baz ") == ["foo", "bar", "baz"]
+
+
+def test_phrase_candidates_window_gram_semantics(spark):
+    """Candidacy = contains ANY window-gram of any phrase: a doc
+    holding only an interior fragment >= window tokens is a
+    candidate; a doc sharing no gram is not; short phrases refused."""
+    from xmidt_event_streams_spark.operators.invindex import (
+        phrase_candidates,
+    )
+
+    phrase = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {phrase} outro"),       # full phrase
+            (2, "x three four five y"),          # interior 3-gram
+            (3, "one two x three four"),         # only 2-token pieces
+            (4, "unrelated words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    ix = build_inverted_index(df)
+    got = {
+        r["doc_id"]
+        for r in phrase_candidates(ix, [phrase], window=3).collect()
+    }
+    assert got == {1, 2}
+    with pytest.raises(ValueError, match="shorter than window"):
+        phrase_candidates(ix, ["too short"], window=3)

@@ -145,3 +145,69 @@ def test_validation():
         knn_join(None, None, [[0.0]], k=1, n_probe=1, cell_salt=0)
     with pytest.raises(ValueError, match="k must"):
         knn_join(None, None, [[0.0]], k=0)
+
+
+class TestKnnGraphSurvivors:
+    def test_planted_clusters_and_boundedness(self, spark, cents):
+        """Three planted near-dup groups + singletons: every group
+        collapses to one survivor (min id), singletons survive, and
+        the structureless one-hot-cell corpus still yields <= n*k
+        candidate edges (the boundedness claim vs cluster-verify)."""
+        import numpy as np
+
+        from xmidt_event_streams_spark.operators.knn import (
+            knn_graph_survivors,
+        )
+
+        dim = len(cents[0])
+        rng = np.random.default_rng(7)
+        rows = []
+        # 3 groups of 4 near-identical vectors + 8 singletons
+        for g in range(3):
+            base = rng.normal(size=dim)
+            for j in range(4):
+                v = base + rng.normal(scale=1e-3, size=dim)
+                rows.append((g * 10 + j, [float(x) for x in v]))
+        for s in range(8):
+            rows.append((100 + s, [float(x) for x in rng.normal(size=dim)]))
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        out = {
+            r["vec_id"]: (r["cluster_id"], r["is_survivor"])
+            for r in knn_graph_survivors(
+                df, cents, threshold=0.95, k=5, n_probe=len(cents)
+            ).collect()
+        }
+        assert len(out) == 20
+        for g in range(3):
+            ids = [g * 10 + j for j in range(4)]
+            cids = {out[i][0] for i in ids}
+            assert cids == {min(ids)}, (g, cids)
+            assert [i for i in ids if out[i][1]] == [min(ids)]
+        for s in range(8):
+            assert out[100 + s] == (100 + s, True)
+
+    def test_prefer_col_keeps_best(self, spark, cents):
+        import numpy as np
+
+        from xmidt_event_streams_spark.operators.knn import (
+            knn_graph_survivors,
+        )
+
+        dim = len(cents[0])
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=dim)
+        rows = [
+            (i, [float(x) for x in base + rng.normal(scale=1e-3, size=dim)], float(sc))
+            for i, sc in [(1, 0.2), (2, 0.9), (3, 0.5)]
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<double>, score: double"
+        )
+        out = {
+            r["vec_id"]: r["is_survivor"]
+            for r in knn_graph_survivors(
+                df, cents, threshold=0.9, k=5, n_probe=len(cents),
+                prefer_col="score",
+            ).collect()
+        }
+        assert out == {1: False, 2: True, 3: False}

@@ -290,3 +290,77 @@ def test_takedown_phrases_refuses_short_phrase(spark, tmp_path):
 
     with pytest.raises(ValueError, match="shorter than window"):
         takedown_phrases(spark, corpus_path, ["too short"], window=5)
+
+
+def test_takedown_phrases_with_invindex_prefilter(spark, tmp_path):
+    """Index-accelerated takedown: with a fresh positional inverted
+    index the scrub runs only on phrase_candidates, and the end state
+    is IDENTICAL to the scan-everything flow — including a doc that
+    holds only an interior window-gram of the passage (overlap
+    semantics), which the pre-filter must keep. A stale index (corpus
+    written after the index) is refused."""
+    import pytest
+
+    from xmidt_event_streams_spark.operators.invindex import (
+        write_inverted_index,
+    )
+    from xmidt_event_streams_spark.takedown import takedown_phrases
+
+    passage = ("The Forbidden Passage Must Vanish From Every "
+               "Document It Appears In Completely")
+    interior = " ".join(passage.split()[3:8])  # one window-gram only
+    rows = [
+        (i, f"document {i} original terms alpha{i} beta{i} gamma{i} "
+            f"delta{i} epsilon{i} zeta{i}")
+        for i in range(20)
+    ]
+    rows[3] = (3, rows[3][1] + f" quoted: {passage} end")
+    rows[8] = (8, f"partially {interior} quoted " + rows[8][1])
+    rows.append((50, passage))
+
+    def build(path_tag):
+        corpus_path = str(tmp_path / f"corpus_{path_tag}")
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        write_keyed_table(df, corpus_path, "doc_id")
+        return corpus_path
+
+    # arm A: full-scan flow
+    scan_path = build("scan")
+    stats_scan = takedown_phrases(spark, scan_path, [passage], window=5)
+    post_scan = {
+        r["doc_id"]: r["text"]
+        for r in read_keyed_table(spark, scan_path).collect()
+    }
+
+    # arm B: index-prefiltered flow
+    ix_path = str(tmp_path / "invindex")
+    pref_path = build("pref")
+    write_inverted_index(
+        read_keyed_table(spark, pref_path), ix_path, id_col="doc_id"
+    )
+    stats_pref = takedown_phrases(
+        spark, pref_path, [passage], window=5, invindex_path=ix_path
+    )
+    post_pref = {
+        r["doc_id"]: r["text"]
+        for r in read_keyed_table(spark, pref_path).collect()
+    }
+
+    assert post_pref == post_scan
+    for k in ("docs_touched", "tokens_removed", "upserts", "deletes"):
+        assert stats_pref[k] == stats_scan[k], k
+    assert stats_scan["docs_touched"] == 3  # docs 3, 8(interior), 50
+    assert "partially" in post_pref[8] and interior not in post_pref[8]
+
+    # staleness: the merge above rewrote the corpus AFTER the index
+    # was built -> a second indexed takedown must refuse
+    with pytest.raises(ValueError, match="stale index|older than"):
+        takedown_phrases(
+            spark, pref_path, [passage], window=5, invindex_path=ix_path
+        )
+    # explicit override still runs (and finds nothing: already cut)
+    again = takedown_phrases(
+        spark, pref_path, [passage], window=5,
+        invindex_path=ix_path, invindex_stale_ok=True,
+    )
+    assert again["docs_touched"] == 0

@@ -122,6 +122,24 @@ def latest_file_mtime_ms(spark: SparkSession, dir_path: str) -> int | None:
     return newest
 
 
+def latest_mtime_recursive_ms(
+    spark: SparkSession, dir_path: str
+) -> int | None:
+    """Newest modification time (epoch ms) of any file anywhere under
+    ``dir_path``, or None when absent/empty -- the freshness probe for
+    partitioned/bucketed table layouts, where the flat variant above
+    sees only directories."""
+    fs, hpath, _ = hadoop_fs(spark, dir_path)
+    if not fs.exists(hpath):
+        return None
+    it = fs.listFiles(hpath, True)
+    newest = None
+    while it.hasNext():
+        t = it.next().getModificationTime()
+        newest = t if newest is None else max(newest, t)
+    return newest
+
+
 def delete_path(spark: SparkSession, path_str: str) -> bool:
     """Recursive delete through the Hadoop FileSystem API (works on
     file:/hdfs:/s3a: -- the same portability contract as the

@@ -120,10 +120,30 @@ def read_inverted_index(
     return spark.read.parquet(path)
 
 
+def _py_bkts(terms: list[str], n_buckets: int) -> list[int]:
+    """Driver-side twin of functions/text.md5_bucket for the probe's
+    partition IN-list (60 bits of the md5, pmod n)."""
+    import hashlib
+
+    return sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+            for t in terms
+        }
+    )
+
+
+def _pm_positions(term: str):
+    """pm[term] with a missing key reading as the empty list."""
+    return F.coalesce(
+        F.col("pm").getItem(term), F.array().cast("array<int>")
+    )
+
+
 def _phrase_hits_expr(terms: list[str]):
     """Column expr over a ``pm`` (term -> positions) map column: the
     sorted array of match START positions for the phrase."""
-    base = F.col("pm").getItem(terms[0])
+    base = _pm_positions(terms[0])
     if len(terms) == 1:
         return base
     return F.filter(
@@ -131,12 +151,7 @@ def _phrase_hits_expr(terms: list[str]):
         lambda p: F.aggregate(
             F.array(
                 *[
-                    F.array_contains(
-                        F.coalesce(
-                            F.col("pm").getItem(t), F.array().cast("array<int>")
-                        ),
-                        p + F.lit(i),
-                    )
+                    F.array_contains(_pm_positions(t), p + F.lit(i))
                     for i, t in enumerate(terms)
                     if i > 0
                 ]
@@ -168,15 +183,7 @@ def phrase_search(
     distinct = sorted(set(terms))
     probe = index.filter(F.col("term").isin(distinct))
     if n_buckets is not None:
-        import hashlib
-
-        bkts = sorted(
-            {
-                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
-                for t in distinct
-            }
-        )
-        probe = probe.filter(F.col("bkt").isin(bkts))
+        probe = probe.filter(F.col("bkt").isin(_py_bkts(distinct, n_buckets)))
     per_doc = (
         probe.groupBy("doc_id")
         .agg(
@@ -196,3 +203,50 @@ def phrase_search(
         F.array_min("hit_positions").cast("long").alias("first_pos"),
         "hit_positions",
     )
+
+
+def phrase_candidates(
+    index: DataFrame,
+    phrases: list[str],
+    window: int,
+    n_buckets: int | None = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """-> (doc_id): every document containing ANY ``window``-gram of
+    any phrase as consecutive tokens -- exactly the set of documents
+    a window-hash scrub (takedown_phrases /
+    remove_contaminated_spans) can touch, probed from the index
+    instead of scanning the corpus. A doc outside this set holds no
+    phrase window-gram, is untouched by the scrub's first pass, and
+    fixpoint re-passes only revisit touched docs -- so pre-filtering
+    the corpus to these candidates is semantics-preserving.
+
+    One probe: postings filtered to the union of all grams' terms
+    (bucket-pruned + pushed), one groupBy doc, and an OR over the
+    grams' position-intersection predicates. Phrases shorter than
+    ``window`` tokens are refused (the takedown surface's rule).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    grams: set[tuple[str, ...]] = set()
+    for p in phrases:
+        toks = py_tokens(p)
+        if len(toks) < window:
+            raise ValueError(
+                f"phrase shorter than window={window} tokens cannot "
+                f"match: {p!r}"
+            )
+        for i in range(len(toks) - window + 1):
+            grams.add(tuple(toks[i : i + window]))
+    terms = sorted({t for g in grams for t in g})
+    probe = index.filter(F.col("term").isin(terms))
+    if n_buckets is not None:
+        probe = probe.filter(F.col("bkt").isin(_py_bkts(terms, n_buckets)))
+    per_doc = probe.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("pm")
+    )
+    cond = F.lit(False)
+    for g in sorted(grams):
+        cond = cond | (F.size(_phrase_hits_expr(list(g))) > 0)
+    return per_doc.filter(cond).select("doc_id")

@@ -203,3 +203,65 @@ def knn_join(
     # partials are disjoint per query -- the global rank is a pure
     # merge of <= n_probe * cell_salt * k rows per query
     return _topk_by_query(scored, kk, "query_id", id_col)
+
+
+def knn_graph_survivors(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_salt: int = 1,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """Semantic dedup over the corpus kNN graph: self-knn_join ->
+    keep edges with cos_sim >= threshold -> connected components ->
+    one survivor per cluster (components.dup_cluster_survivors,
+    min-id or ``prefer_col``-best). Returns (id, cluster_id,
+    is_survivor) for every corpus row.
+
+    This is the STRUCTURALLY BOUNDED alternative to the
+    cluster-then-verify SemDeDup arms (semdedup_survivors /
+    lexical_semdedup): candidate volume is <= n x k by construction
+    -- a corpus with no cosine structure (every row in one hot
+    k-means cell, the shape that degenerates cluster-then-verify
+    toward all-pairs and trips its pair budget) still produces
+    exactly n x k scored candidates here, because top-k truncation
+    happens INSIDE the cogroup kernel before anything shuffles. The
+    trade is recall at high duplicate multiplicity: a row with more
+    than k above-threshold duplicates emits edges to only its k
+    nearest, and the cluster is recovered only through transitive
+    chains (usually, not provably). For takedown-grade exhaustive
+    pair discovery use the verified cluster arms; for corpus curation
+    at unknown dirtiness this arm cannot blow up.
+
+    ``prefer_col`` keeps the highest-scoring cluster member instead
+    of the min id (the RefinedWeb keep-best refinement) -- the column
+    must exist on ``df``.
+    """
+    from xmidt_event_streams_spark.operators.components import (
+        dup_cluster_survivors,
+    )
+
+    pairs = (
+        knn_join(
+            df,
+            df,
+            centroids,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_salt=cell_salt,
+            exclude_self=True,
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("query_id").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+    )
+    return dup_cluster_survivors(
+        df, pairs, id_col=id_col, prefer_col=prefer_col
+    )

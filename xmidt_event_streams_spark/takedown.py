@@ -84,6 +84,9 @@ def takedown_phrases(
     text_col: str = "text",
     index_path: str | None = None,
     tombstone_empty: bool = True,
+    invindex_path: str | None = None,
+    invindex_stale_ok: bool = False,
+    invindex_buckets: int | None = None,
 ) -> dict:
     """Cut every occurrence of each phrase's ``window``-gram content
     from every document in the keyed corpus, MERGE the rewritten
@@ -108,6 +111,18 @@ def takedown_phrases(
     shuffles for the match; the MERGE touches only the buckets of
     rewritten docs (update-set-bounded); index repair is
     tombstone-compaction + one append of the touched rows.
+
+    ``invindex_path``: a positional inverted index over the corpus
+    (operators/invindex.py) skips even that one corpus scan -- the
+    scrub runs only on ``phrase_candidates`` (docs holding some
+    phrase window-gram; exact, because untouched docs are never
+    revisited by the fixpoint). The index MUST reflect the current
+    corpus state: a takedown driven by a stale index silently misses
+    recently-written documents, so any corpus file newer than every
+    index file is refused (``invindex_stale_ok=True`` overrides, for
+    layouts whose mtimes lie). The index is NOT rewritten here --
+    after the merge it is stale for the touched docs and should be
+    rebuilt in the next maintenance window before its next use.
     """
     if not phrases:
         return {
@@ -130,13 +145,49 @@ def takedown_phrases(
 
     key_col = _key_col(spark, corpus_path)
     table = read_keyed_table(spark, corpus_path)
+    scrub_input = table
+    if invindex_path is not None:
+        from xmidt_event_streams_spark.fsutil import (
+            latest_mtime_recursive_ms,
+        )
+        from xmidt_event_streams_spark.operators.invindex import (
+            DEFAULT_BUCKETS,
+            phrase_candidates,
+            read_inverted_index,
+        )
+
+        n_bkts = (
+            DEFAULT_BUCKETS if invindex_buckets is None else invindex_buckets
+        )
+        if not invindex_stale_ok:
+            corpus_mt = latest_mtime_recursive_ms(spark, corpus_path)
+            index_mt = latest_mtime_recursive_ms(spark, invindex_path)
+            if index_mt is None or (
+                corpus_mt is not None and corpus_mt > index_mt
+            ):
+                raise ValueError(
+                    f"inverted index at {invindex_path} is older than the "
+                    f"corpus at {corpus_path} (index mtime {index_mt}, "
+                    f"corpus mtime {corpus_mt}): a stale index silently "
+                    "misses documents. Rebuild it, or pass "
+                    "invindex_stale_ok=True."
+                )
+        cands = phrase_candidates(
+            read_inverted_index(spark, invindex_path, n_bkts),
+            phrases,
+            window,
+            n_buckets=n_bkts,
+        )
+        scrub_input = table.join(
+            cands.withColumnRenamed("doc_id", key_col), key_col, "left_semi"
+        )
     bench = spark.createDataFrame([(p,) for p in phrases], [text_col])
     # fixpoint: excision can stitch surviving neighbors into a fresh
     # occurrence of the phrase -- a single pass may ship taken-down
     # content verbatim. touched_only skips the corpus-sized rebuild
     # for the (vast) untouched majority.
     touched = remove_contaminated_spans(
-        table,
+        scrub_input,
         bench,
         text_col=text_col,
         id_col=key_col,
