@@ -271,6 +271,7 @@ OFF_REGISTRY = [
     "latest_per_key",
     "events_pivot",
     "doc_fingerprint_rolling",
+    "ngram_jaccard",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -326,6 +327,10 @@ OFF_REGISTRY_EVIDENCE = {
     # index + phrase search) -- rolling-hash evidence stays via
     # substring_spans (window-hash census) and the off-registry twin
     "doc_fingerprint_rolling": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r5 to admit jaccard_join_prefix (exact
+    # corpus-wide prefix-filtered similarity join) -- the bucketed
+    # exact tier keeps its off-registry twin + the bucket-cap pytest
+    "ngram_jaccard": "tests/test_components.py::test_off_registry_parity",
 }
 
 

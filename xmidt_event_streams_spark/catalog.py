@@ -473,6 +473,45 @@ FROM sh a JOIN sh b
 """
 
 
+def q_jaccard_join_prefix(spark, sf_dir):
+    """Exact corpus-wide near-dup pairs via prefix filtering
+    (operators/ssjoin.py; AllPairs WWW'07 / PPJoin WWW'08): every
+    document pair whose distinct word-TRIGRAM sets have Jaccard >= 0.5
+    -- no buckets, no caps, no randomness. The third candidate tier
+    next to MinHash banding (probabilistic, same trigram shingles) and
+    bucketed ngram_jaccard (exact within caller blocks): candidates
+    come from each doc's RAREST shingles only, so the hot shingles
+    never drive the self-join (measured on this corpus: 1,613
+    candidate occurrences vs 124,750 brute pairs at sf0.01). The
+    oracle is the brute-force all-pairs join -- exactness means the
+    lossless-filter claim is hash-checked, not argued."""
+    from xmidt_event_streams_spark.operators.ssjoin import jaccard_join
+
+    return jaccard_join(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+
+
+# Oracle: brute-force all pairs (the filters are lossless, so the
+# candidate machinery must reproduce this exactly). Filter on the
+# UNROUNDED ratio (both engines compare the same correctly-rounded
+# int/int double), round only for display -- mirroring the Spark side.
+SQL_JACCARD_JOIN_PREFIX = f"""
+WITH {_WORDS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM words
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash signature per document."""
     return simhash16_df(_docs(spark, sf_dir))
@@ -3620,7 +3659,13 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, True),
     "minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, SQL_MINHASH, True),
     "dup_clusters": QuerySpec(q_dup_clusters, SQL_DUP_CLUSTERS),
-    "ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # ngram_jaccard (bucketed exact Jaccard) rotated to the
+    # off-registry parity set in r5 to admit jaccard_join_prefix --
+    # the corpus-wide EXACT tier subsumes the within-bucket check,
+    # and the bucket-cap arm keeps its own pytest + off-registry twin.
+    "jaccard_join_prefix": QuerySpec(
+        q_jaccard_join_prefix, SQL_JACCARD_JOIN_PREFIX
+    ),
     "simhash": QuerySpec(q_simhash, SQL_SIMHASH),
     "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
