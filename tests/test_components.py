@@ -272,6 +272,7 @@ OFF_REGISTRY = [
     "events_pivot",
     "doc_fingerprint_rolling",
     "ngram_jaccard",
+    "dedup_by_txn",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -331,6 +332,10 @@ OFF_REGISTRY_EVIDENCE = {
     # corpus-wide prefix-filtered similarity join) -- the bucketed
     # exact tier keeps its off-registry twin + the bucket-cap pytest
     "ngram_jaccard": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r5 to admit packed_sequences (exact fixed-length
+    # training-sequence packing) -- keyed-min evidence stays via
+    # dedup_exact (registry) + latest_per_key (off-registry twin)
+    "dedup_by_txn": "tests/test_components.py::test_off_registry_parity",
 }
 
 

@@ -473,6 +473,62 @@ FROM sh a JOIN sh b
 """
 
 
+def q_packed_sequences(spark, sf_dir):
+    """Fixed-length training-sequence packing
+    (operators/traindata.py:pack_token_stream): every document's
+    whitespace tokens + a per-doc </s> sentinel, concatenated per
+    shard (doc_id % 4, doc_id order) and sliced into exact 256-token
+    sequences, trailing partials dropped -- the GPT-style
+    concatenate-then-chunk step a trainer's loader reads. Documents
+    ARE split across sequence boundaries; the operator also emits
+    doc_spans provenance (dropped here: the oracle hashes the packed
+    stream itself, which subsumes it). Distributed shape: per-shard
+    prefix-sum window -> explode into overlapped sequence slots ->
+    one (shard, seq_id) hash-agg; nothing collects."""
+    from xmidt_event_streams_spark.operators.traindata import (
+        tokenize_and_pack,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    out = tokenize_and_pack(
+        docs, seq_len=256, shard_cols=["shard"], drop_last=True
+    )
+    return out.select(
+        "shard",
+        "seq_id",
+        F.concat_ws(" ", F.col("input_ids")).alias("seq_text"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+# Oracle: materialize the same per-shard token stream with a window
+# row_number and slice it by integer division -- concatenate-then-chunk
+# is pure SQL over the ordered stream, so the packed bytes themselves
+# are hash-checked, not just sequence counts.
+SQL_PACKED_SEQUENCES = f"""
+WITH {_WORDS_CTE},
+toks AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+    unnest(list_transform(generate_series(1, len(we)),
+                          i -> {{'tok': we[i], 'ord': i}})) AS u
+  FROM (SELECT doc_id, list_append(w, '</s>') AS we FROM words)
+),
+stream AS (
+  SELECT shard, u.tok AS tok,
+    row_number() OVER (PARTITION BY shard ORDER BY doc_id, u.ord) - 1 AS rn
+  FROM toks
+)
+SELECT shard, rn // 256 AS seq_id,
+  array_to_string(list(tok ORDER BY rn), ' ') AS seq_text,
+  count(*) AS n_tokens
+FROM stream
+GROUP BY shard, seq_id
+HAVING count(*) = 256
+"""
+
+
 def q_jaccard_join_prefix(spark, sf_dir):
     """Exact corpus-wide near-dup pairs via prefix filtering
     (operators/ssjoin.py; AllPairs WWW'07 / PPJoin WWW'08): every
@@ -3655,7 +3711,10 @@ QUERIES: dict[str, QuerySpec] = {
     # window-top-k evidence stays via session_gaps + the off-registry
     # twin.
     "corpus_diff": QuerySpec(q_corpus_diff, SQL_CORPUS_DIFF),
-    "dedup_by_txn": QuerySpec(q_dedup_by_txn, SQL_DEDUP_BY_TXN),
+    # dedup_by_txn (min-per-delivery-key) rotated to the off-registry
+    # parity set in r5 to admit packed_sequences -- keyed-min evidence
+    # stays via dedup_exact (registry) + latest_per_key (off-registry).
+    "packed_sequences": QuerySpec(q_packed_sequences, SQL_PACKED_SEQUENCES),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, True),
     "minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, SQL_MINHASH, True),
     "dup_clusters": QuerySpec(q_dup_clusters, SQL_DUP_CLUSTERS),

@@ -198,6 +198,177 @@ def pack_sequences(
     )
 
 
+def pack_token_stream(
+    df: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    order_col: str,
+    shard_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    drop_last: bool = True,
+) -> DataFrame:
+    """EXACT fixed-length sequence packing: concatenate every
+    document's token array (in ``order_col`` order, independently per
+    shard) into one logical token stream and slice it into
+    ``seq_len``-token training sequences — the GPT-style
+    concatenate-then-chunk step, where documents ARE split across
+    sequence boundaries (contrast :func:`pack_sequences`, which
+    assigns whole documents to packs).
+
+    Output per sequence: ``(shard_cols..., seq_id, input_ids
+    array<string>, n_tokens, doc_spans)`` where ``doc_spans`` is
+    ``array<struct<doc_id, offset, length>>`` — which document each
+    token range came from, in order, the metadata a trainer needs for
+    attention-mask resets at document boundaries and for provenance /
+    takedown back-references. ``drop_last=True`` drops the (single,
+    per-shard) trailing partial sequence, the trainer convention;
+    every interior sequence is exactly ``seq_len`` by construction.
+
+    Distributed shape — NOT a driver-side concatenation:
+
+      1. exclusive prefix sum of token counts over a per-shard window
+         (one shuffle+sort on the shard key; a shard's stream offsets
+         are a pure function of order within the shard);
+      2. each document EXPLODES into the sequence slots it overlaps
+         (``start div S .. (start+n-1) div S``) carrying the matching
+         ``slice()`` of its tokens — narrow, fragment count =
+         n_docs + total_tokens/seq_len;
+      3. one hash-agg on (shard, seq_id) reassembles each sequence
+         from its (start-sorted) fragments.
+
+    At 100 TB: per-sequence state is seq_len tokens, per-shard window
+    sort is the same discipline as :func:`pack_sequences`; shards are
+    the parallelism unit, so ``shard_cols`` should be supplied for any
+    real corpus (no shard_cols = one global single-task sort, correct
+    only for small corpora or final single-shard assembly). Zero-token
+    documents (and null token arrays) contribute nothing and are
+    dropped from ``doc_spans``.
+    """
+    S = int(seq_len)
+    if S <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    shard_cols = list(shard_cols or [])
+    w = (
+        Window.partitionBy(*[F.col(c) for c in shard_cols])
+        if shard_cols
+        else Window.partitionBy()
+    ).orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, -1)
+
+    d = (
+        df.withColumn("_n", F.size(F.col(tokens_col)).cast("bigint"))
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "_start",
+            F.coalesce(F.sum("_n").over(w), F.lit(0).cast("bigint")),
+        )
+    )
+    frag = d.select(
+        *[F.col(c) for c in shard_cols],
+        F.col(id_col),
+        F.col("_start"),
+        F.col("_n"),
+        F.col(tokens_col).alias("_toks"),
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {S}"),
+                F.expr(f"(_start + _n - 1) div {S}"),
+            )
+        ).alias("_seq"),
+    )
+    fs = F.greatest(F.col("_seq") * S, F.col("_start"))
+    fe = F.least((F.col("_seq") + 1) * S, F.col("_start") + F.col("_n"))
+    frag = frag.select(
+        *[F.col(c) for c in shard_cols],
+        F.col("_seq"),
+        F.struct(
+            fs.alias("_fs"),
+            F.slice(
+                F.col("_toks"),
+                (fs - F.col("_start") + 1).cast("int"),
+                (fe - fs).cast("int"),
+            ).alias("_frag"),
+            F.col(id_col).alias("_doc"),
+        ).alias("_f"),
+    )
+    packed = frag.groupBy(
+        *[F.col(c) for c in shard_cols], F.col("_seq").alias("seq_id")
+    ).agg(F.sort_array(F.collect_list("_f")).alias("_fl"))
+    out = packed.select(
+        *[F.col(c) for c in shard_cols],
+        F.col("seq_id"),
+        F.flatten(F.transform("_fl", lambda x: x["_frag"])).alias("input_ids"),
+        F.transform(
+            "_fl",
+            lambda x: F.struct(
+                x["_doc"].alias(id_col),
+                (x["_fs"] - F.col("seq_id") * S).cast("int").alias("offset"),
+                F.size(x["_frag"]).alias("length"),
+            ),
+        ).alias("doc_spans"),
+    ).withColumn("n_tokens", F.size("input_ids"))
+    if drop_last:
+        out = out.filter(F.col("n_tokens") == S)
+    return out
+
+
+def tokenize_and_pack(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+    eos_token: str = "</s>",
+    shard_cols: list[str] | None = None,
+    order_col: str | None = None,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Tokenize documents (whitespace words by default; a learned BPE
+    merge list via ``merges=``) + append ``eos_token`` per document,
+    then :func:`pack_token_stream` into fixed ``seq_len`` training
+    sequences. The end of the tokenize-dedup-select pipeline: what
+    this returns is what a trainer's data loader reads.
+
+    The BPE arm runs :func:`~xmidt_event_streams_spark.operators.bpe.
+    bpe_encode` (Arrow-batched, merge table in the UDF closure) and
+    joins the token arrays back on ``id_col`` to recover shard
+    columns — one extra id shuffle, still corpus-linear."""
+    from xmidt_event_streams_spark.functions.text import tokens
+
+    order_col = order_col or id_col
+    shard_cols = list(shard_cols or [])
+    carry = [id_col] + [
+        c for c in dict.fromkeys(shard_cols + [order_col]) if c != id_col
+    ]
+    if merges is None:
+        toked = df.select(
+            *[F.col(c) for c in carry],
+            F.concat(tokens(text_col), F.array(F.lit(eos_token))).alias("_tk"),
+        )
+    else:
+        from xmidt_event_streams_spark.operators.bpe import bpe_encode
+
+        enc = bpe_encode(df, merges, text_col=text_col, id_col=id_col)
+        toked = (
+            df.select(*[F.col(c) for c in carry])
+            .join(enc, id_col)
+            .select(
+                *[F.col(c) for c in carry],
+                F.concat(
+                    F.col("bpe_tokens"), F.array(F.lit(eos_token))
+                ).alias("_tk"),
+            )
+        )
+    return pack_token_stream(
+        toked,
+        tokens_col="_tk",
+        seq_len=seq_len,
+        order_col=order_col,
+        shard_cols=shard_cols,
+        id_col=id_col,
+        drop_last=drop_last,
+    )
+
+
 def mixture_fractions(
     df: DataFrame,
     domain_col: str,
