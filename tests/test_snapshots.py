@@ -1,0 +1,213 @@
+"""Snapshot-isolated keyed table (operators/snapshots.py): immutable
+data files + atomic manifest commits. The contracts under test:
+
+  * MERGE correctness (insert / replace / tombstone) at the head;
+  * TIME TRAVEL: every prior version stays byte-stable under later
+    merges;
+  * READER ISOLATION: a plan resolved before a merge still reads its
+    snapshot after the merge lands (the torn-read hazard the in-place
+    keyed table has);
+  * untouched buckets are inherited by file PATH (no rewrite);
+  * optimistic concurrency: a lost manifest race is a typed conflict;
+  * expire: GC of unreferenced files, and the takedown honesty rule —
+    a tombstoned row is only GONE gone once every manifest that
+    references its files has expired.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.operators.snapshots import (
+    SnapshotConflict,
+    _manifest_path,
+    _read_manifest,
+    snapshot_create,
+    snapshot_expire,
+    snapshot_head,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_versions,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _content(df):
+    return sorted((r.doc_id, r.text) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "snaptab")
+    rows = [(i, f"doc {i}") for i in range(40)]
+    assert snapshot_create(_df(spark, rows), path, "doc_id") == 1
+    return path, rows
+
+
+def test_merge_insert_replace_tombstone(spark, table):
+    path, rows = table
+    updates = _df(spark, [(1, "doc 1 v2"), (100, "new doc")]).withColumn(
+        "_deleted", F.lit(False)
+    )
+    tomb = _df(spark, [(2, "ignored")]).withColumn("_deleted", F.lit(True))
+    stats = snapshot_merge(spark, path, updates.unionByName(tomb))
+    assert stats["version"] == 2
+    assert stats["upserts"] == 2 and stats["deletes"] == 1
+    expect = sorted(
+        [(i, f"doc {i}") for i in range(40) if i not in (1, 2)]
+        + [(1, "doc 1 v2"), (100, "new doc")]
+    )
+    assert _content(snapshot_read(spark, path)) == expect
+    # time travel: v1 unchanged
+    assert _content(snapshot_read(spark, path, version=1)) == sorted(rows)
+    log = snapshot_versions(spark, path)
+    assert [m["version"] for m in log] == [1, 2]
+    assert log[1]["stats"] == {"upserts": 2, "deletes": 1}
+
+
+def test_reader_isolation_across_merge(spark, table):
+    path, rows = table
+    pinned = snapshot_read(spark, path)  # plan resolved at v1
+    snapshot_merge(
+        spark,
+        path,
+        _df(spark, [(i, "rewritten") for i in range(40)]),
+    )
+    # the pinned plan still reads v1 content AFTER the merge landed
+    assert _content(pinned) == sorted(rows)
+    assert all(
+        r.text == "rewritten" for r in snapshot_read(spark, path).collect()
+    )
+
+
+def test_untouched_buckets_inherited_by_path(spark, table):
+    path, _ = table
+    m1 = _read_manifest(spark, path, 1)
+    snapshot_merge(spark, path, _df(spark, [(1, "doc 1 v2")]))
+    m2 = _read_manifest(spark, path, 2)
+    changed = [b for b in m1["buckets"] if m1["buckets"][b] != m2["buckets"].get(b)]
+    assert len(changed) == 1  # exactly the bucket holding doc_id 1
+    untouched = [b for b in m1["buckets"] if b not in changed]
+    assert untouched and all(
+        m2["buckets"][b] == m1["buckets"][b] for b in untouched
+    )
+
+
+def test_conflict_raises_typed_error(spark, table):
+    path, _ = table
+    # fabricate another writer winning version 2
+    import json as _json
+
+    from xmidt_event_streams_spark.fsutil import hadoop_fs
+
+    fs, _, jvm = hadoop_fs(spark, path)
+    head = _read_manifest(spark, path, 1)
+    head["version"], head["parent"] = 2, 1
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(_manifest_path(path, 2)), True)
+    try:
+        out.write(bytearray(_json.dumps(head).encode()))
+    finally:
+        out.close()
+    with pytest.raises(SnapshotConflict):
+        # this writer read head BEFORE the fabricated commit... so
+        # simulate by racing the same target version explicitly
+        from xmidt_event_streams_spark.operators.snapshots import (
+            _commit_manifest,
+        )
+
+        _commit_manifest(spark, path, 2, head)
+    # table remains readable at the (fabricated) head
+    assert snapshot_head(spark, path) == 2
+    assert snapshot_read(spark, path, version=1).count() == 40
+
+
+def test_expire_gc_and_takedown_honesty(spark, table):
+    path, _ = table
+    tomb = _df(spark, [(7, "x")]).withColumn("_deleted", F.lit(True))
+    snapshot_merge(spark, path, tomb)  # v2: doc 7 tombstoned
+    snapshot_merge(spark, path, _df(spark, [(8, "doc 8 v2")]))  # v3
+    # takedown honesty: before expire, time travel still reads doc 7
+    assert (
+        snapshot_read(spark, path, version=1)
+        .filter(F.col("doc_id") == 7)
+        .count()
+        == 1
+    )
+    res = snapshot_expire(spark, path, keep_last=2)
+    assert res["expired_versions"] == [1]
+    assert res["deleted_files"] > 0
+    # v1 gone; v2/v3 intact; doc 7 unreachable at every surviving version
+    with pytest.raises(ValueError):
+        snapshot_read(spark, path, version=1)
+    for v in (2, 3):
+        assert (
+            snapshot_read(spark, path, version=v)
+            .filter(F.col("doc_id") == 7)
+            .count()
+            == 0
+        )
+    assert snapshot_read(spark, path).count() == 39
+
+
+def test_expire_keeps_shared_files_alive(spark, table):
+    path, _ = table
+    snapshot_merge(spark, path, _df(spark, [(1, "v2")]))
+    snapshot_merge(spark, path, _df(spark, [(2, "v3")]))
+    # keep v2+v3: v2 still references most of v1's ORIGINAL files --
+    # GC must not delete files a surviving manifest references
+    snapshot_expire(spark, path, keep_last=2)
+    assert snapshot_read(spark, path, version=2).count() == 40
+    assert snapshot_read(spark, path, version=3).count() == 40
+
+
+def test_duplicate_keys_rejected(spark, tmp_path):
+    path = str(tmp_path / "dup")
+    with pytest.raises(ValueError, match="unique"):
+        snapshot_create(
+            _df(spark, [(1, "a"), (1, "b")]), path, "doc_id"
+        )
+    snapshot_create(_df(spark, [(1, "a")]), path, "doc_id")
+    with pytest.raises(ValueError, match="unique"):
+        snapshot_merge(spark, path, _df(spark, [(2, "a"), (2, "b")]))
+
+
+def test_create_refuses_existing_table(spark, table):
+    path, _ = table
+    with pytest.raises(ValueError, match="already"):
+        snapshot_create(_df(spark, [(1, "a")]), path, "doc_id")
+
+
+def test_corpus_diff_between_versions(spark, table):
+    """Time travel composes with corpus_diff: release-to-release
+    verdicts between any two snapshots of the same table."""
+    from xmidt_event_streams_spark.corpus import corpus_diff
+
+    path, _ = table
+    ups = _df(spark, [(1, "changed"), (100, "added")]).withColumn(
+        "_deleted", F.lit(False)
+    )
+    tomb = _df(spark, [(3, "x")]).withColumn("_deleted", F.lit(True))
+    snapshot_merge(spark, path, ups.unionByName(tomb))
+    old = snapshot_read(spark, path, version=1)
+    new = snapshot_read(spark, path, version=2)
+    diff = corpus_diff(old, new, id_col="doc_id", text_col="text")
+    verdicts = {r.doc_id: r.status for r in diff.collect()}
+    assert verdicts[1] == "changed"
+    assert verdicts[100] == "added"
+    assert verdicts[3] == "removed"
+
+
+def test_snapshot_expire_as_maintenance_target(spark, table):
+    from xmidt_event_streams_spark.maintenance import run_maintenance
+
+    path, _ = table
+    snapshot_merge(spark, path, _df(spark, [(1, "v2")]))
+    snapshot_merge(spark, path, _df(spark, [(2, "v3")]))
+    report = run_maintenance(spark, snapshot_tables=((path, 2),))
+    assert report[path]["kind"] == "snapshot_expire"
+    assert report[path]["expired_versions"] == [1]
+    assert snapshot_head(spark, path) == 3

@@ -78,6 +78,7 @@ def run_maintenance(
     ivf_indexes: tuple[str, ...] = (),
     kmv_baselines: tuple[tuple[str, str], ...] = (),
     token_baselines: tuple[tuple[str, str], ...] = (),
+    snapshot_tables: tuple[tuple[str, int], ...] = (),
     tombstones: dict[str, list] | None = None,
     batches_per_partition: int = 1_000,
     checkpoints: dict[str, str] | None = None,
@@ -108,6 +109,14 @@ def run_maintenance(
     (``frequency.token_drift``): PSI of the exact heavy-hitter
     profile vs its stamped baseline, same verdict bands.
 
+    ``snapshot_tables``: (path, keep_last) pairs -- snapshot-table
+    history expiry (``snapshots.snapshot_expire``): drops all but the
+    newest keep_last manifests and GCs every data file no surviving
+    manifest references (including conflict-loser orphans). This is
+    also what COMPLETES takedowns on snapshot tables: a tombstoned
+    row's bytes persist until the last manifest referencing them
+    expires. Guarded like other write targets via ``checkpoints``.
+
     ``checkpoints`` maps write-target paths (sinks/indexes/rollups)
     to the checkpoint dirs of the streams that write them; guarded
     targets are checked with :func:`assert_writer_quiesced` BEFORE
@@ -132,6 +141,9 @@ def run_maintenance(
     from xmidt_event_streams_spark.streaming.ingest_dedup import (
         compact_ingest_sink,
     )
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_expire,
+    )
     from xmidt_event_streams_spark.streaming.rollup import compact_rollup
 
     if checkpoints and not force:
@@ -140,6 +152,7 @@ def run_maintenance(
             | set(minhash_indexes)
             | set(window_indexes)
             | {p for p, _, _ in rollups}
+            | {p for p, _ in snapshot_tables}
         )
         for target, ckpt in checkpoints.items():
             if target in write_targets:
@@ -204,5 +217,11 @@ def run_maintenance(
             lambda b=base_path, c=corpus_path: token_drift(
                 spark, b, spark.read.parquet(c)
             ),
+        )
+    for path, keep_last in snapshot_tables:
+        _run(
+            path,
+            "snapshot_expire",
+            lambda p=path, k=keep_last: snapshot_expire(spark, p, k),
         )
     return report

@@ -1,0 +1,380 @@
+"""Snapshot-isolated keyed table: a commit-log manifest layer over
+immutable parquet files (the published Iceberg/Delta core shape,
+implemented minimally over the Hadoop FileSystem API).
+
+Why the in-place keyed table (operators/upsert.py) is not enough at
+100 TB: ``merge_upsert`` dynamically OVERWRITES touched bucket
+partitions, so any reader whose scan races a merge sees a torn table
+(old files in some buckets, new in others, or FileNotFound on the
+swapped ones) — acceptable for single-tenant maintenance windows,
+not for a corpus that trainers, audits, and diff jobs read
+continuously. This module makes writes never mutate: data files are
+immutable once written, and a COMMIT is one atomic manifest rename.
+
+Layout::
+
+    table/
+      _commits/v00000001.json   <- manifest: bucket -> [data file, ...]
+      _commits/v00000002.json      + parent version, stats, params
+      data/c00000001/_kbucket=ab/part-*.parquet   (immutable)
+      data/c00000002/_kbucket=ab/part-*.parquet   (merge deltas)
+
+A manifest lists, for every bucket, the EXACT files that make up that
+bucket at that version; a merge writes NEW files for touched buckets
+under its own commit directory and re-points only those buckets,
+inheriting untouched buckets' file lists verbatim from the parent
+manifest. Readers resolve a manifest once and scan its file list —
+they are pinned to that snapshot for the lifetime of the plan no
+matter how many merges land meanwhile (the files they reference are
+never rewritten). Time travel is the same mechanism pointed at an
+older manifest; ``corpus_diff`` over two ``snapshot_read``\\ s gives
+release-to-release verdicts for free.
+
+Concurrency contract: MANY readers, ONE winning writer. Writers are
+optimistic — both build their candidate commit, but the manifest
+rename (``fs.rename`` with no overwrite, atomic on HDFS and local FS;
+object stores need their conditional-put equivalent) admits exactly
+one; the loser gets :class:`SnapshotConflict` and retries against the
+new head instead of corrupting anything. Scale shape: a manifest is
+O(total data files) JSON — file counts are governed by bucket count
+and merge cadence, and ``snapshot_expire`` both GCs unreferenced
+files and bounds manifest history; rewriting a bucket COMPACTS it
+(the merge reads parent files for the bucket and writes one
+replacement set), so file counts do not grow with merge count for
+touched buckets.
+
+Right-to-be-forgotten honesty: a tombstone merge removes a key from
+the NEW snapshot only — older snapshots still reference the files
+holding the old row (that persistence is the feature). A takedown is
+complete only after ``snapshot_expire`` drops every version that
+still references the data; the takedown test pins exactly this.
+
+Reference analog: none (SURVEY.md §2.8) — beyond-reference
+LLM-pipeline mandate (corpus ops tier). Public-knowledge design:
+Iceberg spec (snapshots + manifests), Delta Lake paper (VLDB 2020,
+optimistic concurrency via atomic log append).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmidt_event_streams_spark.fsutil import hadoop_fs
+
+_BUCKET = "_kbucket"
+DELETED_COL = "_deleted"
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed this version first. Re-read the head
+    and retry the merge against it (optimistic concurrency: the
+    losing writer's data files are orphans the next expire GCs)."""
+
+
+def _bucket_expr(key_col: str, bucket_hex: int):
+    return F.substring(F.md5(F.col(key_col).cast("string")), 1, bucket_hex)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/{_COMMITS}/v{version:08d}.json"
+
+
+def _list_versions(spark: SparkSession, path: str) -> list[int]:
+    fs, _, jvm = hadoop_fs(spark, path)
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_COMMITS}")
+    if not fs.exists(cdir):
+        return []
+    out = []
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    fs, _, jvm = hadoop_fs(spark, path)
+    mp = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
+    if not fs.exists(mp):
+        raise ValueError(
+            f"snapshot version {version} does not exist at {path} "
+            "(expired or never committed)"
+        )
+    ins = fs.open(mp)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(ins, "UTF-8")
+    finally:
+        ins.close()
+    return json.loads(text)
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, version: int, manifest: dict
+) -> None:
+    """Atomic publish: write to a temp name, rename to the versioned
+    name. The no-overwrite rename admits exactly one writer per
+    version; the loser raises SnapshotConflict."""
+    fs, _, jvm = hadoop_fs(spark, path)
+    cdir = f"{path.rstrip('/')}/{_COMMITS}"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(cdir))
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{cdir}/_tmp_v{version:08d}_{int(time.time() * 1000)}.json"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
+    if fs.exists(dst) or not fs.rename(tmp, dst):
+        fs.delete(tmp, False)
+        raise SnapshotConflict(
+            f"version {version} at {path} was committed by another "
+            "writer; re-read the head and retry"
+        )
+
+
+def _write_commit_files(
+    df: DataFrame, path: str, version: int
+) -> dict[str, list[str]]:
+    """Write ``df`` (with ``_kbucket``) under this ATTEMPT's immutable
+    directory; return bucket -> [absolute file path, ...]. The
+    directory name carries an attempt timestamp so two writers racing
+    the same version never collide on data paths — the manifest
+    rename is the only arbiter, and the loser's files are orphans the
+    next expire GCs."""
+    spark = df.sparkSession
+    cdir = (
+        f"{path.rstrip('/')}/{_DATA}/"
+        f"c{version:08d}-{int(time.time() * 1000)}"
+    )
+    (
+        df.repartition(F.col(_BUCKET))
+        .write.mode("errorifexists")
+        .partitionBy(_BUCKET)
+        .parquet(cdir)
+    )
+    fs, _, jvm = hadoop_fs(spark, cdir)
+    by_bucket: dict[str, list[str]] = {}
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cdir)):
+        name = st.getPath().getName()
+        if not name.startswith(f"{_BUCKET}="):
+            continue
+        b = name.split("=", 1)[1]
+        files = [
+            f.getPath().toString()
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        if files:
+            by_bucket[b] = sorted(files)
+    return by_bucket
+
+
+def snapshot_create(
+    df: DataFrame, path: str, key_col: str, bucket_hex: int = 2
+) -> int:
+    """Initialize a snapshot table at version 1 with the full
+    contents of ``df`` (must be key-unique). Returns the version."""
+    if df.groupBy(key_col).count().filter("count > 1").limit(1).count():
+        raise ValueError(f"table rows must be unique on {key_col}")
+    spark = df.sparkSession
+    if _list_versions(spark, path):
+        raise ValueError(
+            f"{path} already holds a snapshot table; use snapshot_merge"
+        )
+    version = 1
+    buckets = _write_commit_files(
+        df.withColumn(_BUCKET, _bucket_expr(key_col, bucket_hex)),
+        path,
+        version,
+    )
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        {
+            "version": version,
+            "parent": None,
+            "key_col": key_col,
+            "bucket_hex": bucket_hex,
+            "buckets": buckets,
+            "stats": {"upserts": df.count(), "deletes": 0},
+        },
+    )
+    return version
+
+
+def snapshot_head(spark: SparkSession, path: str) -> int:
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"{path} is not a snapshot table (no commits)")
+    return versions[-1]
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
+    """Commit log, oldest first: [{version, parent, stats}, ...]."""
+    return [
+        {
+            k: m.get(k)
+            for k in ("version", "parent", "stats", "key_col", "bucket_hex")
+        }
+        for m in (
+            _read_manifest(spark, path, v)
+            for v in _list_versions(spark, path)
+        )
+    ]
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF ``version`` (default: head). The returned
+    plan references that manifest's exact file list; merges landing
+    after this call do not change what it scans (snapshot isolation —
+    the files are immutable)."""
+    m = _read_manifest(
+        spark, path, version if version is not None else snapshot_head(spark, path)
+    )
+    files = [f for fl in m["buckets"].values() for f in fl]
+    if not files:
+        raise ValueError(
+            f"snapshot v{m['version']} at {path} holds no data files "
+            "(fully tombstoned)"
+        )
+    # leaf-file read: no basePath, so Spark does NOT infer the
+    # _kbucket partition column -- the data files never contained it
+    return spark.read.parquet(*files)
+
+
+def snapshot_merge(
+    spark: SparkSession, path: str, updates: DataFrame
+) -> dict:
+    """MERGE ``updates`` (inserts + replacements + ``_deleted``
+    tombstones, key-unique) as a NEW snapshot. Reads the head
+    manifest, rewrites ONLY touched buckets into this commit's
+    immutable directory, inherits every other bucket's file list, and
+    publishes with one atomic manifest rename. Returns
+    {version, touched_buckets, upserts, deletes}.
+
+    Raises :class:`SnapshotConflict` if another writer commits the
+    same version first (retry against the new head; this attempt's
+    data files are orphans the next expire GCs). Cost: |updates| x
+    (table_size / n_buckets) read+write — the same bounded-merge
+    shape as merge_upsert, plus per-bucket compaction for free (a
+    touched bucket's parent files are folded into one fresh set)."""
+    head = snapshot_head(spark, path)
+    m = _read_manifest(spark, path, head)
+    key_col, bucket_hex = m["key_col"], m["bucket_hex"]
+    version = head + 1
+
+    if updates.groupBy(key_col).count().filter("count > 1").limit(1).count():
+        raise ValueError(f"update set must be unique on {key_col}")
+    up = updates
+    if DELETED_COL not in updates.columns:
+        up = up.withColumn(DELETED_COL, F.lit(False))
+    up = up.persist()
+    try:
+        touched = sorted(
+            r[0]
+            for r in up.select(
+                _bucket_expr(key_col, bucket_hex).alias(_BUCKET)
+            )
+            .distinct()
+            .collect()
+        )
+        n_del = up.filter(F.col(DELETED_COL)).count()
+        n_ups = up.count() - n_del
+
+        parent_files = [
+            f for b in touched for f in m["buckets"].get(b, [])
+        ]
+        keys = up.select(key_col)
+        live_up = up.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        if parent_files:
+            # data files never contain _kbucket (written partitionBy)
+            current = spark.read.parquet(*parent_files)
+            keep = current.join(F.broadcast(keys), key_col, "left_anti")
+            merged = keep.unionByName(live_up)
+        else:
+            merged = live_up
+
+        new_buckets = _write_commit_files(
+            merged.withColumn(_BUCKET, _bucket_expr(key_col, bucket_hex)),
+            path,
+            version,
+        )
+        buckets = {
+            b: fl for b, fl in m["buckets"].items() if b not in touched
+        }
+        buckets.update(new_buckets)  # absent = fully tombstoned
+        _commit_manifest(
+            spark,
+            path,
+            version,
+            {
+                "version": version,
+                "parent": head,
+                "key_col": key_col,
+                "bucket_hex": bucket_hex,
+                "buckets": buckets,
+                "stats": {"upserts": n_ups, "deletes": n_del},
+            },
+        )
+        return {
+            "version": version,
+            "touched_buckets": touched,
+            "upserts": n_ups,
+            "deletes": n_del,
+        }
+    finally:
+        up.unpersist()
+
+
+def snapshot_expire(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> dict:
+    """Drop all but the newest ``keep_last`` manifests and DELETE
+    every data file no surviving manifest references (including
+    orphans from conflict-losing writers). This is what completes a
+    takedown: until the last manifest referencing a tombstoned row's
+    files expires, time travel can still read it. Returns
+    {expired_versions, deleted_files, kept_versions}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"{path} is not a snapshot table (no commits)")
+    kept, expired = versions[-keep_last:], versions[:-keep_last]
+    live: set[str] = set()
+    for v in kept:
+        for fl in _read_manifest(spark, path, v)["buckets"].values():
+            live.update(fl)
+    fs, _, jvm = hadoop_fs(spark, path)
+    deleted = 0
+    ddir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_DATA}")
+    if fs.exists(ddir):
+        for cdir in fs.listStatus(ddir):
+            for bdir in fs.listStatus(cdir.getPath()):
+                if not bdir.isDirectory():
+                    continue
+                for f in fs.listStatus(bdir.getPath()):
+                    p = f.getPath().toString()
+                    if p.endswith(".parquet") and p not in live:
+                        fs.delete(f.getPath(), False)
+                        deleted += 1
+    for v in expired:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(_manifest_path(path, v)), False
+        )
+    return {
+        "expired_versions": expired,
+        "deleted_files": deleted,
+        "kept_versions": kept,
+    }
