@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline catalog queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
-line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf"}.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE
+COMPACT JSON line — {"metric", "value" (total sec), "unit",
+"queries": {name: sec}, "sf"} — as the LAST line of output. The
+skew/ANN/curation/stream sidecar metrics and per-query variance go
+to BENCH_SIDECARS.json next to this script (round 5's single fat
+line outgrew the driver's tail-capture window and the round's bench
+gate went unmeasured; the headline line is now bounded at
+~"queries" x 20 bytes).
 
 Each query is forced with the noop sink (full computation, no collect
 overhead, no result materialization on the driver).
@@ -54,17 +59,33 @@ def main() -> None:
 
     # pass 1 = cold (codegen JIT + Arrow worker fork). JIT tiering is
     # still settling during the second pass (measured ~10% above the
-    # converged state), so steady state = per-query MIN over two warm
-    # passes.
+    # converged state), so steady state = per-query MIN over three
+    # warm passes; per-query spread (max-min over the warm passes)
+    # goes to the sidecar file so a round-over-round delta can be
+    # told apart from environment noise (round 5's uniform ~21%
+    # headline swing had no variance data to adjudicate it).
     cold = run_pass()
-    warm1, warm2 = run_pass(), run_pass()
-    timings = {n: min(warm1[n], warm2[n]) for n in warm1}
+    warm = [run_pass() for _ in range(3)]
+    timings = {n: min(w[n] for w in warm) for n in warm[0]}
+    spread = {
+        n: round(max(w[n] for w in warm) - timings[n], 3) for n in timings
+    }
 
     total = round(sum(timings.values()), 3)
-    skew = skew_bench(spark)
-    ann = ann_bench(spark)
-    curation = curation_bench(spark)
-    stream = stream_bench(spark)
+    sidecars = {
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "warm_passes": 3,
+        "query_spread_sec": spread,
+        "query_spread_total_sec": round(sum(spread.values()), 3),
+        "skew": skew_bench(spark),
+        "ann": ann_bench(spark),
+        "curation": curation_bench(spark),
+        "stream": stream_bench(spark),
+    }
+    sidecar_path = Path(__file__).resolve().parent / "BENCH_SIDECARS.json"
+    sidecar_path.write_text(json.dumps(sidecars, indent=1) + "\n")
+    print(f"sidecars written to {sidecar_path}", file=sys.stderr)
+    # compact headline line LAST (the driver tails stdout)
     print(
         json.dumps(
             {
@@ -72,14 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "warm": True,
-                "warm_passes": 2,
-                "cold_total_sec": round(sum(cold.values()), 3),
                 "queries": timings,
                 "sf": sf,
-                "skew": skew,
-                "ann": ann,
-                "curation": curation,
-                "stream": stream,
             }
         )
     )

@@ -167,3 +167,30 @@ def test_seq_len_validation(spark):
     df = spark.createDataFrame([(1, ["a"])], "doc_id int, tk array<string>")
     with pytest.raises(ValueError):
         pack_token_stream(df, "tk", 0, "doc_id")
+
+
+def test_pack_token_stream_nonunique_order_is_deterministic(spark):
+    """With a non-unique order_col (a timestamp, say) the id_col
+    tie-break makes the packed stream -- bytes AND doc_spans
+    provenance -- identical across runs; reproducible training data
+    requires a total order."""
+    rows = [
+        (f"d{i}", 0, [f"t{i}_{j}" for j in range(3)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, ts int, tk array<string>"
+    )
+
+    def run():
+        out = pack_token_stream(
+            df.repartition(7), "tk", 4, order_col="ts"
+        )
+        return sorted(
+            (r.seq_id, tuple(r.input_ids), tuple(s.doc_id for s in r.doc_spans))
+            for r in out.collect()
+        )
+
+    a, b = run(), run()
+    assert a == b
+    # every interior sequence is exactly seq_len
+    assert all(len(seq[1]) == 4 for seq in a)

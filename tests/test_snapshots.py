@@ -211,3 +211,53 @@ def test_snapshot_expire_as_maintenance_target(spark, table):
     assert report[path]["kind"] == "snapshot_expire"
     assert report[path]["expired_versions"] == [1]
     assert snapshot_head(spark, path) == 3
+
+
+def test_expire_orphan_grace_period(spark, table):
+    """Files referenced by NO manifest (in-flight merges, conflict
+    losers) survive expire inside the grace window and are GC'd past
+    it -- the Iceberg expire/orphan split. An immediate sweep would
+    race an in-flight snapshot_merge, whose data files land BEFORE
+    its manifest rename."""
+    import os
+
+    path, _ = table
+    snapshot_merge(spark, path, _df(spark, [(1, "v2")]))
+    snapshot_merge(spark, path, _df(spark, [(2, "v3")]))
+    # simulate an in-flight merge: data file on disk, no manifest yet
+    cdir = f"{path}/data/c00000099-000/_kbucket=zz"
+    os.makedirs(cdir)
+    orphan = f"{cdir}/part-inflight.parquet"
+    with open(orphan, "wb") as f:
+        f.write(b"not yet committed")
+    res = snapshot_expire(spark, path, keep_last=2)
+    assert os.path.exists(orphan), "in-flight file GC'd inside grace"
+    assert res["deleted_orphans"] == 0
+    assert res["deleted_files"] > 0  # expired v1-only files still go
+    # past the grace window the same file IS an orphan to collect
+    res2 = snapshot_expire(
+        spark, path, keep_last=2, orphan_grace_hours=0.0
+    )
+    assert not os.path.exists(orphan)
+    assert res2["deleted_orphans"] >= 1
+
+
+def test_commit_claim_is_exclusive(spark, table):
+    """The per-version claim file admits exactly one writer: a
+    pre-existing claim (another writer mid-publish) forces
+    SnapshotConflict even though the manifest itself is absent."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        _claim_path,
+        _commit_manifest,
+    )
+
+    path, _ = table
+    head = _read_manifest(spark, path, 1)
+    head["version"], head["parent"] = 2, 1
+    with open(_claim_path(path, 2), "wb"):
+        pass  # rival writer holds the claim
+    with pytest.raises(SnapshotConflict):
+        _commit_manifest(spark, path, 2, head)
+    # table unharmed: head is still v1, readable
+    assert snapshot_head(spark, path) == 1
+    assert snapshot_read(spark, path).count() == 40

@@ -31,11 +31,17 @@ older manifest; ``corpus_diff`` over two ``snapshot_read``\\ s gives
 release-to-release verdicts for free.
 
 Concurrency contract: MANY readers, ONE winning writer. Writers are
-optimistic — both build their candidate commit, but the manifest
-rename (``fs.rename`` with no overwrite, atomic on HDFS and local FS;
-object stores need their conditional-put equivalent) admits exactly
-one; the loser gets :class:`SnapshotConflict` and retries against the
-new head instead of corrupting anything. Scale shape: a manifest is
+optimistic — both build their candidate commit, but a per-version
+CLAIM file admits exactly one (``os.open(O_CREAT|O_EXCL)`` on
+``file:`` paths — POSIX-atomic; ``fs.create(overwrite=False)`` on
+HDFS — namenode-atomic; object stores need their conditional-put
+equivalent and are NOT safe with this module as-is); only the claim
+winner renames its manifest into place, so readers still see
+manifests appear atomically (never torn). The loser gets
+:class:`SnapshotConflict` and retries against the new head instead
+of corrupting anything. A bare ``fs.rename`` was NOT a safe arbiter:
+Hadoop's LocalFileSystem rename falls through to POSIX rename(2),
+which silently overwrites an existing destination. Scale shape: a manifest is
 O(total data files) JSON — file counts are governed by bucket count
 and merge cadence, and ``snapshot_expire`` both GCs unreferenced
 files and bounds manifest history; rewriting a bucket COMPACTS it
@@ -114,12 +120,50 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     return json.loads(text)
 
 
+def _claim_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/{_COMMITS}/.claim_v{version:08d}"
+
+
+def _claim_version(spark: SparkSession, path: str, version: int) -> bool:
+    """Atomically claim the right to publish ``version``. Returns
+    True for the single winner, False for every loser. On ``file:``
+    paths this is ``os.open(O_CREAT|O_EXCL)`` — POSIX-atomic (Hadoop's
+    LocalFileSystem ``create(overwrite=False)`` is an exists-check
+    then open, a TOCTOU window, and its ``rename`` silently
+    overwrites). On other schemes ``fs.create(overwrite=False)``,
+    which is namenode-atomic on HDFS; object stores without a
+    conditional-put semantic are not safe arbiters."""
+    claim = _claim_path(path, version)
+    fs, _, jvm = hadoop_fs(spark, path)
+    uri = fs.getUri().getScheme()
+    if uri in (None, "file"):
+        import os as _os
+
+        local = claim[7:] if claim.startswith("file://") else claim
+        local = local[5:] if local.startswith("file:") else local
+        try:
+            fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+    try:
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(claim), False)
+        out.close()
+        return True
+    except Exception:
+        return False
+
+
 def _commit_manifest(
     spark: SparkSession, path: str, version: int, manifest: dict
 ) -> None:
-    """Atomic publish: write to a temp name, rename to the versioned
-    name. The no-overwrite rename admits exactly one writer per
-    version; the loser raises SnapshotConflict."""
+    """Atomic publish: write the full manifest to a temp name, win
+    the per-version claim, rename into place. The claim admits
+    exactly one writer per version (the loser raises
+    SnapshotConflict); the rename keeps reads atomic — a reader
+    that lists the version never sees a half-written manifest,
+    because only the single claim winner ever renames to ``dst``."""
     fs, _, jvm = hadoop_fs(spark, path)
     cdir = f"{path.rstrip('/')}/{_COMMITS}"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(cdir))
@@ -132,7 +176,15 @@ def _commit_manifest(
     finally:
         out.close()
     dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
-    if fs.exists(dst) or not fs.rename(tmp, dst):
+    # fs.exists(dst) after winning the claim is not a race: no other
+    # claim-protocol writer can be mid-publish on this version, so an
+    # existing dst means an out-of-band commit (or a pre-claim-era
+    # writer) — refuse rather than clobber.
+    if (
+        not _claim_version(spark, path, version)
+        or fs.exists(dst)
+        or not fs.rename(tmp, dst)
+    ):
         fs.delete(tmp, False)
         raise SnapshotConflict(
             f"version {version} at {path} was committed by another "
@@ -338,14 +390,34 @@ def snapshot_merge(
 
 
 def snapshot_expire(
-    spark: SparkSession, path: str, keep_last: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    orphan_grace_hours: float = 24.0,
 ) -> dict:
-    """Drop all but the newest ``keep_last`` manifests and DELETE
-    every data file no surviving manifest references (including
-    orphans from conflict-losing writers). This is what completes a
-    takedown: until the last manifest referencing a tombstoned row's
-    files expires, time travel can still read it. Returns
-    {expired_versions, deleted_files, kept_versions}."""
+    """Drop all but the newest ``keep_last`` manifests and GC data
+    files in TWO distinct tiers (the Iceberg split between
+    expire-snapshots and orphan cleanup):
+
+    * **expired-snapshot files** — referenced by an expired manifest
+      and by no surviving one: deleted immediately. These were
+      committed history; expiring the manifest is the explicit
+      decision to drop them. This is what completes a takedown: until
+      the last manifest referencing a tombstoned row's files expires,
+      time travel can still read it.
+    * **orphans** — referenced by NO manifest at all (conflict-losing
+      writers, crashed merges, and — crucially — merges still IN
+      FLIGHT, whose data files land before their manifest rename):
+      deleted only when their mtime is older than
+      ``orphan_grace_hours``. An immediate orphan sweep would race a
+      concurrent ``snapshot_merge`` and delete the files its about-
+      to-commit manifest references, leaving the new head unreadable;
+      the age threshold makes that impossible for any merge younger
+      than the grace window. Pass ``orphan_grace_hours=0`` only when
+      no writer can be in flight (single-tenant maintenance).
+
+    Returns {expired_versions, deleted_files, deleted_orphans,
+    kept_versions}."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(spark, path)
@@ -356,8 +428,14 @@ def snapshot_expire(
     for v in kept:
         for fl in _read_manifest(spark, path, v)["buckets"].values():
             live.update(fl)
+    expired_refs: set[str] = set()
+    for v in expired:
+        for fl in _read_manifest(spark, path, v)["buckets"].values():
+            expired_refs.update(fl)
     fs, _, jvm = hadoop_fs(spark, path)
-    deleted = 0
+    now_ms = int(time.time() * 1000)
+    grace_ms = int(orphan_grace_hours * 3600 * 1000)
+    deleted = orphans = 0
     ddir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_DATA}")
     if fs.exists(ddir):
         for cdir in fs.listStatus(ddir):
@@ -366,15 +444,24 @@ def snapshot_expire(
                     continue
                 for f in fs.listStatus(bdir.getPath()):
                     p = f.getPath().toString()
-                    if p.endswith(".parquet") and p not in live:
+                    if not p.endswith(".parquet") or p in live:
+                        continue
+                    if p in expired_refs:
                         fs.delete(f.getPath(), False)
                         deleted += 1
+                    elif now_ms - f.getModificationTime() > grace_ms:
+                        fs.delete(f.getPath(), False)
+                        orphans += 1
     for v in expired:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(_manifest_path(path, v)), False
         )
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(_claim_path(path, v)), False
+        )
     return {
         "expired_versions": expired,
         "deleted_files": deleted,
+        "deleted_orphans": orphans,
         "kept_versions": kept,
     }

@@ -123,7 +123,15 @@ def jaccard_join_sets(
     freq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
 
     # 2. re-sort each doc's set in that order; keep the ordered array
-    #    for positional verification (array fns ignore order anyway)
+    #    for positional verification (array fns ignore order anyway).
+    #    Eager localCheckpoint (the dup_cluster pattern,
+    #    components.py:333): this subtree is consumed up to five times
+    #    per action — the budget-guard agg, BOTH sides of the prefix
+    #    self-join, and BOTH sides of verification — and without
+    #    materialization the explode + frequency join + sort-agg
+    #    recomputes each time (round-5 SCALE_AUDIT's most expensive
+    #    query). Checkpoint blocks are GC'd with the plan, so the
+    #    lazily-returned result stays valid with no unpersist hook.
     ordered = (
         tok.join(freq, "_t")
         .groupBy(id_col)
@@ -134,6 +142,7 @@ def jaccard_join_sets(
             ).alias("_sh")
         )
         .withColumn("_sz", F.size("_sh"))
+        .localCheckpoint(eager=True)
     )
 
     # 3. prefix tokens with 1-based position:

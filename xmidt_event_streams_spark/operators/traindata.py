@@ -166,6 +166,7 @@ def pack_sequences(
     order_col: str,
     budget: int,
     shard_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Assign each document a ``pack_id`` so consecutive documents
     (in ``order_col`` order, within each shard) fill ~``budget``
@@ -183,12 +184,20 @@ def pack_sequences(
     path; shards are what you'd write anyway). With no shard_cols the
     window is global = a single-task sort: correct, but only for
     small corpora or final single-shard assembly.
+
+    ``tiebreak_col``: pass a unique id column when ``order_col`` is
+    not unique per shard (a timestamp, say) — otherwise pack
+    membership is nondeterministic across runs and the training
+    corpus is not reproducible.
     """
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
     w = (
         Window.partitionBy(*[F.col(c) for c in shard_cols])
         if shard_cols
         else Window.partitionBy()
-    ).orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, -1)
+    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
     prefix = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
     # integer `div`, not floor(double/double): exact past 2^53 tokens
     return (
@@ -248,11 +257,17 @@ def pack_token_stream(
     if S <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     shard_cols = list(shard_cols or [])
+    # id_col tie-break: with a non-unique order_col (a timestamp, say)
+    # the per-shard document order — hence the packed bytes and the
+    # doc_spans provenance — would differ run to run; reproducible
+    # training data requires a total order.
     w = (
         Window.partitionBy(*[F.col(c) for c in shard_cols])
         if shard_cols
         else Window.partitionBy()
-    ).orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, -1)
+    ).orderBy(F.col(order_col), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
 
     d = (
         df.withColumn("_n", F.size(F.col(tokens_col)).cast("bigint"))
