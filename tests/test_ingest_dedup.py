@@ -519,3 +519,81 @@ def test_ingest_with_span_scrub_gate(spark, tmp_path):
     import pathlib
 
     assert not list(pathlib.Path(rejects_out).rglob("*.parquet"))
+
+
+def test_ingest_keeps_inverted_index_fresh_across_restart(spark, tmp_path):
+    """The invindex streaming arm: survivors' postings are folded per
+    micro-batch, so phrase search (and the takedown pre-filter) sees
+    them WITHOUT a rebuild; duplicates never enter the index; the
+    verdict survives a restart-from-checkpoint; compaction after a
+    takedown removes the postings."""
+    from xmidt_event_streams_spark.operators.incremental import (
+        init_minhash_index,
+    )
+    from xmidt_event_streams_spark.operators.invindex import (
+        compact_inverted_index,
+        init_inverted_index,
+        phrase_search,
+        read_inverted_index,
+    )
+    from xmidt_event_streams_spark.streaming.ingest_dedup import (
+        start_ingest_dedup,
+    )
+
+    idx = str(tmp_path / "index")
+    inv = str(tmp_path / "invindex")
+    corpus_out = str(tmp_path / "corpus")
+    rejects_out = str(tmp_path / "rejects")
+    ckpt = str(tmp_path / "ckpt")
+    init_minhash_index(spark, idx)
+    init_inverted_index(spark, inv)
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = start_ingest_dedup(
+            stream, idx, corpus_out, rejects_out,
+            checkpoint_dir=ckpt, invindex_path=inv, availableNow=True,
+        )
+        q.awaitTermination(300)
+
+    _write_batch_file(
+        src, "b1.json", [(1, "alpha beta gamma"), (2, "delta beta alpha")]
+    )
+    run()
+    hits1 = {
+        r["doc_id"]
+        for r in phrase_search(
+            read_inverted_index(spark, inv), "alpha beta"
+        ).collect()
+    }
+    assert hits1 == {1}
+
+    # restart with more input: 3 is a near-dup of 1 (never indexed),
+    # 4 is new and phrase-matching
+    _write_batch_file(
+        src, "b2.json",
+        [(3, "alpha beta gamma"), (4, "omega alpha beta tail")],
+    )
+    run()
+    hits2 = {
+        r["doc_id"]
+        for r in phrase_search(
+            read_inverted_index(spark, inv), "alpha beta"
+        ).collect()
+    }
+    assert hits2 == {1, 4}  # 3 was a duplicate: no postings for it
+
+    # takedown tier: tombstone-compact doc 1 out of the index
+    compact_inverted_index(spark, inv, tombstones=[1])
+    ix = read_inverted_index(spark, inv)
+    assert {
+        r["doc_id"] for r in phrase_search(ix, "alpha beta").collect()
+    } == {4}
+    assert ix.filter("doc_id = 1").count() == 0

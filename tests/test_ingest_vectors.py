@@ -171,3 +171,112 @@ def test_occupancy_drift_no_baseline_verdict(spark, tmp_path):
     )  # maximally skewed corpus: one cell holds everything
     r1 = ivf_occupancy_drift(spark, str(idx))
     assert r1["verdict"] == "no_baseline"  # NOT a false 'shifted'
+
+
+# ---------------------------------------------------------------- #
+# semantic dedup on ingest (incremental_vector_dedup_mark +
+# start_ingest_vectors(dedup_threshold=...))                        #
+# ---------------------------------------------------------------- #
+
+
+def _onehot(i, bump=0.0):
+    v = [0.0] * DIM
+    v[i % DIM] = 1.0
+    v[(i + 1) % DIM] = bump
+    return v
+
+
+def test_stream_semantic_dedup_across_restart(spark, tmp_path):
+    """Crash-replay e2e for the vector dedup gate: batch 2 (after a
+    restart from checkpoint) must catch duplicates of batch 1's
+    SURVIVORS via the index, and in-batch smaller-id peers; rejects
+    ledger carries dup_of; sinks stay exactly-once across the
+    restart."""
+    src = tmp_path / "in"
+    src.mkdir()
+    index, rejects, ckpt = tmp_path / "idx", tmp_path / "rej", tmp_path / "ck"
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    write_ivf_index(spark.createDataFrame([], SCHEMA), str(index), cents)
+
+    def run():
+        q = start_ingest_vectors(
+            spark.readStream.schema(SCHEMA).json(str(src)),
+            str(index), str(rejects), str(ckpt), dim=DIM,
+            dedup_threshold=0.99, dedup_n_probe=2,
+            availableNow=True,
+        )
+        q.awaitTermination(300)
+
+    # b1: 0..3 distinct one-hots; 4 duplicates 0 (same vector)
+    _write_items(
+        src / "b1.json",
+        [{"vec_id": i, "embedding": _onehot(i)} for i in range(4)]
+        + [{"vec_id": 4, "embedding": _onehot(0)}],
+    )
+    run()
+    # b2 lands while the stream is down: 10 dups indexed survivor 1,
+    # 11 is genuinely new (distinct direction), 12 dups its smaller-id
+    # batch peer 11
+    _write_items(
+        src / "b2.json",
+        [
+            {"vec_id": 10, "embedding": _onehot(1)},
+            {"vec_id": 11, "embedding": _onehot(5)},
+            {"vec_id": 12, "embedding": _onehot(5)},
+        ],
+    )
+    run()  # restart from checkpoint: processes only b2
+
+    idx = spark.read.parquet(str(index))
+    kept = {r["vec_id"] for r in idx.collect()}
+    assert kept == {0, 1, 2, 3, 11}
+    rej = {
+        r["vec_id"]: (r["reject_reason"], r["dup_of"])
+        for r in spark.read.parquet(str(rejects)).collect()
+    }
+    assert rej == {
+        4: ("semantic_duplicate", 0),
+        10: ("semantic_duplicate", 1),
+        12: ("semantic_duplicate", 11),
+    }
+    # exactly-once: one physical row per id across the restart
+    assert idx.count() == 5
+    assert spark.read.parquet(str(rejects)).count() == 3
+
+
+def test_vector_dedup_replay_excludes_own_batch(spark, tmp_path):
+    """The crash-after-index-fold replay: the batch's own first-
+    attempt rows are already IN the index under this batch id; with
+    exclude_batch_id the re-mark returns the same verdicts (peers do
+    not 'duplicate' their own first attempt), without it they
+    would."""
+    from xmidt_event_streams_spark.streaming.ingest_vectors import (
+        incremental_vector_dedup_mark,
+    )
+
+    index = str(tmp_path / "idx")
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    write_ivf_index(spark.createDataFrame([], SCHEMA), index, cents)
+    # two near-dup peers (distinct ids, identical vectors) whose
+    # first attempt folded BOTH into the index under batch 7
+    batch = spark.createDataFrame(
+        [(1, _onehot(0)), (2, _onehot(0))], SCHEMA
+    )
+    append_to_ivf_index(batch, index, batch_id=7)  # first attempt
+    marks = {
+        r["vec_id"]: r["is_unique"]
+        for r in incremental_vector_dedup_mark(
+            spark, index, batch, threshold=0.99, exclude_batch_id=7
+        ).collect()
+    }
+    # replay verdicts = first-attempt verdicts: min-id peer survives
+    assert marks == {1: True, 2: False}
+    # without the exclusion, peer 1 'duplicates' its own first
+    # attempt's row 2 and BOTH are rejected -- data loss on replay
+    naive = {
+        r["vec_id"]: r["is_unique"]
+        for r in incremental_vector_dedup_mark(
+            spark, index, batch, threshold=0.99, exclude_batch_id=None
+        ).collect()
+    }
+    assert naive == {1: False, 2: False}

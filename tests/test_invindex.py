@@ -176,3 +176,103 @@ def test_phrase_candidates_window_gram_semantics(spark):
     assert got == {1, 2}
     with pytest.raises(ValueError, match="shorter than window"):
         phrase_candidates(ix, ["too short"], window=3)
+
+
+# ---------------------------------------------------------------- #
+# incremental lifecycle: init -> append -> probe -> tombstone ->
+# compact (mirrors the MinHash index; tests mirror test_incremental) #
+# ---------------------------------------------------------------- #
+
+
+def _mini_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _hits(index_df, phrase):
+    return sorted(
+        (r.doc_id, r.n_hits, tuple(r.hit_positions))
+        for r in phrase_search(index_df, phrase).collect()
+    )
+
+
+def test_incremental_append_equals_full_rebuild(spark, tmp_path):
+    """Equivalence contract: init + N appends probes EXACTLY like one
+    full build over the union -- incremental is an execution
+    strategy, not a semantics change."""
+    from xmidt_event_streams_spark.operators.invindex import (
+        append_to_inverted_index,
+        init_inverted_index,
+    )
+
+    a = _mini_docs(
+        spark,
+        [(1, "the red table value"), (2, "no match here"), (3, "table value twice table value")],
+    )
+    b = _mini_docs(
+        spark, [(4, "late arrival with table value"), (5, "still nothing")]
+    )
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    init_inverted_index(spark, inc)
+    # cold probe over the EMPTY initialized index: valid empty relation
+    assert _hits(read_inverted_index(spark, inc), "table value") == []
+    append_to_inverted_index(a, inc)
+    append_to_inverted_index(b, inc)
+    write_inverted_index(a.unionByName(b), full)
+    assert _hits(read_inverted_index(spark, inc), "table value") == _hits(
+        read_inverted_index(spark, full), "table value"
+    )
+
+
+def test_incremental_replay_and_tombstone_compact(spark, tmp_path):
+    """The verdict's demanded shape: append a batch, phrase-search
+    without rebuild, take a doc down, compact, assert its postings
+    are GONE from the files (absence, not filtering); replayed
+    appends don't change probe verdicts and compact reclaims them."""
+    from xmidt_event_streams_spark.operators.invindex import (
+        append_to_inverted_index,
+        compact_inverted_index,
+        init_inverted_index,
+    )
+
+    docs = _mini_docs(
+        spark,
+        [(1, "secret phrase lives here"), (2, "benign text"), (3, "another secret phrase doc")],
+    )
+    path = str(tmp_path / "ix")
+    init_inverted_index(spark, path)
+    append_to_inverted_index(docs, path)
+    before = _hits(read_inverted_index(spark, path), "secret phrase")
+    assert [d for d, _, _ in before] == [1, 3]
+    # at-least-once replay: byte-identical re-append, verdict stable
+    append_to_inverted_index(docs, path)
+    assert _hits(read_inverted_index(spark, path), "secret phrase") == before
+    rep = compact_inverted_index(spark, path, tombstones=[1])
+    assert rep["rows_before"] > rep["rows_after"]
+    ix = read_inverted_index(spark, path)
+    assert [d for d, _, _ in _hits(ix, "secret phrase")] == [3]
+    # absence, not filtering: no posting row for doc 1 remains at all
+    assert ix.filter(F.col("doc_id") == 1).count() == 0
+    # untouched doc's postings byte-stable through the compact
+    assert _hits(ix, "benign text") == [(2, 1, (0,))]
+
+
+def test_inverted_index_maintenance_target(spark, tmp_path):
+    from xmidt_event_streams_spark.maintenance import run_maintenance
+    from xmidt_event_streams_spark.operators.invindex import (
+        append_to_inverted_index,
+        init_inverted_index,
+    )
+
+    path = str(tmp_path / "mix")
+    init_inverted_index(spark, path)
+    docs = _mini_docs(spark, [(7, "maintained table value")])
+    append_to_inverted_index(docs, path)
+    append_to_inverted_index(docs, path)  # replay residue
+    report = run_maintenance(
+        spark, inverted_indexes=(path,), tombstones={path: [99]}
+    )
+    assert report[path]["kind"] == "inverted_index"
+    assert report[path]["rows_after"] < report[path]["rows_before"]
+    assert _hits(read_inverted_index(spark, path), "table value") == [
+        (7, 1, (1,))
+    ]

@@ -74,6 +74,7 @@ def run_maintenance(
     ingest_sinks: tuple[str, ...] = (),
     minhash_indexes: tuple[str, ...] = (),
     window_indexes: tuple[str, ...] = (),
+    inverted_indexes: tuple[str, ...] = (),
     rollups: tuple[tuple[str, list, dict], ...] = (),
     ivf_indexes: tuple[str, ...] = (),
     kmv_baselines: tuple[tuple[str, str], ...] = (),
@@ -93,7 +94,11 @@ def run_maintenance(
     ``incremental.compact_minhash_index``; per-path tombstone id
     lists via ``tombstones``). ``window_indexes``: window-hash index
     paths (replay-dup rewrite keeping each hash's first writer,
-    ``spandedup.compact_window_index``). ``rollups``: (path, dims, measures)
+    ``spandedup.compact_window_index``). ``inverted_indexes``:
+    positional inverted-index paths (replay-dup + tombstone rewrite,
+    ``invindex.compact_inverted_index``; per-path tombstone id lists
+    via ``tombstones`` — the index tier of a takedown).
+    ``rollups``: (path, dims, measures)
     triples (partial fold, ``rollup.compact_rollup``).
     ``ivf_indexes``: IVF index paths -- a READ-ONLY occupancy-drift
     check (``ivf.ivf_occupancy_drift``): the report carries the PSI
@@ -134,6 +139,9 @@ def run_maintenance(
     from xmidt_event_streams_spark.operators.incremental import (
         compact_minhash_index,
     )
+    from xmidt_event_streams_spark.operators.invindex import (
+        compact_inverted_index,
+    )
     from xmidt_event_streams_spark.operators.ivf import ivf_occupancy_drift
     from xmidt_event_streams_spark.operators.spandedup import (
         compact_window_index,
@@ -151,6 +159,7 @@ def run_maintenance(
             set(ingest_sinks)
             | set(minhash_indexes)
             | set(window_indexes)
+            | set(inverted_indexes)
             | {p for p, _, _ in rollups}
             | {p for p, _ in snapshot_tables}
         )
@@ -189,6 +198,15 @@ def run_maintenance(
             path,
             "window_index",
             lambda p=path: compact_window_index(spark, p),
+        )
+    for path in inverted_indexes:
+        tl = (tombstones or {}).get(path)
+        _run(
+            path,
+            "inverted_index",
+            lambda p=path, t=tl: compact_inverted_index(
+                spark, p, tombstones=t
+            ),
         )
     for path, dims, measures in rollups:
         _run(

@@ -36,6 +36,26 @@ Search shape:
 Tokenization is functions/text.tokens (the engine-wide contract), so
 index positions line up with every other token-addressed operator
 (substring spans, chunking, token counts).
+
+Incremental lifecycle (mirrors the MinHash index,
+operators/incremental.py): a growing corpus must not rebuild the
+world to keep takedown pre-filters fresh.
+
+  * :func:`init_inverted_index` stamps an EMPTY index (meta sidecar,
+    zero data files) for cold starts;
+  * :func:`append_to_inverted_index` folds a new batch in
+    (append-only: a document's postings are a pure row function of
+    that document, so prior rows never change; a replayed streaming
+    micro-batch re-appends byte-identical rows, which the probe's
+    set-collect absorbs and :func:`compact_inverted_index` reclaims);
+  * :func:`compact_inverted_index` rewrites in place, dropping replay
+    duplicates and tombstoned documents' postings (the takedown
+    completion step for the index tier).
+
+UPDATING a document's text is tombstone-then-append (same contract as
+the snapshot table): appending new text under a live id would leave
+two conflicting posting rows per shared term, and the probe raises on
+the conflicting map keys rather than silently picking one.
 """
 
 from __future__ import annotations
@@ -45,6 +65,7 @@ from pyspark.sql import functions as F
 
 from xmidt_event_streams_spark.fsutil import (
     check_sidecar_params,
+    hadoop_fs,
     write_json_sidecar,
 )
 from xmidt_event_streams_spark.functions.text import (
@@ -88,6 +109,20 @@ def build_inverted_index(
     )
 
 
+def _index_schema(meta: dict):
+    """Exact index relation schema from the meta sidecar. An explicit
+    schema makes the cold-start case work (an initialized index has a
+    sidecar but zero parquet files, where inference would fail with
+    UNABLE_TO_INFER_SCHEMA) and skips listing-time inference."""
+    from pyspark.sql.types import StructType
+
+    id_type = meta.get("id_type", "bigint")
+    return StructType.fromDDL(
+        f"term string, doc_id {id_type}, positions array<int>, "
+        "tf int, bkt bigint"
+    )
+
+
 def write_inverted_index(
     df: DataFrame,
     path: str,
@@ -105,18 +140,152 @@ def write_inverted_index(
         .parquet(path)
     )
     write_json_sidecar(
-        df.sparkSession, path, _META, {"n_buckets": n_buckets}
+        df.sparkSession,
+        path,
+        _META,
+        {
+            "n_buckets": n_buckets,
+            "id_type": df.schema[id_col].dataType.simpleString(),
+        },
     )
+
+
+def init_inverted_index(
+    spark: SparkSession,
+    path: str,
+    id_type: str = "bigint",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Cold-start initializer: stamp an EMPTY index (meta sidecar, no
+    data files). The first probe reads the meta-derived schema and
+    sees an empty relation; the first append folds the first batch
+    in — same contract as ``init_minhash_index``."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    fs, hpath, _ = hadoop_fs(spark, path)
+    fs.mkdirs(hpath)
+    write_json_sidecar(
+        spark, path, _META, {"n_buckets": n_buckets, "id_type": id_type}
+    )
+
+
+def append_to_inverted_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Fold a new batch of documents into an existing index without
+    touching prior files (append-only: postings are pure row functions
+    of their document). Re-appending the same docs — an at-least-once
+    streaming replay — adds byte-identical rows that probes absorb
+    (set-collect) and compaction reclaims; appending CHANGED text for
+    a live id is a contract violation (tombstone-compact first)."""
+    check_sidecar_params(
+        df.sparkSession, path, _META, {"n_buckets": n_buckets},
+        "inverted index",
+    )
+    ix = build_inverted_index(df, id_col, text_col, n_buckets)
+    (
+        ix.repartition(F.col("bkt"))
+        .write.partitionBy("bkt")
+        .mode("append")
+        .parquet(path)
+    )
+
+
+def compact_inverted_index(
+    spark: SparkSession,
+    path: str,
+    tombstones: DataFrame | list | None = None,
+) -> dict:
+    """Rewrite the index in place, dropping (a) replay-duplicate
+    (term, doc) posting rows and (b) every posting of tombstoned
+    documents — the index tier of a takedown: after compaction a
+    phrase probe cannot surface the removed doc, by absence rather
+    than by filter. Probe results over live ids are exactly preserved
+    (pytest-enforced). Same swap mechanics as
+    ``compact_minhash_index``: rewrite to a sibling temp dir, restamp
+    the meta, delete + rename (atomic on HDFS/local; schedule inside
+    a maintenance window on object stores). Single-writer: run while
+    appending streams are stopped (run_maintenance enforces via its
+    checkpoint guard).
+
+    Returns {rows_before, rows_after, files_before, files_after}.
+    """
+    meta = check_sidecar_params(
+        spark, path, _META, {}, "inverted index"
+    )
+    if meta is None:
+        raise ValueError(
+            f"cannot compact a foreign index (no {_META} at {path})"
+        )
+    idx = spark.read.schema(_index_schema(meta)).parquet(path)
+
+    def _count_files(p: str) -> int:
+        fs, hp, _ = hadoop_fs(spark, p)
+        n = 0
+        for status in fs.listStatus(hp):
+            if status.isDirectory():
+                n += sum(
+                    1
+                    for s in fs.listStatus(status.getPath())
+                    if s.getPath().getName().endswith(".parquet")
+                )
+        return n
+
+    rows_before = idx.count()
+    files_before = _count_files(path)
+
+    compacted = idx.dropDuplicates(["term", "doc_id"])
+    if tombstones is not None:
+        if isinstance(tombstones, DataFrame):
+            tomb = tombstones.select(
+                F.col(tombstones.columns[0]).alias("doc_id")
+            )
+        else:
+            tomb = spark.createDataFrame(
+                [(t,) for t in tombstones],
+                f"doc_id {meta.get('id_type', 'bigint')}",
+            )
+        compacted = compacted.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    (
+        compacted.repartition(F.col("bkt"))
+        .write.partitionBy("bkt")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    write_json_sidecar(spark, tmp, _META, meta)
+    rows_after = spark.read.schema(_index_schema(meta)).parquet(tmp).count()
+    files_after = _count_files(tmp)
+
+    fs, hpath, jvm = hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        raise IOError(f"compaction swap failed: rename({tmp} -> {path})")
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def read_inverted_index(
     spark: SparkSession, path: str, n_buckets: int = DEFAULT_BUCKETS
 ) -> DataFrame:
     """Open a materialized index, refusing a bucket-count mismatch
-    (probe pruning would silently miss terms otherwise)."""
-    check_sidecar_params(
+    (probe pruning would silently miss terms otherwise). Reads with
+    the meta-derived explicit schema, so an initialized-but-empty
+    index is a valid empty relation."""
+    meta = check_sidecar_params(
         spark, path, _META, {"n_buckets": n_buckets}, "inverted index"
     )
+    if meta is not None and "id_type" in meta:
+        return spark.read.schema(_index_schema(meta)).parquet(path)
     return spark.read.parquet(path)
 
 
@@ -187,8 +356,13 @@ def phrase_search(
     per_doc = (
         probe.groupBy("doc_id")
         .agg(
+            # collect_SET: replayed appends re-add byte-identical
+            # (term, positions) rows, which dedup here instead of
+            # tripping map_from_entries' duplicate-key error; a live
+            # id re-appended with DIFFERENT text still raises (loud,
+            # per the tombstone-then-append contract)
             F.map_from_entries(
-                F.collect_list(F.struct("term", "positions"))
+                F.collect_set(F.struct("term", "positions"))
             ).alias("pm")
         )
         # every distinct phrase term must appear in the doc at all
@@ -242,8 +416,9 @@ def phrase_candidates(
     if n_buckets is not None:
         probe = probe.filter(F.col("bkt").isin(_py_bkts(terms, n_buckets)))
     per_doc = probe.groupBy("doc_id").agg(
+        # collect_set for replay-duplicate absorption, as phrase_search
         F.map_from_entries(
-            F.collect_list(F.struct("term", "positions"))
+            F.collect_set(F.struct("term", "positions"))
         ).alias("pm")
     )
     cond = F.lit(False)

@@ -89,6 +89,8 @@ def start_ingest_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     quality: str | None = None,
+    invindex_path: str | None = None,
+    invindex_buckets: int | None = None,
     availableNow: bool = False,
     trigger_seconds: int = 15,
     query_name: str | None = None,
@@ -101,6 +103,19 @@ def start_ingest_dedup(
     Uniques land in ``corpus_path``; duplicates land in
     ``rejects_path`` with their ``dup_of`` id; both sinks are
     partitioned by ``_ingest_batch_id`` and per-batch idempotent.
+
+    ``invindex_path``: also fold each batch's SURVIVORS into a
+    positional inverted index (``invindex.append_to_inverted_index``)
+    so phrase search and the takedown pre-filter
+    (``takedown.takedown_phrases``'s ``phrase_candidates`` probe)
+    stay fresh as the corpus grows — no full rebuild between batches.
+    Initialize with ``invindex.init_inverted_index`` (cold start) or
+    ``write_inverted_index`` over the prior corpus.
+    ``invindex_buckets`` overrides the bucket count (default: the
+    index's stamped value must match invindex.DEFAULT_BUCKETS).
+    Replay posture matches the MinHash index: a replayed batch
+    re-appends byte-identical posting rows, probe verdicts are
+    unaffected (set-collect), ``compact_inverted_index`` reclaims.
 
     ``quality`` prepends a quality gate (``"gopher"``, ``"c4"``, or
     ``"gopher+c4"`` -- functions/quality.py): failing docs go to the
@@ -190,8 +205,31 @@ def start_ingest_dedup(
                     )
                 idempotent_batch_append(uniques, batch_id, corpus_path)
                 idempotent_batch_append(rejects, batch_id, rejects_path)
+                if invindex_path is not None:
+                    from xmidt_event_streams_spark.operators.invindex import (
+                        DEFAULT_BUCKETS,
+                        append_to_inverted_index,
+                    )
+
+                    # BEFORE the minhash append: `uniques` is a plan
+                    # over the minhash-index read, resolved against
+                    # THIS trigger's file listing -- executing it
+                    # after the append re-lists a changed directory
+                    # (partition-schema mismatch on a cold-start
+                    # index's first batch). The inverted index never
+                    # reads the minhash index, so this order is safe,
+                    # and a crash between the two appends replays to
+                    # identical verdicts + byte-identical re-appends.
+                    append_to_inverted_index(
+                        uniques,
+                        invindex_path,
+                        id_col=id_col,
+                        text_col=text_col,
+                        n_buckets=invindex_buckets or DEFAULT_BUCKETS,
+                    )
                 # survivors join the index so later triggers (and
-                # later batches' intra-stream dups) see them
+                # later batches' intra-stream dups) see them; LAST --
+                # every other consumer of `uniques` has run by now
                 append_to_minhash_index(
                     uniques,
                     index_path,
