@@ -303,26 +303,66 @@ def ann_bench(spark) -> dict:
         write_ivfpq_index,
     )
 
-    n_cells, n_probe = 64, 8
+    # n_cells=None -> sqrt(corpus) (~1.4k at 2M), the Jegou/FAISS
+    # operating point; round 5 pinned the frozen-64-cell recall
+    # collapse (0.763 at 200k -> 0.338 at 2M). The probe sweeps
+    # n_probe and picks the cheapest point with recall >= 0.9 --
+    # the bench artifact shows the whole frontier, not one guess.
     ixdir = tempfile.mkdtemp(prefix="xes-ann-bench-") + "/ivfpq"
     try:
         t0 = time.perf_counter()
         cents, cbs = ivfpq_fit(
             corpus.filter(F.col("vec_id") % 10 == 0),
-            n_cells=n_cells, m=m, k=k_codes, n_iters=2,
+            m=m, k=k_codes, n_iters=2, corpus_rows=n,
         )
+        n_cells = len(cents)
         ivfpq_fit_sec = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         write_ivfpq_index(corpus, ixdir, cents, cbs)
         ivfpq_build_sec = round(time.perf_counter() - t0, 3)
-        # rebuild the probe plan each pass: re-collecting one DataFrame
-        # object would reuse its shuffle stages and time ~nothing
-        ivfpq_rows, ivfpq_sec = _warm2(
-            lambda: probe_ivfpq_index(
-                spark, ixdir, qrows, topk, n_probe=n_probe
-            ).collect()
+
+        def _recall(rows, exclude_self=False):
+            got: dict = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return round(
+                sum(
+                    len(exact[q] & (got.get(q, set()) - ({q} if exclude_self else set())))
+                    / len(exact[q])
+                    for q in exact
+                )
+                / len(exact),
+                3,
+            )
+
+        sweep = []
+        for np_ in (4, 8, 16, 32):
+            # rebuild the probe plan each pass: re-collecting one
+            # DataFrame object would reuse its shuffles, timing ~0
+            rows_, sec_ = _warm2(
+                lambda np_=np_: probe_ivfpq_index(
+                    spark, ixdir, qrows, topk, n_probe=np_
+                ).collect()
+            )
+            sweep.append(
+                {
+                    "n_probe": np_,
+                    "search_sec": sec_,
+                    "recall_at_10": _recall(rows_),
+                    "speedup_search": round(brute_sec / sec_, 2),
+                }
+            )
+        # cheapest point meeting recall >= 0.9, else best recall
+        ok = [p for p in sweep if p["recall_at_10"] >= 0.9]
+        chosen = (
+            min(ok, key=lambda p: p["search_sec"])
+            if ok
+            else max(sweep, key=lambda p: p["recall_at_10"])
         )
-        # executed (untimed) copy of the probe plan for the
+        n_probe = chosen["n_probe"]
+        ivfpq_sec = chosen["search_sec"]
+        ivfpq_recall = chosen["recall_at_10"]
+        # executed (untimed) copy of the chosen probe plan for the
         # bytes-read measurement below -- AQE finalizes scan metrics
         # only after execution
         probe_df = probe_ivfpq_index(spark, ixdir, qrows, topk, n_probe=n_probe)
@@ -350,17 +390,6 @@ def ann_bench(spark) -> dict:
         bytes_frac = round(acc["scan_bytes"] / max(total_ix_bytes, 1), 3)
     finally:
         shutil.rmtree(ixdir.rsplit("/", 1)[0], ignore_errors=True)
-    iapprox: dict = {}
-    for r in ivfpq_rows:
-        iapprox.setdefault(r["query_id"], set()).add(r["vec_id"])
-    ivfpq_recall = round(
-        sum(
-            len(exact[q] & iapprox.get(q, set())) / len(exact[q])
-            for q in exact
-        )
-        / len(exact),
-        3,
-    )
     irr: dict = {}
     for r in ivfpq_rr_rows:
         irr.setdefault(r["query_id"], set()).add(r["vec_id"])
@@ -402,6 +431,7 @@ def ann_bench(spark) -> dict:
         "pq_rerank_recall_at_10": pq_rr_recall,
         "ivfpq_n_cells": n_cells,
         "ivfpq_n_probe": n_probe,
+        "ivfpq_n_probe_sweep": sweep,
         "ivfpq_fit_sec": ivfpq_fit_sec,
         "ivfpq_build_sec": ivfpq_build_sec,
         "ivfpq_search_sec": ivfpq_sec,

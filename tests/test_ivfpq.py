@@ -166,3 +166,19 @@ def test_rerank_lifts_recall_toward_cell_coverage(spark, ix):
     )
     # self-matches stay excluded through the refine stage
     assert all(r["vec_id"] != r["query_id"] for r in rows)
+
+
+def test_auto_cell_count_scales_sqrt(spark):
+    """n_cells=None -> sqrt(corpus) (clamped to the fit sample): the
+    operating point that keeps per-cell occupancy sublinear as the
+    corpus grows (the round-5 recall-collapse fix)."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) + 0.1 for d in range(4)]) for i in range(144)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, _ = ivfpq_fit(emb, m=2, k=4, n_iters=1)
+    assert len(cents) == 12  # sqrt(144)
+    # sample fit against a larger stated corpus: sqrt(10_000)=100,
+    # clamped to the 144 fit rows -> 100
+    cents2, _ = ivfpq_fit(emb, m=2, k=4, n_iters=1, corpus_rows=10_000)
+    assert len(cents2) == 100

@@ -18,6 +18,17 @@ Two shapes a production corpus actually receives:
     tombstoned rather than left as empty husks.
 
 Both return a stats dict; ledger it, never discard it.
+
+Both flows run against either corpus layout via ``table_format``:
+``"keyed"`` (operators/upsert.py, in-place bucket overwrite — single-
+tenant maintenance windows) or ``"snapshot"`` (operators/snapshots.py,
+immutable files + manifest commits — continuously-read corpora). On a
+snapshot table the tombstone/rewrite MERGE makes the content
+unreadable AT HEAD immediately, but older snapshots still reference
+the bytes (time travel — the layout's honesty rule); pass
+``expire_keep_last`` to run ``snapshot_expire`` as the COMPLETION
+step in the same call, or schedule it in the next maintenance window
+(``run_maintenance(snapshot_tables=...)``).
 """
 
 from __future__ import annotations
@@ -36,34 +47,90 @@ from xmidt_event_streams_spark.operators.upsert import (
 # driver-side tokenizer twin now lives with the column contract
 _py_tokens = py_tokens
 
+_FORMATS = ("keyed", "snapshot")
+
+
+def _read_table(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    if fmt == "snapshot":
+        from xmidt_event_streams_spark.operators.snapshots import (
+            snapshot_read,
+        )
+
+        return snapshot_read(spark, path)
+    return read_keyed_table(spark, path)
+
+
+def _merge(spark: SparkSession, path: str, updates: DataFrame, fmt: str) -> dict:
+    if fmt == "snapshot":
+        from xmidt_event_streams_spark.operators.snapshots import (
+            snapshot_merge,
+        )
+
+        return snapshot_merge(spark, path, updates)
+    return merge_upsert(spark, path, updates)
+
+
+def _check_format(fmt: str) -> None:
+    if fmt not in _FORMATS:
+        raise ValueError(f"table_format must be one of {_FORMATS}, got {fmt!r}")
+
+
+def _maybe_expire(
+    spark: SparkSession, path: str, fmt: str, keep_last: int | None
+) -> dict | None:
+    """The snapshot-takedown COMPLETION step: a tombstone merge hides
+    the row at head, but its bytes persist in every older manifest
+    that references them (time travel is the feature); expiring down
+    to ``keep_last`` is what makes the takedown physically complete.
+    No-op for the keyed layout (its merge rewrites in place)."""
+    if keep_last is None or fmt != "snapshot":
+        return None
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_expire,
+    )
+
+    return snapshot_expire(spark, path, keep_last=keep_last)
+
 
 def takedown_ids(
     spark: SparkSession,
     corpus_path: str,
     ids: list,
     index_path: str | None = None,
+    table_format: str = "keyed",
+    expire_keep_last: int | None = None,
 ) -> dict:
-    """Tombstone ``ids`` out of the keyed corpus table and (when
-    given) compact them out of the MinHash index. Shards are derived
-    artifacts: re-export them from the post-takedown corpus
+    """Tombstone ``ids`` out of the corpus table (keyed or snapshot,
+    per ``table_format``) and (when given) compact them out of the
+    MinHash index. Shards are derived artifacts: re-export them from
+    the post-takedown corpus
     (operators/traindata.write_training_shards -- placement of
     surviving rows is a pure row hash, so nobody else moves).
+
+    Snapshot layout: the merge hides the ids at head atomically (no
+    reader ever sees a torn table -- the reason to prefer this layout
+    for continuously-read corpora); ``expire_keep_last`` runs
+    ``snapshot_expire`` afterwards so the bytes are GONE, not just
+    unreferenced at head (report key ``"expire"``). Leave it None to
+    keep time travel and expire in the next maintenance window.
     """
+    _check_format(table_format)
     if not ids:
         return {
             "upserts": 0,
             "deletes": 0,
             "touched_buckets": [],
             "index": None,
+            "expire": None,
         }
-    table = read_keyed_table(spark, corpus_path)
-    key_col = _key_col(spark, corpus_path)
+    table = _read_table(spark, corpus_path, table_format)
+    key_col = _key_col(spark, corpus_path, table_format)
     tomb = (
         spark.createDataFrame([(i,) for i in ids], [key_col])
         .join(table.limit(0), key_col, "left")  # null all other cols
         .withColumn(DELETED_COL, F.lit(True))
     )
-    stats = merge_upsert(spark, corpus_path, tomb)
+    stats = _merge(spark, corpus_path, tomb, table_format)
     report = None
     if index_path is not None:
         from xmidt_event_streams_spark.operators.incremental import (
@@ -73,7 +140,10 @@ def takedown_ids(
         report = compact_minhash_index(
             spark, index_path, tombstones=list(ids)
         )
-    return {**stats, "index": report}
+    expire = _maybe_expire(
+        spark, corpus_path, table_format, expire_keep_last
+    )
+    return {**stats, "index": report, "expire": expire}
 
 
 def takedown_phrases(
@@ -87,12 +157,17 @@ def takedown_phrases(
     invindex_path: str | None = None,
     invindex_stale_ok: bool = False,
     invindex_buckets: int | None = None,
+    table_format: str = "keyed",
+    expire_keep_last: int | None = None,
 ) -> dict:
     """Cut every occurrence of each phrase's ``window``-gram content
-    from every document in the keyed corpus, MERGE the rewritten
-    documents back, and keep the MinHash index consistent (touched
-    docs' signatures are stale: compact them out, re-append the
-    scrubbed rows).
+    from every document in the corpus (keyed or snapshot, per
+    ``table_format``), MERGE the rewritten documents back, and keep
+    the MinHash index consistent (touched docs' signatures are
+    stale: compact them out, re-append the scrubbed rows). On a
+    snapshot table, ``expire_keep_last`` completes the takedown by
+    expiring the manifests that still reference the pre-scrub bytes
+    (see :func:`takedown_ids`).
 
     Match semantics are the benchmark scrub's: a document span is cut
     when its ``window``-gram appears in any phrase -- so spans
@@ -124,6 +199,7 @@ def takedown_phrases(
     after the merge it is stale for the touched docs and should be
     rebuilt in the next maintenance window before its next use.
     """
+    _check_format(table_format)
     if not phrases:
         return {
             "docs_touched": 0,
@@ -132,6 +208,7 @@ def takedown_phrases(
             "deletes": 0,
             "touched_buckets": [],
             "index": None,
+            "expire": None,
         }
     short = [p for p in phrases if len(_py_tokens(p)) < window]
     if short:
@@ -143,8 +220,8 @@ def takedown_phrases(
         remove_contaminated_spans,
     )
 
-    key_col = _key_col(spark, corpus_path)
-    table = read_keyed_table(spark, corpus_path)
+    key_col = _key_col(spark, corpus_path, table_format)
+    table = _read_table(spark, corpus_path, table_format)
     scrub_input = table
     if invindex_path is not None:
         from xmidt_event_streams_spark.fsutil import (
@@ -216,6 +293,7 @@ def takedown_phrases(
                 "deletes": 0,
                 "touched_buckets": [],
                 "index": None,
+                "expire": None,
             }
         empty = F.col("_xes_clean") == ""
         updates = (
@@ -233,7 +311,7 @@ def takedown_phrases(
             )
             .drop("_xes_clean")
         )
-        stats = merge_upsert(spark, corpus_path, updates)
+        stats = _merge(spark, corpus_path, updates, table_format)
         report = None
         if index_path is not None:
             from xmidt_event_streams_spark.operators.incremental import (
@@ -246,7 +324,7 @@ def takedown_phrases(
                 spark, index_path, tombstones=ids
             )
             meta = _read_meta(spark, index_path) or {}
-            survivors = read_keyed_table(spark, corpus_path).join(
+            survivors = _read_table(spark, corpus_path, table_format).join(
                 F.broadcast(
                     spark.createDataFrame([(i,) for i in ids], [key_col])
                 ),
@@ -262,17 +340,30 @@ def takedown_phrases(
                 bands=meta.get("bands", 4),
                 shingle_n=meta.get("shingle_n", 3),
             )
+        expire = _maybe_expire(
+            spark, corpus_path, table_format, expire_keep_last
+        )
         return {
             "docs_touched": int(agg["docs"]),
             "tokens_removed": int(agg["toks"] or 0),
             **stats,
             "index": report,
+            "expire": expire,
         }
     finally:
         touched.unpersist()
 
 
-def _key_col(spark: SparkSession, path: str) -> str:
+def _key_col(spark: SparkSession, path: str, fmt: str = "keyed") -> str:
+    if fmt == "snapshot":
+        from xmidt_event_streams_spark.operators.snapshots import (
+            _read_manifest,
+            snapshot_head,
+        )
+
+        return _read_manifest(spark, path, snapshot_head(spark, path))[
+            "key_col"
+        ]
     from xmidt_event_streams_spark.fsutil import check_sidecar_params
     from xmidt_event_streams_spark.operators.upsert import _META
 
