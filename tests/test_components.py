@@ -273,6 +273,7 @@ OFF_REGISTRY = [
     "doc_fingerprint_rolling",
     "ngram_jaccard",
     "dedup_by_txn",
+    "simhash",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -336,6 +337,11 @@ OFF_REGISTRY_EVIDENCE = {
     # training-sequence packing) -- keyed-min evidence stays via
     # dedup_exact (registry) + latest_per_key (off-registry twin)
     "dedup_by_txn": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r6 to admit snapshot_timetravel (the snapshot
+    # storage layer's driver CORRECTNESS row) -- hash-fingerprint
+    # near-dup evidence stays via minhash_lsh_pairs (registry) + the
+    # off-registry simhash twin + tests/test_snapshots.py
+    "simhash": "tests/test_components.py::test_off_registry_parity",
 }
 
 

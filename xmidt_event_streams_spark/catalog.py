@@ -1803,6 +1803,89 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_snapshot_timetravel(spark, sf_dir):
+    """Snapshot-isolated keyed table driven end to end
+    (operators/snapshots.py): CREATE v1 from the documents slice
+    (doc_id <= 200), MERGE one commit of tombstones (ids % 7 == 0),
+    rewrites (surviving ids % 10 == 0 -> 'rewritten <id>') and
+    inserts (200 < id <= 220), then DIFF the head against the v1
+    TIME-TRAVEL read -> (doc_id, status in tombstoned | rewritten |
+    inserted | stable). The oracle mirrors the derivation rules over
+    the raw table, so the row set checks snapshot_create +
+    snapshot_merge + both snapshot_read arms at once. Plan: the
+    manifest pins exact file lists (no partition discovery); the diff
+    is one full-outer shuffle join on the key, same as corpus_diff.
+    Table lives in a per-call temp dir (immutable files, tiny)."""
+    import tempfile
+
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_create,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") <= 200)
+    path = tempfile.mkdtemp(prefix="xes-snaptt-") + "/table"
+    snapshot_create(base, path, "doc_id")
+    tomb = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "_deleted", F.lit(True)
+    )
+    rewrite = (
+        base.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 10 == 0))
+        .withColumn(
+            "text", F.concat(F.lit("rewritten "), F.col("doc_id").cast("string"))
+        )
+        .withColumn("_deleted", F.lit(False))
+    )
+    inserts = docs.filter(
+        (F.col("doc_id") > 200) & (F.col("doc_id") <= 220)
+    ).withColumn("_deleted", F.lit(False))
+    snapshot_merge(
+        spark, path, tomb.unionByName(rewrite).unionByName(inserts)
+    )
+    v1 = snapshot_read(spark, path, version=1).select(
+        "doc_id", F.col("text").alias("_t1")
+    )
+    head = snapshot_read(spark, path).select(
+        "doc_id", F.col("text").alias("_t2")
+    )
+    present = F.lit(True)
+    v1m = v1.withColumn("_p1", present)
+    headm = head.withColumn("_p2", present)
+    return (
+        v1m.join(headm, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("_p2").isNull(), "tombstoned")
+            .when(F.col("_p1").isNull(), "inserted")
+            .when(~F.col("_t1").eqNullSafe(F.col("_t2")), "rewritten")
+            .otherwise("stable")
+            .alias("status"),
+        )
+    )
+
+
+SQL_SNAPSHOT_TIMETRAVEL = """WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id <= 200
+), head AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN 'rewritten ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM base WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id > 200 AND doc_id <= 220
+)
+SELECT coalesce(b.doc_id, h.doc_id) AS doc_id,
+       CASE WHEN h.doc_id IS NULL THEN 'tombstoned'
+            WHEN b.doc_id IS NULL THEN 'inserted'
+            WHEN b.text IS NOT DISTINCT FROM h.text THEN 'stable'
+            ELSE 'rewritten' END AS status
+FROM base b FULL OUTER JOIN head h ON b.doc_id = h.doc_id
+"""
+
+
 SQL_CORPUS_DIFF = f"""WITH o AS (
   SELECT doc_id, md5({_NORM_SQL}) AS fp,
          len(list_filter(string_split({_NORM_SQL}, ' '), t -> t <> ''))
@@ -3725,7 +3808,13 @@ QUERIES: dict[str, QuerySpec] = {
     "jaccard_join_prefix": QuerySpec(
         q_jaccard_join_prefix, SQL_JACCARD_JOIN_PREFIX
     ),
-    "simhash": QuerySpec(q_simhash, SQL_SIMHASH),
+    # simhash rotated to the off-registry parity set in r6 to admit
+    # snapshot_timetravel (the snapshot storage layer's driver
+    # CORRECTNESS row); hash-fingerprint near-dup evidence stays via
+    # minhash_lsh_pairs (registry) + the off-registry simhash twin.
+    "snapshot_timetravel": QuerySpec(
+        q_snapshot_timetravel, SQL_SNAPSHOT_TIMETRAVEL
+    ),
     "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": QuerySpec(q_lang_id, SQL_LANG_ID),
