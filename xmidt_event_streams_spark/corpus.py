@@ -398,6 +398,14 @@ def build_training_corpus(
         kept = kept.join(
             verdicts.filter("is_survivor").select(id_col), id_col
         )
+        # truncate AGAIN after the survivor join: downstream stages
+        # (span excise scans twice, apply_clean_text joins, the token
+        # count and shard write scan once more) would each re-run the
+        # LSH-candidate + survivor join otherwise -- measured 14 s of
+        # the 22 s span_excise stage at the 4.7k-doc bench was exactly
+        # this recompute. The count below doubles as the checkpoint's
+        # materialization.
+        kept = kept.localCheckpoint(eager=False)
         after = kept.count()
         ledger["near_dups_dropped"] = before - after
         _stage("near_dedup")
