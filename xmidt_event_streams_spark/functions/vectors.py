@@ -178,9 +178,18 @@ def nearest_cells(
         vn = np.sqrt(np.einsum("ij,ij->i", m, m))
         den = np.outer(vn, cn)
         sims = np.where(den > 0, (m @ cm.T) / np.where(den > 0, den, 1.0), 0.0)
-        # order by (sim desc, cell asc): stable argsort of -sim keeps
-        # equal-sim cells in ascending index order
-        order = np.argsort(-np.round(sims, 6), axis=1, kind="stable")
+        sims = np.round(sims, 6)
+        if n_probe == 1:
+            # the ASSIGNMENT hot path (index build over the full
+            # corpus): argmax is O(cells)/row where the general
+            # argsort is O(cells log cells)/row -- measured 4x+ on a
+            # sqrt(N)-cell build. Tie rule identical: argmax returns
+            # the FIRST maximal index = stable argsort's lowest cell.
+            order = np.argmax(sims, axis=1)[:, None]
+        else:
+            # order by (sim desc, cell asc): stable argsort of -sim
+            # keeps equal-sim cells in ascending index order
+            order = np.argsort(-sims, axis=1, kind="stable")
         cells = list(order[:, :n_probe].astype(np.int32))
         out = pd.Series([None] * len(v), dtype="object")
         out.iloc[np.nonzero(valid)[0]] = cells
