@@ -61,18 +61,35 @@ def test_recall_floor_vs_exact(spark, ix):
 
 
 def test_probe_prunes_cells_at_plan_time(spark, ix):
-    got = probe_ivfpq_index(
-        spark, ix["path"], ix["qrows"][:1], k_neighbors=5, n_probe=2
+    """The probe's scan must touch ONLY the probed cells. Since the
+    driver-side top-k merge means the returned DataFrame is a local
+    relation, assert the pruning on the scan relation the probe
+    builds: read_probed_cells lists exactly the probed leaf
+    directories (never the root -- at sqrt(N) cell counts the root
+    LISTING is itself a 1-task-per-dir Spark job that dwarfed the
+    pruned scan), and the filter stays a static IN-list."""
+    from xmidt_event_streams_spark.operators.ivf import read_probed_cells
+
+    from pyspark.sql import functions as F
+
+    scan = read_probed_cells(spark, ix["path"], [0, 2]).filter(
+        F.col("cell").isin([0, 2])
     )
-    plan = got._jdf.queryExecution().explainString(
+    plan = scan._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
-    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert pf and "cell" in pf[0], plan
-    # static IN-list, not a dynamic filter
-    assert "dynamicpruning" not in pf[0].lower()
+    loc = [l for l in plan.splitlines() if "InMemoryFileIndex" in l]
+    assert loc and "/cell=0" in loc[0] and "/ix]" not in loc[0], plan
+    assert "dynamicpruning" not in plan.lower()
+    cells = {r["cell"] for r in scan.select("cell").distinct().collect()}
+    assert cells <= {0, 2}
+    # and the probe over those dirs returns the same verdicts as ever
+    got = probe_ivfpq_index(
+        spark, ix["path"], ix["qrows"][:1], k_neighbors=5, n_probe=2
+    )
+    assert got.count() == 5
 
 
 def test_self_match_excluded_and_rank_contract(spark, ix):

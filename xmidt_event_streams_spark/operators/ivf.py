@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xmidt_event_streams_spark.fsutil import (
+    hadoop_fs,
     read_json_sidecar,
     write_json_sidecar,
 )
@@ -225,6 +226,51 @@ def write_ivf_index(
     )
 
 
+def read_probed_cells(spark, path: str, cells: list[int]) -> DataFrame:
+    """Read ONLY the probed cells' directories of a cell-partitioned
+    index, with ``basePath`` so ``cell`` (and any sub-partition
+    columns, e.g. the streaming layout's ``_ingest_batch_id``) stay
+    partition columns.
+
+    Passing the leaf directories beats ``read.parquet(root).filter``
+    for one reason that dominates at sqrt(N) cell counts: the root
+    read must LIST every cell directory before pruning can happen,
+    and above ``spark.sql.sources.parallelPartitionDiscovery.
+    threshold`` that listing is itself a Spark job with one task per
+    directory — measured ~3 s per probe at 1,414 cells, more than the
+    pruned scan itself. Listing only the n_probe probed dirs is
+    O(n_probe) driver-side filesystem calls. Cells with no directory
+    (never written — empty under this centroid set) are skipped;
+    an empty probe set returns an empty relation with the index
+    schema when at least one cell dir exists, else raises (nothing
+    to infer a schema from — a cold index should be probed through
+    its sidecar-stamped reader instead)."""
+    fs, _, jvm = hadoop_fs(spark, path)
+    root = path.rstrip("/")
+    dirs = [
+        f"{root}/cell={int(c)}"
+        for c in cells
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/cell={int(c)}"))
+    ]
+    if not dirs:
+        any_dir = [
+            st.getPath().toString()
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(root))
+            if st.isDirectory()
+            and st.getPath().getName().startswith("cell=")
+        ][:1]
+        if not any_dir:
+            raise ValueError(
+                f"IVF index at {path} holds no cell directories"
+            )
+        return (
+            spark.read.option("basePath", root)
+            .parquet(*any_dir)
+            .limit(0)
+        )
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
 def _nearest_cells_driver(vecs, centroids, n_probe):
     """Driver-side twin of functions.vectors.nearest_cells (same 6dp
     rounding, same stable-argsort tie-to-lowest-cell rule) for the
@@ -295,8 +341,10 @@ def probe_ivf_index(
         ],
         f"{query_id_col} long, _qvec array<double>, probe_cell int",
     )
-    probed = sorted({c for cs in cells_per_q for c in cs})
-    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    probed = sorted({int(c) for cs in cells_per_q for c in cs})
+    corpus = read_probed_cells(spark, path, probed).filter(
+        F.col("cell").isin(probed)
+    )
     scored = corpus.join(
         F.broadcast(qb),
         (F.col("cell") == F.col("probe_cell"))

@@ -54,6 +54,7 @@ from xmidt_event_streams_spark.operators.ivf import (
     _nearest_cells_driver,
     assign_cells,
     kmeans_fit,
+    read_probed_cells,
 )
 from xmidt_event_streams_spark.operators.pq import (
     _as_codebooks,
@@ -67,15 +68,48 @@ _IVFPQ_META_FILE = "_xes_ivfpq_index_meta.json"
 def residual_expr(
     vec_col: str, cell_col: str, centroids: list[list[float]]
 ) -> Column:
-    """``v - centroid(cell)`` as a pure JVM expression: the centroid
-    table rides the plan as a literal array-of-arrays (k x dim
-    doubles -- plan-time constant, same posture as nearest_cells)."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    picked = F.element_at(cents, F.col(cell_col) + 1)  # 1-based
-    return F.zip_with(
-        F.col(vec_col).cast("array<double>"), picked, lambda x, y: x - y
+    """``v - centroid(cell)``. Small centroid tables ride the plan as
+    a literal array-of-arrays (pure JVM zip_with — plan-time constant,
+    same posture as nearest_cells). LARGE tables (> ~4k scalars, i.e.
+    any sqrt(N)-sized coarse quantizer) switch to an Arrow gather —
+    the literal expression embeds cells x dim individual Literal
+    nodes, and at 1.4k cells x 64 dims (~90k nodes) analysis/codegen
+    of that one expression measurably dominates the fit and build.
+    Both paths are exact float64 subtraction; null vectors and null
+    cells yield null residuals in each."""
+    cm = np.asarray(centroids, dtype=np.float64)
+    if cm.size <= 4096:
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        picked = F.element_at(cents, F.col(cell_col) + 1)  # 1-based
+        return F.zip_with(
+            F.col(vec_col).cast("array<double>"), picked, lambda x, y: x - y
+        )
+
+    import pandas as pd
+
+    from xmidt_event_streams_spark.functions.vectors import _stack_masked
+
+    dim = int(cm.shape[1])
+
+    @F.pandas_udf("array<double>")
+    def _res(v, c):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat, valid = _stack_masked(v, dim=dim)
+        cells = pd.to_numeric(c, errors="coerce").to_numpy(dtype="float64")
+        valid = valid & ~np.isnan(cells)
+        out = pd.Series([None] * len(v), dtype="object")
+        idx = np.nonzero(valid)[0]
+        if len(idx):
+            mats, _ = _stack_masked(v.iloc[idx], dim=dim)
+            res = mats - cm[cells[idx].astype(np.int64)]
+            out.iloc[idx] = list(res)
+        return out
+
+    return _res(
+        F.col(vec_col).cast("array<double>"), F.col(cell_col).cast("long")
     )
 
 
@@ -219,13 +253,26 @@ def probe_ivfpq_index(
         [v for _, v in queries], centroids, n_probe
     )
     cmat = np.asarray(centroids, dtype=np.float64)
-    # (query, cell) -> residual LUT of exact subdistances
-    luts: list[tuple[int, int, np.ndarray]] = []
+    # cell -> (query ids, stacked residual LUTs (q_c, m, k)): grouping
+    # by cell lets the scan kernel score ALL of a cell's queries with
+    # one fancy-index gather instead of a Python-level loop per
+    # (query, cell) pair -- the loop was the kernel bottleneck for
+    # batch-query probes (64 queries x n_probe cells = hundreds of
+    # tiny numpy calls per Arrow batch)
+    luts_by_cell: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    _acc: dict[int, list[tuple[int, np.ndarray]]] = {}
     for (qid, qv), cells in zip(queries, cells_per_q):
         q = np.asarray(qv, dtype=np.float64)
         for c in cells:
             qr = (q - cmat[c]).reshape(m, 1, dsub)
-            luts.append((int(qid), int(c), ((cb - qr) ** 2).sum(axis=2)))
+            _acc.setdefault(int(c), []).append(
+                (int(qid), ((cb - qr) ** 2).sum(axis=2))
+            )
+    for c, pairs in _acc.items():
+        luts_by_cell[c] = (
+            np.asarray([qid for qid, _ in pairs], dtype=np.int64),
+            np.stack([lut for _, lut in pairs]),
+        )
 
     out_schema = StructType(
         [
@@ -245,25 +292,33 @@ def probe_ivfpq_index(
         # rows, not every scored (query, row) pair
         rng = np.arange(m)
         best: dict = {}
+
+        def _fold(qid, cur_ids, d):
+            if qid in best:
+                d = np.concatenate([best[qid][1], d])
+                cur_ids = np.concatenate([best[qid][0], cur_ids])
+            if len(d) > n_short:
+                keep = np.lexsort((cur_ids, d))[:n_short]
+                d, cur_ids = d[keep], cur_ids[keep]
+            best[qid] = (cur_ids, d)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cells = pdf["cell"].to_numpy()
             ids = pdf[id_col].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            for qid, c, lut in luts:
-                mask = (cells == c) & (ids != qid)
+            for c, (qids, lut3) in luts_by_cell.items():
+                mask = cells == c
                 if not mask.any():
                     continue
-                d = lut[rng[None, :], codes[mask]].sum(axis=1)
-                cur_ids = ids[mask]
-                if qid in best:
-                    d = np.concatenate([best[qid][1], d])
-                    cur_ids = np.concatenate([best[qid][0], cur_ids])
-                if len(d) > n_short:
-                    keep = np.lexsort((cur_ids, d))[:n_short]
-                    d, cur_ids = d[keep], cur_ids[keep]
-                best[qid] = (cur_ids, d)
+                sub_ids = ids[mask]
+                # (q_c, rows): one gather-sum scores every query that
+                # probed this cell against all its rows in the batch
+                dmat = lut3[:, rng[None, :], codes[mask]].sum(axis=2)
+                for qi, qid in enumerate(qids):
+                    keep = sub_ids != qid  # self-match excluded
+                    _fold(int(qid), sub_ids[keep], dmat[qi][keep])
         for qid, (ids_, d_) in best.items():
             yield pd.DataFrame(
                 {
@@ -273,22 +328,36 @@ def probe_ivfpq_index(
                 }
             )
 
-    probed = sorted({c for cs in cells_per_q for c in cs})
+    probed = sorted({int(c) for cs in cells_per_q for c in cs})
+    # leaf-dir read, not root-read-then-prune: at sqrt(N) cell counts
+    # the root listing is itself a 1-task-per-directory Spark job
+    # (~3 s at 1.4k cells) that dwarfs the pruned scan (see
+    # ivf.read_probed_cells)
     scored = (
-        spark.read.parquet(path)
+        read_probed_cells(spark, path, probed)
         .filter(F.col("cell").isin(probed))
         .filter(F.col("codes").isNotNull())
         .mapInPandas(_score, out_schema)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col(id_col).asc()
-    )
-    adc_top = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n_short)
-        .select(
-            "query_id", id_col, F.round("adc_dist", 6).alias("adc_dist"), "rank"
+    # driver-side final merge, not a rank-window exchange: the scan
+    # kernel already emits per-PARTITION top-n_short partials, so the
+    # global answer is a merge of <= partitions x queries x n_short
+    # rows -- driver-sized by construction (queries are a driver list
+    # by contract). The window path added a full shuffle + sort stage
+    # whose fixed cost dominated the pruned scan at bench scale.
+    partials = scored.collect()
+    merged: dict = {}
+    for r in partials:
+        merged.setdefault(r["query_id"], []).append(
+            (float(r["adc_dist"]), int(r[id_col]))
         )
+    rows_out = []
+    for qid, cand in merged.items():
+        cand.sort()
+        for rank, (d, vid) in enumerate(cand[:n_short], start=1):
+            rows_out.append((int(qid), vid, round(d, 6), rank))
+    adc_top = spark.createDataFrame(
+        rows_out, f"query_id long, {id_col} long, adc_dist double, rank int"
     )
     if rerank is None:
         return adc_top

@@ -63,6 +63,7 @@ from xmidt_event_streams_spark.operators.ivf import (
     append_to_ivf_index,
     assign_cells,
     probe_cells,
+    read_probed_cells,
 )
 from xmidt_event_streams_spark.streaming.ingest_dedup import (
     idempotent_batch_append,
@@ -139,20 +140,19 @@ def incremental_vector_dedup_mark(
 
     cands = None
     if cells and has_data_files(spark, index_path):
-        raw = spark.read.parquet(index_path)
+        # leaf-dir read of only the probed cells (ivf.read_probed_
+        # cells): per-trigger cost then tracks the batch's probe set,
+        # not the index's directory count
+        raw = read_probed_cells(spark, index_path, cells)
+        if exclude_batch_id is not None and "_ingest_batch_id" in raw.columns:
+            raw = raw.filter(
+                F.col("_ingest_batch_id") != F.lit(exclude_batch_id)
+            )
         idx = raw.select(
             F.col(id_col).alias("_xes_iid"),
             F.col(vec_col).cast("array<double>").alias("_xes_iv"),
             F.col("cell").alias("_xes_icell"),
         ).filter(F.col("_xes_icell").isin(cells))
-        if exclude_batch_id is not None and "_ingest_batch_id" in raw.columns:
-            idx = raw.filter(
-                F.col("_ingest_batch_id") != F.lit(exclude_batch_id)
-            ).select(
-                F.col(id_col).alias("_xes_iid"),
-                F.col(vec_col).cast("array<double>").alias("_xes_iv"),
-                F.col("cell").alias("_xes_icell"),
-            ).filter(F.col("_xes_icell").isin(cells))
         cands = (
             idx.join(
                 F.broadcast(probed),
