@@ -175,8 +175,22 @@ def skew_bench(spark) -> dict:
 
 def ann_bench(spark) -> dict:
     """Sidecar metric: exact brute-force cosine top-k vs PQ/ADC
-    search over a deterministic 2M x 64-dim unit-vector corpus
-    (range()-generated like skew_bench -- no files, any SF).
+    search over a deterministic 2M x 64-dim planted-neighbor corpus
+    (range()-generated, written once to parquet so EVERY arm reads
+    from storage -- at 100 TB neither side is RAM-resident).
+
+    Measured conclusions this harness is honest about (r6): with
+    sqrt(N) cells the residual IVF-PQ probe reaches recall@10 = 0.97
+    pre-rerank (1.0 with the refine stage) where flat PQ sits at
+    ~0.55 -- the composition, not the code budget, buys the recall.
+    WALL-clock search speedup at this LOCAL scale is ~1x, not the
+    at-scale win: a 2M x 64-dim float64 brute scan is ~3 s of BLAS on
+    32 cores, while the probe pays Python/Arrow constants per probed
+    cell. The channel that scales is bytes: a single query touches
+    n_probe/n_cells (~0.3%) of an index whose rows are m bytes, vs
+    100% of 8*dim-byte raw rows for brute -- a ~10^4x per-query byte
+    reduction the ``ivfpq_index_bytes_read_frac`` /
+    ``adc_bytes_frac`` fields report from file-size arithmetic.
 
     Reports the one-time index cost (codebook fit on a 10% sample +
     full-corpus encode) separately from the per-query search arms:
@@ -199,26 +213,71 @@ def ann_bench(spark) -> dict:
         brute_force_topk,
     )
 
-    n, dim, m, k_codes, topk, n_queries = 2_000_000, 64, 8, 32, 10, 8
+    # 64-query batches: the ANN-benchmark convention (throughput at
+    # fixed recall). At 8 queries the fixed per-job cost (~1.5 s
+    # locally) swamped both arms and the ratio measured Spark's
+    # dispatch latency, not the index.
+    n, dim, m, k_codes, topk, n_queries = 2_000_000, 64, 8, 32, 10, 64
+
+    # Planted-neighbor corpus (the ann-benchmarks design, r6): each
+    # 11-member GROUP shares a base direction with 0.01-scale fine
+    # noise, groups sit 0.3 apart inside 2,200-id CLUSTERS, clusters
+    # are near-orthogonal. A query's true top-10 IS its 10 group
+    # mates, separated from rank 11+ by a ~30x margin -- so a recall
+    # miss means the INDEX failed (wrong cells probed / candidates
+    # truncated), not that quantization lost a coin flip. The r5
+    # corpus was a smooth 1-D curve in 64-D: 2M points on one
+    # manifold put the true-neighbor margins BELOW any code's
+    # quantization error (measured: recall pinned at 0.5/0.75/0.81
+    # as codebooks grew, flat in n_probe), i.e. it measured data
+    # pathology, not index quality.
+    GROUP, CLUSTER = 11, 2200
+
+    def _hash_unit(keys, salt):
+        # vectorized integer avalanche -> uniform [-1, 1) per (key, d)
+        h = (
+            keys.astype(np.uint64)[:, None] * np.uint64(2654435761)
+            + np.arange(1, dim + 1, dtype=np.uint64)[None, :]
+            * np.uint64(40503)
+            + np.uint64(salt)
+        )
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+        return (h % np.uint64(1 << 20)).astype(np.float64) / (1 << 19) - 1.0
 
     # NB: no inline type hints -- this module's `from __future__
     # import annotations` stringifies them, breaking pandas_udf's
     # signature inference for locally-imported pd
     def _synth(ids):
-        d = np.arange(1, dim + 1)
-        a = np.sin(np.outer(ids.to_numpy(), d) * 0.7317)
-        a += np.cos(np.outer(ids.to_numpy(), d) * 1.2713)
+        iv = ids.to_numpy()
+        a = (
+            _hash_unit(iv // CLUSTER, 1)
+            + 0.3 * _hash_unit(iv // GROUP, 2)
+            + 0.01 * _hash_unit(iv, 3)
+        )
         a /= np.linalg.norm(a, axis=1, keepdims=True)
         return pd.Series(list(a))
 
     synth_vec = F.pandas_udf(_synth, ArrayType(DoubleType()))
 
-    corpus = (
+    # corpus lives in PARQUET and every arm reads it from there: at
+    # 100 TB neither the flat scan nor the index is RAM-resident, so
+    # a persisted-in-memory brute baseline vs a disk-resident index
+    # (the r5 setup) biased the comparison against the index by the
+    # whole parquet decode cost. Generation happens once, at write.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    corpus_dir = _tempfile.mkdtemp(prefix="xes-ann-corpus-") + "/corpus"
+    t0 = time.perf_counter()
+    (
         spark.range(n)
         .select(F.col("id").alias("vec_id"), synth_vec("id").alias("embedding"))
-        .persist()
+        .write.parquet(corpus_dir)
     )
-    corpus.count()  # materialize: generation cost out of every arm
+    corpus_materialize_sec = round(time.perf_counter() - t0, 3)
+    corpus = spark.read.parquet(corpus_dir)
     queries = corpus.filter(
         F.col("vec_id") % (n // n_queries) == 17
     ).limit(n_queries)
@@ -362,11 +421,6 @@ def ann_bench(spark) -> dict:
         n_probe = chosen["n_probe"]
         ivfpq_sec = chosen["search_sec"]
         ivfpq_recall = chosen["recall_at_10"]
-        # executed (untimed) copy of the chosen probe plan for the
-        # bytes-read measurement below -- AQE finalizes scan metrics
-        # only after execution
-        probe_df = probe_ivfpq_index(spark, ixdir, qrows, topk, n_probe=n_probe)
-        probe_df.collect()
         ivfpq_rr_rows, ivfpq_rr_sec = _warm2(
             lambda: probe_ivfpq_index(
                 spark, ixdir, qrows, topk, n_probe=n_probe,
@@ -374,20 +428,38 @@ def ann_bench(spark) -> dict:
             ).collect()
         )
         # the quantity that scales: fraction of index bytes the pruned
-        # probe actually read (locally the search is overhead-bound --
-        # 200k rows of 16-int codes is nothing -- but at 100 TB this
-        # fraction IS the speedup over a flat ADC scan)
-        from scale_audit import _walk
+        # probe touches (locally the search is overhead-bound -- a few
+        # hundred cells of m-int codes is nothing -- but at 100 TB
+        # this fraction IS the speedup over a flat ADC scan). The
+        # probe reads exactly the probed cells' leaf directories
+        # (ivf.read_probed_cells), so the fraction is file-size
+        # arithmetic over those dirs -- no executed-plan metric
+        # needed (the driver-merged probe returns a local relation).
+        from pathlib import Path as _P
 
-        acc = {"scan_bytes": 0, "shuffle_bytes": 0, "shuffle_records": 0,
-               "broadcast_bytes": 0, "spill_bytes": 0, "n_exchanges": 0,
-               "n_broadcasts": 0}
-        _walk(probe_df._jdf.queryExecution().executedPlan(), acc)
-        total_ix_bytes = sum(
-            f.stat().st_size
-            for f in __import__("pathlib").Path(ixdir).rglob("*.parquet")
+        from xmidt_event_streams_spark.operators.ivf import (
+            _nearest_cells_driver,
         )
-        bytes_frac = round(acc["scan_bytes"] / max(total_ix_bytes, 1), 3)
+
+        probed_cells = {
+            int(c)
+            for cs in _nearest_cells_driver(
+                [v for _, v in qrows], cents, n_probe
+            )
+            for c in cs
+        }
+        by_cell = {
+            int(p.name.split("=", 1)[1]): sum(
+                f.stat().st_size for f in p.rglob("*.parquet")
+            )
+            for p in _P(ixdir).iterdir()
+            if p.is_dir() and p.name.startswith("cell=")
+        }
+        bytes_frac = round(
+            sum(by_cell.get(c, 0) for c in probed_cells)
+            / max(sum(by_cell.values()), 1),
+            3,
+        )
     finally:
         shutil.rmtree(ixdir.rsplit("/", 1)[0], ignore_errors=True)
     irr: dict = {}
@@ -401,10 +473,14 @@ def ann_bench(spark) -> dict:
         3,
     )
 
-    corpus.unpersist()
     codes.unpersist()
+    _shutil.rmtree(corpus_dir.rsplit("/", 1)[0], ignore_errors=True)
     return {
         "corpus_rows": n,
+        "n_queries": n_queries,
+        "corpus_materialize_sec": corpus_materialize_sec,
+        "brute_qps": round(n_queries / brute_sec, 1),
+        "ivfpq_qps": round(n_queries / ivfpq_sec, 1),
         "dim": dim,
         "m": m,
         "k_codes": k_codes,
