@@ -261,3 +261,40 @@ def test_commit_claim_is_exclusive(spark, table):
     # table unharmed: head is still v1, readable
     assert snapshot_head(spark, path) == 1
     assert snapshot_read(spark, path).count() == 40
+
+
+def test_conflict_releases_claim_for_retry(spark, table):
+    """A claim winner that cannot publish (out-of-band manifest at
+    the destination) must RELEASE its claim -- otherwise the version
+    becomes permanently unpublishable after a transient failure."""
+    import os
+
+    from xmidt_event_streams_spark.operators.snapshots import (
+        _claim_path,
+        _commit_manifest,
+    )
+
+    path, _ = table
+    head = _read_manifest(spark, path, 1)
+    head["version"], head["parent"] = 2, 1
+    # fabricate an out-of-band v2 manifest (no claim)
+    import json as _json
+
+    from xmidt_event_streams_spark.fsutil import hadoop_fs
+
+    fs, _, jvm = hadoop_fs(spark, path)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(_manifest_path(path, 2)), True
+    )
+    try:
+        out.write(bytearray(_json.dumps(head).encode()))
+    finally:
+        out.close()
+    with pytest.raises(SnapshotConflict):
+        _commit_manifest(spark, path, 2, head)
+    assert not os.path.exists(_claim_path(path, 2)), (
+        "claim must be released after a failed publish"
+    )
+    # the writer can still publish the NEXT version normally
+    snapshot_merge(spark, path, _df(spark, [(0, "retry v3")]))
+    assert snapshot_head(spark, path) == 3

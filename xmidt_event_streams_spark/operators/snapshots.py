@@ -176,19 +176,25 @@ def _commit_manifest(
     finally:
         out.close()
     dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
-    # fs.exists(dst) after winning the claim is not a race: no other
-    # claim-protocol writer can be mid-publish on this version, so an
-    # existing dst means an out-of-band commit (or a pre-claim-era
-    # writer) — refuse rather than clobber.
-    if (
-        not _claim_version(spark, path, version)
-        or fs.exists(dst)
-        or not fs.rename(tmp, dst)
-    ):
+    if not _claim_version(spark, path, version):
         fs.delete(tmp, False)
         raise SnapshotConflict(
             f"version {version} at {path} was committed by another "
             "writer; re-read the head and retry"
+        )
+    # fs.exists(dst) after winning the claim is not a race: no other
+    # claim-protocol writer can be mid-publish on this version, so an
+    # existing dst means an out-of-band commit (or a pre-claim-era
+    # writer) — refuse rather than clobber. On either failure we
+    # RELEASE the claim (safe: we hold it, so nobody else is
+    # mid-publish) — otherwise a transient rename failure would leave
+    # the version permanently unpublishable.
+    if fs.exists(dst) or not fs.rename(tmp, dst):
+        fs.delete(tmp, False)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_claim_path(path, version)), False)
+        raise SnapshotConflict(
+            f"version {version} at {path} exists or could not be "
+            "published; re-read the head and retry"
         )
 
 
