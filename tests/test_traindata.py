@@ -540,3 +540,31 @@ def test_jsonl_shard_export(spark, tmp_path):
         write_training_shards(
             df, str(out), token_col="n_tokens", output_format="csv"
         )
+
+
+def test_pack_sequences_tiebreak_col_is_deterministic(spark):
+    """Non-unique order_col (a timestamp, say) + tiebreak_col gives
+    identical pack assignment across runs/partitionings; without the
+    tie-break, pack membership under ties is partition-order
+    dependent (reproducible training corpora need the total order)."""
+    rows = [(f"d{i}", 0, 40) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, ts int, n int")
+
+    def run():
+        out = pack_sequences(
+            df.repartition(7),
+            token_col="n",
+            order_col="ts",
+            budget=100,
+            tiebreak_col="doc_id",
+        )
+        return sorted((r.doc_id, r.pack_id) for r in out.collect())
+
+    a, b = run(), run()
+    assert a == b
+    # greedy contiguous fill in (ts, doc_id) order: 2 docs and then
+    # the 3rd straddling doc per 100-token pack (exclusive prefix sum)
+    by_pack = {}
+    for doc, pid in a:
+        by_pack.setdefault(pid, []).append(doc)
+    assert all(len(v) <= 3 for v in by_pack.values())
