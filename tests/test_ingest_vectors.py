@@ -280,3 +280,99 @@ def test_vector_dedup_replay_excludes_own_batch(spark, tmp_path):
         ).collect()
     }
     assert naive == {1: False, 2: False}
+
+
+# ---------------------------------------------------------------- #
+# compact_ivf_index: small-file fold + vector-tier takedown          #
+# ---------------------------------------------------------------- #
+
+
+def test_compact_ivf_index_folds_batches_and_takes_down(spark, tmp_path):
+    """Streaming batch partitions fold into one file per cell with
+    live-id probe results EXACTLY preserved; tombstoned ids are gone
+    by absence (no row in any file); duplicate plain appends dedup;
+    later batch appends still work on the compacted layout."""
+    from xmidt_event_streams_spark.operators.ivf import compact_ivf_index
+
+    index = str(tmp_path / "idx")
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    write_ivf_index(spark.createDataFrame([], SCHEMA), index, cents)
+    batch = lambda lo, hi: spark.createDataFrame(
+        [(i, _vec(i)) for i in range(lo, hi)], SCHEMA
+    )
+    for b, (lo, hi) in enumerate([(0, 6), (6, 12), (12, 18)]):
+        append_to_ivf_index(batch(lo, hi), index, batch_id=b)
+
+    q = spark.createDataFrame([(0, _vec(3))], SCHEMA)
+    before = sorted(
+        (r["vec_id"], r["cos_sim"])
+        for r in probe_ivf_index(spark, index, q, cents, k=5, n_probe=4).collect()
+    )
+    rep = compact_ivf_index(spark, index, tombstones=[4])
+    assert rep["files_after"] < rep["files_before"]
+    assert rep["rows_after"] == 17  # 18 - 1 tombstone
+    idx = spark.read.parquet(index)
+    assert idx.filter("vec_id = 4").count() == 0  # absence, not filter
+    assert {r["_ingest_batch_id"] for r in idx.select("_ingest_batch_id").distinct().collect()} == {-1}
+    after = sorted(
+        (r["vec_id"], r["cos_sim"])
+        for r in probe_ivf_index(spark, index, q, cents, k=5, n_probe=4).collect()
+    )
+    # live-id preservation: every pre-compaction hit except the
+    # tombstone survives with an identical score
+    before_d, after_d = dict(before), dict(after)
+    for vid, sim in before_d.items():
+        if vid == 4:
+            assert vid not in after_d
+        else:
+            assert after_d.get(vid) == sim
+    # the compacted layout still accepts streaming appends
+    append_to_ivf_index(batch(18, 20), index, batch_id=3)
+    assert spark.read.parquet(index).count() == 19
+
+
+def test_takedown_ids_reaches_vector_index(spark, tmp_path):
+    """The composed takedown's vector tier: after takedown_ids with
+    ivf_index_path, the removed doc's embedding no longer answers
+    probes."""
+    from xmidt_event_streams_spark.operators.upsert import (
+        write_keyed_table,
+    )
+    from xmidt_event_streams_spark.takedown import takedown_ids
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "vidx")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "vec_id long, text string"
+    )
+    write_keyed_table(docs, corpus, "vec_id")
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    emb = spark.createDataFrame([(i, _vec(i)) for i in range(8)], SCHEMA)
+    write_ivf_index(emb, index, cents)
+
+    stats = takedown_ids(
+        spark, corpus, [3], ivf_index_path=index
+    )
+    assert stats["deletes"] == 1
+    assert stats["ivf_index"]["rows_after"] == 7
+    q = spark.createDataFrame([(99, _vec(3))], SCHEMA)
+    hits = probe_ivf_index(spark, index, q, cents, k=8, n_probe=4).collect()
+    assert all(r["vec_id"] != 3 for r in hits)
+
+
+def test_ivf_compaction_as_maintenance_target(spark, tmp_path):
+    from xmidt_event_streams_spark.maintenance import run_maintenance
+
+    index = str(tmp_path / "midx")
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    write_ivf_index(spark.createDataFrame([], SCHEMA), index, cents)
+    append_to_ivf_index(
+        spark.createDataFrame([(i, _vec(i)) for i in range(6)], SCHEMA),
+        index,
+        batch_id=0,
+    )
+    report = run_maintenance(
+        spark, ivf_compactions=(index,), tombstones={index: [2]}
+    )
+    assert report[index]["kind"] == "ivf_index"
+    assert report[index]["rows_after"] == 5

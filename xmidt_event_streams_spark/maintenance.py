@@ -77,6 +77,7 @@ def run_maintenance(
     inverted_indexes: tuple[str, ...] = (),
     rollups: tuple[tuple[str, list, dict], ...] = (),
     ivf_indexes: tuple[str, ...] = (),
+    ivf_compactions: tuple[str, ...] = (),
     kmv_baselines: tuple[tuple[str, str], ...] = (),
     token_baselines: tuple[tuple[str, str], ...] = (),
     snapshot_tables: tuple[tuple[str, int], ...] = (),
@@ -104,7 +105,12 @@ def run_maintenance(
     check (``ivf.ivf_occupancy_drift``): the report carries the PSI
     verdict so the window that compacts everything else also tells
     you when frozen centroids need a refit ("shifted" = schedule a
-    rebuild; nothing is rewritten here). ``kmv_baselines``:
+    rebuild; nothing is rewritten here). ``ivf_compactions``: IVF
+    index paths to REWRITE (``ivf.compact_ivf_index``): folds
+    streaming batch partitions into one file per cell and drops
+    duplicate/tombstoned ids (per-path tombstone lists via
+    ``tombstones`` -- the vector tier of a takedown); guarded like
+    other write targets. ``kmv_baselines``:
     (sketch_path, corpus_parquet_path) pairs -- a READ-ONLY content
     drift check (``contamination.kmv_drift``): n-gram-set Jaccard of
     the corpus today vs its stamped baseline, with a
@@ -142,7 +148,10 @@ def run_maintenance(
     from xmidt_event_streams_spark.operators.invindex import (
         compact_inverted_index,
     )
-    from xmidt_event_streams_spark.operators.ivf import ivf_occupancy_drift
+    from xmidt_event_streams_spark.operators.ivf import (
+        compact_ivf_index,
+        ivf_occupancy_drift,
+    )
     from xmidt_event_streams_spark.operators.spandedup import (
         compact_window_index,
     )
@@ -160,6 +169,7 @@ def run_maintenance(
             | set(minhash_indexes)
             | set(window_indexes)
             | set(inverted_indexes)
+            | set(ivf_compactions)
             | {p for p, _, _ in rollups}
             | {p for p, _ in snapshot_tables}
         )
@@ -219,6 +229,13 @@ def run_maintenance(
             path,
             "ivf_drift",
             lambda p=path: ivf_occupancy_drift(spark, p),
+        )
+    for path in ivf_compactions:
+        tl = (tombstones or {}).get(path)
+        _run(
+            path,
+            "ivf_index",
+            lambda p=path, t=tl: compact_ivf_index(spark, p, tombstones=t),
         )
     for sketch_path, corpus_path in kmv_baselines:
         _run(

@@ -560,3 +560,97 @@ def ivf_occupancy_drift(spark, path: str) -> dict:
         "hottest_cell": hottest,
         "hottest_frac": hottest_frac,
     }
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    tombstones: DataFrame | list | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Rewrite the IVF index in place, dropping (a) duplicate ids --
+    the residue of overlapping plain appends (streaming batch appends
+    self-heal via dynamic partition overwrite, but bulk backfills can
+    re-append; first row per id wins, matching the window-index
+    compactor) -- and (b) tombstoned ids. This is the VECTOR tier of
+    a takedown: without it the removed documents' embeddings keep
+    answering similarity probes from the index files (the same
+    honesty rule the MinHash and inverted-index compactors enforce by
+    absence, not filtering).
+
+    Layout preserved exactly: a streaming-shaped index (cell +
+    ``_ingest_batch_id`` partitions) is rewritten with all rows under
+    ``_ingest_batch_id=-1`` per cell -- the documented pre-existing-
+    corpus convention -- so later streaming appends keep working and
+    probes' cell pruning is untouched; a plain cell-partitioned index
+    stays cell-partitioned. One file per written partition (the
+    small-file payoff: months of 15 s triggers collapse into one file
+    per cell). Single-writer: run in the maintenance window with
+    appending streams stopped and their checkpoints committed -- a
+    replay of a pre-compaction batch AFTER compaction would dynamic-
+    overwrite a (cell, batch) partition that no longer exists and
+    re-add its rows (the same contract as compact_ingest_sink).
+
+    The sidecar is restamped as-is (centroids are untouched by
+    construction; the fit-time occupancy baseline stays the drift
+    reference). Returns {rows_before, rows_after, files_before,
+    files_after}.
+    """
+    meta = read_json_sidecar(spark, path, _IVF_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"cannot compact a foreign IVF index (no {_IVF_META_FILE} "
+            f"at {path})"
+        )
+    idx = spark.read.parquet(path)
+    batched = "_ingest_batch_id" in idx.columns
+
+    def _count_files(p: str) -> int:
+        fs, hp, _ = hadoop_fs(spark, p)
+        it = fs.listFiles(hp, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    rows_before = idx.count()
+    files_before = _count_files(path)
+
+    compacted = idx.dropDuplicates([id_col])
+    if tombstones is not None:
+        if isinstance(tombstones, DataFrame):
+            tomb = tombstones.select(
+                F.col(tombstones.columns[0]).alias(id_col)
+            )
+        else:
+            tomb = spark.createDataFrame(
+                [(t,) for t in tombstones], f"`{id_col}` long"
+            )
+        compacted = compacted.join(F.broadcast(tomb), id_col, "left_anti")
+    part_cols = ["cell"]
+    if batched:
+        compacted = compacted.withColumn("_ingest_batch_id", F.lit(-1))
+        part_cols.append("_ingest_batch_id")
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    (
+        compacted.repartition(*[F.col(c) for c in part_cols])
+        .write.partitionBy(*part_cols)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    write_json_sidecar(spark, tmp, _IVF_META_FILE, meta)
+    rows_after = spark.read.parquet(tmp).count()
+    files_after = _count_files(tmp)
+
+    fs, hpath, jvm = hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        raise IOError(f"compaction swap failed: rename({tmp} -> {path})")
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

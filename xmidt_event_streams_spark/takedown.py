@@ -99,11 +99,14 @@ def takedown_ids(
     index_path: str | None = None,
     table_format: str = "keyed",
     expire_keep_last: int | None = None,
+    ivf_index_path: str | None = None,
 ) -> dict:
     """Tombstone ``ids`` out of the corpus table (keyed or snapshot,
     per ``table_format``) and (when given) compact them out of the
-    MinHash index. Shards are derived artifacts: re-export them from
-    the post-takedown corpus
+    MinHash index and/or the IVF vector index (``ivf_index_path`` --
+    without it the removed documents' EMBEDDINGS keep answering
+    similarity probes; report key ``"ivf_index"``). Shards are
+    derived artifacts: re-export them from the post-takedown corpus
     (operators/traindata.write_training_shards -- placement of
     surviving rows is a pure row hash, so nobody else moves).
 
@@ -121,6 +124,7 @@ def takedown_ids(
             "deletes": 0,
             "touched_buckets": [],
             "index": None,
+            "ivf_index": None,
             "expire": None,
         }
     table = _read_table(spark, corpus_path, table_format)
@@ -140,10 +144,24 @@ def takedown_ids(
         report = compact_minhash_index(
             spark, index_path, tombstones=list(ids)
         )
+    ivf_report = None
+    if ivf_index_path is not None:
+        from xmidt_event_streams_spark.operators.ivf import (
+            compact_ivf_index,
+        )
+
+        ivf_report = compact_ivf_index(
+            spark, ivf_index_path, tombstones=list(ids)
+        )
     expire = _maybe_expire(
         spark, corpus_path, table_format, expire_keep_last
     )
-    return {**stats, "index": report, "expire": expire}
+    return {
+        **stats,
+        "index": report,
+        "ivf_index": ivf_report,
+        "expire": expire,
+    }
 
 
 def takedown_phrases(
