@@ -380,14 +380,13 @@ def ann_bench(spark) -> dict:
         write_ivfpq_index(corpus, ixdir, cents, cbs)
         ivfpq_build_sec = round(time.perf_counter() - t0, 3)
 
-        def _recall(rows, exclude_self=False):
+        def _recall(rows):
             got: dict = {}
             for r in rows:
                 got.setdefault(r["query_id"], set()).add(r["vec_id"])
             return round(
                 sum(
-                    len(exact[q] & (got.get(q, set()) - ({q} if exclude_self else set())))
-                    / len(exact[q])
+                    len(exact[q] & got.get(q, set())) / len(exact[q])
                     for q in exact
                 )
                 / len(exact),
