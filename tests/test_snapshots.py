@@ -298,3 +298,39 @@ def test_conflict_releases_claim_for_retry(spark, table):
     # the writer can still publish the NEXT version normally
     snapshot_merge(spark, path, _df(spark, [(0, "retry v3")]))
     assert snapshot_head(spark, path) == 3
+
+
+def test_point_lookup_reads_only_key_buckets(spark, table):
+    """snapshot_read_keys: verdicts identical to a full-read filter,
+    while the scan lists ONLY the keys' buckets' files (manifest-level
+    file skipping); time-travel variant sees the pre-merge row; a
+    tombstoned key is absent at head; absent buckets yield an empty
+    relation."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_read_keys,
+    )
+
+    path, rows = table
+    snapshot_merge(
+        spark,
+        path,
+        _df(spark, [(7, "ignored")]).withColumn("_deleted", F.lit(True)),
+    )
+
+    got = snapshot_read_keys(spark, path, [3, 7, 11])
+    assert _content(got) == _content(
+        snapshot_read(spark, path).filter(F.col("doc_id").isin([3, 7, 11]))
+    )
+    assert {r.doc_id for r in got.collect()} == {3, 11}  # 7 tombstoned
+    # time travel still surfaces 7 at v1
+    v1 = snapshot_read_keys(spark, path, [7], version=1)
+    assert [r.doc_id for r in v1.collect()] == [7]
+
+    # pruning: the lookup plan reads a strict subset of the
+    # manifest's files -- only the probed buckets'
+    m = _read_manifest(spark, path, 2)
+    total_files = sum(len(fl) for fl in m["buckets"].values())
+    assert 0 < len(got.inputFiles()) < total_files
+
+    # keys that hash to no live bucket: empty, not an error
+    assert snapshot_read_keys(spark, path, [99999999]).count() == 0

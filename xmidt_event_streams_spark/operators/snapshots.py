@@ -311,6 +311,48 @@ def snapshot_read(
     return spark.read.parquet(*files)
 
 
+def snapshot_read_keys(
+    spark: SparkSession,
+    path: str,
+    keys: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup read AS OF ``version`` (default head): rows whose
+    key is in ``keys``, scanning ONLY the keys' buckets' files — the
+    manifest is the file-skipping index (the Iceberg shape). Bucket
+    assignment is the same md5 prefix the writer used, computed
+    driver-side, so a k-key lookup against a 100 TB table reads
+    ~k/n_buckets of it no matter how many files the manifest lists;
+    the key equality additionally pushes into the parquet scan.
+    Rows for absent keys are simply absent (tombstoned-at-this-
+    version included)."""
+    import hashlib
+
+    m = _read_manifest(
+        spark,
+        path,
+        version if version is not None else snapshot_head(spark, path),
+    )
+    key_col, bucket_hex = m["key_col"], m["bucket_hex"]
+    # driver twin of _bucket_expr: md5 of the key's string form
+    # (Spark's int->string cast == str(int); string keys unchanged)
+    want = {
+        hashlib.md5(str(k).encode()).hexdigest()[:bucket_hex]
+        for k in keys
+    }
+    files = [
+        f
+        for b, fl in m["buckets"].items()
+        if b in want
+        for f in fl
+    ]
+    if not files:
+        return snapshot_read(spark, path, m["version"]).limit(0).filter(
+            F.lit(False)
+        )
+    return spark.read.parquet(*files).filter(F.col(key_col).isin(keys))
+
+
 def snapshot_merge(
     spark: SparkSession, path: str, updates: DataFrame
 ) -> dict:
