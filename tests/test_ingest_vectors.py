@@ -376,3 +376,26 @@ def test_ivf_compaction_as_maintenance_target(spark, tmp_path):
     )
     assert report[index]["kind"] == "ivf_index"
     assert report[index]["rows_after"] == 5
+
+
+def test_compact_keeps_newest_batch_deterministically(spark, tmp_path):
+    """A backfill that re-appends a CORRECTED embedding under a later
+    batch id must win compaction deterministically (dropDuplicates
+    kept an arbitrary row)."""
+    from xmidt_event_streams_spark.operators.ivf import compact_ivf_index
+
+    index = str(tmp_path / "idx")
+    cents = deterministic_planes(4, DIM, seed="vec-ingest")
+    write_ivf_index(spark.createDataFrame([], SCHEMA), index, cents)
+    append_to_ivf_index(
+        spark.createDataFrame([(1, _vec(1))], SCHEMA), index, batch_id=0
+    )
+    corrected = _vec(2)
+    append_to_ivf_index(
+        spark.createDataFrame([(1, corrected)], SCHEMA), index, batch_id=5
+    )
+    for _ in range(3):  # stable across repeated compaction reads
+        compact_ivf_index(spark, index)
+        rows = spark.read.parquet(index).collect()
+        assert len(rows) == 1
+        assert list(rows[0]["embedding"]) == corrected

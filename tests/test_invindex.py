@@ -276,3 +276,19 @@ def test_inverted_index_maintenance_target(spark, tmp_path):
     assert _hits(read_inverted_index(spark, path), "table value") == [
         (7, 1, (1,))
     ]
+
+
+def test_append_to_uninitialized_index_refused(spark, tmp_path):
+    """An append without a stamped sidecar would create an UNGUARDED
+    index whose probes silently mis-prune on bucket-count mismatch --
+    refused loudly instead."""
+    import pytest
+
+    from xmidt_event_streams_spark.operators.invindex import (
+        append_to_inverted_index,
+    )
+
+    with pytest.raises(ValueError, match="initialize"):
+        append_to_inverted_index(
+            _mini_docs(spark, [(1, "some text")]), str(tmp_path / "nope")
+        )

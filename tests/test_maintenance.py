@@ -207,3 +207,33 @@ def test_guard_allows_quiesced_and_unstarted(spark, tmp_path):
         checkpoints={sink: quiesced, str(tmp_path / "other"): never_started},
     )
     assert "error" not in report[sink]
+
+
+def test_same_path_as_two_targets_keeps_both_reports(spark, tmp_path):
+    """An IVF index both drift-checked and compacted in one window
+    must surface BOTH entries (the compaction previously overwrote
+    the drift verdict in the path-keyed report)."""
+    from xmidt_event_streams_spark.maintenance import run_maintenance
+    from xmidt_event_streams_spark.operators.ivf import (
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+    from xmidt_event_streams_spark.operators.similarity import (
+        deterministic_planes,
+    )
+
+    dim = 8
+    idx = str(tmp_path / "both")
+    cents = deterministic_planes(4, dim, seed="vec-ingest")
+    base = spark.createDataFrame(
+        [(i, [((i * (d + 3)) % 17) / 17.0 + 0.05 for d in range(dim)])
+         for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    write_ivf_index(base, idx, cents)
+    report = run_maintenance(
+        spark, ivf_indexes=(idx,), ivf_compactions=(idx,)
+    )
+    kinds = {v["kind"] for v in report.values()}
+    assert {"ivf_drift", "ivf_index"} <= kinds
+    assert len([k for k in report if k.startswith(idx)]) == 2

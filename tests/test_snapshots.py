@@ -334,3 +334,50 @@ def test_point_lookup_reads_only_key_buckets(spark, table):
 
     # keys that hash to no live bucket: empty, not an error
     assert snapshot_read_keys(spark, path, [99999999]).count() == 0
+
+
+def test_stale_claim_is_broken_after_grace(spark, table, monkeypatch):
+    """A writer that crashed between claiming and renaming must not
+    wedge the version forever: past CLAIM_GRACE_SEC with no published
+    manifest, the next writer breaks the stale claim and commits."""
+    import os
+
+    from xmidt_event_streams_spark.operators import snapshots as S
+
+    path, _ = table
+    claim = S._claim_path(path, 2)
+    with open(claim, "wb"):
+        pass  # crashed claimant's leftover
+    old = os.path.getmtime(claim) - 10_000
+    os.utime(claim, (old, old))  # age it past any grace
+    # fresh claim (inside grace) still blocks
+    with pytest.raises(SnapshotConflict):
+        monkeypatch.setattr(S, "CLAIM_GRACE_SEC", 1_000_000)
+        snapshot_merge(spark, path, _df(spark, [(1, "blocked")]))
+    # past grace: broken and committed
+    monkeypatch.setattr(S, "CLAIM_GRACE_SEC", 60)
+    stats = snapshot_merge(spark, path, _df(spark, [(1, "recovered")]))
+    assert stats["version"] == 2
+    assert snapshot_head(spark, path) == 2
+
+
+def test_point_lookup_on_fully_tombstoned_table(spark, tmp_path):
+    """A takedown-verification probe against a fully-tombstoned head
+    returns ZERO rows (its success case), not an error; schema comes
+    from an older manifest's files."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_read_keys,
+    )
+
+    path = str(tmp_path / "tombed")
+    snapshot_create(_df(spark, [(1, "a"), (2, "b")]), path, "doc_id")
+    snapshot_merge(
+        spark,
+        path,
+        _df(spark, [(1, "x"), (2, "x")]).withColumn(
+            "_deleted", F.lit(True)
+        ),
+    )
+    got = snapshot_read_keys(spark, path, [1, 2, 3])
+    assert got.count() == 0
+    assert set(got.columns) == {"doc_id", "text"}

@@ -1815,9 +1815,14 @@ def q_snapshot_timetravel(spark, sf_dir):
     snapshot_merge + both snapshot_read arms at once. Plan: the
     manifest pins exact file lists (no partition discovery); the diff
     is one full-outer shuffle join on the key, same as corpus_diff.
-    Table lives in a per-call temp dir (immutable files, tiny)."""
+    The table lives at a DETERMINISTIC per-(session, sf) temp path,
+    rebuilt per call — repeated invocations (bench warm passes,
+    parity sweeps) reuse one directory instead of leaking a fresh
+    snapshot table into /tmp each time."""
+    import hashlib
     import tempfile
 
+    from xmidt_event_streams_spark.fsutil import delete_path
     from xmidt_event_streams_spark.operators.snapshots import (
         snapshot_create,
         snapshot_merge,
@@ -1826,7 +1831,11 @@ def q_snapshot_timetravel(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base = docs.filter(F.col("doc_id") <= 200)
-    path = tempfile.mkdtemp(prefix="xes-snaptt-") + "/table"
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/xes-snaptt-{tag}/table"
+    delete_path(spark, path)
     snapshot_create(base, path, "doc_id")
     tomb = base.filter(F.col("doc_id") % 7 == 0).withColumn(
         "_deleted", F.lit(True)

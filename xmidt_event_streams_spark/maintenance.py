@@ -182,11 +182,15 @@ def run_maintenance(
     report: dict = {}
 
     def _run(path, kind, fn):
+        # one path can legitimately be several targets (e.g. an IVF
+        # index both drift-checked and compacted): suffix the report
+        # key instead of silently overwriting the earlier entry
+        key = path if path not in report else f"{path}#{kind}"
         try:
             out = fn() or {}
-            report[path] = {"kind": kind, **out}
+            report[key] = {"kind": kind, **out}
         except Exception as exc:  # independent targets: record, go on
-            report[path] = {"kind": kind, "error": f"{type(exc).__name__}: {exc}"}
+            report[key] = {"kind": kind, "error": f"{type(exc).__name__}: {exc}"}
 
     for path in ingest_sinks:
         _run(

@@ -182,10 +182,19 @@ def append_to_inverted_index(
     streaming replay — adds byte-identical rows that probes absorb
     (set-collect) and compaction reclaims; appending CHANGED text for
     a live id is a contract violation (tombstone-compact first)."""
-    check_sidecar_params(
+    meta = check_sidecar_params(
         df.sparkSession, path, _META, {"n_buckets": n_buckets},
         "inverted index",
     )
+    if meta is None:
+        # a sidecar-less append would create an UNGUARDED index whose
+        # probes can silently mis-prune under a bucket-count mismatch
+        # (exactly the failure mode the sidecar family exists for)
+        raise ValueError(
+            f"no inverted index at {path}: initialize with "
+            "init_inverted_index or write_inverted_index before "
+            "appending"
+        )
     ix = build_inverted_index(df, id_col, text_col, n_buckets)
     (
         ix.repartition(F.col("bkt"))
@@ -221,7 +230,14 @@ def compact_inverted_index(
         raise ValueError(
             f"cannot compact a foreign index (no {_META} at {path})"
         )
-    idx = spark.read.schema(_index_schema(meta)).parquet(path)
+    # legacy sidecars (pre-incremental) lack id_type: fall back to
+    # inference rather than breaking non-bigint-keyed indexes with
+    # the bigint default (read_inverted_index has the same guard)
+    idx = (
+        spark.read.schema(_index_schema(meta)).parquet(path)
+        if "id_type" in meta
+        else spark.read.parquet(path)
+    )
 
     def _count_files(p: str) -> int:
         fs, hp, _ = hadoop_fs(spark, p)
@@ -259,7 +275,11 @@ def compact_inverted_index(
         .parquet(tmp)
     )
     write_json_sidecar(spark, tmp, _META, meta)
-    rows_after = spark.read.schema(_index_schema(meta)).parquet(tmp).count()
+    rows_after = (
+        spark.read.schema(_index_schema(meta)).parquet(tmp)
+        if "id_type" in meta
+        else spark.read.parquet(tmp)
+    ).count()
     files_after = _count_files(tmp)
 
     fs, hpath, jvm = hadoop_fs(spark, path)

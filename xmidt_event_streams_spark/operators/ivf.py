@@ -617,7 +617,24 @@ def compact_ivf_index(
     rows_before = idx.count()
     files_before = _count_files(path)
 
-    compacted = idx.dropDuplicates([id_col])
+    # deterministic duplicate resolution (dropDuplicates keeps an
+    # ARBITRARY row, so a re-appended corrected embedding would
+    # survive nondeterministically): the newest batch wins on the
+    # streaming layout — a backfill's corrected vector beats the
+    # original — with a content-hash tiebreak; the plain layout has
+    # no order column, so the hash alone gives a stable (if
+    # arbitrary) winner. Mirrors compact_window_index's
+    # deterministic-keep rule.
+    vec_col = meta["vec_col"]
+    order = (
+        [F.col("_ingest_batch_id").desc()] if batched else []
+    ) + [F.hash(F.col(vec_col)).asc()]
+    w = Window.partitionBy(id_col).orderBy(*order)
+    compacted = (
+        idx.withColumn("_xes_rn", F.row_number().over(w))
+        .filter(F.col("_xes_rn") == 1)
+        .drop("_xes_rn")
+    )
     if tombstones is not None:
         if isinstance(tombstones, DataFrame):
             tomb = tombstones.select(

@@ -97,14 +97,18 @@ def residual_expr(
     def _res(v, c):
         if len(v) == 0:
             return pd.Series([], dtype="object")
+        # _stack_masked returns the VALID rows' matrix plus the full-
+        # length mask; rows whose cell is null are dropped by slicing
+        # that matrix (no second stack — this kernel is the index
+        # build's hot path)
         mat, valid = _stack_masked(v, dim=dim)
         cells = pd.to_numeric(c, errors="coerce").to_numpy(dtype="float64")
-        valid = valid & ~np.isnan(cells)
+        vidx = np.nonzero(valid)[0]
+        cell_ok = ~np.isnan(cells[vidx])
+        idx = vidx[cell_ok]
         out = pd.Series([None] * len(v), dtype="object")
-        idx = np.nonzero(valid)[0]
         if len(idx):
-            mats, _ = _stack_masked(v.iloc[idx], dim=dim)
-            res = mats - cm[cells[idx].astype(np.int64)]
+            res = mat[cell_ok] - cm[cells[idx].astype(np.int64)]
             out.iloc[idx] = list(res)
         return out
 

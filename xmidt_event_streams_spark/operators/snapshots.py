@@ -124,6 +124,14 @@ def _claim_path(path: str, version: int) -> str:
     return f"{path.rstrip('/')}/{_COMMITS}/.claim_v{version:08d}"
 
 
+# a claim is held only for the tmp->dst rename window (the manifest
+# is fully written BEFORE claiming), i.e. milliseconds on any healthy
+# writer. A claim older than this with no published manifest is a
+# crashed claimant; the next writer breaks it rather than wedging the
+# version forever (the liveness hole a pure claim protocol has).
+CLAIM_GRACE_SEC = 600
+
+
 def _claim_version(spark: SparkSession, path: str, version: int) -> bool:
     """Atomically claim the right to publish ``version``. Returns
     True for the single winner, False for every loser. On ``file:``
@@ -132,27 +140,56 @@ def _claim_version(spark: SparkSession, path: str, version: int) -> bool:
     then open, a TOCTOU window, and its ``rename`` silently
     overwrites). On other schemes ``fs.create(overwrite=False)``,
     which is namenode-atomic on HDFS; object stores without a
-    conditional-put semantic are not safe arbiters."""
+    conditional-put semantic are not safe arbiters.
+
+    STALE-CLAIM RECOVERY: a writer that crashed between claiming and
+    renaming would otherwise wedge the version permanently (head
+    never advances, every retry loses the claim). If the claim file
+    is older than :data:`CLAIM_GRACE_SEC` and the version's manifest
+    was never published, the claimant is presumed dead: the claim is
+    broken and re-taken. The grace is ~10^5 x the healthy hold window,
+    so a live-but-slow winner losing its claim requires a multi-minute
+    stall between two adjacent filesystem calls."""
     claim = _claim_path(path, version)
     fs, _, jvm = hadoop_fs(spark, path)
-    uri = fs.getUri().getScheme()
-    if uri in (None, "file"):
-        import os as _os
+    cpath = jvm.org.apache.hadoop.fs.Path(claim)
 
-        local = claim[7:] if claim.startswith("file://") else claim
-        local = local[5:] if local.startswith("file:") else local
+    def _try_claim() -> bool:
+        uri = fs.getUri().getScheme()
+        if uri in (None, "file"):
+            import os as _os
+
+            local = claim[7:] if claim.startswith("file://") else claim
+            local = local[5:] if local.startswith("file:") else local
+            try:
+                fd = _os.open(
+                    local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+                )
+                _os.close(fd)
+                return True
+            except FileExistsError:
+                return False
         try:
-            fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
-            _os.close(fd)
+            out = fs.create(cpath, False)
+            out.close()
             return True
-        except FileExistsError:
+        except Exception:
             return False
-    try:
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(claim), False)
-        out.close()
+
+    if _try_claim():
         return True
-    except Exception:
-        return False
+    # lost: stale-claim recovery (crashed claimant)
+    try:
+        age_ms = int(time.time() * 1000) - fs.getFileStatus(
+            cpath
+        ).getModificationTime()
+    except Exception:  # claim vanished between the attempts: re-race
+        return _try_claim()
+    dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
+    if age_ms > CLAIM_GRACE_SEC * 1000 and not fs.exists(dst):
+        fs.delete(cpath, False)
+        return _try_claim()
+    return False
 
 
 def _commit_manifest(
@@ -347,8 +384,26 @@ def snapshot_read_keys(
         for f in fl
     ]
     if not files:
-        return snapshot_read(spark, path, m["version"]).limit(0).filter(
-            F.lit(False)
+        # zero rows, not an error — even when THIS version is fully
+        # tombstoned (a takedown-verification probe's success case):
+        # derive the schema from any file of this or an older
+        # manifest; only a table whose entire history holds no data
+        # files is unreadable.
+        for v in (m["version"], *reversed(_list_versions(spark, path))):
+            any_files = [
+                f
+                for fl in _read_manifest(spark, path, v)["buckets"].values()
+                for f in fl
+            ]
+            if any_files:
+                return (
+                    spark.read.parquet(any_files[0])
+                    .limit(0)
+                    .filter(F.lit(False))
+                )
+        raise ValueError(
+            f"snapshot table at {path} holds no data files in any "
+            "retained version (nothing to derive a schema from)"
         )
     return spark.read.parquet(*files).filter(F.col(key_col).isin(keys))
 
