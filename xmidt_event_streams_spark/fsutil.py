@@ -148,3 +148,35 @@ def delete_path(spark: SparkSession, path_str: str) -> bool:
     if not fs.exists(hpath):
         return False
     return fs.delete(hpath, True)
+
+
+def count_data_files(
+    spark: SparkSession, path_str: str, suffix: str = ".parquet"
+) -> int:
+    """Recursive ``suffix`` data-file count under ``path_str`` (0 for
+    an absent path) — the before/after metric every index compactor
+    reports."""
+    fs, hpath, _ = hadoop_fs(spark, path_str)
+    if not fs.exists(hpath):
+        return 0
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n
+
+
+def swap_into_place(spark: SparkSession, tmp: str, dst: str) -> None:
+    """The compactor swap: delete ``dst``, rename ``tmp`` into its
+    place, refresh Spark's file-listing cache for the path (a raw FS
+    swap bypasses it — cached plans over the old file list would fail
+    with FAILED_READ_FILE otherwise). Atomic on HDFS/local rename; on
+    object stores rename is copy+delete, so schedule compactions in a
+    maintenance window there. Raises IOError when the rename fails —
+    tmp is left in place so the data is recoverable by hand."""
+    fs, hdst, jvm = hadoop_fs(spark, dst)
+    fs.delete(hdst, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hdst):
+        raise IOError(f"compaction swap failed: rename({tmp} -> {dst})")
+    spark.catalog.refreshByPath(dst)

@@ -41,8 +41,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from xmidt_event_streams_spark.fsutil import (
+    count_data_files,
     hadoop_fs,
     read_json_sidecar,
+    swap_into_place,
     write_json_sidecar,
 )
 from xmidt_event_streams_spark.operators.dedup import (
@@ -399,20 +401,8 @@ def compact_minhash_index(
     id_col = meta["id_col"]
     idx = _read_index(spark, path, meta)
 
-    def _count_files(p: str) -> int:
-        fs, hp, _ = _fs_and_path(spark, p)
-        n = 0
-        for status in fs.listStatus(hp):
-            if status.isDirectory():
-                n += sum(
-                    1
-                    for s in fs.listStatus(status.getPath())
-                    if s.getPath().getName().endswith(".parquet")
-                )
-        return n
-
     rows_before = idx.count()
-    files_before = _count_files(path)
+    files_before = count_data_files(spark, path)
 
     compacted = idx.dropDuplicates(["bucket", id_col])
     if tombstones is not None:
@@ -436,12 +426,9 @@ def compact_minhash_index(
     )
     _write_meta(spark, tmp, meta)
     rows_after = spark.read.schema(_index_schema(meta)).parquet(tmp).count()
-    files_after = _count_files(tmp)
+    files_after = count_data_files(spark, tmp)
 
-    fs, hpath, jvm = _fs_and_path(spark, path)
-    fs.delete(hpath, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-        raise IOError(f"compaction swap failed: rename({tmp} -> {path})")
+    swap_into_place(spark, tmp, path)
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,

@@ -65,7 +65,9 @@ from pyspark.sql import functions as F
 
 from xmidt_event_streams_spark.fsutil import (
     check_sidecar_params,
+    count_data_files,
     hadoop_fs,
+    swap_into_place,
     write_json_sidecar,
 )
 from xmidt_event_streams_spark.functions.text import (
@@ -239,20 +241,8 @@ def compact_inverted_index(
         else spark.read.parquet(path)
     )
 
-    def _count_files(p: str) -> int:
-        fs, hp, _ = hadoop_fs(spark, p)
-        n = 0
-        for status in fs.listStatus(hp):
-            if status.isDirectory():
-                n += sum(
-                    1
-                    for s in fs.listStatus(status.getPath())
-                    if s.getPath().getName().endswith(".parquet")
-                )
-        return n
-
     rows_before = idx.count()
-    files_before = _count_files(path)
+    files_before = count_data_files(spark, path)
 
     compacted = idx.dropDuplicates(["term", "doc_id"])
     if tombstones is not None:
@@ -280,12 +270,9 @@ def compact_inverted_index(
         if "id_type" in meta
         else spark.read.parquet(tmp)
     ).count()
-    files_after = _count_files(tmp)
+    files_after = count_data_files(spark, tmp)
 
-    fs, hpath, jvm = hadoop_fs(spark, path)
-    fs.delete(hpath, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-        raise IOError(f"compaction swap failed: rename({tmp} -> {path})")
+    swap_into_place(spark, tmp, path)
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,

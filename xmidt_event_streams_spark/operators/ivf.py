@@ -30,8 +30,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xmidt_event_streams_spark.fsutil import (
+    count_data_files,
     hadoop_fs,
     read_json_sidecar,
+    swap_into_place,
     write_json_sidecar,
 )
 from xmidt_event_streams_spark.functions.vectors import cosine_pairs, nearest_cells
@@ -605,17 +607,8 @@ def compact_ivf_index(
     idx = spark.read.parquet(path)
     batched = "_ingest_batch_id" in idx.columns
 
-    def _count_files(p: str) -> int:
-        fs, hp, _ = hadoop_fs(spark, p)
-        it = fs.listFiles(hp, True)
-        n = 0
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(".parquet"):
-                n += 1
-        return n
-
     rows_before = idx.count()
-    files_before = _count_files(path)
+    files_before = count_data_files(spark, path)
 
     # deterministic duplicate resolution (dropDuplicates keeps an
     # ARBITRARY row, so a re-appended corrected embedding would
@@ -659,12 +652,9 @@ def compact_ivf_index(
     )
     write_json_sidecar(spark, tmp, _IVF_META_FILE, meta)
     rows_after = spark.read.parquet(tmp).count()
-    files_after = _count_files(tmp)
+    files_after = count_data_files(spark, tmp)
 
-    fs, hpath, jvm = hadoop_fs(spark, path)
-    fs.delete(hpath, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-        raise IOError(f"compaction swap failed: rename({tmp} -> {path})")
+    swap_into_place(spark, tmp, path)
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,

@@ -301,9 +301,7 @@ def compact_window_index(spark: SparkSession, path: str) -> dict:
         .parquet(tmp)
     )
     write_json_sidecar(spark, tmp, _META, meta)
-    fs, hpath, _ = _fs_and_path(spark, path)
-    _, htmp, _ = _fs_and_path(spark, tmp)
-    fs.delete(hpath, True)
-    fs.rename(htmp, hpath)
-    spark.catalog.refreshByPath(path)
+    from xmidt_event_streams_spark.fsutil import swap_into_place
+
+    swap_into_place(spark, tmp, path)
     return {"rows_before": before, "rows_after": after}

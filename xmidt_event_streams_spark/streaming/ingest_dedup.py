@@ -282,7 +282,10 @@ def compact_ingest_sink(
 
     Returns {"files_before", "files_after", "rows"} for alerting.
     """
-    from xmidt_event_streams_spark.fsutil import hadoop_fs
+    from xmidt_event_streams_spark.fsutil import (
+        count_data_files,
+        swap_into_place,
+    )
 
     # mergeSchema: after a prior compaction, _src_batch_id exists only
     # in compacted files until the next rewrite unifies the schema
@@ -291,19 +294,7 @@ def compact_ingest_sink(
     if max_id is None:
         return {"files_before": 0, "files_after": 0, "rows": 0}
 
-    def _count_files(p: str) -> int:
-        fs, hp, _ = hadoop_fs(spark, p)
-        n = 0
-        for status in fs.listStatus(hp):
-            if status.isDirectory():
-                n += sum(
-                    1
-                    for s in fs.listStatus(status.getPath())
-                    if s.getPath().getName().endswith(".parquet")
-                )
-        return n
-
-    files_before = _count_files(path)
+    files_before = count_data_files(spark, path)
     g = batches_per_partition
     src = (
         F.coalesce(F.col("_src_batch_id"), F.col("_ingest_batch_id"))
@@ -325,11 +316,8 @@ def compact_ingest_sink(
         .parquet(tmp)
     )
     rows = spark.read.parquet(tmp).count()
-    files_after = _count_files(tmp)
-    fs, hpath, jvm = hadoop_fs(spark, path)
-    fs.delete(hpath, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-        raise IOError(f"compaction swap failed: rename({tmp} -> {path})")
+    files_after = count_data_files(spark, tmp)
+    swap_into_place(spark, tmp, path)
     return {
         "files_before": files_before,
         "files_after": files_after,
