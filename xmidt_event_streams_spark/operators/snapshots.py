@@ -408,6 +408,99 @@ def snapshot_read_keys(
     return spark.read.parquet(*files).filter(F.col(key_col).isin(keys))
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed between two snapshots, MANIFEST-BOUNDED: only
+    buckets whose file lists differ between the versions are read, so
+    the cost tracks what the intervening merges touched, not the
+    table size (``corpus_diff`` over two ``snapshot_read``\\ s scans
+    both full tables; this reads the delta). Output: the table's
+    columns plus ``_change`` in ``insert | update | delete`` —
+    after-image rows for insert/update, before-image for delete.
+    Rows rewritten byte-identically by a bucket compaction are NOT
+    emitted (a merge rewrites whole buckets; identical rows are
+    movement, not change).
+
+    The versions must belong to this table's retained history
+    (expired manifests raise, as in :func:`snapshot_read`).
+    """
+    to_version = (
+        to_version if to_version is not None else snapshot_head(spark, path)
+    )
+    if from_version >= to_version:
+        raise ValueError(
+            f"from_version must precede to_version "
+            f"({from_version} >= {to_version})"
+        )
+    m_from = _read_manifest(spark, path, from_version)
+    m_to = _read_manifest(spark, path, to_version)
+    key_col = m_to["key_col"]
+    buckets = set(m_from["buckets"]) | set(m_to["buckets"])
+    changed = [
+        b
+        for b in buckets
+        if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+    ]
+    old_files = [f for b in changed for f in m_from["buckets"].get(b, [])]
+    new_files = [f for b in changed for f in m_to["buckets"].get(b, [])]
+
+    def _side(files, alias):
+        if not files:
+            return None
+        df = spark.read.parquet(*files)
+        cols = [c for c in df.columns if c != key_col]
+        return df.select(
+            F.col(key_col),
+            F.struct(*[F.col(c) for c in cols]).alias(alias),
+        ), cols
+
+    old = _side(old_files, "_xes_before")
+    new = _side(new_files, "_xes_after")
+    if old is None and new is None:
+        raise ValueError(
+            f"no changed buckets between v{from_version} and "
+            f"v{to_version} hold data files"
+        )
+    if old is None:
+        df, cols = new
+        return df.select(
+            key_col,
+            *[F.col(f"_xes_after.{c}").alias(c) for c in cols],
+            F.lit("insert").alias("_change"),
+        )
+    if new is None:
+        df, cols = old
+        return df.select(
+            key_col,
+            *[F.col(f"_xes_before.{c}").alias(c) for c in cols],
+            F.lit("delete").alias("_change"),
+        )
+    (odf, cols), (ndf, _) = old, new
+    j = odf.join(ndf, key_col, "full_outer")
+    change = (
+        F.when(F.col("_xes_before").isNull(), "insert")
+        .when(F.col("_xes_after").isNull(), "delete")
+        .when(
+            ~F.col("_xes_before").eqNullSafe(F.col("_xes_after")), "update"
+        )
+        .otherwise(F.lit(None))  # byte-identical rewrite: not a change
+    )
+    image = F.coalesce(F.col("_xes_after"), F.col("_xes_before"))
+    return (
+        j.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(
+            key_col,
+            *[image.getField(c).alias(c) for c in cols],
+            "_change",
+        )
+    )
+
+
 def snapshot_merge(
     spark: SparkSession, path: str, updates: DataFrame
 ) -> dict:
