@@ -199,3 +199,27 @@ def test_auto_cell_count_scales_sqrt(spark):
     # clamped to the 144 fit rows -> 100
     cents2, _ = ivfpq_fit(emb, m=2, k=4, n_iters=1, corpus_rows=10_000)
     assert len(cents2) == 100
+
+
+def test_probe_distributed_merge_guard(spark, ix, monkeypatch):
+    """Above _DRIVER_MERGE_MAX_ROWS partial rows (pre-compaction
+    layouts x big query batches) the probe inserts one distributed
+    per-query reduce before the driver collect. Forcing the guard on
+    must yield EXACTLY the direct-collect verdicts (the fold kernel
+    is shared and deterministic: ties to the lower id)."""
+    from xmidt_event_streams_spark.operators import ivfpq as IP
+
+    direct = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in probe_ivfpq_index(
+            spark, ix["path"], ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+        ).collect()
+    )
+    monkeypatch.setattr(IP, "_DRIVER_MERGE_MAX_ROWS", 1)
+    guarded = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in probe_ivfpq_index(
+            spark, ix["path"], ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+        ).collect()
+    )
+    assert guarded == direct

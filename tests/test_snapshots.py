@@ -451,3 +451,124 @@ def test_snapshot_changes_cdc_is_manifest_bounded(spark, table):
 
     with pytest.raises(ValueError, match="precede"):
         snapshot_changes(spark, path, 2, 2)
+
+
+def test_schema_evolution_add_column(spark, table):
+    """Add-column evolution: the merge's new column is stamped into
+    the manifest schema; pre-evolution files read null for it; time
+    travel to v1 pins the NARROWER v1 schema; CDC images carry the
+    evolved column set."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_changes,
+    )
+
+    path, _ = table
+    ups = spark.createDataFrame(
+        [(1, "doc 1 v2", "en"), (100, "new doc", "fr")],
+        "doc_id int, text string, lang string",
+    )
+    snapshot_merge(spark, path, ups)
+    head = snapshot_read(spark, path)
+    assert head.columns == ["doc_id", "text", "lang"]
+    langs = {r.doc_id: r.lang for r in head.collect()}
+    assert langs[1] == "en" and langs[100] == "fr"
+    # rows kept from pre-evolution files: null, not an error
+    assert langs[2] is None and head.count() == 41
+    # time travel: v1 still presents its own (narrower) schema
+    assert snapshot_read(spark, path, version=1).columns == [
+        "doc_id",
+        "text",
+    ]
+    # CDC images carry the evolved schema
+    ch = snapshot_changes(spark, path, 1, 2)
+    assert ch.columns == ["doc_id", "text", "lang", "_change"]
+    got = {r.doc_id: (r.lang, r._change) for r in ch.collect()}
+    assert got[1] == ("en", "update") and got[100] == ("fr", "insert")
+    # a further merge WITHOUT the new column is refused (a merge row
+    # replaces the whole row; silently nulling lang would be data
+    # loss) -- callers must carry every table column
+    with pytest.raises(ValueError, match="missing table columns"):
+        snapshot_merge(spark, path, _df(spark, [(5, "v3")]))
+
+
+def test_schema_evolution_refuses_type_change(spark, table):
+    path, _ = table
+    bad = spark.createDataFrame([(1, 5)], "doc_id int, text int")
+    with pytest.raises(ValueError, match="ADDING columns only"):
+        snapshot_merge(spark, path, bad)
+    # table unharmed
+    assert snapshot_head(spark, path) == 1
+
+
+def test_empty_change_feed_is_empty_dataframe(spark, tmp_path):
+    """A span with NO changed data files is an EMPTY change feed with
+    the table schema + _change -- not an exception (CDC consumers
+    poll this in a loop)."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "emptycdc")
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    snapshot_create(empty, path, "doc_id")
+    # v2: tombstone a key that never existed -> no data files anywhere
+    tomb = _df(spark, [(1, "x")]).withColumn("_deleted", F.lit(True))
+    snapshot_merge(spark, path, tomb)
+    ch = snapshot_changes(spark, path, 1, 2)
+    assert ch.count() == 0
+    assert ch.columns == ["doc_id", "text", "_change"]
+
+
+def test_point_lookup_non_string_cast_keys(spark, tmp_path):
+    """Keys whose Python str() differs from Spark's cast-to-string
+    (doubles: str(1e-7)='1e-07' vs Spark '1.0E-7') must still hit the
+    right bucket -- the driver computes the bucket with Spark's own
+    cast semantics instead of silently returning zero rows."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_read_keys,
+    )
+
+    path = str(tmp_path / "dkeys")
+    df = spark.createDataFrame(
+        [(0.5, "a"), (1e-7, "b"), (2.25, "c"), (123.0, "d")],
+        "k double, text string",
+    )
+    snapshot_create(df, path, "k")
+    got = snapshot_read_keys(spark, path, [1e-7, 2.25])
+    assert sorted(r.text for r in got.collect()) == ["b", "c"]
+    # parity with the full-read filter
+    assert _norm_rows(got) == _norm_rows(
+        snapshot_read(spark, path).filter(F.col("k").isin([1e-7, 2.25]))
+    )
+
+
+def _norm_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_commit_aborts_on_stolen_claim(spark, table, monkeypatch):
+    """Token re-verify before the manifest rename: a writer whose
+    claim was broken and re-taken by a stale-claim breaker (token
+    mismatch) aborts WITHOUT publishing and WITHOUT deleting the
+    rival's live claim -- the two-winner race the token closes."""
+    from xmidt_event_streams_spark.operators import snapshots as S
+
+    path, _ = table
+    head = _read_manifest(spark, path, 1)
+    head["version"], head["parent"] = 2, 1
+    real = S._claim_version
+
+    def steal(spark_, p, v, token):
+        ok = real(spark_, p, v, token)
+        with open(S._claim_path(p, v), "w") as f:
+            f.write("rival-token")  # breaker re-took our claim
+        return ok
+
+    monkeypatch.setattr(S, "_claim_version", steal)
+    with pytest.raises(SnapshotConflict, match="broken"):
+        S._commit_manifest(spark, path, 2, head)
+    # the rival's claim survives (it is not ours to delete)...
+    with open(S._claim_path(path, 2)) as f:
+        assert f.read() == "rival-token"
+    # ...and nothing was published
+    assert snapshot_head(spark, path) == 1

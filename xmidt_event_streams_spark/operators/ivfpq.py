@@ -200,6 +200,26 @@ def write_ivfpq_index(
     )
 
 
+# above this many (partitions x queries x n_short) partial rows the
+# probe inserts one distributed per-query reduce before the driver
+# merge -- 2M rows of (long, long, double) is ~50 MB collected, the
+# same order as a broadcast threshold (the regime boundary it marks)
+_DRIVER_MERGE_MAX_ROWS = 2_000_000
+
+
+def _fold_into(best: dict, qid: int, cur_ids, d, n_short: int) -> None:
+    """Fold (ids, dists) into ``best[qid]`` keeping the n_short
+    nearest (ties to the lower id) -- the shared partial-top-k kernel
+    for the scan pass and the optional distributed merge pass."""
+    if qid in best:
+        d = np.concatenate([best[qid][1], d])
+        cur_ids = np.concatenate([best[qid][0], cur_ids])
+    if len(d) > n_short:
+        keep = np.lexsort((cur_ids, d))[:n_short]
+        d, cur_ids = d[keep], cur_ids[keep]
+    best[qid] = (cur_ids, d)
+
+
 def probe_ivfpq_index(
     spark,
     path: str,
@@ -298,13 +318,7 @@ def probe_ivfpq_index(
         best: dict = {}
 
         def _fold(qid, cur_ids, d):
-            if qid in best:
-                d = np.concatenate([best[qid][1], d])
-                cur_ids = np.concatenate([best[qid][0], cur_ids])
-            if len(d) > n_short:
-                keep = np.lexsort((cur_ids, d))[:n_short]
-                d, cur_ids = d[keep], cur_ids[keep]
-            best[qid] = (cur_ids, d)
+            _fold_into(best, qid, cur_ids, d, n_short)
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -337,9 +351,9 @@ def probe_ivfpq_index(
     # the root listing is itself a 1-task-per-directory Spark job
     # (~3 s at 1.4k cells) that dwarfs the pruned scan (see
     # ivf.read_probed_cells)
+    base = read_probed_cells(spark, path, probed)
     scored = (
-        read_probed_cells(spark, path, probed)
-        .filter(F.col("cell").isin(probed))
+        base.filter(F.col("cell").isin(probed))
         .filter(F.col("codes").isNotNull())
         .mapInPandas(_score, out_schema)
     )
@@ -349,6 +363,40 @@ def probe_ivfpq_index(
     # rows -- driver-sized by construction (queries are a driver list
     # by contract). The window path added a full shuffle + sort stage
     # whose fixed cost dominated the pruned scan at bench scale.
+    # GUARD: on a pre-compaction layout (thousands of small files per
+    # probed cell) with a large query batch, partitions x queries x
+    # n_short can exceed driver memory -- in that regime one
+    # distributed hash-partition-by-query reduce folds the partials
+    # to EXACTLY queries x n_short rows before the collect (the
+    # shuffle moves only partials, not the corpus).
+    n_scan_parts = base.rdd.getNumPartitions()
+    if n_scan_parts * len(queries) * n_short > _DRIVER_MERGE_MAX_ROWS:
+
+        def _merge_partials(batches):
+            import pandas as pd
+
+            best: dict = {}
+            for pdf in batches:
+                for qid, g in pdf.groupby("query_id"):
+                    _fold_into(
+                        best,
+                        int(qid),
+                        g[id_col].to_numpy(),
+                        g["adc_dist"].to_numpy(),
+                        n_short,
+                    )
+            for qid, (ids_, d_) in best.items():
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(ids_), qid, dtype=np.int64),
+                        id_col: ids_,
+                        "adc_dist": d_,
+                    }
+                )
+
+        scored = scored.repartition("query_id").mapInPandas(
+            _merge_partials, out_schema
+        )
     partials = scored.collect()
     merged: dict = {}
     for r in partials:

@@ -124,6 +124,41 @@ def _claim_path(path: str, version: int) -> str:
     return f"{path.rstrip('/')}/{_COMMITS}/.claim_v{version:08d}"
 
 
+def _df_schema_fields(df: DataFrame) -> list[list[str]]:
+    """[[name, ddl_type], ...] for the TABLE columns of ``df`` (the
+    internal bucket and tombstone columns are layout, not schema)."""
+    return [
+        [f.name, f.dataType.simpleString()]
+        for f in df.schema.fields
+        if f.name not in (_BUCKET, DELETED_COL)
+    ]
+
+
+def _schema_ddl(m: dict) -> str | None:
+    """The manifest's pinned schema as a Spark DDL string, or None
+    for pre-schema-evolution manifests (read falls back to whatever
+    the files merge to — the legacy behavior)."""
+    sch = m.get("schema")
+    if not sch:
+        return None
+    return ", ".join(f"`{n}` {t}" for n, t in sch)
+
+
+def _read_with_manifest_schema(
+    spark: SparkSession, m: dict, files: list[str]
+) -> DataFrame:
+    """Scan ``files`` under the manifest's pinned schema: Spark's
+    parquet reader clips by name, so files written before a column
+    was added return null for it — mixed-schema file sets reconcile
+    to ONE deterministic schema per snapshot (time travel to an old
+    version pins that version's narrower schema). Legacy manifests
+    (no schema stamp) read schemaless, as before."""
+    ddl = _schema_ddl(m)
+    if ddl is None:
+        return spark.read.parquet(*files)
+    return spark.read.schema(ddl).parquet(*files)
+
+
 # a claim is held only for the tmp->dst rename window (the manifest
 # is fully written BEFORE claiming), i.e. milliseconds on any healthy
 # writer. A claim older than this with no published manifest is a
@@ -132,24 +167,76 @@ def _claim_path(path: str, version: int) -> str:
 CLAIM_GRACE_SEC = 600
 
 
-def _claim_version(spark: SparkSession, path: str, version: int) -> bool:
-    """Atomically claim the right to publish ``version``. Returns
+def _local_path(p: str) -> str:
+    """Strip a ``file:``/``file://`` prefix down to a POSIX path."""
+    p = p[7:] if p.startswith("file://") else p
+    return p[5:] if p.startswith("file:") else p
+
+
+def _is_already_exists_error(exc: Exception) -> bool:
+    """True when a Py4J/Hadoop exception means 'destination already
+    exists' (the LOST-THE-RACE signal) rather than a transport/
+    permission failure that must propagate. Matched by Java class
+    name so transient IO errors are never misreported as a lost
+    claim (which would misdirect the caller's retry)."""
+    names = []
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            names.append(je.getClass().getName())
+            je = je.getCause()
+        except Exception:
+            break
+    blob = " ".join(names) or str(exc)
+    return (
+        "FileAlreadyExistsException" in blob
+        or "AlreadyBeingCreatedException" in blob
+    )
+
+
+def _read_claim_token(fs, jvm, cpath) -> str | None:
+    """Content of the claim file (the owner's token), or None when
+    the claim is absent/unreadable."""
+    try:
+        ins = fs.open(cpath)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(ins, "UTF-8")
+        finally:
+            ins.close()
+    except Exception:
+        return None
+
+
+def _claim_version(
+    spark: SparkSession, path: str, version: int, token: str
+) -> bool:
+    """Atomically claim the right to publish ``version``, stamping
+    ``token`` (a per-attempt uuid) as the claim's content. Returns
     True for the single winner, False for every loser. On ``file:``
     paths this is ``os.open(O_CREAT|O_EXCL)`` — POSIX-atomic (Hadoop's
     LocalFileSystem ``create(overwrite=False)`` is an exists-check
     then open, a TOCTOU window, and its ``rename`` silently
     overwrites). On other schemes ``fs.create(overwrite=False)``,
     which is namenode-atomic on HDFS; object stores without a
-    conditional-put semantic are not safe arbiters.
+    conditional-put semantic are not safe arbiters. Non-
+    already-exists errors from ``fs.create`` PROPAGATE — a transient
+    IO/permission failure is not 'lost the claim'.
 
     STALE-CLAIM RECOVERY: a writer that crashed between claiming and
     renaming would otherwise wedge the version permanently (head
     never advances, every retry loses the claim). If the claim file
     is older than :data:`CLAIM_GRACE_SEC` and the version's manifest
     was never published, the claimant is presumed dead: the claim is
-    broken and re-taken. The grace is ~10^5 x the healthy hold window,
-    so a live-but-slow winner losing its claim requires a multi-minute
-    stall between two adjacent filesystem calls."""
+    broken and re-taken. Two breakers racing the same stale claim
+    cannot delete each other's freshly re-taken claim: the breaker
+    re-stats the claim immediately before deleting and backs off if
+    the mtime moved since the age check (someone else already broke
+    and re-took it); the publish path additionally re-reads the
+    claim's token right before the manifest rename and aborts on
+    mismatch, so a claim stolen in the residual stat->delete window
+    still cannot yield two winners. The grace is ~10^5 x the healthy
+    hold window, so a live-but-slow winner losing its claim requires
+    a multi-minute stall between two adjacent filesystem calls."""
     claim = _claim_path(path, version)
     fs, _, jvm = hadoop_fs(spark, path)
     cpath = jvm.org.apache.hadoop.fs.Path(claim)
@@ -159,34 +246,51 @@ def _claim_version(spark: SparkSession, path: str, version: int) -> bool:
         if uri in (None, "file"):
             import os as _os
 
-            local = claim[7:] if claim.startswith("file://") else claim
-            local = local[5:] if local.startswith("file:") else local
             try:
                 fd = _os.open(
-                    local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+                    _local_path(claim),
+                    _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
                 )
-                _os.close(fd)
+                try:
+                    _os.write(fd, token.encode("utf-8"))
+                finally:
+                    _os.close(fd)
                 return True
             except FileExistsError:
                 return False
         try:
             out = fs.create(cpath, False)
-            out.close()
+            try:
+                out.write(bytearray(token.encode("utf-8")))
+            finally:
+                out.close()
             return True
-        except Exception:
-            return False
+        except Exception as e:
+            if _is_already_exists_error(e):
+                return False
+            raise
 
     if _try_claim():
         return True
     # lost: stale-claim recovery (crashed claimant)
     try:
-        age_ms = int(time.time() * 1000) - fs.getFileStatus(
-            cpath
-        ).getModificationTime()
+        observed_mtime = fs.getFileStatus(cpath).getModificationTime()
     except Exception:  # claim vanished between the attempts: re-race
         return _try_claim()
+    age_ms = int(time.time() * 1000) - observed_mtime
     dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
     if age_ms > CLAIM_GRACE_SEC * 1000 and not fs.exists(dst):
+        # re-stat right before the break: if the mtime moved, another
+        # breaker already deleted + re-took this claim — backing off
+        # keeps us from deleting ITS live claim (the two-loser race).
+        try:
+            if (
+                fs.getFileStatus(cpath).getModificationTime()
+                != observed_mtime
+            ):
+                return False
+        except Exception:  # broken by someone who then crashed/lost
+            return _try_claim()
         fs.delete(cpath, False)
         return _try_claim()
     return False
@@ -213,11 +317,26 @@ def _commit_manifest(
     finally:
         out.close()
     dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
-    if not _claim_version(spark, path, version):
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex
+    if not _claim_version(spark, path, version, token):
         fs.delete(tmp, False)
         raise SnapshotConflict(
             f"version {version} at {path} was committed by another "
             "writer; re-read the head and retry"
+        )
+    # ownership re-verify immediately before the rename: a stale-claim
+    # breaker that (wrongly) stole our claim during a long stall would
+    # have replaced the token — abort WITHOUT touching the claim (it
+    # is not ours any more) rather than racing its publish.
+    cpath = jvm.org.apache.hadoop.fs.Path(_claim_path(path, version))
+    if _read_claim_token(fs, jvm, cpath) != token:
+        fs.delete(tmp, False)
+        raise SnapshotConflict(
+            f"claim for version {version} at {path} was broken by "
+            "another writer (stalled past the claim grace window); "
+            "re-read the head and retry"
         )
     # fs.exists(dst) after winning the claim is not a race: no other
     # claim-protocol writer can be mid-publish on this version, so an
@@ -225,10 +344,28 @@ def _commit_manifest(
     # writer) — refuse rather than clobber. On either failure we
     # RELEASE the claim (safe: we hold it, so nobody else is
     # mid-publish) — otherwise a transient rename failure would leave
-    # the version permanently unpublishable.
-    if fs.exists(dst) or not fs.rename(tmp, dst):
+    # the version permanently unpublishable. On ``file:`` the publish
+    # itself is ``os.link`` — POSIX-atomic AND no-overwrite (rename(2)
+    # silently clobbers; link(2) fails with EEXIST), so even a claim
+    # stolen in the verify->publish window cannot yield two winners;
+    # HDFS rename already refuses an existing destination.
+    if fs.getUri().getScheme() in (None, "file"):
+        import os as _os
+
+        try:
+            _os.link(
+                _local_path(tmp.toString()),
+                _local_path(_manifest_path(path, version)),
+            )
+            published = True
+            _os.unlink(_local_path(tmp.toString()))
+        except FileExistsError:
+            published = False
+    else:
+        published = not fs.exists(dst) and fs.rename(tmp, dst)
+    if not published:
         fs.delete(tmp, False)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(_claim_path(path, version)), False)
+        fs.delete(cpath, False)
         raise SnapshotConflict(
             f"version {version} at {path} exists or could not be "
             "published; re-read the head and retry"
@@ -299,6 +436,7 @@ def snapshot_create(
             "parent": None,
             "key_col": key_col,
             "bucket_hex": bucket_hex,
+            "schema": _df_schema_fields(df),
             "buckets": buckets,
             "stats": {"upserts": df.count(), "deletes": 0},
         },
@@ -345,7 +483,7 @@ def snapshot_read(
         )
     # leaf-file read: no basePath, so Spark does NOT infer the
     # _kbucket partition column -- the data files never contained it
-    return spark.read.parquet(*files)
+    return _read_with_manifest_schema(spark, m, files)
 
 
 def snapshot_read_keys(
@@ -371,12 +509,38 @@ def snapshot_read_keys(
         version if version is not None else snapshot_head(spark, path),
     )
     key_col, bucket_hex = m["key_col"], m["bucket_hex"]
-    # driver twin of _bucket_expr: md5 of the key's string form
-    # (Spark's int->string cast == str(int); string keys unchanged)
-    want = {
-        hashlib.md5(str(k).encode()).hexdigest()[:bucket_hex]
+    # driver twin of _bucket_expr: md5 of the key's string form.
+    # Python str(k) equals Spark's cast-to-string ONLY for int and
+    # string keys (str(True)='True' vs 'true'; str(1e-7)='1e-07' vs
+    # '1.0E-7'; decimals depend on scale) — for any other key type
+    # the string forms are computed by Spark itself on a tiny local
+    # relation (one sub-ms job), so the bucket choice always matches
+    # the writer's instead of silently returning zero rows.
+    if all(
+        isinstance(k, (int, str)) and not isinstance(k, bool)
         for k in keys
-    }
+    ):
+        want = {
+            hashlib.md5(str(k).encode()).hexdigest()[:bucket_hex]
+            for k in keys
+        }
+    else:
+        key_type = dict(
+            (n, t) for n, t in m.get("schema") or []
+        ).get(key_col)
+        kdf = (
+            spark.createDataFrame(
+                [(k,) for k in keys], f"`{key_col}` {key_type}"
+            )
+            if key_type
+            else spark.createDataFrame([(k,) for k in keys], [key_col])
+        )
+        want = {
+            r[0]
+            for r in kdf.select(
+                _bucket_expr(key_col, bucket_hex)
+            ).collect()
+        }
     files = [
         f
         for b, fl in m["buckets"].items()
@@ -386,9 +550,13 @@ def snapshot_read_keys(
     if not files:
         # zero rows, not an error — even when THIS version is fully
         # tombstoned (a takedown-verification probe's success case):
-        # derive the schema from any file of this or an older
+        # the manifest's pinned schema answers directly; legacy
+        # manifests derive it from any file of this or an older
         # manifest; only a table whose entire history holds no data
         # files is unreadable.
+        ddl = _schema_ddl(m)
+        if ddl is not None:
+            return spark.createDataFrame([], ddl)
         for v in (m["version"], *reversed(_list_versions(spark, path))):
             any_files = [
                 f
@@ -405,7 +573,9 @@ def snapshot_read_keys(
             f"snapshot table at {path} holds no data files in any "
             "retained version (nothing to derive a schema from)"
         )
-    return spark.read.parquet(*files).filter(F.col(key_col).isin(keys))
+    return _read_with_manifest_schema(spark, m, files).filter(
+        F.col(key_col).isin(keys)
+    )
 
 
 def snapshot_changes(
@@ -451,7 +621,10 @@ def snapshot_changes(
     def _side(files, alias):
         if not files:
             return None
-        df = spark.read.parquet(*files)
+        # both sides read under the TO-version's pinned schema, so
+        # change images carry the evolved column set (null for
+        # columns the old files predate)
+        df = _read_with_manifest_schema(spark, m_to, files)
         cols = [c for c in df.columns if c != key_col]
         return df.select(
             F.col(key_col),
@@ -461,10 +634,27 @@ def snapshot_changes(
     old = _side(old_files, "_xes_before")
     new = _side(new_files, "_xes_after")
     if old is None and new is None:
-        raise ValueError(
-            f"no changed buckets between v{from_version} and "
-            f"v{to_version} hold data files"
-        )
+        # a legitimately EMPTY change feed (identical file lists, or
+        # changed buckets holding no data on either side) is an empty
+        # DataFrame with the table schema + _change, not an exception
+        # — composable CDC consumers poll this in a loop.
+        ddl = _schema_ddl(m_to)
+        if ddl is not None:
+            base = spark.createDataFrame([], ddl)
+        else:
+            any_files = [
+                f for fl in m_to["buckets"].values() for f in fl
+            ] or [f for fl in m_from["buckets"].values() for f in fl]
+            if not any_files:
+                raise ValueError(
+                    f"snapshot table at {path} holds no data files in "
+                    f"v{from_version} or v{to_version} (nothing to "
+                    "derive a change-feed schema from)"
+                )
+            base = spark.read.parquet(any_files[0]).filter(F.lit(False))
+        return base.withColumn(
+            "_change", F.lit(None).cast("string")
+        ).filter(F.lit(False))
     if old is None:
         df, cols = new
         return df.select(
@@ -524,6 +714,42 @@ def snapshot_merge(
 
     if updates.groupBy(key_col).count().filter("count > 1").limit(1).count():
         raise ValueError(f"update set must be unique on {key_col}")
+    # SCHEMA EVOLUTION (add-column only): the committed schema is the
+    # parent's columns (pinned order) plus any NEW columns the update
+    # set introduces; existing rows read null for added columns (the
+    # pinned-schema read clips by name). Type changes and column
+    # drops are refused — on a 100 TB corpus either means rewrite-
+    # the-world or undefined mixed-schema reads, the exact failure
+    # this manifest stamp exists to prevent. Updates must carry every
+    # existing column (a MERGE row is a full replacement; silently
+    # nulling a column the caller merely forgot is data loss).
+    up_fields = _df_schema_fields(updates)
+    parent_schema = m.get("schema")
+    if parent_schema is not None:
+        parent_map = {n: t for n, t in parent_schema}
+        up_map = dict(up_fields)
+        conflicts = [
+            (n, parent_map[n], t)
+            for n, t in up_fields
+            if n in parent_map and parent_map[n] != t
+        ]
+        if conflicts:
+            raise ValueError(
+                "schema evolution supports ADDING columns only; type "
+                f"changes refused: {conflicts}"
+            )
+        missing = [n for n in parent_map if n not in up_map]
+        if missing:
+            raise ValueError(
+                f"update set is missing table columns {missing}; a "
+                "merge row replaces the whole row — carry every "
+                "existing column (null explicitly to clear a value)"
+            )
+        evolved_schema = [list(x) for x in parent_schema] + [
+            [n, t] for n, t in up_fields if n not in parent_map
+        ]
+    else:  # legacy table (pre-schema manifests): adopt update schema
+        evolved_schema = [list(x) for x in up_fields]
     up = updates
     if DELETED_COL not in updates.columns:
         up = up.withColumn(DELETED_COL, F.lit(False))
@@ -546,12 +772,15 @@ def snapshot_merge(
         keys = up.select(key_col)
         live_up = up.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
         if parent_files:
-            # data files never contain _kbucket (written partitionBy)
-            current = spark.read.parquet(*parent_files)
+            # data files never contain _kbucket (written partitionBy);
+            # parent files read under the PARENT's pinned schema, so
+            # kept rows take null for columns this merge adds
+            current = _read_with_manifest_schema(spark, m, parent_files)
             keep = current.join(F.broadcast(keys), key_col, "left_anti")
-            merged = keep.unionByName(live_up)
+            merged = keep.unionByName(live_up, allowMissingColumns=True)
         else:
             merged = live_up
+        merged = merged.select(*[n for n, _ in evolved_schema])
 
         new_buckets = _write_commit_files(
             merged.withColumn(_BUCKET, _bucket_expr(key_col, bucket_hex)),
@@ -571,6 +800,7 @@ def snapshot_merge(
                 "parent": head,
                 "key_col": key_col,
                 "bucket_hex": bucket_hex,
+                "schema": evolved_schema,
                 "buckets": buckets,
                 "stats": {"upserts": n_ups, "deletes": n_del},
             },
