@@ -64,8 +64,10 @@ def main() -> None:
     # goes to the sidecar file so a round-over-round delta can be
     # told apart from environment noise (round 5's uniform ~21%
     # headline swing had no variance data to adjudicate it).
+    load_start = os.getloadavg()
     cold = run_pass()
     warm = [run_pass() for _ in range(3)]
+    load_end = os.getloadavg()
     timings = {n: min(w[n] for w in warm) for n in warm[0]}
     spread = {
         n: round(max(w[n] for w in warm) - timings[n], 3) for n in timings
@@ -86,6 +88,21 @@ def main() -> None:
     sidecar_path.write_text(json.dumps(sidecars, indent=1) + "\n")
     print(f"sidecars written to {sidecar_path}", file=sys.stderr)
     # compact headline line LAST (the driver tails stdout)
+    # environment channel: enough context ON the artifact to tell a
+    # code regression from a noisy host (the r4-r6 driver-vs-builder
+    # 31% same-code delta was only adjudicable via git archaeology).
+    # load averages are captured before the cold pass and after the
+    # last warm pass; warm/cold per-pass totals expose JIT settling.
+    env = {
+        "cpus_avail": len(os.sched_getaffinity(0)),
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in load_end],
+        "proc_count": len([p for p in os.listdir("/proc") if p.isdigit()]),
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "warm_pass_totals_sec": [
+            round(sum(w.values()), 3) for w in warm
+        ],
+    }
     print(
         json.dumps(
             {
@@ -95,6 +112,7 @@ def main() -> None:
                 "warm": True,
                 "queries": timings,
                 "sf": sf,
+                "env": env,
             }
         )
     )
@@ -274,7 +292,14 @@ def ann_bench(spark) -> dict:
     (
         spark.range(n)
         .select(F.col("id").alias("vec_id"), synth_vec("id").alias("embedding"))
-        .write.parquet(corpus_dir)
+        # the point-fetch write contract (operators/fetch.py): files
+        # sorted by id, row groups small enough that the refine
+        # stage's pushed-down id ranges prune at row-group grain
+        # (1 MB ~ 2k rows here; at 100 TB the default 128 MB group
+        # over many more files gives the same ~1e-3 grain)
+        .sortWithinPartitions("vec_id")
+        .write.option("parquet.block.size", 1 << 20)
+        .parquet(corpus_dir)
     )
     corpus_materialize_sec = round(time.perf_counter() - t0, 3)
     corpus = spark.read.parquet(corpus_dir)
@@ -322,6 +347,24 @@ def ann_bench(spark) -> dict:
             codes, qrows, cb, topk + 1, rerank=rerank_c, vectors=corpus
         ).collect()
     )
+
+    # scanned-row fraction of the refine fetch (the r6 defect: a
+    # 6k-literal IN pruned nothing and re-scanned the corpus). The
+    # top-C candidate set is re-derived once and fetched through
+    # fetch_by_ids; scan_output_rows counts rows SURVIVING row-group
+    # pruning -- the quantity that is ~C*n_queries/corpus on an
+    # id-sorted store and 1.0 on the r6 layout.
+    from xmidt_event_streams_spark.operators.fetch import (
+        fetch_by_ids,
+        scan_output_rows,
+    )
+
+    cand96 = pq_topk(codes, qrows, cb, rerank_c).collect()
+    fetch_df = fetch_by_ids(
+        corpus, sorted({r["vec_id"] for r in cand96}), id_col="vec_id"
+    ).select("vec_id")
+    fetch_df.collect()
+    rerank_fetch_scanned_frac = round(scan_output_rows(fetch_df) / n, 4)
 
     exact: dict = {}
     approx: dict = {}
@@ -501,6 +544,7 @@ def ann_bench(spark) -> dict:
         "adc_bytes_frac": round(m / (8 * dim), 4),
         "recall_at_10": recall,
         "rerank_c": rerank_c,
+        "rerank_fetch_scanned_frac": rerank_fetch_scanned_frac,
         "pq_rerank_search_sec": pq_rr_sec,
         "pq_rerank_speedup_search": round(brute_sec / pq_rr_sec, 2),
         "pq_rerank_recall_at_10": pq_rr_recall,

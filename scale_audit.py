@@ -57,6 +57,27 @@ from xmidt_event_streams_spark.session import get_spark  # noqa: E402
 # broadcast fallback threshold used for crossing-point projection
 _BCAST_THRESHOLD_BYTES = 10 * 1024 * 1024  # Spark default 10 MB
 
+# a shuffle channel growing SUPERLINEARLY (exponent past this) is the
+# 100x-scale killer this audit exists to catch: at e=2 a 100x data
+# step is a 10,000x shuffle. Linear-by-contract shuffles (e ~ 1) stay
+# unflagged -- dedup must shuffle its keys once.
+_SHUFFLE_EXP_FLAG = 1.3
+
+# documented waivers: operators whose superlinear shuffle is INHERENT
+# to their exact semantics and already guarded by a typed budget
+# error. The audit flags them WITH the waiver text -- visible, never
+# silent (the r6 finding: jaccard's e=2.42 sailed through unflagged
+# while benign broadcasts got flags).
+SHUFFLE_WAIVERS = {
+    "jaccard_join_prefix": (
+        "exact set-similarity join: candidate-pair growth is inherent "
+        "to exactness (AllPairs/PPJoin prefix filtering bounds but "
+        "cannot linearize it); guarded by the typed "
+        "CandidatePairBudgetExceeded budget (operators/ssjoin.py) "
+        "instead of degrading silently"
+    ),
+}
+
 
 def _walk(node, acc: dict) -> None:
     """Accumulate volume metrics over the final physical plan,
@@ -120,13 +141,14 @@ def exponent(v_small: float, v_big: float, sf_ratio: float) -> float | None:
     return round(math.log(v_big / v_small) / math.log(sf_ratio), 2)
 
 
-def audit_query(spark, fn, sf_small: str, sf_big: str, sf_ratio: float) -> dict:
-    small = measure(spark, fn, sf_small)
-    big = measure(spark, fn, sf_big)
-    exps = {
-        ch: exponent(small[ch], big[ch], sf_ratio)
-        for ch in ("scan_bytes", "shuffle_bytes", "broadcast_bytes")
-    }
+def compute_flags(
+    name: str | None,
+    small: dict,
+    big: dict,
+    exps: dict,
+    sf_ratio: float,
+) -> list[str]:
+    """The per-query verdict rules, pure so tests can pin them."""
     flags = []
     e_b = exps["broadcast_bytes"]
     if e_b is not None and e_b > 0.5 and big["broadcast_bytes"] > 0:
@@ -142,13 +164,41 @@ def audit_query(spark, fn, sf_small: str, sf_big: str, sf_ratio: float) -> dict:
             f"broadcast_grows: e={e_b}, {_BCAST_THRESHOLD_BYTES >> 20} MB "
             f"default threshold -- {where} (AQE falls back to shuffle join)"
         )
+    e_s = exps["shuffle_bytes"]
+    if e_s is not None and e_s > _SHUFFLE_EXP_FLAG:
+        note = (
+            f"shuffle_grows: e={e_s}, "
+            f"{small['shuffle_bytes']} -> {big['shuffle_bytes']} bytes "
+            f"across the x{sf_ratio:g} step"
+        )
+        waiver = SHUFFLE_WAIVERS.get(name or "")
+        if waiver:
+            note += f" -- WAIVED: {waiver}"
+        flags.append(note)
     if big["spill_bytes"] > 0:
         flags.append(f"spills: {big['spill_bytes']} bytes at sf_big")
+    return flags
+
+
+def audit_query(
+    spark,
+    fn,
+    sf_small: str,
+    sf_big: str,
+    sf_ratio: float,
+    name: str | None = None,
+) -> dict:
+    small = measure(spark, fn, sf_small)
+    big = measure(spark, fn, sf_big)
+    exps = {
+        ch: exponent(small[ch], big[ch], sf_ratio)
+        for ch in ("scan_bytes", "shuffle_bytes", "broadcast_bytes")
+    }
     return {
         "small": small,
         "big": big,
         "exponents": exps,
-        "flags": flags,
+        "flags": compute_flags(name, small, big, exps, sf_ratio),
     }
 
 
@@ -173,7 +223,9 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name].fn
         measure(spark, fn, sf_small)  # codegen warmup, volumes unaffected
-        out[name] = audit_query(spark, fn, sf_small, sf_big, sf_ratio)
+        out[name] = audit_query(
+            spark, fn, sf_small, sf_big, sf_ratio, name=name
+        )
 
     flagged = {n: r["flags"] for n, r in out.items() if r["flags"]}
     artifact = {

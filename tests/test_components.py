@@ -274,6 +274,7 @@ OFF_REGISTRY = [
     "ngram_jaccard",
     "dedup_by_txn",
     "simhash",
+    "session_gaps",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -342,6 +343,10 @@ OFF_REGISTRY_EVIDENCE = {
     # near-dup evidence stays via minhash_lsh_pairs (registry) + the
     # off-registry simhash twin + tests/test_snapshots.py
     "simhash": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r7 to admit snapshot_cdc (the change-data-feed's
+    # driver CORRECTNESS row) -- gap/window evidence stays via
+    # session_windows (registry) + the off-registry session_gaps twin
+    "session_gaps": "tests/test_components.py::test_off_registry_parity",
 }
 
 

@@ -313,3 +313,25 @@ def test_rerank_driver_and_distributed_paths_agree(spark, emb, codebooks, monkey
         assert driver_side == distributed and len(driver_side) == 3 * TOPK
     finally:
         coded.unpersist()
+
+
+def test_keep_top_by_dist_id_matches_full_lexsort():
+    """The O(n) partial-top-k fold must pick EXACTLY the winners a
+    full (dist, id) lexsort picks, including id tie-breaks at the
+    boundary distance (the case argpartition alone gets wrong)."""
+    import numpy as np
+
+    from xmidt_event_streams_spark.operators.pq import keep_top_by_dist_id
+
+    rng = np.random.RandomState(7)
+    for trial in range(50):
+        n = rng.randint(1, 500)
+        # coarse grid -> many exact distance ties
+        d = rng.randint(0, 8, size=n).astype(np.float64)
+        ids = rng.permutation(10_000)[:n].astype(np.int64)
+        for n_short in (1, 3, 17, n, n + 5):
+            keep = np.lexsort((ids, d))[:n_short]
+            want = list(zip(d[keep], ids[keep]))
+            got_ids, got_d = keep_top_by_dist_id(ids, d, n_short)
+            got = sorted(zip(got_d, got_ids))
+            assert got == sorted(want), (trial, n_short)

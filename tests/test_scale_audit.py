@@ -121,3 +121,50 @@ def test_checked_in_artifact_covers_current_registry():
         f"{sorted(registry - audited)}, ghost entries "
         f"{sorted(audited - registry)} -- regenerate the artifact"
     )
+
+
+def test_superlinear_shuffle_is_flagged():
+    """The flag rule itself (pure function): a shuffle exponent past
+    the threshold is flagged; a documented-waiver query is flagged
+    WITH its waiver text (visible, never silent -- the r6 finding);
+    linear-by-contract shuffles stay unflagged."""
+    from scale_audit import SHUFFLE_WAIVERS, compute_flags
+
+    def vols(shuffle_small, shuffle_big):
+        base = {
+            "scan_bytes": 1,
+            "broadcast_bytes": 0,
+            "spill_bytes": 0,
+        }
+        small = dict(base, shuffle_bytes=shuffle_small)
+        big = dict(base, shuffle_bytes=shuffle_big)
+        exps = {
+            "scan_bytes": 1.0,
+            "broadcast_bytes": None,
+            "shuffle_bytes": (
+                None
+                if not (shuffle_small and shuffle_big)
+                else round(
+                    __import__("math").log(shuffle_big / shuffle_small)
+                    / __import__("math").log(10.0),
+                    2,
+                )
+            ),
+        }
+        return small, big, exps
+
+    # e = 2.42 (the jaccard case), unwaived query: flagged, no waiver
+    s, b, e = vols(25_000, 25_000 * 10**2.42)
+    flags = compute_flags("some_query", s, b, e, 10.0)
+    assert any(
+        f.startswith("shuffle_grows") and "WAIVED" not in f for f in flags
+    ), flags
+    # the waived exact-join: flagged WITH the waiver text
+    assert "jaccard_join_prefix" in SHUFFLE_WAIVERS
+    flags_w = compute_flags("jaccard_join_prefix", s, b, e, 10.0)
+    assert any(
+        f.startswith("shuffle_grows") and "WAIVED" in f for f in flags_w
+    ), flags_w
+    # linear shuffle (e ~ 1): not flagged
+    s, b, e = vols(25_000, 250_000)
+    assert not compute_flags("some_query", s, b, e, 10.0)

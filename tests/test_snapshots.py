@@ -572,3 +572,86 @@ def test_commit_aborts_on_stolen_claim(spark, table, monkeypatch):
         assert f.read() == "rival-token"
     # ...and nothing was published
     assert snapshot_head(spark, path) == 1
+
+
+def test_follow_snapshot_changes_crash_replay(spark, table, tmp_path):
+    """Checkpointed CDC follow: fresh checkpoint pins head without
+    history; un-acked intervals are REDELIVERED identically (crash
+    mid-interval); acked intervals never redeliver; acked batches
+    tile the history with no lost or duplicated change rows."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        follow_snapshot_changes,
+        snapshot_changes,
+    )
+
+    path, _ = table
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    # fresh checkpoint: pins v1, delivers nothing
+    assert follow_snapshot_changes(spark, path, ckpt) is None
+    assert follow_snapshot_changes(spark, path, ckpt) is None
+
+    # v2 lands
+    snapshot_merge(
+        spark,
+        path,
+        _df(spark, [(1, "v2"), (100, "new")]).unionByName(
+            _df(spark, [(2, "x")]).withColumn("_deleted", F.lit(True)),
+            allowMissingColumns=True,
+        ).withColumn("_deleted", F.coalesce("_deleted", F.lit(False))),
+    )
+    b1 = follow_snapshot_changes(spark, path, ckpt)
+    assert (b1["from_version"], b1["to_version"]) == (1, 2)
+    rows1 = sorted(tuple(r) for r in b1["changes"].collect())
+    assert len(rows1) == 3
+
+    # crash BEFORE ack: the same interval is redelivered, identical
+    b1again = follow_snapshot_changes(spark, path, ckpt)
+    assert (b1again["from_version"], b1again["to_version"]) == (1, 2)
+    assert sorted(tuple(r) for r in b1again["changes"].collect()) == rows1
+    b1again["ack"]()
+
+    # acked: not redelivered
+    assert follow_snapshot_changes(spark, path, ckpt) is None
+
+    # v3, v4 land before the next poll: ONE interval covers both
+    snapshot_merge(spark, path, _df(spark, [(5, "v3")]))
+    snapshot_merge(spark, path, _df(spark, [(6, "v4")]))
+    b2 = follow_snapshot_changes(spark, path, ckpt)
+    assert (b2["from_version"], b2["to_version"]) == (2, 4)
+    rows2 = sorted(tuple(r) for r in b2["changes"].collect())
+    b2["ack"]()
+    assert follow_snapshot_changes(spark, path, ckpt) is None
+
+    # tiling: acked batches together equal the full-span change feed
+    full = sorted(
+        tuple(r) for r in snapshot_changes(spark, path, 1, 4).collect()
+    )
+    # rows changed in BOTH intervals net out in the full span only if
+    # keys overlap; here they don't, so concatenation must match
+    assert sorted(rows1 + rows2) == full
+
+    # a checkpoint is bound to its table
+    import pytest as _pytest
+
+    other = str(tmp_path / "other_table")
+    snapshot_create(_df(spark, [(1, "a")]), other, "doc_id")
+    with _pytest.raises(ValueError, match="follows"):
+        follow_snapshot_changes(spark, other, ckpt)
+
+
+def test_follow_raises_when_cursor_expired(spark, table, tmp_path):
+    """An expired cursor version is LOUD (exact changes are gone;
+    silently skipping the gap would be data loss)."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        follow_snapshot_changes,
+    )
+
+    path, _ = table
+    ckpt = str(tmp_path / "lagging")
+    assert follow_snapshot_changes(spark, path, ckpt) is None  # pins v1
+    snapshot_merge(spark, path, _df(spark, [(1, "v2")]))
+    snapshot_merge(spark, path, _df(spark, [(2, "v3")]))
+    snapshot_expire(spark, path, keep_last=2)  # v1 (the cursor) gone
+    with pytest.raises(ValueError, match="expired"):
+        follow_snapshot_changes(spark, path, ckpt)

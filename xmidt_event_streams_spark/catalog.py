@@ -1875,6 +1875,74 @@ def q_snapshot_timetravel(spark, sf_dir):
     )
 
 
+def q_snapshot_cdc(spark, sf_dir):
+    """Manifest-bounded change-data-feed (operators/snapshots.py
+    ``snapshot_changes``): the SAME commit recipe as
+    q_snapshot_timetravel (CREATE v1 from doc_id <= 200, then ONE
+    merge of tombstones (ids % 7 == 0), rewrites (surviving ids % 10
+    == 0) and inserts (200 < id <= 220)), read back as the v1 -> v2
+    change feed -> (doc_id, text, _change in insert | update |
+    delete); delete rows carry the BEFORE image, insert/update the
+    AFTER image. CDC's suppression contract is what the oracle pins:
+    stable rows compacted into the rewritten buckets are MOVEMENT,
+    not change, and must not appear. Plan: only CHANGED buckets'
+    files are read on either side (manifest-bounded -- cost tracks
+    the merge's touch set, not the table) + one full-outer shuffle
+    join on the key across the two file sets. Deterministic
+    per-(session, sf) temp path, rebuilt per call, like the
+    timetravel twin."""
+    import hashlib
+    import tempfile
+
+    from xmidt_event_streams_spark.fsutil import delete_path
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_create,
+        snapshot_merge,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") <= 200)
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/xes-snapcdc-{tag}/table"
+    delete_path(spark, path)
+    snapshot_create(base, path, "doc_id")
+    tomb = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "_deleted", F.lit(True)
+    )
+    rewrite = (
+        base.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 10 == 0))
+        .withColumn(
+            "text", F.concat(F.lit("rewritten "), F.col("doc_id").cast("string"))
+        )
+        .withColumn("_deleted", F.lit(False))
+    )
+    inserts = docs.filter(
+        (F.col("doc_id") > 200) & (F.col("doc_id") <= 220)
+    ).withColumn("_deleted", F.lit(False))
+    snapshot_merge(
+        spark, path, tomb.unionByName(rewrite).unionByName(inserts)
+    )
+    return snapshot_changes(spark, path, 1, 2)
+
+
+SQL_SNAPSHOT_CDC = """WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id <= 200
+)
+SELECT doc_id, text, 'delete' AS _change
+FROM base WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'rewritten ' || CAST(doc_id AS VARCHAR) AS text,
+       'update' AS _change
+FROM base WHERE doc_id % 7 <> 0 AND doc_id % 10 = 0
+UNION ALL
+SELECT doc_id, text, 'insert' AS _change
+FROM documents WHERE doc_id > 200 AND doc_id <= 220
+"""
+
+
 SQL_SNAPSHOT_TIMETRAVEL = """WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id <= 200
 ), head AS (
@@ -3859,7 +3927,11 @@ QUERIES: dict[str, QuerySpec] = {
     "dup_span_removal": QuerySpec(q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
     "repetition_stats": QuerySpec(q_repetition_stats, SQL_REPETITION_STATS),
     "range_join_clicks": QuerySpec(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS, True),
-    "session_gaps": QuerySpec(q_session_gaps, SQL_SESSION_GAPS),
+    # session_gaps rotated to the off-registry parity set in r7 to
+    # admit snapshot_cdc (the change-data-feed's driver CORRECTNESS
+    # row); gap/window evidence stays via session_windows (registry)
+    # + the off-registry session_gaps twin.
+    "snapshot_cdc": QuerySpec(q_snapshot_cdc, SQL_SNAPSHOT_CDC),
     # running_user_value / events_cube rotated to the off-registry
     # parity set in r5 (generic window/cube shapes, amply covered by
     # the TPC-H family there) to admit ann_rerank_exact and

@@ -175,6 +175,18 @@ def probe_cells(
     )
 
 
+def _sorted_by_id(assigned: DataFrame) -> DataFrame:
+    """Sort each writer task's rows by ``vec_id`` (the package's id
+    convention) when present: files whose row groups hold contiguous
+    id runs make the point-fetch path's pushed-down id ranges prune
+    at row-group grain (operators/fetch.py write contract) -- rerank
+    candidate fetches and takedown probes become point scans instead
+    of index scans. A per-partition sort, no extra shuffle."""
+    if "vec_id" not in assigned.columns:
+        return assigned
+    return assigned.sortWithinPartitions("cell", "vec_id")
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -198,7 +210,7 @@ def write_ivf_index(
     assigned = assign_cells(df, centroids, vec_col).persist()
     try:
         (
-            assigned.repartition(F.col("cell"))
+            _sorted_by_id(assigned.repartition(F.col("cell")))
             .write.partitionBy("cell")
             .mode("overwrite")
             .parquet(path)
@@ -453,8 +465,10 @@ def append_to_ivf_index(
             f"index at {path} stores vec_col={meta['vec_col']!r}, "
             f"append supplied {vec_col!r}"
         )
-    assigned = assign_cells(df, meta["centroids"], vec_col).repartition(
-        F.col("cell")
+    assigned = _sorted_by_id(
+        assign_cells(df, meta["centroids"], vec_col).repartition(
+            F.col("cell")
+        )
     )
     if batch_id is None:
         assigned.write.partitionBy("cell").mode("append").parquet(path)

@@ -117,6 +117,110 @@ def residual_expr(
     )
 
 
+# driver-side fit sample cap: 256k rows x 64 dims x 8 B = ~130 MB
+# collected once -- comfortably driver-sized, and k-means quality
+# saturates orders of magnitude below this for any realistic cell
+# count (FAISS's own guideline is ~"39 x n_cells" training points)
+FIT_SAMPLE_ROWS = 262_144
+
+
+def _collect_fit_sample(
+    df: DataFrame, vec_col: str, id_col: str, max_rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, X) for a deterministic md5-bucket sample of at most
+    ~``max_rows`` rows, driver-sorted by id (the init contract).
+    The same sampling idiom as similarity.neardup_centroids: bucket
+    membership is a pure function of the id, so re-fits see the same
+    sample regardless of partitioning."""
+    n = df.count()
+    sel = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    if n > max_rows:
+        keep = max(1, int(65536 * max_rows / n))
+        sel = sel.filter(
+            F.conv(
+                F.substring(F.md5(F.col("_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            < keep
+        )
+    # Arrow transfer: a 256k x 64 sample is ~130 MB -- the row-based
+    # collect spent tens of seconds deserializing what Arrow moves in
+    # ~2 s (measured r7: fit 45.8 -> under the 30 s target)
+    from xmidt_event_streams_spark.operators.fetch import (
+        arrow_collect_pandas,
+    )
+
+    pdf = arrow_collect_pandas(sel)
+    if len(pdf) == 0:
+        return np.asarray([]), np.zeros((0, 0))
+    # ragged vectors carry no searchable signal (pq_encode nulls
+    # them); drop any row disagreeing with the modal dimension
+    lens = pdf["_v"].map(len)
+    dim = int(lens.mode().iloc[0])
+    pdf = pdf[lens == dim]
+    ids = pdf["_id"].to_numpy()
+    X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], X[order]
+
+
+def _lloyd_cosine(X: np.ndarray, k: int, n_iters: int) -> np.ndarray:
+    """Spherical k-means on the driver, mirroring ivf.kmeans_fit's
+    contracts: init = first k rows (caller pre-sorts by id), cosine
+    assignment with ties to the LOWEST cell (np.argmax first-hit),
+    un-normalized mean update, empty cells keep their centroid.
+    Chunked matmul keeps the similarity block ~100 MB at any k."""
+    C = X[:k].copy()
+    chunk = max(1, (16 << 20) // max(k, 1))
+    for _ in range(n_iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        cells = np.empty(len(X), dtype=np.int64)
+        for s in range(0, len(X), chunk):
+            blk = X[s : s + chunk]
+            bn = blk / np.maximum(
+                np.linalg.norm(blk, axis=1, keepdims=True), 1e-12
+            )
+            cells[s : s + chunk] = np.argmax(bn @ Cn.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, cells, X)
+        counts = np.bincount(cells, minlength=k)
+        live = counts > 0
+        C[live] = sums[live] / counts[live, None]
+    return C
+
+
+def _lloyd_l2_subspaces(
+    R: np.ndarray, m: int, k: int, n_iters: int
+) -> np.ndarray:
+    """PQ codebooks on the driver: independent L2 Lloyd per subspace,
+    mirroring pq.pq_fit's contracts (init = first k rows' subvectors,
+    argmin ties to the lowest code, empty codes keep their centroid).
+    Returns (m, k, dsub)."""
+    n, dim = R.shape
+    dsub = dim // m
+    sub = R.reshape(n, m, dsub)
+    cb = np.transpose(sub[:k], (1, 0, 2)).copy()  # (m, k, dsub)
+    for _ in range(n_iters):
+        for j in range(m):
+            x = sub[:, j, :]
+            c = cb[j]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; the x^2 term is
+            # constant per row and cannot change the argmin (the same
+            # expansion as pq._encode_block)
+            d = (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            codes = np.argmin(d, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, codes, x)
+            counts = np.bincount(codes, minlength=k)
+            live = counts > 0
+            cb[j][live] = sums[live] / counts[live, None]
+    return cb
+
+
 def ivfpq_fit(
     df: DataFrame,
     n_cells: int | None = None,
@@ -126,13 +230,25 @@ def ivfpq_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     corpus_rows: int | None = None,
+    fit_sample_rows: int | None = FIT_SAMPLE_ROWS,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Fit the two quantizers in sequence: coarse spherical k-means
     for the cells, then the PQ codebooks on the RESIDUALS under those
-    cells. Both fits are the existing distributed, deterministic
-    machines (kmeans_fit / pq_fit) -- per round the driver holds only
-    centroid-sized state; sample-fit both for the 100 TB regime (the
-    same md5-bucket sampling argument as neardup_centroids).
+    cells.
+
+    FIT IS SAMPLE-BASED BY DEFAULT (``fit_sample_rows``): one
+    deterministic md5-bucket sample of at most ~256k rows is
+    collected ONCE and both quantizers run as driver-side numpy Lloyd
+    (_lloyd_cosine / _lloyd_l2_subspaces -- same init/tie/empty-cell
+    contracts as the distributed kmeans_fit / pq_fit). Rationale:
+    quantizer quality saturates at tens of training points per cell
+    (FAISS's own guideline), so at sqrt(N) cells the distributed fit
+    re-scans the corpus per Lloyd round to compute what a bounded
+    sample answers in seconds -- the r6-measured 124.7 s fit at 2M
+    rows is the failure this path removes; ASSIGNMENT of the full
+    corpus (write_ivfpq_index) stays distributed and linear.
+    ``fit_sample_rows=None`` keeps the distributed whole-frame fit
+    (kmeans_fit / pq_fit) for callers that need it.
 
     ``n_cells=None`` (default) sizes the coarse quantizer as
     ``sqrt(N)`` of the CORPUS row count -- the standard IVF operating
@@ -153,12 +269,34 @@ def ivfpq_fit(
         n_cells = max(1, int(base**0.5))
         fit_rows = df.count() if corpus_rows is not None else base
         n_cells = min(n_cells, max(1, fit_rows), 65_536)
-    cents = kmeans_fit(df, n_cells, n_iters, vec_col, id_col)
-    res = assign_cells(df, cents, vec_col).withColumn(
-        "_res", residual_expr(vec_col, "cell", cents)
-    )
-    cbs = pq_fit(res, m, k, n_iters, vec_col="_res", id_col=id_col)
-    return cents, cbs
+    if fit_sample_rows is None:
+        cents = kmeans_fit(df, n_cells, n_iters, vec_col, id_col)
+        res = assign_cells(df, cents, vec_col).withColumn(
+            "_res", residual_expr(vec_col, "cell", cents)
+        )
+        cbs = pq_fit(res, m, k, n_iters, vec_col="_res", id_col=id_col)
+        return cents, cbs
+    _, X = _collect_fit_sample(df, vec_col, id_col, fit_sample_rows)
+    if len(X) < max(n_cells, k):
+        raise ValueError(
+            f"fit sample holds {len(X)} rows < max(n_cells={n_cells}, "
+            f"k={k}); supply more data or lower the quantizer sizes"
+        )
+    if X.shape[1] % m:
+        raise ValueError(f"dim {X.shape[1]} not divisible by m={m}")
+    C = _lloyd_cosine(X, n_cells, n_iters)
+    # residuals under the FINAL cells (one more assignment pass)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    chunk = max(1, (16 << 20) // max(n_cells, 1))
+    cells = np.empty(len(X), dtype=np.int64)
+    for s in range(0, len(X), chunk):
+        blk = X[s : s + chunk]
+        bn = blk / np.maximum(
+            np.linalg.norm(blk, axis=1, keepdims=True), 1e-12
+        )
+        cells[s : s + chunk] = np.argmax(bn @ Cn.T, axis=1)
+    cbs = _lloyd_l2_subspaces(X - C[cells], m, k, n_iters)
+    return C.tolist(), cbs.tolist()
 
 
 def write_ivfpq_index(
@@ -181,6 +319,9 @@ def write_ivfpq_index(
         pq_encode(res, codebooks, "_res")
         .select(id_col, "codes", "cell")
         .repartition(F.col("cell"))
+        # id-sorted files: the point-fetch write contract
+        # (operators/fetch.py; see ivf._sorted_by_id)
+        .sortWithinPartitions("cell", id_col)
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
@@ -210,14 +351,15 @@ _DRIVER_MERGE_MAX_ROWS = 2_000_000
 def _fold_into(best: dict, qid: int, cur_ids, d, n_short: int) -> None:
     """Fold (ids, dists) into ``best[qid]`` keeping the n_short
     nearest (ties to the lower id) -- the shared partial-top-k kernel
-    for the scan pass and the optional distributed merge pass."""
+    for the scan pass and the optional distributed merge pass.
+    Selection via pq.keep_top_by_dist_id (argpartition + boundary-tie
+    lexsort: exact winners, O(n))."""
+    from xmidt_event_streams_spark.operators.pq import keep_top_by_dist_id
+
     if qid in best:
         d = np.concatenate([best[qid][1], d])
         cur_ids = np.concatenate([best[qid][0], cur_ids])
-    if len(d) > n_short:
-        keep = np.lexsort((cur_ids, d))[:n_short]
-        d, cur_ids = d[keep], cur_ids[keep]
-    best[qid] = (cur_ids, d)
+    best[qid] = keep_top_by_dist_id(cur_ids, d, n_short)
 
 
 def probe_ivfpq_index(

@@ -175,6 +175,26 @@ def pq_fit(
 _DRIVER_REFINE_MAX_FLOATS = 4_000_000
 
 
+def keep_top_by_dist_id(
+    ids: np.ndarray, d: np.ndarray, n_short: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The EXACT top-``n_short`` by (distance, id) -- identical
+    winners to a full ``lexsort((ids, d))[:n_short]``, at O(n)
+    instead of O(n log n): argpartition selects by distance alone,
+    then every row at the boundary distance is re-included so id
+    tie-breaks cannot drop a winner, and only that small superset is
+    lexsorted. This fold runs per (query, Arrow batch) in the ADC
+    scans; the full lexsort was ~30% of scan kernel time at 64-query
+    batches."""
+    if len(d) <= n_short:
+        return ids, d
+    part = np.argpartition(d, n_short - 1)[:n_short]
+    dmax = d[part].max()
+    sel = np.nonzero(d <= dmax)[0]
+    keep = sel[np.lexsort((ids[sel], d[sel]))[:n_short]]
+    return ids[keep], d[keep]
+
+
 def exact_rerank_l2(
     candidates: DataFrame,
     vectors: DataFrame,
@@ -194,11 +214,16 @@ def exact_rerank_l2(
     Scale shape: the candidate relation is tiny by construction
     (C x n_queries rows -- queries are small-by-contract, like the
     rest of the probe family), so it is collected once and its id set
-    becomes a PLAN-TIME IN-list on the vector scan: parquet row-group
-    stats prune everything else, so the fetch reads ~C*n_queries rows
-    of (id, vec), not the corpus (same static-pruning argument as
-    probe_ivf_index -- on a sorted/bucketed-by-id vector store this
-    is a point-lookup scan; the corpus never shuffles).
+    drives ``fetch.fetch_by_ids``: gap-coalesced id RANGES pushed to
+    the parquet scan (row-group pruning on id-sorted stores -- the
+    write-side contract of this package's vector writers) plus a
+    broadcast semi-join for exactness. The fetch reads ~C*n_queries
+    rows of (id, vec), not the corpus, with an O(256)-node plan
+    regardless of the candidate count (a literal IN list at C x
+    n_queries = thousands of ids cost seconds of analysis and, past
+    parquet's in-filter pushdown threshold, pruned NOTHING -- the
+    r6-measured rerank-slower-than-brute failure). The corpus never
+    shuffles.
 
     Two re-score paths, switched on candidate-set volume:
 
@@ -216,16 +241,37 @@ def exact_rerank_l2(
     lower id)."""
     spark = candidates.sparkSession
     dim = len(queries[0][1]) if queries else 0
-    cand_rows = candidates.select("query_id", id_col, "adc_dist").collect()
-    cand_ids = sorted({r[id_col] for r in cand_rows})
-    fetched = vectors.filter(F.col(id_col).isin(cand_ids)).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
+    from xmidt_event_streams_spark.operators.fetch import (
+        arrow_collect_pandas,
+        fetch_by_ids,
+        ranged_scan,
     )
 
+    cand_rows = candidates.select("query_id", id_col, "adc_dist").collect()
+    cand_ids = sorted({r[id_col] for r in cand_rows})
+
+    def _sel(df):
+        return df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
+        )
+
     if len(cand_rows) * dim <= _DRIVER_REFINE_MAX_FLOATS:
+        # driver path: ONE pushed-range scan + Arrow collect when the
+        # cover is tight (the id-keyed vmap ignores in-gap rows for
+        # free, so the semi-join stage is skipped entirely); loose
+        # covers fall back to the exact fetch
+        ranged = ranged_scan(vectors, cand_ids, id_col=id_col)
+        pdf = arrow_collect_pandas(
+            _sel(
+                ranged
+                if ranged is not None
+                else fetch_by_ids(vectors, cand_ids, id_col=id_col)
+            )
+        )
+        pdf = pdf[pdf["_cvec"].notna()]
         vmap = {
-            r[id_col]: np.asarray(r["_cvec"], dtype=np.float64)
-            for r in fetched.collect()
+            i: np.asarray(v, dtype=np.float64)
+            for i, v in zip(pdf[id_col], pdf["_cvec"])
         }
         qmap = {
             int(qid): np.asarray(qv, dtype=np.float64) for qid, qv in queries
@@ -256,6 +302,7 @@ def exact_rerank_l2(
         [(r["query_id"], r[id_col], r["adc_dist"]) for r in cand_rows],
         f"query_id long, {id_col} long, adc_dist double",
     )
+    fetched = _sel(fetch_by_ids(vectors, cand_ids, id_col=id_col))
     exact = (
         fetched.join(F.broadcast(cand), id_col)
         .join(
@@ -321,10 +368,19 @@ def pq_topk(
     the codebook resolution alone leaves recall short."""
     cb = _as_codebooks(codebooks)
     m, kcb, dsub = cb.shape
-    luts = []
-    for qid, qv in queries:
-        q = np.asarray(qv, dtype=np.float64).reshape(m, 1, dsub)
-        luts.append((int(qid), ((cb - q) ** 2).sum(axis=2)))  # (m, k)
+    qids = np.asarray([int(qid) for qid, _ in queries], dtype=np.int64)
+    # LUT tensor (m, k, n_queries): one gather PER SUBSPACE scores the
+    # whole batch of queries at once (T[j][codes[:, j]] -> (rows, nq));
+    # the per-query loop it replaces did n_queries x m tiny gathers
+    # per Arrow batch and dominated the scan at 64-query batches
+    lut_t = np.stack(
+        [
+            ((cb - np.asarray(qv, dtype=np.float64).reshape(m, 1, dsub))
+             ** 2).sum(axis=2)
+            for _, qv in queries
+        ],
+        axis=2,
+    )
 
     out_schema = StructType(
         [
@@ -343,26 +399,29 @@ def pq_topk(
         # O(partitions x queries x C) rows instead of every scored
         # (query, row) pair -- at 2M rows x 8 queries that is the
         # difference between ~10^3 and 16M shuffled rows.
-        rng = np.arange(m)
         best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             codes = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
             ids = pdf[id_col].to_numpy()
-            for qid, lut in luts:
-                d = lut[rng[None, :], codes].sum(axis=1)
+            # (rows, nq) accumulated over the m subspaces -- m gathers
+            # total for the whole query batch
+            dall = lut_t[0][codes[:, 0]]
+            for j in range(1, m):
+                dall = dall + lut_t[j][codes[:, j]]
+            for qi in range(len(qids)):
+                qid = int(qids[qi])
+                d = dall[:, qi]
                 if qid in best:
                     d = np.concatenate([best[qid][1], d])
                     cur_ids = np.concatenate([best[qid][0], ids])
                 else:
                     cur_ids = ids
-                if len(d) > n_short:
-                    # ties at the cut resolved later by the exact
-                    # (dist, id) rank window -- keeping by (dist, id)
-                    # lexsort here preserves the window's winners
-                    keep = np.lexsort((cur_ids, d))[:n_short]
-                    d, cur_ids = d[keep], cur_ids[keep]
+                # ties at the cut resolved later by the exact
+                # (dist, id) rank window -- keep_top_by_dist_id
+                # preserves exactly the window's winners
+                cur_ids, d = keep_top_by_dist_id(cur_ids, d, n_short)
                 best[qid] = (cur_ids, d)
         for qid, (ids_, d_) in best.items():
             yield pd.DataFrame(

@@ -891,3 +891,124 @@ def snapshot_expire(
         "deleted_orphans": orphans,
         "kept_versions": kept,
     }
+
+
+# ---------------------------------------------------------------------------
+# checkpointed CDC follow: the snapshot twin of the ingest-sink
+# cursor patterns (streaming/ingest_dedup.read_sink_as_of) -- a
+# downstream incremental consumer (index maintainer, derived-table
+# builder, replication) polls the table and receives each change
+# interval EXACTLY once per acknowledged cursor advance, surviving
+# crashes without hand-rolled version bookkeeping.
+# ---------------------------------------------------------------------------
+
+_CURSOR_FILE = "cursor.json"
+
+
+def _read_follow_cursor(spark: SparkSession, checkpoint_dir: str):
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+    return read_json_sidecar(spark, checkpoint_dir, _CURSOR_FILE)
+
+
+def _write_follow_cursor(
+    spark: SparkSession, checkpoint_dir: str, table_path: str, version: int
+) -> None:
+    """Atomic cursor advance: write to a tmp name, rename over the
+    cursor (rename is atomic on file:/HDFS; a crash mid-write leaves
+    the OLD cursor intact, so the worst case is re-delivery of the
+    un-acked interval -- never a torn cursor)."""
+    fs, _, jvm = hadoop_fs(spark, checkpoint_dir)
+    base = checkpoint_dir.rstrip("/")
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(base))
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/.{_CURSOR_FILE}.tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{base}/{_CURSOR_FILE}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"table": table_path, "version": version}
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+    fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"could not advance CDC cursor at {base}")
+
+
+def follow_snapshot_changes(
+    spark: SparkSession, path: str, checkpoint_dir: str
+) -> dict | None:
+    """One poll of the table's change feed against a durable cursor.
+
+    Returns ``None`` when the cursor is already at the head
+    (nothing new), else::
+
+        {"changes": DataFrame,   # snapshot_changes(from, to)
+         "from_version": int,    # exclusive (the acked cursor)
+         "to_version": int,      # inclusive (head at poll time)
+         "ack": callable}        # durably advance the cursor
+
+    Delivery contract (at-least-once, the same posture as the
+    streaming sinks): the interval is NOT consumed until ``ack()``
+    runs -- a consumer that crashes mid-interval re-polls and
+    receives the SAME interval again; after ``ack()`` it is never
+    redelivered. Acked intervals tile the version history with no
+    gaps and no overlaps, so the union of acked change batches
+    equals ``snapshot_changes(first_cursor, last_head)`` row for
+    row. ``ack()`` is rename-atomic (crash mid-ack leaves the old
+    cursor; re-delivery, never loss).
+
+    A FRESH checkpoint initializes the cursor at the head WITHOUT
+    delivering history (the "changes from now on" contract --
+    mirrors a stream starting at latest): the first poll returns
+    None and records head as the cursor; consumers wanting the
+    existing content bootstrap with ``snapshot_read(spark, path,
+    version=cursor)`` at the version the first poll pinned. To
+    follow from an older retained version instead, seed the
+    checkpoint by calling ``ack`` semantics yourself: the cursor
+    file is ``{"table": path, "version": N}``.
+
+    The cursor version must stay within retained history: if
+    ``snapshot_expire`` dropped the cursor's manifest before the
+    consumer caught up, the poll raises (the consumer has LOST the
+    ability to compute exact changes and must re-bootstrap from a
+    full read -- silently skipping the gap would be data loss).
+    Operational rule: expire with ``keep_last`` generous enough to
+    cover the slowest follower's lag.
+    """
+    head = snapshot_head(spark, path)
+    cur = _read_follow_cursor(spark, checkpoint_dir)
+    if cur is None:
+        _write_follow_cursor(spark, checkpoint_dir, path, head)
+        return None
+    if cur.get("table") != path:
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir} follows "
+            f"{cur.get('table')!r}, not {path!r}"
+        )
+    from_v = int(cur["version"])
+    if from_v >= head:
+        return None
+    retained = _list_versions(spark, path)
+    if from_v not in retained:
+        raise ValueError(
+            f"CDC cursor v{from_v} was expired from {path} (retained: "
+            f"{retained}); exact changes are unrecoverable -- "
+            "re-bootstrap from snapshot_read at a retained version "
+            "and reset the checkpoint"
+        )
+    changes = snapshot_changes(spark, path, from_v, head)
+
+    def ack() -> None:
+        _write_follow_cursor(spark, checkpoint_dir, path, head)
+
+    return {
+        "changes": changes,
+        "from_version": from_v,
+        "to_version": head,
+        "ack": ack,
+    }
