@@ -237,19 +237,25 @@ def ann_bench(spark) -> dict:
     # dispatch latency, not the index.
     n, dim, m, k_codes, topk, n_queries = 2_000_000, 64, 8, 32, 10, 64
 
-    # Planted-neighbor corpus (the ann-benchmarks design, r6): each
-    # 11-member GROUP shares a base direction with 0.01-scale fine
-    # noise, groups sit 0.3 apart inside 2,200-id CLUSTERS, clusters
-    # are near-orthogonal. A query's true top-10 IS its 10 group
-    # mates, separated from rank 11+ by a ~30x margin -- so a recall
-    # miss means the INDEX failed (wrong cells probed / candidates
-    # truncated), not that quantization lost a coin flip. The r5
-    # corpus was a smooth 1-D curve in 64-D: 2M points on one
-    # manifold put the true-neighbor margins BELOW any code's
-    # quantization error (measured: recall pinned at 0.5/0.75/0.81
-    # as codebooks grew, flat in n_probe), i.e. it measured data
-    # pathology, not index quality.
-    GROUP, CLUSTER = 11, 2200
+    # Planted-neighbor corpus (the ann-benchmarks design, r6; r7 adds
+    # the BOUNDARY ARC): each 11-member GROUP shares a base direction
+    # with 0.01-scale fine noise, groups sit 0.3 apart inside
+    # 7,000-id CLUSTERS, clusters are near-orthogonal. A query's true
+    # top-10 IS its 10 group mates (verified: mates-overlap 1.00), so
+    # a recall miss means the INDEX failed, not a data coin flip.
+    # r7: members additionally spread ALPHA_ARC * s_i along the arc
+    # toward a second per-cluster direction (s_i in [0, 1] by
+    # position-in-group), and CLUSTER is sized so each cluster spans
+    # ~5 coarse cells at sqrt(N) cell counts -- group mates STRADDLE
+    # cell boundaries, so recall RISES with n_probe (measured at
+    # 2M/1,414 cells: 0.772 at n_probe=1 -> 0.855 -> 0.917 -> 0.944,
+    # saturating at the quantization ceiling) instead of the r6
+    # corpus's flat 0.97 from 1 probe up, which proved nothing about
+    # the frontier. In-group spread (0.22 * sqrt(2) ~ 0.31) stays at
+    # the 0.3 * sqrt(2) out-group margin's edge without crossing it,
+    # so ground truth is unchanged by the arc.
+    GROUP, CLUSTER = 11, 7000
+    ALPHA_ARC = 0.22
 
     def _hash_unit(keys, salt):
         # vectorized integer avalanche -> uniform [-1, 1) per (key, d)
@@ -269,8 +275,12 @@ def ann_bench(spark) -> dict:
     # signature inference for locally-imported pd
     def _synth(ids):
         iv = ids.to_numpy()
+        A = _hash_unit(iv // CLUSTER, 1)
+        B = _hash_unit(iv // CLUSTER + 7919, 1)  # 2nd per-cluster dir
+        s = ((iv % GROUP) / (GROUP - 1))[:, None]
         a = (
-            _hash_unit(iv // CLUSTER, 1)
+            A
+            + ALPHA_ARC * s * (B - A)
             + 0.3 * _hash_unit(iv // GROUP, 2)
             + 0.01 * _hash_unit(iv, 3)
         )
@@ -437,7 +447,7 @@ def ann_bench(spark) -> dict:
             )
 
         sweep = []
-        for np_ in (4, 8, 16, 32):
+        for np_ in (1, 2, 4, 8, 16, 32):
             # rebuild the probe plan each pass: re-collecting one
             # DataFrame object would reuse its shuffles, timing ~0
             rows_, sec_ = _warm2(

@@ -655,3 +655,79 @@ def test_follow_raises_when_cursor_expired(spark, table, tmp_path):
     snapshot_expire(spark, path, keep_last=2)  # v1 (the cursor) gone
     with pytest.raises(ValueError, match="expired"):
         follow_snapshot_changes(spark, path, ckpt)
+
+
+def test_replicate_snapshot_end_to_end(spark, table, tmp_path):
+    """CDC replication: bootstrap pins the source head; each drain
+    applies only the change volume; replayed intervals (crash before
+    ack) cannot fork the replica; schema evolution propagates; a
+    stale replica under a fresh checkpoint is refused."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        replicate_snapshot,
+    )
+
+    path, rows = table
+    dst = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "repl_ckpt")
+
+    r = replicate_snapshot(spark, path, dst, ckpt)
+    assert r["intervals"] == 0 and r["src_version"] == 1
+    assert _content(snapshot_read(spark, dst)) == sorted(rows)
+
+    # source advances: update, insert, delete; then another merge
+    snapshot_merge(
+        spark,
+        path,
+        _df(spark, [(1, "v2"), (100, "new")])
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            _df(spark, [(2, "x")]).withColumn("_deleted", F.lit(True))
+        ),
+    )
+    snapshot_merge(spark, path, _df(spark, [(5, "v3")]))
+    r2 = replicate_snapshot(spark, path, dst, ckpt)
+    assert r2["intervals"] == 1 and r2["src_version"] == 3
+    assert _content(snapshot_read(spark, dst)) == _content(
+        snapshot_read(spark, path)
+    )
+    # change-volume-bounded: the drain applied ~4 rows, not the table
+    assert r2["rows_applied"] <= 6
+
+    # replay safety: re-apply the SAME interval manually (as a crash
+    # between merge and ack would) -- the replica must not fork
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_changes,
+    )
+
+    ch = snapshot_changes(spark, path, 1, 3)
+    data_cols = [c for c in ch.columns if c != "_change"]
+    replay = ch.select(
+        *data_cols, (F.col("_change") == "delete").alias("_deleted")
+    )
+    snapshot_merge(spark, dst, replay)
+    assert _content(snapshot_read(spark, dst)) == _content(
+        snapshot_read(spark, path)
+    )
+
+    # schema evolution propagates through the feed
+    snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(7, "doc 7 v4", "en")], "doc_id int, text string, lang string"
+        ),
+    )
+    r3 = replicate_snapshot(spark, path, dst, ckpt)
+    assert r3["intervals"] == 1
+    got = snapshot_read(spark, dst)
+    assert got.columns == ["doc_id", "text", "lang"]
+    assert {r.lang for r in got.filter("doc_id = 7").collect()} == {"en"}
+
+    # idle drain: nothing pending
+    assert replicate_snapshot(spark, path, dst, ckpt)["intervals"] == 0
+
+    # fresh checkpoint + existing replica = refused (silent fork)
+    with pytest.raises(ValueError, match="fork"):
+        replicate_snapshot(
+            spark, path, dst, str(tmp_path / "fresh_ckpt")
+        )

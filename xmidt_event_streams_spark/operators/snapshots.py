@@ -1012,3 +1012,111 @@ def follow_snapshot_changes(
         "to_version": head,
         "ack": ack,
     }
+
+
+def replicate_snapshot(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint_dir: str,
+    max_polls: int = 1_000_000,
+) -> dict:
+    """Catch a REPLICA snapshot table up with a source table through
+    the checkpointed change feed -- the canonical
+    :func:`follow_snapshot_changes` consumer (cross-region copy,
+    staging->prod promotion, a derived table that tracks the
+    corpus). Call it from a scheduler at any cadence; each call
+    drains every pending interval and returns
+    ``{intervals, rows_applied, src_version}``.
+
+    Mechanics per interval: delete-images become ``_deleted``
+    tombstone rows, insert/update images upsert -- one
+    :func:`snapshot_merge` per interval, so the replica's write cost
+    tracks the CHANGE volume, never the table size (the 100 TB
+    argument: a replica is maintained for the price of the diffs).
+    The cursor is acked only AFTER the merge commits; a crash
+    between merge and ack replays the interval, and the replay
+    re-merges the same images onto the same keys -- idempotent by
+    the keyed-upsert algebra (tombstoning an absent key / replacing
+    a row with identical bytes are both no-ops), so the replica
+    never forks. First call bootstraps: the fresh checkpoint pins
+    the source head and the replica is created from a full
+    ``snapshot_read`` at that pinned version.
+
+    The replica is a real snapshot table (its own history, time
+    travel, expire) -- its version numbers are its OWN commit
+    sequence, not the source's; ``src_version`` in the return (and
+    the cursor) is the source-side high-water mark.
+    """
+    polls = 0
+    rows = 0
+    first = _read_follow_cursor(spark, checkpoint_dir) is None
+    if first:
+        fs, _, jvm = hadoop_fs(spark, dst_path)
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(_manifest_path(dst_path, 1))
+        ):
+            # a pre-existing replica under a FRESH checkpoint would
+            # silently fork (changes-from-now-on applied to stale
+            # content) -- refuse BEFORE pinning the cursor; the
+            # caller re-bootstraps into a clean destination
+            raise ValueError(
+                f"replica at {dst_path} exists but the checkpoint at "
+                f"{checkpoint_dir} is fresh; applying a from-now-on "
+                "change feed to unknown content would fork the "
+                "replica -- re-bootstrap into an empty destination"
+            )
+        batch = follow_snapshot_changes(spark, src_path, checkpoint_dir)
+        assert batch is None  # fresh checkpoint pins head, delivers nothing
+        cur = _read_follow_cursor(spark, checkpoint_dir)
+        base = snapshot_read(spark, src_path, version=int(cur["version"]))
+        m = _read_manifest(spark, src_path, int(cur["version"]))
+        snapshot_create(
+            base, dst_path, m["key_col"], bucket_hex=m.get("bucket_hex", 2)
+        )
+        rows += base.count()
+    else:
+        # recover a crash between cursor pin and replica create: the
+        # cursor names the pinned source version -- finish the
+        # bootstrap from it (still retained: the cursor hasn't moved)
+        fs, _, jvm = hadoop_fs(spark, dst_path)
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(_manifest_path(dst_path, 1))
+        ):
+            cur = _read_follow_cursor(spark, checkpoint_dir)
+            if cur.get("table") != src_path:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} follows "
+                    f"{cur.get('table')!r}, not {src_path!r}"
+                )
+            pinned = int(cur["version"])
+            base = snapshot_read(spark, src_path, version=pinned)
+            m = _read_manifest(spark, src_path, pinned)
+            snapshot_create(
+                base,
+                dst_path,
+                m["key_col"],
+                bucket_hex=m.get("bucket_hex", 2),
+            )
+            rows += base.count()
+    while polls < max_polls:
+        batch = follow_snapshot_changes(spark, src_path, checkpoint_dir)
+        if batch is None:
+            break
+        polls += 1
+        ch = batch["changes"]
+        data_cols = [c for c in ch.columns if c != "_change"]
+        updates = ch.select(
+            *data_cols,
+            (F.col("_change") == "delete").alias(DELETED_COL),
+        )
+        if updates.limit(1).count():
+            stats = snapshot_merge(spark, dst_path, updates)
+            rows += stats["upserts"] + stats["deletes"]
+        batch["ack"]()
+    cur = _read_follow_cursor(spark, checkpoint_dir)
+    return {
+        "intervals": polls,
+        "rows_applied": rows,
+        "src_version": int(cur["version"]),
+    }
