@@ -223,3 +223,56 @@ def test_probe_distributed_merge_guard(spark, ix, monkeypatch):
         ).collect()
     )
     assert guarded == direct
+
+
+def test_fused_encode_matches_composed_path(spark, ix, sf_dir):
+    """The one-pass build kernel must produce EXACTLY the composed
+    assign_cells -> residual_expr -> pq_encode rows (cells by the
+    same rounded-cosine argmax, codes by the same argmin): the fusion
+    is a transfer optimization, never a semantics change. Null/ragged
+    vectors keep their (null cell, null codes) containment."""
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.operators.ivf import assign_cells
+    from xmidt_event_streams_spark.operators.ivfpq import (
+        _fused_encode,
+        residual_expr,
+    )
+    from xmidt_event_streams_spark.operators.pq import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    poison = spark.createDataFrame(
+        [(990_001, None), (990_002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    src = emb.unionByName(poison)
+
+    composed = (
+        pq_encode(
+            assign_cells(src, ix["cents"]).withColumn(
+                "_res", residual_expr("embedding", "cell", ix["cents"])
+            ),
+            ix["cbs"],
+            "_res",
+        )
+        .select("vec_id", "codes", "cell")
+        .collect()
+    )
+    fused = _fused_encode(
+        src, ix["cents"], ix["cbs"], "vec_id", "embedding"
+    ).collect()
+
+    def norm(rows):
+        return sorted(
+            (r["vec_id"], r["cell"],
+             tuple(r["codes"]) if r["codes"] is not None else None)
+            for r in rows
+        )
+
+    assert norm(fused) == norm(composed)
+    # poison rows contained, not crashed
+    by_id = {r["vec_id"]: r for r in fused}
+    assert by_id[990_001]["cell"] is None and by_id[990_001]["codes"] is None
+    assert by_id[990_002]["cell"] is None and by_id[990_002]["codes"] is None

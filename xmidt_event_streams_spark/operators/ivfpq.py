@@ -299,6 +299,65 @@ def ivfpq_fit(
     return C.tolist(), cbs.tolist()
 
 
+def _fused_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, codes, cell) in ONE Arrow pass: cell assignment (argmax
+    of 6dp-rounded cosine -- numerically identical to
+    vectors.nearest_cells), residual subtraction, and PQ encoding
+    (pq._encode_block) fused into a single mapInPandas kernel. The
+    composed path (assign_cells -> residual_expr -> pq_encode) moved
+    the full vector payload through THREE separate Arrow
+    serialize/deserialize round trips; at index-build volume that
+    transfer was most of the build cost. Null/ragged vectors yield
+    (null cell, null codes), as in the composed path."""
+    import pandas as pd
+
+    from xmidt_event_streams_spark.functions.vectors import _stack_masked
+    from xmidt_event_streams_spark.operators.pq import _encode_block
+
+    cb = _as_codebooks(codebooks)
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    dim = int(cm.shape[1])
+    id_type = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }[id_col]
+    schema = f"`{id_col}` {id_type}, `codes` array<int>, `cell` int"
+
+    def _kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            codes_out = pd.Series([None] * n, dtype="object")
+            cell_out = pd.Series([None] * n, dtype="object")
+            if n:
+                mat, valid = _stack_masked(pdf[vec_col], dim=dim)
+                if mat.shape[0]:
+                    vn = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+                    den = np.outer(vn, cn)
+                    sims = np.where(
+                        den > 0,
+                        (mat @ cm.T) / np.where(den > 0, den, 1.0),
+                        0.0,
+                    )
+                    cells = np.argmax(np.round(sims, 6), axis=1)
+                    codes = _encode_block(mat - cm[cells], cb)
+                    idx = np.nonzero(valid)[0]
+                    codes_out.iloc[idx] = list(codes)
+                    cell_out.iloc[idx] = [int(c) for c in cells]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": codes_out, "cell": cell_out}
+            )
+
+    return df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(_kernel, schema)
+
+
 def write_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -310,14 +369,12 @@ def write_ivfpq_index(
     """Materialize (id, codes) partitioned by coarse cell, residual-
     encoded, with both quantizers stamped in the sidecar (cells and
     codes are meaningless under any other centroids/codebooks --
-    probes verify or load, never silently mismatch)."""
+    probes verify or load, never silently mismatch). Encoding is the
+    fused one-pass kernel (:func:`_fused_encode`); the shuffle to
+    cell directories moves only (id, m ints, cell), never vectors."""
     cb = _as_codebooks(codebooks)
-    res = assign_cells(df, centroids, vec_col).withColumn(
-        "_res", residual_expr(vec_col, "cell", centroids)
-    )
     (
-        pq_encode(res, codebooks, "_res")
-        .select(id_col, "codes", "cell")
+        _fused_encode(df, centroids, codebooks, id_col, vec_col)
         .repartition(F.col("cell"))
         # id-sorted files: the point-fetch write contract
         # (operators/fetch.py; see ivf._sorted_by_id)
