@@ -254,6 +254,16 @@ def ann_bench(spark) -> dict:
     # the frontier. In-group spread (0.22 * sqrt(2) ~ 0.31) stays at
     # the 0.3 * sqrt(2) out-group margin's edge without crossing it,
     # so ground truth is unchanged by the arc.
+    #
+    # EXPECTED CONTRAST on this denser corpus (7,000 points per
+    # cluster direction): FLAT PQ collapses (recall@10 ~ 0.17 at 8
+    # bytes/row -- absolute-vector codes cannot separate true mates
+    # from thousands of same-cluster neighbors inside one subspace
+    # quantization step) while residual IVF-PQ holds ~0.92 at the
+    # SAME 8 bytes/row, because its codes spend their resolution
+    # inside the cell (Jegou et al. 2011 §IV's argument, measured
+    # here). The flat-PQ arm is kept AS the baseline that motivates
+    # the composition, not as a recommended operating point.
     GROUP, CLUSTER = 11, 7000
     ALPHA_ARC = 0.22
 

@@ -731,3 +731,33 @@ def test_replicate_snapshot_end_to_end(spark, table, tmp_path):
         replicate_snapshot(
             spark, path, dst, str(tmp_path / "fresh_ckpt")
         )
+
+
+def test_replication_as_maintenance_target(spark, table, tmp_path):
+    """One maintenance window drains the replica BEFORE expiring the
+    source -- the operational pairing that keeps a lagging follower
+    inside retained history."""
+    from xmidt_event_streams_spark.maintenance import run_maintenance
+    from xmidt_event_streams_spark.operators.snapshots import (
+        replicate_snapshot,
+    )
+
+    path, _ = table
+    dst = str(tmp_path / "mrep")
+    ckpt = str(tmp_path / "mrep_ckpt")
+    replicate_snapshot(spark, path, dst, ckpt)  # bootstrap at v1
+    snapshot_merge(spark, path, _df(spark, [(1, "v2")]))
+    snapshot_merge(spark, path, _df(spark, [(2, "v3")]))
+    report = run_maintenance(
+        spark,
+        replications=((path, dst, ckpt),),
+        snapshot_tables=((path, 1),),  # expire would strand a lagger
+    )
+    assert report[dst]["kind"] == "snapshot_replicate"
+    assert report[dst]["src_version"] == 3
+    assert "error" not in report[dst]
+    assert report[path]["kind"] == "snapshot_expire"
+    # replica caught up even though only v3 survived the expire
+    assert _content(snapshot_read(spark, dst)) == _content(
+        snapshot_read(spark, path)
+    )

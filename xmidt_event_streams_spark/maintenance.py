@@ -81,6 +81,7 @@ def run_maintenance(
     kmv_baselines: tuple[tuple[str, str], ...] = (),
     token_baselines: tuple[tuple[str, str], ...] = (),
     snapshot_tables: tuple[tuple[str, int], ...] = (),
+    replications: tuple[tuple[str, str, str], ...] = (),
     tombstones: dict[str, list] | None = None,
     batches_per_partition: int = 1_000,
     checkpoints: dict[str, str] | None = None,
@@ -128,6 +129,15 @@ def run_maintenance(
     row's bytes persist until the last manifest referencing them
     expires. Guarded like other write targets via ``checkpoints``.
 
+    ``replications``: (src_path, dst_path, checkpoint_dir) triples --
+    CDC replica catch-up (``snapshots.replicate_snapshot``): drains
+    every pending change interval into the replica at change-volume
+    cost. The DESTINATION is the write target for guarding purposes;
+    scheduling the drain in the same window as the source's expire is
+    the operational pairing that keeps the follower inside retained
+    history (drain first: ``replications`` run before
+    ``snapshot_tables``).
+
     ``checkpoints`` maps write-target paths (sinks/indexes/rollups)
     to the checkpoint dirs of the streams that write them; guarded
     targets are checked with :func:`assert_writer_quiesced` BEFORE
@@ -159,6 +169,7 @@ def run_maintenance(
         compact_ingest_sink,
     )
     from xmidt_event_streams_spark.operators.snapshots import (
+        replicate_snapshot,
         snapshot_expire,
     )
     from xmidt_event_streams_spark.streaming.rollup import compact_rollup
@@ -172,6 +183,7 @@ def run_maintenance(
             | set(ivf_compactions)
             | {p for p, _, _ in rollups}
             | {p for p, _ in snapshot_tables}
+            | {d for _, d, _ in replications}
         )
         for target, ckpt in checkpoints.items():
             if target in write_targets:
@@ -255,6 +267,16 @@ def run_maintenance(
             "token_drift",
             lambda b=base_path, c=corpus_path: token_drift(
                 spark, b, spark.read.parquet(c)
+            ),
+        )
+    # replication drains run BEFORE expiry so a lagging follower is
+    # caught up while its cursor's manifest is still retained
+    for src, dst, ckpt in replications:
+        _run(
+            dst,
+            "snapshot_replicate",
+            lambda s_=src, d=dst, c=ckpt: replicate_snapshot(
+                spark, s_, d, c
             ),
         )
     for path, keep_last in snapshot_tables:

@@ -84,9 +84,15 @@ def coalesce_id_intervals(
 # the ids are scattered, the pushed ranges would admit (and evaluate
 # a ~256-branch predicate over) most of the store while pruning
 # little -- measured 10x SLOWER than the bare semi-join's one clean
-# hash-filtered scan at 2M rows. Tight covers (clustered candidates,
-# the ANN-refine reality) keep the ranges and prune to ~|ids| rows.
-FETCH_COVER_SLACK = 64
+# hash-filtered scan when the cover reached ~83% of a 2M-row store.
+# Tight covers keep the ranges and prune to ~|ids| rows. 192 is set
+# from the two measured regimes: ANN rerank candidates land at
+# ~73x (cover ~22% of the bench store -- ranges clearly win, and at
+# 100 TB a 192x-slack cover is a vanishing store fraction), while
+# uniformly random ids land at ~270x (cover ~ the whole store --
+# ranges only add predicate cost). Only small stores can lose from
+# a kept cover, and small stores are cheap either way.
+FETCH_COVER_SLACK = 192
 
 
 def fetch_by_ids(
@@ -139,13 +145,18 @@ def ranged_scan(
     ids,
     id_col: str = "vec_id",
     max_intervals: int = MAX_FETCH_INTERVALS,
+    max_slack: int = 4,
 ) -> DataFrame | None:
     """The range-cover SUPERSET scan alone -- one pushed-filter stage,
     no semi-join -- for callers that post-filter to the exact id set
     themselves (the driver-side rescore path: its id-keyed lookup
     ignores in-gap rows for free, so the semi-join stage is pure
-    overhead there). Returns None when the cover is loose or the ids
-    non-integer (the caller should fall back to fetch_by_ids)."""
+    overhead there). The RESULT carries the in-gap rows, so the
+    tightness bar (``max_slack``, default 4x) is much stricter than
+    fetch_by_ids' scan-side one: a caller collecting this relation
+    pays transfer for every cover row. Returns None when the cover
+    is looser than that or the ids non-integer (the caller should
+    fall back to fetch_by_ids, whose semi-join returns exact rows)."""
     ids = sorted(set(ids))
     if not ids or not all(
         isinstance(i, (int, np.integer)) and not isinstance(i, bool)
@@ -153,7 +164,7 @@ def ranged_scan(
     ):
         return None
     ranges = coalesce_id_intervals(ids, max_intervals)
-    if sum(hi - lo + 1 for lo, hi in ranges) > FETCH_COVER_SLACK * len(ids):
+    if sum(hi - lo + 1 for lo, hi in ranges) > max_slack * len(ids):
         return None
     return df.filter(
         F.expr(
