@@ -275,6 +275,7 @@ OFF_REGISTRY = [
     "dedup_by_txn",
     "simhash",
     "session_gaps",
+    "point_fetch",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -347,6 +348,9 @@ OFF_REGISTRY_EVIDENCE = {
     # driver CORRECTNESS row) -- gap/window evidence stays via
     # session_windows (registry) + the off-registry session_gaps twin
     "session_gaps": "tests/test_components.py::test_off_registry_parity",
+    # added directly off-registry in r7: the point-fetch operator's
+    # exactness twin (pruning evidence lives in tests/test_fetch.py)
+    "point_fetch": "tests/test_components.py::test_off_registry_parity",
 }
 
 

@@ -901,6 +901,53 @@ GROUP BY 1, 2
 """
 
 
+def q_point_fetch(spark, sf_dir):
+    """Bounded-plan point fetch (operators/fetch.py): read an
+    id-addressed row set out of the embeddings store through the
+    range-cover + broadcast-semi-join path (two tight id clusters +
+    stragglers -- above the small-set isin threshold, so the full
+    machinery engages), projecting (vec_id, dim, norm_6dp). Off-
+    registry DuckDB twin: exactness of the fetch is the whole
+    contract (the pruning side is pinned by tests/test_fetch.py's
+    scanned-row assertions). Plan: pushed BETWEEN ranges on the scan
+    + one broadcast semi-join; never a multi-thousand-literal IN."""
+    from xmidt_event_streams_spark.operators.fetch import fetch_by_ids
+
+    ids = (
+        list(range(100, 160))
+        + list(range(900, 950))
+        + [7, 42, 4999]
+    )
+    emb = _emb(spark, sf_dir)
+    return fetch_by_ids(emb, ids, id_col="vec_id").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ).alias("norm_6dp"),
+    )
+
+
+SQL_POINT_FETCH = """WITH ids(vec_id) AS (
+  SELECT UNNEST(ARRAY[7, 42, 4999])
+  UNION ALL SELECT UNNEST(range(100, 160))
+  UNION ALL SELECT UNNEST(range(900, 950))
+)
+SELECT e.vec_id,
+       len(e.embedding) AS dim,
+       round(sqrt(list_sum(list_transform(e.embedding, x -> x * x))),
+             6) AS norm_6dp
+FROM embeddings e SEMI JOIN ids USING (vec_id)
+"""
+
+
 def q_lsh_ann(spark, sf_dir):
     """LSH ANN end-to-end: queries (vec_id < 5) score only corpus
     vectors sharing their sign bucket; cosine top-10 within. Approx
