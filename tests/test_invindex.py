@@ -292,3 +292,167 @@ def test_append_to_uninitialized_index_refused(spark, tmp_path):
         append_to_inverted_index(
             _mini_docs(spark, [(1, "some text")]), str(tmp_path / "nope")
         )
+
+
+class TestSnapshotSyncedIndex:
+    """sync_inverted_index_with_snapshot: the index follows the table
+    through the checkpointed change feed -- bootstrap, incremental
+    drains, update/delete correctness, crash-replay convergence."""
+
+    def _mk(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.snapshots import (
+            snapshot_create,
+        )
+
+        table = str(tmp_path / "tab")
+        rows = [
+            (1, "alpha beta gamma"),
+            (2, "beta delta"),
+            (3, "epsilon zeta"),
+        ]
+        snapshot_create(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            table,
+            "doc_id",
+        )
+        return table
+
+    def _hits(self, spark, ix, phrase):
+        from xmidt_event_streams_spark.operators.invindex import (
+            phrase_search,
+            read_inverted_index,
+        )
+
+        return sorted(
+            r.doc_id
+            for r in phrase_search(
+                read_inverted_index(spark, ix), phrase
+            ).collect()
+        )
+
+    def test_bootstrap_and_incremental_sync(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xmidt_event_streams_spark.operators.invindex import (
+            sync_inverted_index_with_snapshot,
+        )
+        from xmidt_event_streams_spark.operators.snapshots import (
+            snapshot_merge,
+        )
+
+        table = self._mk(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        ck = str(tmp_path / "ck")
+        r = sync_inverted_index_with_snapshot(spark, table, ix, ck)
+        assert r["intervals"] == 0 and r["appended_docs"] == 3
+        assert self._hits(spark, ix, "beta") == [1, 2]
+
+        # update doc 2 (old term must stop answering), insert 4,
+        # delete 3
+        ups = spark.createDataFrame(
+            [(2, "beta rewritten"), (4, "zeta fresh")],
+            "doc_id int, text string",
+        ).withColumn("_deleted", F.lit(False))
+        tomb = spark.createDataFrame(
+            [(3, "x")], "doc_id int, text string"
+        ).withColumn("_deleted", F.lit(True))
+        snapshot_merge(spark, table, ups.unionByName(tomb))
+        r2 = sync_inverted_index_with_snapshot(spark, table, ix, ck)
+        assert r2["intervals"] == 1
+        assert self._hits(spark, ix, "delta") == []  # doc 2's old term
+        assert self._hits(spark, ix, "rewritten") == [2]
+        assert self._hits(spark, ix, "epsilon") == []  # doc 3 deleted
+        assert self._hits(spark, ix, "zeta") == [4]
+        # idle drain
+        assert sync_inverted_index_with_snapshot(spark, table, ix, ck)[
+            "intervals"
+        ] == 0
+
+    def test_crash_replay_converges(self, spark, tmp_path, monkeypatch):
+        """Kill the sync after the interval's index writes but before
+        the cursor ack: the rerun re-applies the SAME interval and the
+        index converges to exactly the table's live postings."""
+        from pyspark.sql import functions as F
+
+        from xmidt_event_streams_spark.operators import invindex as IV
+        from xmidt_event_streams_spark.operators.snapshots import (
+            snapshot_merge,
+        )
+
+        table = self._mk(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        ck = str(tmp_path / "ck")
+        IV.sync_inverted_index_with_snapshot(spark, table, ix, ck)
+        snapshot_merge(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(1, "alpha only"), (5, "beta newdoc")],
+                "doc_id int, text string",
+            ),
+        )
+
+        # crash: the sync's ack raises AFTER compact+append ran
+        from xmidt_event_streams_spark.operators import snapshots as S
+
+        real_follow = S.follow_snapshot_changes
+
+        def follow_with_dying_ack(spark_, path_, ck_):
+            out = real_follow(spark_, path_, ck_)
+            if out is not None:
+                def dying():
+                    raise RuntimeError("crash before ack")
+                out = dict(out, ack=dying)
+            return out
+
+        monkeypatch.setattr(
+            S, "follow_snapshot_changes", follow_with_dying_ack
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="crash"):
+            IV.sync_inverted_index_with_snapshot(spark, table, ix, ck)
+        monkeypatch.setattr(S, "follow_snapshot_changes", real_follow)
+
+        # rerun: same interval redelivered; index converges
+        r = IV.sync_inverted_index_with_snapshot(spark, table, ix, ck)
+        assert r["intervals"] == 1
+        assert self._hits(spark, ix, "beta") == [2, 5]
+        assert self._hits(spark, ix, "gamma") == []  # doc 1's old term
+        assert self._hits(spark, ix, "only") == [1]
+        # replay may leave duplicate insert postings until the NEXT
+        # compaction (the documented at-least-once posture); probes
+        # absorb them, and one compact reclaims them exactly
+        from xmidt_event_streams_spark.operators.invindex import (
+            compact_inverted_index,
+            read_inverted_index,
+        )
+
+        compact_inverted_index(spark, ix)
+        idx = read_inverted_index(spark, ix)
+        assert (
+            idx.groupBy("term", "doc_id").count().filter("count > 1").count()
+            == 0
+        )
+        assert self._hits(spark, ix, "beta") == [2, 5]
+
+    def test_fresh_checkpoint_over_existing_index_refused(
+        self, spark, tmp_path
+    ):
+        from xmidt_event_streams_spark.operators.invindex import (
+            sync_inverted_index_with_snapshot,
+            write_inverted_index,
+        )
+
+        table = self._mk(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        write_inverted_index(
+            spark.createDataFrame(
+                [(9, "stale content")], "doc_id int, text string"
+            ),
+            ix,
+        )
+        with pytest.raises(ValueError, match="fork"):
+            sync_inverted_index_with_snapshot(
+                spark, table, ix, str(tmp_path / "ck")
+            )
