@@ -404,3 +404,77 @@ class TestCrossCorpusDecontamination:
         b = sorted(map(tuple, cross_corpus_candidates(
             corpus, reference, broadcast_reference=False).collect()))
         assert a == b
+
+
+def test_minhash_sync_with_snapshot_table(spark, tmp_path):
+    """The MinHash index follows a snapshot table through the change
+    feed: bootstrap at the pinned head; updates replace the old
+    signature (a near-dup probe of the OLD text stops matching);
+    deletes stop answering; inserts answer; fork refusal on a fresh
+    checkpoint over an existing index."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.operators.incremental import (
+        incremental_dedup_candidates,
+        sync_minhash_index_with_snapshot,
+        write_minhash_index,
+    )
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_create,
+        snapshot_merge,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content with no shared shingles at all here"
+    table = str(tmp_path / "tab")
+    snapshot_create(
+        spark.createDataFrame(
+            [(1, base_text), (2, other)], "doc_id bigint, text string"
+        ),
+        table,
+        "doc_id",
+    )
+    ix = str(tmp_path / "mh")
+    ck = str(tmp_path / "ck")
+
+    def probes_matching(text):
+        probe = spark.createDataFrame(
+            [(99, text)], "doc_id bigint, text string"
+        )
+        return {
+            r.dup_id
+            for r in incremental_dedup_candidates(spark, ix, probe).collect()
+        }
+
+    r = sync_minhash_index_with_snapshot(spark, table, ix, ck)
+    assert r["intervals"] == 0 and r["appended_docs"] == 2
+    assert probes_matching(base_text) == {1}
+
+    # update doc 1 away from base_text; insert doc 3 near it; delete 2
+    ups = spark.createDataFrame(
+        [(1, other + " rewritten edition"), (3, base_text + " encore")],
+        "doc_id bigint, text string",
+    ).withColumn("_deleted", F.lit(False))
+    tomb = spark.createDataFrame(
+        [(2, "x")], "doc_id bigint, text string"
+    ).withColumn("_deleted", F.lit(True))
+    snapshot_merge(spark, table, ups.unionByName(tomb))
+
+    r2 = sync_minhash_index_with_snapshot(spark, table, ix, ck)
+    assert r2["intervals"] == 1
+    # old signature of doc 1 replaced: base_text now matches only doc 3
+    assert probes_matching(base_text) == {3}
+    # doc 2 deleted: its content stops answering
+    got = probes_matching(other)
+    assert 2 not in got and 1 in got  # doc 1's NEW text is near `other`
+
+    # fork refusal
+    write_minhash_index(
+        spark.createDataFrame([(9, "stale")], "doc_id bigint, text string"),
+        str(tmp_path / "mh2"),
+    )
+    with pytest.raises(ValueError, match="fork"):
+        sync_minhash_index_with_snapshot(
+            spark, table, str(tmp_path / "mh2"), str(tmp_path / "ck2")
+        )

@@ -534,3 +534,82 @@ def decontaminate_near_dups(
         .withColumnRenamed("_xes_agreement", "agreement")
     )
     return kept, dropped
+
+
+def sync_minhash_index_with_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_polls: int = 1_000_000,
+) -> dict:
+    """Keep the corpus MinHash index caught up with a SNAPSHOT TABLE
+    through the checkpointed change feed -- the near-dup tier's
+    instance of ``snapshots.sync_index_with_snapshot`` (the inverted
+    index has ``invindex.sync_inverted_index_with_snapshot``; a full
+    replica has ``snapshots.replicate_snapshot``). Per interval:
+    ``compact_minhash_index(tombstones = deleted + updated ids)``
+    (an updated doc's OLD signature must stop answering probes) then
+    ``append_to_minhash_index(inserts + update after-images)``; the
+    cursor acks only after both land, so a crash replays the interval
+    and converges (same argument as the inverted-index sync --
+    signatures are pure row functions, replay duplicates are absorbed
+    by probes and reclaimed by the next compaction). Returns
+    {intervals, appended_docs, removed_docs}.
+    """
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_read,
+        sync_index_with_snapshot,
+    )
+
+    params = dict(
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+
+    def _exists() -> bool:
+        return _read_meta(spark, index_path) is not None
+
+    def _bootstrap(version: int) -> int:
+        base = snapshot_read(spark, table_path, version=version).select(
+            id_col, text_col
+        )
+        write_minhash_index(base, index_path, **params)
+        return base.count()
+
+    def _apply(ch: DataFrame) -> tuple[int, int]:
+        ch = ch.select(id_col, text_col, "_change").persist()
+        try:
+            stale = ch.filter(
+                F.col("_change").isin("delete", "update")
+            ).select(id_col)
+            n_stale = stale.count()
+            if n_stale:
+                compact_minhash_index(spark, index_path, tombstones=stale)
+            fresh = ch.filter(
+                F.col("_change").isin("insert", "update")
+            ).select(id_col, text_col)
+            n_fresh = fresh.count()
+            if n_fresh:
+                append_to_minhash_index(fresh, index_path, **params)
+        finally:
+            ch.unpersist()
+        return n_fresh, n_stale
+
+    out = sync_index_with_snapshot(
+        spark, table_path, checkpoint_dir, _exists, _bootstrap, _apply,
+        max_polls=max_polls,
+    )
+    return {
+        "intervals": out["intervals"],
+        "appended_docs": out["appended"],
+        "removed_docs": out["removed"],
+    }

@@ -445,9 +445,10 @@ def sync_inverted_index_with_snapshot(
     max_polls: int = 1_000_000,
 ) -> dict:
     """Keep a positional inverted index caught up with a SNAPSHOT
-    TABLE through the checkpointed change feed -- the index-tier twin
-    of ``snapshots.replicate_snapshot``. Call at any cadence (e.g.
-    the maintenance window); each call drains every pending change
+    TABLE through the checkpointed change feed -- an instance of
+    ``snapshots.sync_index_with_snapshot`` (the index-tier twin of
+    ``snapshots.replicate_snapshot``). Call at any cadence (e.g. the
+    maintenance window); each call drains every pending change
     interval and returns {intervals, appended_docs, removed_docs}.
 
     Per interval, in this order:
@@ -459,7 +460,7 @@ def sync_inverted_index_with_snapshot(
          deletes/updates, so insert-dominated workloads pay
          append-only cost.
       2. ``append_to_inverted_index(inserts + update after-images)``.
-      3. ``ack()``.
+      3. cursor ack (inside the harness).
 
     Crash convergence: a crash before ack redelivers the interval;
     re-compacting re-removes the same ids (now including any postings
@@ -471,46 +472,26 @@ def sync_inverted_index_with_snapshot(
 
     Bootstrap: a FRESH checkpoint pins the table head and the index
     is (re)built from a full read at that version -- the index must
-    not pre-exist (same fork-refusal as replicate_snapshot).
+    not pre-exist (fork refusal, see the harness).
     """
     from xmidt_event_streams_spark.fsutil import read_json_sidecar
     from xmidt_event_streams_spark.operators.snapshots import (
-        _read_follow_cursor,
-        follow_snapshot_changes,
         snapshot_read,
+        sync_index_with_snapshot,
     )
 
-    polls = appended = removed = 0
-    if _read_follow_cursor(spark, checkpoint_dir) is None:
-        if read_json_sidecar(spark, index_path, _META) is not None:
-            raise ValueError(
-                f"index at {index_path} exists but the checkpoint at "
-                f"{checkpoint_dir} is fresh; syncing a from-now-on "
-                "change feed onto unknown postings would fork the "
-                "index -- re-bootstrap into an empty path"
-            )
-        batch = follow_snapshot_changes(spark, table_path, checkpoint_dir)
-        assert batch is None  # fresh checkpoint pins head
-        cur = _read_follow_cursor(spark, checkpoint_dir)
-        base = snapshot_read(
-            spark, table_path, version=int(cur["version"])
-        ).select(id_col, text_col)
+    def _exists() -> bool:
+        return read_json_sidecar(spark, index_path, _META) is not None
+
+    def _bootstrap(version: int) -> int:
+        base = snapshot_read(spark, table_path, version=version).select(
+            id_col, text_col
+        )
         write_inverted_index(base, index_path, id_col, text_col, n_buckets)
-        appended += base.count()
-    elif read_json_sidecar(spark, index_path, _META) is None:
-        # crash between cursor pin and index build: finish bootstrap
-        cur = _read_follow_cursor(spark, checkpoint_dir)
-        base = snapshot_read(
-            spark, table_path, version=int(cur["version"])
-        ).select(id_col, text_col)
-        write_inverted_index(base, index_path, id_col, text_col, n_buckets)
-        appended += base.count()
-    while polls < max_polls:
-        batch = follow_snapshot_changes(spark, table_path, checkpoint_dir)
-        if batch is None:
-            break
-        polls += 1
-        ch = batch["changes"].select(id_col, text_col, "_change").persist()
+        return base.count()
+
+    def _apply(ch: DataFrame) -> tuple[int, int]:
+        ch = ch.select(id_col, text_col, "_change").persist()
         try:
             stale = ch.filter(
                 F.col("_change").isin("delete", "update")
@@ -518,7 +499,6 @@ def sync_inverted_index_with_snapshot(
             n_stale = stale.count()
             if n_stale:
                 compact_inverted_index(spark, index_path, tombstones=stale)
-                removed += n_stale
             fresh = ch.filter(
                 F.col("_change").isin("insert", "update")
             ).select(id_col, text_col)
@@ -527,12 +507,16 @@ def sync_inverted_index_with_snapshot(
                 append_to_inverted_index(
                     fresh, index_path, id_col, text_col, n_buckets
                 )
-                appended += n_fresh
         finally:
             ch.unpersist()
-        batch["ack"]()
+        return n_fresh, n_stale
+
+    out = sync_index_with_snapshot(
+        spark, table_path, checkpoint_dir, _exists, _bootstrap, _apply,
+        max_polls=max_polls,
+    )
     return {
-        "intervals": polls,
-        "appended_docs": appended,
-        "removed_docs": removed,
+        "intervals": out["intervals"],
+        "appended_docs": out["appended"],
+        "removed_docs": out["removed"],
     }

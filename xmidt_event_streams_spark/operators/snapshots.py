@@ -1120,3 +1120,70 @@ def replicate_snapshot(
         "rows_applied": rows,
         "src_version": int(cur["version"]),
     }
+
+
+def sync_index_with_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    index_exists,
+    bootstrap,
+    apply_interval,
+    max_polls: int = 1_000_000,
+) -> dict:
+    """The generic 'derived artifact follows the table' harness every
+    index tier shares (inverted index, MinHash — and
+    :func:`replicate_snapshot` is the same loop specialized to a
+    snapshot replica): bootstrap from a full read at the pinned head,
+    then drain change intervals through the durable cursor, acking
+    each only after its effects landed.
+
+    Callbacks: ``index_exists() -> bool`` (fork refusal under a fresh
+    checkpoint); ``bootstrap(pinned_version) -> n_rows`` (build the
+    artifact from ``snapshot_read`` at that version — also re-invoked
+    to finish a bootstrap whose first attempt crashed after pinning
+    the cursor); ``apply_interval(changes_df) -> (appended, removed)``
+    (apply one interval's insert/update/delete images; MUST converge
+    under redelivery — the cursor is acked only after it returns).
+
+    Returns {intervals, appended, removed, src_version}.
+    """
+    polls = appended = removed = 0
+    if _read_follow_cursor(spark, checkpoint_dir) is None:
+        if index_exists():
+            raise ValueError(
+                f"derived artifact exists but the checkpoint at "
+                f"{checkpoint_dir} is fresh; applying a from-now-on "
+                "change feed onto unknown content would fork it -- "
+                "re-bootstrap into an empty destination"
+            )
+        batch = follow_snapshot_changes(spark, table_path, checkpoint_dir)
+        assert batch is None  # fresh checkpoint pins head
+        cur = _read_follow_cursor(spark, checkpoint_dir)
+        appended += int(bootstrap(int(cur["version"])) or 0)
+    elif not index_exists():
+        # crash between cursor pin and bootstrap: finish from the
+        # pinned version (still retained: the cursor hasn't moved)
+        cur = _read_follow_cursor(spark, checkpoint_dir)
+        if cur.get("table") != table_path:
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} follows "
+                f"{cur.get('table')!r}, not {table_path!r}"
+            )
+        appended += int(bootstrap(int(cur["version"])) or 0)
+    while polls < max_polls:
+        batch = follow_snapshot_changes(spark, table_path, checkpoint_dir)
+        if batch is None:
+            break
+        polls += 1
+        a, r = apply_interval(batch["changes"])
+        appended += int(a)
+        removed += int(r)
+        batch["ack"]()
+    cur = _read_follow_cursor(spark, checkpoint_dir)
+    return {
+        "intervals": polls,
+        "appended": appended,
+        "removed": removed,
+        "src_version": int(cur["version"]),
+    }
