@@ -335,3 +335,19 @@ def test_keep_top_by_dist_id_matches_full_lexsort():
             got_ids, got_d = keep_top_by_dist_id(ids, d, n_short)
             got = sorted(zip(got_d, got_ids))
             assert got == sorted(want), (trial, n_short)
+
+
+def test_empty_query_batch_is_empty_result(spark, sf_dir):
+    """An empty probe batch returns an empty, correctly-shaped result
+    instead of crashing in the LUT tensor build."""
+    from xmidt_event_streams_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_fit(emb.limit(400), m=4, k=8, n_iters=1)
+    codes = pq_encode(emb.limit(400), cb).select("vec_id", "codes")
+    out = pq_topk(codes, [], cb)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "adc_dist", "rank"]
+    out_rr = pq_topk(codes, [], cb, rerank=8, vectors=emb)
+    assert out_rr.count() == 0
+    assert "exact_dist" in out_rr.columns

@@ -761,3 +761,73 @@ def test_replication_as_maintenance_target(spark, table, tmp_path):
     assert _content(snapshot_read(spark, dst)) == _content(
         snapshot_read(spark, path)
     )
+
+
+def test_legacy_table_merge_keeps_missing_column_guard(spark, table):
+    """Pre-schema-stamp tables (legacy manifests) must still REFUSE a
+    merge that omits an existing column -- silently adopting the
+    update's narrower schema would drop the column table-wide (the
+    review's data-loss finding)."""
+    import json as _json
+
+    from xmidt_event_streams_spark.fsutil import hadoop_fs
+
+    path, _ = table
+    # strip the schema stamp to simulate a pre-r7 manifest
+    m = _read_manifest(spark, path, 1)
+    del m["schema"]
+    fs, _, jvm = hadoop_fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(_manifest_path(path, 1)), True)
+    try:
+        out.write(bytearray(_json.dumps(m).encode()))
+    finally:
+        out.close()
+    bad = spark.createDataFrame([(1,)], "doc_id int")
+    with pytest.raises(ValueError, match="missing table columns"):
+        snapshot_merge(spark, path, bad)
+    # type changes refused on legacy tables too
+    with pytest.raises(ValueError, match="ADDING columns only"):
+        snapshot_merge(
+            spark, path, spark.createDataFrame([(1, 5)], "doc_id int, text int")
+        )
+    # a full-width merge still works and re-stamps the schema
+    snapshot_merge(spark, path, _df(spark, [(1, "legacy v2")]))
+    m2 = _read_manifest(spark, path, 2)
+    assert m2["schema"] == [["doc_id", "int"], ["text", "string"]]
+
+
+def test_commits_dir_stays_clean_and_cursor_never_vanishes(
+    spark, table, tmp_path
+):
+    """Publish must not litter _commits (one orphaned .crc per commit
+    would bloat every listStatus forever), and cursor acks must leave
+    a readable cursor at every step (the delete-then-rename crash
+    window deleted it outright)."""
+    import os
+
+    from xmidt_event_streams_spark.operators.snapshots import (
+        _read_follow_cursor,
+        follow_snapshot_changes,
+    )
+
+    path, _ = table
+    ckpt = str(tmp_path / "ck")
+    assert follow_snapshot_changes(spark, path, ckpt) is None
+    for i in range(3):
+        snapshot_merge(spark, path, _df(spark, [(i, f"round {i}")]))
+        b = follow_snapshot_changes(spark, path, ckpt)
+        b["ack"]()
+        cur = _read_follow_cursor(spark, ckpt)
+        assert cur is not None and cur["version"] == i + 2
+    # manifests + claims only (claims are GC'd by expire, by design);
+    # no tmp manifests and no orphaned .crc sidecars of consumed tmps
+    commits = sorted(os.listdir(f"{path}/_commits"))
+    stray = [
+        f for f in commits if ".tmp" in f or f.endswith(".crc")
+    ]
+    assert not stray, commits
+    assert [f for f in commits if f.startswith("v")] == [
+        f"v{v:08d}.json" for v in range(1, 5)
+    ], commits
+    ck_files = {f for f in os.listdir(ckpt) if not f.endswith(".crc")}
+    assert ck_files == {"cursor.json"}, ck_files

@@ -563,6 +563,7 @@ def sync_minhash_index_with_snapshot(
     {intervals, appended_docs, removed_docs}.
     """
     from xmidt_event_streams_spark.operators.snapshots import (
+        compact_then_append_interval,
         snapshot_read,
         sync_index_with_snapshot,
     )
@@ -586,23 +587,17 @@ def sync_minhash_index_with_snapshot(
         return base.count()
 
     def _apply(ch: DataFrame) -> tuple[int, int]:
-        ch = ch.select(id_col, text_col, "_change").persist()
-        try:
-            stale = ch.filter(
-                F.col("_change").isin("delete", "update")
-            ).select(id_col)
-            n_stale = stale.count()
-            if n_stale:
-                compact_minhash_index(spark, index_path, tombstones=stale)
-            fresh = ch.filter(
-                F.col("_change").isin("insert", "update")
-            ).select(id_col, text_col)
-            n_fresh = fresh.count()
-            if n_fresh:
-                append_to_minhash_index(fresh, index_path, **params)
-        finally:
-            ch.unpersist()
-        return n_fresh, n_stale
+        return compact_then_append_interval(
+            ch,
+            id_col,
+            text_col,
+            lambda stale: compact_minhash_index(
+                spark, index_path, tombstones=stale
+            ),
+            lambda fresh: append_to_minhash_index(
+                fresh, index_path, **params
+            ),
+        )
 
     out = sync_index_with_snapshot(
         spark, table_path, checkpoint_dir, _exists, _bootstrap, _apply,

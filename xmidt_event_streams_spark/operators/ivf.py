@@ -175,16 +175,16 @@ def probe_cells(
     )
 
 
-def _sorted_by_id(assigned: DataFrame) -> DataFrame:
-    """Sort each writer task's rows by ``vec_id`` (the package's id
-    convention) when present: files whose row groups hold contiguous
-    id runs make the point-fetch path's pushed-down id ranges prune
-    at row-group grain (operators/fetch.py write contract) -- rerank
-    candidate fetches and takedown probes become point scans instead
-    of index scans. A per-partition sort, no extra shuffle."""
-    if "vec_id" not in assigned.columns:
+def _sorted_by_id(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Sort each writer task's rows by the id column when present:
+    files whose row groups hold contiguous id runs make the
+    point-fetch path's pushed-down id ranges prune at row-group grain
+    (operators/fetch.py write contract) -- rerank candidate fetches
+    and takedown probes become point scans instead of index scans. A
+    per-partition sort, no extra shuffle."""
+    if id_col not in assigned.columns:
         return assigned
-    return assigned.sortWithinPartitions("cell", "vec_id")
+    return assigned.sortWithinPartitions("cell", id_col)
 
 
 def write_ivf_index(
@@ -192,6 +192,7 @@ def write_ivf_index(
     path: str,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> None:
     """Materialize the IVF index: corpus written PARTITIONED BY its
     coarse cell (one directory per cell, one writer task per cell via
@@ -210,7 +211,7 @@ def write_ivf_index(
     assigned = assign_cells(df, centroids, vec_col).persist()
     try:
         (
-            _sorted_by_id(assigned.repartition(F.col("cell")))
+            _sorted_by_id(assigned.repartition(F.col("cell")), id_col)
             .write.partitionBy("cell")
             .mode("overwrite")
             .parquet(path)
@@ -437,6 +438,7 @@ def append_to_ivf_index(
     path: str,
     vec_col: str | None = None,
     batch_id: int | None = None,
+    id_col: str = "vec_id",
 ) -> None:
     """Fold a new vector batch into an existing IVF index (append-only
     -- existing cell files are never rewritten; cell assignment is a
@@ -468,7 +470,8 @@ def append_to_ivf_index(
     assigned = _sorted_by_id(
         assign_cells(df, meta["centroids"], vec_col).repartition(
             F.col("cell")
-        )
+        ),
+        id_col,
     )
     if batch_id is None:
         assigned.write.partitionBy("cell").mode("append").parquet(path)

@@ -125,14 +125,17 @@ FIT_SAMPLE_ROWS = 262_144
 
 
 def _collect_fit_sample(
-    df: DataFrame, vec_col: str, id_col: str, max_rows: int
+    df: DataFrame, vec_col: str, id_col: str, max_rows: int,
+    n_rows: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(ids, X) for a deterministic md5-bucket sample of at most
     ~``max_rows`` rows, driver-sorted by id (the init contract).
     The same sampling idiom as similarity.neardup_centroids: bucket
     membership is a pure function of the id, so re-fits see the same
-    sample regardless of partitioning."""
-    n = df.count()
+    sample regardless of partitioning. Pass ``n_rows`` when the
+    caller already counted ``df`` (auto cell sizing does) -- saves a
+    second pass over derived/filtered fit frames."""
+    n = df.count() if n_rows is None else n_rows
     sel = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -264,10 +267,11 @@ def ivfpq_fit(
     rows (k-means cannot place more cells than fit points) and to
     65_536 (the coarse-assign kernel broadcasts cells x dim doubles
     to every task)."""
+    fit_rows = None
     if n_cells is None:
-        base = corpus_rows if corpus_rows is not None else df.count()
+        fit_rows = df.count()
+        base = corpus_rows if corpus_rows is not None else fit_rows
         n_cells = max(1, int(base**0.5))
-        fit_rows = df.count() if corpus_rows is not None else base
         n_cells = min(n_cells, max(1, fit_rows), 65_536)
     if fit_sample_rows is None:
         cents = kmeans_fit(df, n_cells, n_iters, vec_col, id_col)
@@ -276,7 +280,9 @@ def ivfpq_fit(
         )
         cbs = pq_fit(res, m, k, n_iters, vec_col="_res", id_col=id_col)
         return cents, cbs
-    _, X = _collect_fit_sample(df, vec_col, id_col, fit_sample_rows)
+    _, X = _collect_fit_sample(
+        df, vec_col, id_col, fit_sample_rows, n_rows=fit_rows
+    )
     if len(X) < max(n_cells, k):
         raise ValueError(
             f"fit sample holds {len(X)} rows < max(n_cells={n_cells}, "

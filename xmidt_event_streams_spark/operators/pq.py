@@ -368,6 +368,13 @@ def pq_topk(
     the codebook resolution alone leaves recall short."""
     cb = _as_codebooks(codebooks)
     m, kcb, dsub = cb.shape
+    if not queries:  # an empty probe batch is an empty result
+        extra = "" if rerank is None else " exact_dist double,"
+        return corpus_codes.sparkSession.createDataFrame(
+            [],
+            f"query_id long, {id_col} long, adc_dist double,{extra} "
+            "rank int",
+        )
     qids = np.asarray([int(qid) for qid, _ in queries], dtype=np.int64)
     # LUT tensor (m, k, n_queries): one gather PER SUBSPACE scores the
     # whole batch of queries at once (T[j][codes[:, j]] -> (rows, nq));

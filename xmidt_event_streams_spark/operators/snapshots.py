@@ -329,9 +329,19 @@ def _commit_manifest(
     # ownership re-verify immediately before the rename: a stale-claim
     # breaker that (wrongly) stole our claim during a long stall would
     # have replaced the token — abort WITHOUT touching the claim (it
-    # is not ours any more) rather than racing its publish.
+    # is not ours any more) rather than racing its publish. A
+    # TRANSIENT read failure must not masquerade as a stolen claim
+    # (aborting leaves our own live claim wedging the version for the
+    # whole grace window), so unreadable-but-present retries briefly
+    # before the verdict.
     cpath = jvm.org.apache.hadoop.fs.Path(_claim_path(path, version))
-    if _read_claim_token(fs, jvm, cpath) != token:
+    observed = _read_claim_token(fs, jvm, cpath)
+    for _ in range(3):
+        if observed is not None or not fs.exists(cpath):
+            break
+        time.sleep(0.2)  # present but unreadable: transient IO
+        observed = _read_claim_token(fs, jvm, cpath)
+    if observed != token:
         fs.delete(tmp, False)
         raise SnapshotConflict(
             f"claim for version {version} at {path} was broken by "
@@ -352,15 +362,27 @@ def _commit_manifest(
     if fs.getUri().getScheme() in (None, "file"):
         import os as _os
 
+        ltmp = _local_path(tmp.toString())
         try:
-            _os.link(
-                _local_path(tmp.toString()),
-                _local_path(_manifest_path(path, version)),
-            )
+            _os.link(ltmp, _local_path(_manifest_path(path, version)))
             published = True
-            _os.unlink(_local_path(tmp.toString()))
+            _os.unlink(ltmp)
+            # also drop the ChecksumFileSystem .crc sidecar of the
+            # consumed tmp, or _commits/ accrues one junk file per
+            # commit (expire GCs manifests and claims, not these)
+            head_dir, name = ltmp.rsplit("/", 1)
+            try:
+                _os.remove(f"{head_dir}/.{name}.crc")
+            except OSError:
+                pass
         except FileExistsError:
             published = False
+        except OSError:
+            # filesystem without hardlink support (some NFS/FUSE/
+            # overlay mounts): fall back to exists+rename -- the
+            # claim token already verified ownership just above, so
+            # the unguarded-overwrite window is claim-protected
+            published = not fs.exists(dst) and fs.rename(tmp, dst)
     else:
         published = not fs.exists(dst) and fs.rename(tmp, dst)
     if not published:
@@ -748,8 +770,43 @@ def snapshot_merge(
         evolved_schema = [list(x) for x in parent_schema] + [
             [n, t] for n, t in up_fields if n not in parent_map
         ]
-    else:  # legacy table (pre-schema manifests): adopt update schema
-        evolved_schema = [list(x) for x in up_fields]
+    else:
+        # legacy table (pre-schema manifests): reconstruct the parent
+        # column set from a data file so the missing-column guard
+        # still applies -- silently adopting the update's narrower
+        # schema would DROP columns table-wide (pre-evolution code
+        # failed loudly here via the strict unionByName)
+        any_files = [f for fl in m["buckets"].values() for f in fl]
+        if any_files:
+            parent_fields = [
+                [f.name, f.dataType.simpleString()]
+                for f in spark.read.parquet(any_files[0]).schema.fields
+                if f.name not in (_BUCKET, DELETED_COL)
+            ]
+            parent_map = {n: t for n, t in parent_fields}
+            up_map = dict(up_fields)
+            conflicts = [
+                (n, parent_map[n], t)
+                for n, t in up_fields
+                if n in parent_map and parent_map[n] != t
+            ]
+            if conflicts:
+                raise ValueError(
+                    "schema evolution supports ADDING columns only; "
+                    f"type changes refused: {conflicts}"
+                )
+            missing = [n for n in parent_map if n not in up_map]
+            if missing:
+                raise ValueError(
+                    f"update set is missing table columns {missing}; "
+                    "a merge row replaces the whole row — carry every "
+                    "existing column (null explicitly to clear a value)"
+                )
+            evolved_schema = parent_fields + [
+                [n, t] for n, t in up_fields if n not in parent_map
+            ]
+        else:  # empty legacy table: adopt the update's schema
+            evolved_schema = [list(x) for x in up_fields]
     up = updates
     if DELETED_COL not in updates.columns:
         up = up.withColumn(DELETED_COL, F.lit(False))
@@ -914,10 +971,16 @@ def _read_follow_cursor(spark: SparkSession, checkpoint_dir: str):
 def _write_follow_cursor(
     spark: SparkSession, checkpoint_dir: str, table_path: str, version: int
 ) -> None:
-    """Atomic cursor advance: write to a tmp name, rename over the
-    cursor (rename is atomic on file:/HDFS; a crash mid-write leaves
-    the OLD cursor intact, so the worst case is re-delivery of the
-    un-acked interval -- never a torn cursor)."""
+    """Atomic cursor advance: write to a tmp name, then OVERWRITE-
+    rename onto the cursor in one filesystem operation -- a crash at
+    ANY point leaves either the old or the new cursor, never a torn
+    file and never NO file. (A delete-then-rename pair would have a
+    crash window that deletes the cursor outright; a vanished cursor
+    reads as a FRESH checkpoint, silently skipping the un-acked
+    interval -- the exact loss this protocol exists to prevent.) On
+    ``file:`` the overwrite-rename is ``os.replace`` (POSIX-atomic);
+    elsewhere ``FileContext.rename(..., OVERWRITE)`` (atomic on
+    HDFS)."""
     fs, _, jvm = hadoop_fs(spark, checkpoint_dir)
     base = checkpoint_dir.rstrip("/")
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(base))
@@ -934,9 +997,28 @@ def _write_follow_cursor(
         )
     finally:
         out.close()
-    fs.delete(dst, False)
-    if not fs.rename(tmp, dst):
-        raise IOError(f"could not advance CDC cursor at {base}")
+    if fs.getUri().getScheme() in (None, "file"):
+        import os as _os
+
+        _os.replace(
+            _local_path(tmp.toString()), _local_path(dst.toString())
+        )
+        # drop the ChecksumFileSystem sidecar of the replaced tmp so
+        # checkpoints don't accumulate stale .crc files
+        crc = f"{base}/.{tmp.getName()}.crc"
+        try:
+            _os.remove(_local_path(crc))
+        except OSError:
+            pass
+        return
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    # varargs via an explicit Java array (py4j does not auto-wrap)
+    gw = spark.sparkContext._gateway
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, dst, opts)
 
 
 def follow_snapshot_changes(
@@ -1022,89 +1104,47 @@ def replicate_snapshot(
     max_polls: int = 1_000_000,
 ) -> dict:
     """Catch a REPLICA snapshot table up with a source table through
-    the checkpointed change feed -- the canonical
-    :func:`follow_snapshot_changes` consumer (cross-region copy,
-    staging->prod promotion, a derived table that tracks the
-    corpus). Call it from a scheduler at any cadence; each call
-    drains every pending interval and returns
-    ``{intervals, rows_applied, src_version}``.
+    the checkpointed change feed -- :func:`sync_index_with_snapshot`
+    specialized to a full replica (cross-region copy, staging->prod
+    promotion, a derived table that tracks the corpus). Call it from
+    a scheduler at any cadence (or via ``run_maintenance(
+    replications=...)``); each call drains every pending interval and
+    returns ``{intervals, rows_applied, src_version}``.
 
     Mechanics per interval: delete-images become ``_deleted``
     tombstone rows, insert/update images upsert -- one
     :func:`snapshot_merge` per interval, so the replica's write cost
     tracks the CHANGE volume, never the table size (the 100 TB
     argument: a replica is maintained for the price of the diffs).
-    The cursor is acked only AFTER the merge commits; a crash
-    between merge and ack replays the interval, and the replay
-    re-merges the same images onto the same keys -- idempotent by
-    the keyed-upsert algebra (tombstoning an absent key / replacing
-    a row with identical bytes are both no-ops), so the replica
-    never forks. First call bootstraps: the fresh checkpoint pins
-    the source head and the replica is created from a full
-    ``snapshot_read`` at that pinned version.
+    The cursor is acked only AFTER the merge commits; a crash between
+    merge and ack replays the interval, and the replay re-merges the
+    same images onto the same keys -- idempotent by the keyed-upsert
+    algebra (tombstoning an absent key / replacing a row with
+    identical bytes are both no-ops), so the replica never forks.
+    Bootstrap, fork refusal (pre-existing replica under a fresh
+    checkpoint) and crashed-bootstrap recovery are the harness's.
 
     The replica is a real snapshot table (its own history, time
     travel, expire) -- its version numbers are its OWN commit
-    sequence, not the source's; ``src_version`` in the return (and
-    the cursor) is the source-side high-water mark.
+    sequence, not the source's; ``src_version`` is the source-side
+    high-water mark the cursor carries.
     """
-    polls = 0
-    rows = 0
-    first = _read_follow_cursor(spark, checkpoint_dir) is None
-    if first:
+
+    def _exists() -> bool:
         fs, _, jvm = hadoop_fs(spark, dst_path)
-        if fs.exists(
+        return fs.exists(
             jvm.org.apache.hadoop.fs.Path(_manifest_path(dst_path, 1))
-        ):
-            # a pre-existing replica under a FRESH checkpoint would
-            # silently fork (changes-from-now-on applied to stale
-            # content) -- refuse BEFORE pinning the cursor; the
-            # caller re-bootstraps into a clean destination
-            raise ValueError(
-                f"replica at {dst_path} exists but the checkpoint at "
-                f"{checkpoint_dir} is fresh; applying a from-now-on "
-                "change feed to unknown content would fork the "
-                "replica -- re-bootstrap into an empty destination"
-            )
-        batch = follow_snapshot_changes(spark, src_path, checkpoint_dir)
-        assert batch is None  # fresh checkpoint pins head, delivers nothing
-        cur = _read_follow_cursor(spark, checkpoint_dir)
-        base = snapshot_read(spark, src_path, version=int(cur["version"]))
-        m = _read_manifest(spark, src_path, int(cur["version"]))
+        )
+
+    def _bootstrap(version: int) -> int:
+        base = snapshot_read(spark, src_path, version=version)
+        m = _read_manifest(spark, src_path, version)
         snapshot_create(
             base, dst_path, m["key_col"], bucket_hex=m.get("bucket_hex", 2)
         )
-        rows += base.count()
-    else:
-        # recover a crash between cursor pin and replica create: the
-        # cursor names the pinned source version -- finish the
-        # bootstrap from it (still retained: the cursor hasn't moved)
-        fs, _, jvm = hadoop_fs(spark, dst_path)
-        if not fs.exists(
-            jvm.org.apache.hadoop.fs.Path(_manifest_path(dst_path, 1))
-        ):
-            cur = _read_follow_cursor(spark, checkpoint_dir)
-            if cur.get("table") != src_path:
-                raise ValueError(
-                    f"checkpoint at {checkpoint_dir} follows "
-                    f"{cur.get('table')!r}, not {src_path!r}"
-                )
-            pinned = int(cur["version"])
-            base = snapshot_read(spark, src_path, version=pinned)
-            m = _read_manifest(spark, src_path, pinned)
-            snapshot_create(
-                base,
-                dst_path,
-                m["key_col"],
-                bucket_hex=m.get("bucket_hex", 2),
-            )
-            rows += base.count()
-    while polls < max_polls:
-        batch = follow_snapshot_changes(spark, src_path, checkpoint_dir)
-        if batch is None:
-            break
-        polls += 1
-        ch = batch["changes"]
+        return base.count()
+
+    def _apply(ch: DataFrame) -> tuple[int, int]:
         data_cols = [c for c in ch.columns if c != "_change"]
         updates = ch.select(
             *data_cols,
@@ -1112,14 +1152,20 @@ def replicate_snapshot(
         )
         if updates.limit(1).count():
             stats = snapshot_merge(spark, dst_path, updates)
-            rows += stats["upserts"] + stats["deletes"]
-        batch["ack"]()
-    cur = _read_follow_cursor(spark, checkpoint_dir)
+            return stats["upserts"] + stats["deletes"], 0
+        return 0, 0
+
+    out = sync_index_with_snapshot(
+        spark, src_path, checkpoint_dir, _exists, _bootstrap, _apply,
+        max_polls=max_polls,
+    )
     return {
-        "intervals": polls,
-        "rows_applied": rows,
-        "src_version": int(cur["version"]),
+        "intervals": out["intervals"],
+        "rows_applied": out["appended"],
+        "src_version": out["src_version"],
     }
+
+
 
 
 def sync_index_with_snapshot(
@@ -1187,3 +1233,41 @@ def sync_index_with_snapshot(
         "removed": removed,
         "src_version": int(cur["version"]),
     }
+
+
+def compact_then_append_interval(
+    ch: DataFrame,
+    id_col: str,
+    text_col: str,
+    compact_fn,
+    append_fn,
+) -> tuple[int, int]:
+    """The per-interval applier the content-index syncs share
+    (inverted index, MinHash): remove the STALE entries first
+    (``compact_fn(stale_ids_df)`` over delete+update ids -- an
+    updated doc's old entry must stop answering probes; append-only
+    entries cannot express replacement), then fold the new images in
+    (``append_fn(fresh_df)`` over insert+update after-images).
+    Returns (appended, removed). Converges under redelivery: a
+    replayed interval re-removes the same ids (including entries a
+    first attempt already appended for updated docs) and re-appends
+    them; replay-duplicated insert entries persist only until the
+    tier's next compaction (their documented at-least-once
+    posture)."""
+    ch = ch.select(id_col, text_col, "_change").persist()
+    try:
+        stale = ch.filter(
+            F.col("_change").isin("delete", "update")
+        ).select(id_col)
+        n_stale = stale.count()
+        if n_stale:
+            compact_fn(stale)
+        fresh = ch.filter(
+            F.col("_change").isin("insert", "update")
+        ).select(id_col, text_col)
+        n_fresh = fresh.count()
+        if n_fresh:
+            append_fn(fresh)
+    finally:
+        ch.unpersist()
+    return n_fresh, n_stale
