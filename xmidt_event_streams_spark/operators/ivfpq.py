@@ -24,12 +24,16 @@ embeddings L2 and cosine rank identically (the ann_bench
 equivalence), which is the intended regime -- same contract as the
 PQ family.
 
-Plan shape: write = one narrow cell-assign + one narrow residual
-projection (JVM zip_with against literal centroids) + one narrow
-Arrow encode, then a cell-partitioned write (one dir per cell, no
-small files). Probe = plan-time partition pruning to the probed
-cells (static IN-list, pytest-asserted), a shuffle-free mapInPandas
-ADC scan over int codes, one rank-window shuffle keyed by query_id.
+Plan shape: write = ONE fused Arrow pass computing (cell, codes)
+per row (_fused_encode -- the composed assign/residual/encode chain
+paid three Arrow round trips of the full vector payload), then a
+cell-partitioned, id-sorted write (one dir per cell, no small
+files; the shuffle moves only ids + code bytes). Probe = plan-time
+partition pruning to the probed cells (leaf-dir read,
+pytest-asserted), a shuffle-free mapInPandas ADC scan over int
+codes, and a driver-side top-k merge (distributed per-query reduce
+above a partials bound). Fit = driver-side numpy Lloyd on a bounded
+deterministic sample by default (see ivfpq_fit).
 """
 
 from __future__ import annotations
