@@ -108,6 +108,30 @@ def test_fetch_non_integer_ids(spark, tmp_path):
     assert sorted(r.doc_id for r in got.collect()) == sorted(ids)
 
 
+def test_fetch_float_and_mixed_ids(spark):
+    """Non-int, non-str id sets above SMALL_FETCH_IDS must not
+    TypeError in the id-relation build: float sets infer their type,
+    hopeless mixed sets fall back to the literal filter -- both
+    return exactly the matching rows (the small-set isin path always
+    handled these; the large-set path must too)."""
+    df = spark.createDataFrame(
+        [(float(i) / 2, i) for i in range(200)], "fid double, n int"
+    )
+    ids = [float(i) / 2 for i in range(0, 120, 2)]  # 60 floats
+    got = fetch_by_ids(df, ids, id_col="fid")
+    assert sorted(r.fid for r in got.collect()) == sorted(ids)
+    # explicit id_type pins the relation's type
+    got2 = fetch_by_ids(df, ids, id_col="fid", id_type="double")
+    assert got2.count() == len(ids)
+    # mixed int/str: unsortable and uninferable -- literal fallback
+    sdf = spark.createDataFrame(
+        [(str(i),) for i in range(100)], "sid string"
+    )
+    mixed = [str(i) for i in range(0, 60)] + list(range(60, 80))
+    gotm = fetch_by_ids(sdf, mixed, id_col="sid")
+    assert gotm.count() == 80
+
+
 def test_fetch_plan_is_bounded(spark, sorted_store):
     """Thousands of candidate ids must NOT become thousands of plan
     literals: the pushed predicate carries at most MAX_FETCH_INTERVALS

@@ -337,6 +337,32 @@ def test_keep_top_by_dist_id_matches_full_lexsort():
             assert got == sorted(want), (trial, n_short)
 
 
+def test_keep_top_by_dist_id_nan_guard():
+    """NaN distances (a NaN query vector makes every ADC distance
+    NaN) must not collapse the fold to zero rows: the function keeps
+    exactly the rows a full lexsort keeps (NaN sorts last,
+    id-ascending among themselves), so it never returns fewer rows
+    than the lexsort path it replaced."""
+    import numpy as np
+
+    from xmidt_event_streams_spark.operators.pq import keep_top_by_dist_id
+
+    rng = np.random.RandomState(11)
+    for frac in (1.0, 0.5, 0.1):
+        for trial in range(20):
+            n = rng.randint(5, 200)
+            d = rng.randint(0, 6, size=n).astype(np.float64)
+            d[rng.rand(n) < frac] = np.nan
+            ids = rng.permutation(100_000)[:n].astype(np.int64)
+            for n_short in (1, 3, 17, n - 1, n):
+                keep = np.lexsort((ids, d))[:n_short]
+                got_ids, got_d = keep_top_by_dist_id(ids, d, n_short)
+                assert len(got_ids) == min(n_short, n), (frac, trial)
+                assert sorted(got_ids) == sorted(ids[keep]), (
+                    frac, trial, n_short,
+                )
+
+
 def test_empty_query_batch_is_empty_result(spark, sf_dir):
     """An empty probe batch returns an empty, correctly-shaped result
     instead of crashing in the LUT tensor build."""

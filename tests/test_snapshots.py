@@ -733,6 +733,67 @@ def test_replicate_snapshot_end_to_end(spark, table, tmp_path):
         )
 
 
+def test_replication_survives_replica_expire(spark, table, tmp_path):
+    """The replica is a real snapshot table with its OWN expire; once
+    its v00000001.json is gone, the next drain must still see the
+    replica as existing (ANY retained manifest counts) instead of
+    taking the crashed-bootstrap branch and crashing into
+    snapshot_create on a live table -- the wedge that probing
+    version 1 specifically caused."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        replicate_snapshot,
+    )
+
+    path, _ = table
+    dst = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "repl_ckpt")
+    replicate_snapshot(spark, path, dst, ckpt)  # bootstrap (replica v1)
+
+    snapshot_merge(spark, path, _df(spark, [(1, "v2")]))
+    replicate_snapshot(spark, path, dst, ckpt)  # replica v2
+    # replica-side maintenance drops v1 (keep_last=1)
+    snapshot_expire(spark, dst, keep_last=1, orphan_grace_hours=0)
+    assert snapshot_head(spark, dst) == 2
+
+    snapshot_merge(spark, path, _df(spark, [(2, "v3"), (200, "new")]))
+    r = replicate_snapshot(spark, path, dst, ckpt)  # must not wedge
+    assert r["intervals"] == 1
+    assert _content(snapshot_read(spark, dst)) == _content(
+        snapshot_read(spark, path)
+    )
+
+
+def test_point_lookup_large_key_set_bounded_plan(spark, tmp_path):
+    """A 10k-key point lookup must not build a 10k-literal IN: above
+    SMALL_FETCH_IDS the residual filter rides the fetch operator's
+    broadcast semi-join (bucket pruning still bounds the file list),
+    and the plan stays O(MAX_FETCH_INTERVALS) regardless of key
+    count. Results stay exact vs the full-read filter."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_read_keys,
+    )
+
+    path = str(tmp_path / "bigkeys")
+    rows = [(i, f"doc {i}") for i in range(5000)]
+    snapshot_create(_df(spark, rows), path, "doc_id")
+    keys = list(range(0, 5000, 2)) + list(range(9000, 16500))  # >10k
+    got = snapshot_read_keys(spark, path, keys)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "LeftSemi" in plan, plan
+    # no literal-IN over the key set: the longest IN list in the plan
+    # stays at the fetch small-set bound, not the 10k keys
+    import re
+
+    for m in re.finditer(r"\bIN \(([^)]*)\)", plan):
+        assert m.group(1).count(",") < 64, m.group(0)[:200]
+    assert got.count() == 2500
+    assert {r.doc_id for r in got.limit(5).collect()} <= set(keys)
+
+
 def test_replication_as_maintenance_target(spark, table, tmp_path):
     """One maintenance window drains the replica BEFORE expiring the
     source -- the operational pairing that keeps a lagging follower

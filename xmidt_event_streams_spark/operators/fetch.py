@@ -100,6 +100,7 @@ def fetch_by_ids(
     ids,
     id_col: str = "vec_id",
     max_intervals: int = MAX_FETCH_INTERVALS,
+    id_type: str | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose ``id_col`` is in ``ids`` (driver-side,
     bounded-by-contract like the probe query lists), via range
@@ -108,7 +109,15 @@ def fetch_by_ids(
     scattered or non-integer id sets use the semi-join alone (one
     hash-filtered scan -- still a bounded plan). The range predicate
     is built as ONE SQL string: a Column-algebra reduce of ~256
-    betweens costs seconds of py4j round-trips per plan."""
+    betweens costs seconds of py4j round-trips per plan.
+
+    ``id_type`` (Spark DDL, e.g. ``"decimal(10,2)"``) pins the id
+    relation's type for callers that know the column's schema
+    (snapshot point lookups do); without it, int sets build a
+    ``long`` relation, str sets a ``string`` one, and anything else
+    (float, mixed) falls back to schema inference, then to a plain
+    ``isin`` filter if inference cannot type the set -- never a
+    TypeError for ids the small-set path would have handled."""
     ids = list(set(ids))
     if not ids:
         return df.filter(F.lit(False))
@@ -132,11 +141,23 @@ def fetch_by_ids(
                 )
             )
         id_rows = [(int(i),) for i in sorted(ids)]
-        id_type = "long"
+        id_type = id_type or "long"
     else:
-        id_rows = [(i,) for i in sorted(ids)]
-        id_type = "string"
-    idset = spark.createDataFrame(id_rows, f"`{id_col}` {id_type}")
+        try:
+            id_rows = [(i,) for i in sorted(ids)]
+        except TypeError:  # mixed-type set: unsortable, order is moot
+            id_rows = [(i,) for i in ids]
+        if id_type is None and all(isinstance(i, str) for i in ids):
+            id_type = "string"
+    if id_type is not None:
+        idset = spark.createDataFrame(id_rows, f"`{id_col}` {id_type}")
+    else:
+        try:  # float/decimal/date ids: let Spark infer the type
+            idset = spark.createDataFrame(id_rows, [id_col])
+        except Exception:
+            # inference failed (mixed types): the literal filter is
+            # the only remaining exact expression of the set
+            return df.filter(F.col(id_col).isin(ids))
     return df.join(F.broadcast(idset), id_col, "left_semi")
 
 

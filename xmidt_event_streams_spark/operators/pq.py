@@ -188,6 +188,28 @@ def keep_top_by_dist_id(
     batches."""
     if len(d) <= n_short:
         return ids, d
+    nan = np.isnan(d)
+    if nan.any():
+        # a NaN dmax breaks the boundary test (d <= NaN selects
+        # NOTHING — the fold would silently return zero candidates
+        # where lexsort kept n_short). lexsort orders NaN distances
+        # LAST, id-ascending among themselves (stable secondary key),
+        # so: winners are the non-NaN rows first, NaN rows fill any
+        # remainder in id order — reproduced here exactly.
+        good = np.nonzero(~nan)[0]
+        if len(good) >= n_short:
+            kept_ids, kept_d = keep_top_by_dist_id(
+                ids[good], d[good], n_short
+            )
+            return kept_ids, kept_d
+        bad = np.nonzero(nan)[0]
+        fill = bad[np.argsort(ids[bad], kind="stable")][
+            : n_short - len(good)
+        ]
+        keep = np.concatenate(
+            [good[np.lexsort((ids[good], d[good]))], fill]
+        )
+        return ids[keep], d[keep]
     part = np.argpartition(d, n_short - 1)[:n_short]
     dmax = d[part].max()
     sel = np.nonzero(d <= dmax)[0]

@@ -363,18 +363,16 @@ def _commit_manifest(
         import os as _os
 
         ltmp = _local_path(tmp.toString())
+        # the hardlink-unsupported fallback is scoped to os.link ONLY:
+        # cleanup of the consumed tmp happens outside this try, because
+        # a cleanup OSError after a SUCCESSFUL link must not read as
+        # 'not published' (the manifest IS live; the generic fallback
+        # would see dst existing, report failure, and the retrying
+        # caller would re-merge the same updates as a spurious extra
+        # version)
         try:
             _os.link(ltmp, _local_path(_manifest_path(path, version)))
             published = True
-            _os.unlink(ltmp)
-            # also drop the ChecksumFileSystem .crc sidecar of the
-            # consumed tmp, or _commits/ accrues one junk file per
-            # commit (expire GCs manifests and claims, not these)
-            head_dir, name = ltmp.rsplit("/", 1)
-            try:
-                _os.remove(f"{head_dir}/.{name}.crc")
-            except OSError:
-                pass
         except FileExistsError:
             published = False
         except OSError:
@@ -383,6 +381,17 @@ def _commit_manifest(
             # claim token already verified ownership just above, so
             # the unguarded-overwrite window is claim-protected
             published = not fs.exists(dst) and fs.rename(tmp, dst)
+        if published:
+            # drop the consumed tmp and its ChecksumFileSystem .crc
+            # sidecar (or _commits/ accrues one junk file per commit;
+            # expire GCs manifests and claims, not these). Both are
+            # best-effort: the manifest is already published.
+            head_dir, name = ltmp.rsplit("/", 1)
+            for junk in (ltmp, f"{head_dir}/.{name}.crc"):
+                try:
+                    _os.remove(junk)
+                except OSError:
+                    pass
     else:
         published = not fs.exists(dst) and fs.rename(tmp, dst)
     if not published:
@@ -595,9 +604,26 @@ def snapshot_read_keys(
             f"snapshot table at {path} holds no data files in any "
             "retained version (nothing to derive a schema from)"
         )
-    return _read_with_manifest_schema(spark, m, files).filter(
-        F.col(key_col).isin(keys)
+    base = _read_with_manifest_schema(spark, m, files)
+    # residual exact-key filter over the pruned buckets: a literal IN
+    # is fine for small sets, but a 10k-key lookup would build a
+    # 10k-literal expression tree — the exact plan-size hazard
+    # operators/fetch.py exists to eliminate (its module docstring
+    # names this failure). Above the small-set threshold the key set
+    # becomes a broadcast semi-join (plus pushed id ranges when the
+    # keys are integers and cluster tightly), typed from the
+    # manifest's pinned schema so the join never miscoerces.
+    from xmidt_event_streams_spark.operators.fetch import (
+        SMALL_FETCH_IDS,
+        fetch_by_ids,
     )
+
+    if len(set(keys)) <= SMALL_FETCH_IDS:
+        return base.filter(F.col(key_col).isin(keys))
+    key_type = dict(
+        (n, t) for n, t in m.get("schema") or []
+    ).get(key_col)
+    return fetch_by_ids(base, keys, id_col=key_col, id_type=key_type)
 
 
 def snapshot_changes(
@@ -1131,10 +1157,12 @@ def replicate_snapshot(
     """
 
     def _exists() -> bool:
-        fs, _, jvm = hadoop_fs(spark, dst_path)
-        return fs.exists(
-            jvm.org.apache.hadoop.fs.Path(_manifest_path(dst_path, 1))
-        )
+        # ANY retained manifest means the replica exists — probing
+        # version 1 specifically wedges replication permanently once
+        # the replica's own snapshot_expire drops v00000001.json (the
+        # cursor still exists, so the harness would take the crashed-
+        # bootstrap branch and snapshot_create onto a live table)
+        return bool(_list_versions(spark, dst_path))
 
     def _bootstrap(version: int) -> int:
         base = snapshot_read(spark, src_path, version=version)
