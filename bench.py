@@ -57,6 +57,20 @@ def main() -> None:
             t[name] = round(time.perf_counter() - t0, 3)
         return t
 
+    # idle-box discipline (r8): wall-clock on this class of box swings
+    # ~2x with host load, so a headline measured under load leaves
+    # avoidable doubt (the r7 artifact started at load 4.13). Wait
+    # briefly for the 1-min load average to fall below the threshold;
+    # if it never does, stamp the artifact ``"noisy": true`` and run
+    # ONE extra confirming warm pass so the committed number carries
+    # its own under-load spread evidence.
+    LOAD_IDLE = 1.0
+    waited = 0.0
+    while os.getloadavg()[0] > LOAD_IDLE and waited < 120:
+        time.sleep(10)
+        waited += 10
+    noisy = os.getloadavg()[0] > LOAD_IDLE
+
     # pass 1 = cold (codegen JIT + Arrow worker fork). JIT tiering is
     # still settling during the second pass (measured ~10% above the
     # converged state), so steady state = per-query MIN over three
@@ -66,7 +80,7 @@ def main() -> None:
     # headline swing had no variance data to adjudicate it).
     load_start = os.getloadavg()
     cold = run_pass()
-    warm = [run_pass() for _ in range(3)]
+    warm = [run_pass() for _ in range(4 if noisy else 3)]
     load_end = os.getloadavg()
     timings = {n: min(w[n] for w in warm) for n in warm[0]}
     spread = {
@@ -76,7 +90,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sidecars = {
         "cold_total_sec": round(sum(cold.values()), 3),
-        "warm_passes": 3,
+        "warm_passes": len(warm),
         "query_spread_sec": spread,
         "query_spread_total_sec": round(sum(spread.values()), 3),
         "skew": skew_bench(spark),
@@ -95,6 +109,10 @@ def main() -> None:
     # last warm pass; warm/cold per-pass totals expose JIT settling.
     env = {
         "cpus_avail": len(os.sched_getaffinity(0)),
+        # noisy = the box never went idle inside the wait budget; the
+        # warm-pass list then carries one EXTRA confirming pass
+        "noisy": noisy,
+        "idle_wait_sec": waited,
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
         "proc_count": len([p for p in os.listdir("/proc") if p.isdigit()]),
@@ -216,7 +234,13 @@ def ann_bench(spark) -> dict:
     ``speedup_search`` is the recurring win and ``recall_at_10`` the
     price. Unit vectors make L2-ADC and cosine rank identically, so
     recall is apples-to-apples; PQ is asked for k+1 and its
-    self-match dropped (brute excludes self by contract)."""
+    self-match dropped (brute excludes self by contract).
+
+    r8: flat PQ is DEMOTED to ``flat_pq_baseline`` (production:
+    false) and has no rerank arm -- its production operating point is
+    broken on dense-cluster corpora by construction (absolute codes,
+    not a tuning miss), and IVF-PQ is the sole production path; see
+    the inline note at the rerank_c definition and USAGE.md."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -357,16 +381,15 @@ def ann_bench(spark) -> dict:
         lambda: pq_topk(codes, qrows, cb, topk + 1).collect()
     )
 
-    # refine arm (Jegou et al. §V): ADC short-list of C=64 candidates
-    # re-scored with exact L2 against the raw vectors -- the standard
-    # recall fix; its cost is the candidate fetch + C*dim floats per
-    # query on top of the same compressed scan
+    # the refine stage (Jegou et al. §V) is benched on the PRODUCTION
+    # path only (IVF-PQ below): flat PQ at 8 bytes/row collapses on
+    # this dense-cluster corpus (recall@10 ~ 0.17 pre-rerank), and a
+    # C=96 shortlist cannot recover neighbors it never contained --
+    # re-ranking a collapsed shortlist answered 57% wrong while
+    # costing a fetch per query. Flat PQ stays in the artifact as the
+    # pedagogical BASELINE that motivates the residual composition
+    # (see flat_pq_baseline in the output), not as an operating point.
     rerank_c = 96
-    pq_rr_rows, pq_rr_sec = _warm2(
-        lambda: pq_topk(
-            codes, qrows, cb, topk + 1, rerank=rerank_c, vectors=corpus
-        ).collect()
-    )
 
     # scanned-row fraction of the refine fetch (the r6 defect: a
     # 6k-literal IN pruned nothing and re-scanned the corpus). The
@@ -395,17 +418,6 @@ def ann_bench(spark) -> dict:
     recall = round(
         sum(
             len(exact[q] & (approx[q] - {q})) / len(exact[q]) for q in exact
-        )
-        / len(exact),
-        3,
-    )
-    rr_approx: dict = {}
-    for r in pq_rr_rows:
-        rr_approx.setdefault(r["query_id"], set()).add(r["vec_id"])
-    pq_rr_recall = round(
-        sum(
-            len(exact[q] & (rr_approx[q] - {q})) / len(exact[q])
-            for q in exact
         )
         / len(exact),
         3,
@@ -547,10 +559,23 @@ def ann_bench(spark) -> dict:
         "m": m,
         "k_codes": k_codes,
         "brute_sec": brute_sec,
-        "pq_fit_sec": fit_sec,
-        "pq_encode_sec": encode_sec,
-        "pq_search_sec": pq_sec,
-        "speedup_search": round(brute_sec / pq_sec, 2),
+        # FLAT PQ: demoted to a documented baseline (r8). At 8
+        # bytes/row on a corpus with 7,000-point clusters,
+        # absolute-code PQ cannot separate true mates from same-
+        # cluster neighbors inside one quantization step -- recall
+        # collapses, and no shortlist re-rank can recover neighbors
+        # the shortlist never contained. Residual IVF-PQ below holds
+        # ~0.92 at the SAME bytes/row and is the sole production
+        # path; this arm exists to measure the contrast that
+        # motivates it (Jegou et al. 2011 §IV).
+        "flat_pq_baseline": {
+            "production": False,
+            "fit_sec": fit_sec,
+            "encode_sec": encode_sec,
+            "search_sec": pq_sec,
+            "speedup_search": round(brute_sec / pq_sec, 2),
+            "recall_at_10": recall,
+        },
         # the channel that scales: bytes touched per corpus row by
         # each scan. Locally both arms run over page-cached data and
         # per-job overhead (~0.5 s) dominates, so WALL ratios here
@@ -562,12 +587,8 @@ def ann_bench(spark) -> dict:
         "brute_bytes_per_row": 8 * dim,
         "adc_bytes_per_row": m,
         "adc_bytes_frac": round(m / (8 * dim), 4),
-        "recall_at_10": recall,
         "rerank_c": rerank_c,
         "rerank_fetch_scanned_frac": rerank_fetch_scanned_frac,
-        "pq_rerank_search_sec": pq_rr_sec,
-        "pq_rerank_speedup_search": round(brute_sec / pq_rr_sec, 2),
-        "pq_rerank_recall_at_10": pq_rr_recall,
         "ivfpq_n_cells": n_cells,
         "ivfpq_n_probe": n_probe,
         "ivfpq_n_probe_sweep": sweep,

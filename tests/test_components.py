@@ -275,7 +275,7 @@ OFF_REGISTRY = [
     "dedup_by_txn",
     "simhash",
     "session_gaps",
-    "point_fetch",
+    "embedding_centroids",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -348,9 +348,11 @@ OFF_REGISTRY_EVIDENCE = {
     # driver CORRECTNESS row) -- gap/window evidence stays via
     # session_windows (registry) + the off-registry session_gaps twin
     "session_gaps": "tests/test_components.py::test_off_registry_parity",
-    # added directly off-registry in r7: the point-fetch operator's
-    # exactness twin (pruning evidence lives in tests/test_fetch.py)
-    "point_fetch": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r8 to admit point_fetch (the scale-safe id-fetch
+    # operator's driver CORRECTNESS row) -- grouped-centroid evidence
+    # stays via embedding_near_dup (registry, same fit machinery) +
+    # the off-registry twin
+    "embedding_centroids": "tests/test_components.py::test_off_registry_parity",
 }
 
 

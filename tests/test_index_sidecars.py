@@ -174,3 +174,91 @@ class TestIvfAppend:
         write_ivf_index(emb, idx, deterministic_planes(8, 64, seed="ivf-test"))
         with pytest.raises(ValueError, match="stores vec_col"):
             append_to_ivf_index(emb, idx, vec_col="other_vec")
+
+
+class TestIvfFilesManifest:
+    """The cell->files manifest every IVF/IVF-PQ writer maintains
+    (ivf._IVF_FILES_FILE): probes open files straight from it -- no
+    directory listing -- so the manifest must track every mutation
+    (build, plain append, batched append, compaction) exactly."""
+
+    def _manifest(self, spark, path):
+        from xmidt_event_streams_spark.fsutil import read_json_sidecar
+        from xmidt_event_streams_spark.operators.ivf import (
+            _IVF_FILES_FILE,
+        )
+
+        man = read_json_sidecar(spark, path, _IVF_FILES_FILE)
+        assert man is not None, "writer did not stamp a file manifest"
+        return man["cells"]
+
+    def _fs_files(self, path):
+        from pathlib import Path
+
+        root = Path(path)
+        return {
+            str(p.relative_to(root))
+            for p in root.rglob("*.parquet")
+            if p.parts
+        }
+
+    def test_manifest_tracks_build_append_compact(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.ivf import (
+            append_to_ivf_index,
+            compact_ivf_index,
+            read_probed_cells,
+        )
+
+        emb = _emb(spark)
+        path = str(tmp_path / "ivfman")
+        cents = deterministic_planes(8, 64, seed="ivf-test")
+        write_ivf_index(emb.filter(F.col("vec_id") < 300), path, cents)
+        by_cell = self._manifest(spark, path)
+        assert set().union(*by_cell.values()) == self._fs_files(path)
+
+        # plain append: only touched cells re-listed, files superset
+        append_to_ivf_index(
+            emb.filter(
+                (F.col("vec_id") >= 300) & (F.col("vec_id") < 500)
+            ),
+            path,
+        )
+        by_cell2 = self._manifest(spark, path)
+        assert set().union(*by_cell2.values()) == self._fs_files(path)
+
+        # batched (streaming) append: dynamic-overwrite layout tracked
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= 500), path, batch_id=3
+        )
+        by_cell3 = self._manifest(spark, path)
+        assert set().union(*by_cell3.values()) == self._fs_files(path)
+        # a probe through the manifest sees every row ever written
+        all_cells = [int(c) for c in by_cell3]
+        got = read_probed_cells(spark, path, all_cells)
+        assert got.count() == emb.count()
+
+        # compaction regenerates the manifest from the new layout
+        compact_ivf_index(spark, path, tombstones=[0, 1])
+        by_cell4 = self._manifest(spark, path)
+        assert set().union(*by_cell4.values()) == self._fs_files(path)
+        got = read_probed_cells(
+            spark, path, [int(c) for c in by_cell4]
+        )
+        assert got.count() == emb.count() - 2
+
+    def test_probed_cells_with_no_rows_are_empty_not_error(
+        self, spark, tmp_path
+    ):
+        from xmidt_event_streams_spark.operators.ivf import (
+            read_probed_cells,
+        )
+
+        emb = _emb(spark)
+        path = str(tmp_path / "ivfempty")
+        cents = deterministic_planes(8, 64, seed="ivf-test")
+        write_ivf_index(emb, path, cents)
+        by_cell = self._manifest(spark, path)
+        empty_cell = max(int(c) for c in by_cell) + 17
+        got = read_probed_cells(spark, path, [empty_cell])
+        assert got.count() == 0
+        assert "cell" in got.columns  # index schema preserved

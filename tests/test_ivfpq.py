@@ -92,6 +92,109 @@ def test_probe_prunes_cells_at_plan_time(spark, ix):
     assert got.count() == 5
 
 
+def _max_job_id(spark) -> int:
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    return max(
+        (jobs.apply(i).jobId() for i in range(jobs.size())), default=-1
+    )
+
+
+def _listing_jobs_since(spark, min_job_id: int) -> list:
+    """Spark jobs newer than ``min_job_id`` whose description marks
+    them as file-listing jobs (InMemoryFileIndex stamps 'Listing leaf
+    files and directories for N paths')."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    hits = []
+    for i in range(jobs.size()):
+        j = jobs.apply(i)
+        if j.jobId() <= min_job_id:
+            continue
+        desc = j.description()
+        text = (desc.get() if desc.isDefined() else "") + " " + j.name()
+        if "Listing leaf files" in text:
+            hits.append((j.jobId(), text[:120]))
+    return hits
+
+
+def test_probe_triggers_no_listing_job(spark, ix):
+    """The file manifest's whole point: a probe opens the probed
+    cells' data files directly, so NO directory-listing Spark job
+    runs before the scan (that job was ~3 s of fixed cost per probe
+    at sqrt(N) cell counts -- what kept the rerank arms below 1x
+    brute at bench scale). The discovery threshold is forced to 1 so
+    ANY listing surfaces as a job; the manifest-less legacy path DOES
+    list under the same threshold, proving the detector works."""
+    import os
+
+    from xmidt_event_streams_spark.operators.ivf import (
+        _IVF_FILES_FILE,
+        refresh_files_manifest,
+    )
+
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        before = _max_job_id(spark)
+        got = probe_ivfpq_index(
+            spark, ix["path"], ix["qrows"][:4], k_neighbors=5,
+            n_probe=N_PROBE,
+        )
+        assert got.count() > 0
+        assert _listing_jobs_since(spark, before) == []
+        # detector sanity: remove the manifest -> the legacy leaf-dir
+        # fallback lists, and the detector sees it
+        man = os.path.join(ix["path"], _IVF_FILES_FILE)
+        os.remove(man)
+        before = _max_job_id(spark)
+        got2 = probe_ivfpq_index(
+            spark, ix["path"], ix["qrows"][:4], k_neighbors=5,
+            n_probe=N_PROBE,
+        )
+        assert got2.count() > 0
+        assert _listing_jobs_since(spark, before), (
+            "the listing-job detector failed to see the legacy "
+            "path's listing job -- the no-listing assertion above "
+            "proves nothing"
+        )
+    finally:
+        spark.conf.set(key, prev)
+        refresh_files_manifest(spark, ix["path"])  # module fixture
+
+
+def test_probe_results_identical_with_and_without_manifest(spark, ix):
+    """The manifest changes HOW files are found, never WHAT is read:
+    probe results are row-identical through the manifest and the
+    legacy leaf-dir fallback."""
+    import os
+
+    from xmidt_event_streams_spark.operators.ivf import (
+        _IVF_FILES_FILE,
+        refresh_files_manifest,
+    )
+
+    def rows():
+        return sorted(
+            map(
+                tuple,
+                probe_ivfpq_index(
+                    spark, ix["path"], ix["qrows"], k_neighbors=10,
+                    n_probe=N_PROBE,
+                ).collect(),
+            )
+        )
+
+    with_manifest = rows()
+    os.remove(os.path.join(ix["path"], _IVF_FILES_FILE))
+    try:
+        without = rows()
+    finally:
+        refresh_files_manifest(spark, ix["path"])
+    assert with_manifest == without and len(with_manifest) > 0
+
+
 def test_self_match_excluded_and_rank_contract(spark, ix):
     rows = probe_ivfpq_index(
         spark, ix["path"], ix["qrows"], k_neighbors=10, n_probe=N_PROBE

@@ -794,6 +794,75 @@ def test_point_lookup_large_key_set_bounded_plan(spark, tmp_path):
     assert {r.doc_id for r in got.limit(5).collect()} <= set(keys)
 
 
+def test_rebucket_layout_evolution(spark, tmp_path):
+    """snapshot_rebucket: create at 16 buckets -> rebucket to 256 ->
+    content, point lookups, and CDC are correct on BOTH sides of the
+    boundary (bucket generation is per-manifest); the cross-boundary
+    change feed is empty (movement, not change); merges keep working
+    under the new layout; expire GCs the old generation's files."""
+    import re
+
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_read_keys,
+        snapshot_rebucket,
+    )
+
+    path = str(tmp_path / "rebucket")
+    rows = [(i, f"doc {i}") for i in range(120)]
+    snapshot_create(_df(spark, rows), path, "doc_id", bucket_hex=1)
+    snapshot_merge(spark, path, _df(spark, [(5, "v2"), (200, "new")]))
+
+    r = snapshot_rebucket(spark, path, 2)
+    assert r["version"] == 3 and r["bucket_hex"] == 2
+    m3 = _read_manifest(spark, path, 3)
+    assert m3["bucket_hex"] == 2
+    assert all(len(b) == 2 for b in m3["buckets"])
+    # content identical across the boundary
+    assert _content(snapshot_read(spark, path)) == _content(
+        snapshot_read(spark, path, version=2)
+    )
+    # cross-boundary CDC: pure movement, zero change rows
+    assert snapshot_changes(spark, path, 2, 3).count() == 0
+    # point lookups pick each version's own generation
+    assert {
+        r.doc_id for r in snapshot_read_keys(spark, path, [5, 200]).collect()
+    } == {5, 200}
+    assert {
+        r.doc_id
+        for r in snapshot_read_keys(spark, path, [5, 200], version=2).collect()
+    } == {5, 200}
+    assert [
+        r.text for r in snapshot_read_keys(spark, path, [7], version=1).collect()
+    ] == ["doc 7"]
+
+    # merges keep working under the new layout (head generation)
+    snapshot_merge(spark, path, _df(spark, [(5, "v4")]))
+    assert [
+        r.text for r in snapshot_read_keys(spark, path, [5]).collect()
+    ] == ["v4"]
+    m4 = _read_manifest(spark, path, 4)
+    assert m4["bucket_hex"] == 2
+
+    # no-op rebucket commits nothing
+    assert snapshot_rebucket(spark, path, 2)["version"] == 4
+
+    # expire past the boundary GCs the old generation's files
+    import os
+
+    old_gen = [
+        f
+        for v in (1, 2)
+        for fl in _read_manifest(spark, path, v)["buckets"].values()
+        for f in fl
+    ]
+    rep = snapshot_expire(spark, path, keep_last=2, orphan_grace_hours=0)
+    assert rep["expired_versions"] == [1, 2]
+    for f in old_gen:
+        local = re.sub(r"^file:(//)?", "", f)
+        assert not os.path.exists(local), f
+
+
 def test_replication_as_maintenance_target(spark, table, tmp_path):
     """One maintenance window drains the replica BEFORE expiring the
     source -- the operational pairing that keeps a lagging follower

@@ -906,11 +906,12 @@ def q_point_fetch(spark, sf_dir):
     id-addressed row set out of the embeddings store through the
     range-cover + broadcast-semi-join path (two tight id clusters +
     stragglers -- above the small-set isin threshold, so the full
-    machinery engages), projecting (vec_id, dim, norm_6dp). Off-
-    registry DuckDB twin: exactness of the fetch is the whole
-    contract (the pruning side is pinned by tests/test_fetch.py's
-    scanned-row assertions). Plan: pushed BETWEEN ranges on the scan
-    + one broadcast semi-join; never a multi-thousand-literal IN."""
+    machinery engages), projecting (vec_id, dim, norm_6dp). Registry
+    row since r8 (DuckDB semi-join twin): exactness of the fetch is
+    the whole contract (the pruning side is pinned by
+    tests/test_fetch.py's scanned-row assertions). Plan: pushed
+    BETWEEN ranges on the scan + one broadcast semi-join; never a
+    multi-thousand-literal IN."""
     from xmidt_event_streams_spark.operators.fetch import fetch_by_ids
 
     ids = (
@@ -3945,7 +3946,13 @@ QUERIES: dict[str, QuerySpec] = {
     "bm25_scores": QuerySpec(q_bm25_scores, SQL_BM25),
     "contamination_check": QuerySpec(q_contamination, SQL_CONTAMINATION),
     "embedding_topk": QuerySpec(q_embedding_topk, SQL_EMBEDDING_TOPK, True),
-    "embedding_centroids": QuerySpec(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    # embedding_centroids rotated to the off-registry parity set in r8
+    # to admit point_fetch (the scale-safe id fetch operator's driver
+    # CORRECTNESS row, per the snapshot_timetravel/snapshot_cdc
+    # precedent); grouped-centroid evidence stays via
+    # embedding_near_dup (registry, same fit machinery) + the
+    # off-registry DuckDB twin.
+    "point_fetch": QuerySpec(q_point_fetch, SQL_POINT_FETCH),
     "lsh_ann": QuerySpec(q_lsh_ann, SQL_LSH_ANN),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1, True),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3, True),

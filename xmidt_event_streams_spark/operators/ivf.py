@@ -40,6 +40,111 @@ from xmidt_event_streams_spark.functions.vectors import cosine_pairs, nearest_ce
 
 _IVF_META_FILE = "_xes_ivf_index_meta.json"
 
+# cell -> [relative data file path, ...] manifest, maintained by every
+# writer (build / append / compact) -- the snapshot table's manifest
+# pattern (operators/snapshots.py) applied to the vector indexes: a
+# probe opens EXACTLY the probed cells' files instead of listing
+# directories. Why it matters: passing leaf DIRS to spark.read still
+# lists each one, and above spark.sql.sources.
+# parallelPartitionDiscovery.threshold (default 32) that listing is
+# itself a Spark JOB (one task per directory, ~3 s of fixed cost per
+# probe at sqrt(N) cell counts -- the cost that kept the rerank arms
+# below 1x brute at bench scale); at 100 TB on an object store a
+# per-probe LIST over hundreds of thousands of index files is a real
+# latency/cost hit, while a manifest read is one GET.
+_IVF_FILES_FILE = "_xes_ivf_files.json"
+
+
+def _list_cell_files(
+    spark, path: str, cells: list[int] | None = None
+) -> dict[str, list[str]]:
+    """cell -> sorted [root-relative data file path, ...] from ONE
+    recursive filesystem listing of the given cells' directories (all
+    ``cell=`` dirs when ``cells`` is None). Write-side cost, paid once
+    per build/append/compact, so probes never list anything."""
+    fs, _, jvm = hadoop_fs(spark, path)
+    root = path.rstrip("/")
+    qroot = fs.makeQualified(
+        jvm.org.apache.hadoop.fs.Path(root)
+    ).toString().rstrip("/")
+    rp = jvm.org.apache.hadoop.fs.Path(root)
+    if cells is None:
+        if not fs.exists(rp):
+            return {}
+        dirs = [
+            st.getPath()
+            for st in fs.listStatus(rp)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("cell=")
+        ]
+    else:
+        dirs = []
+        for c in cells:
+            p = jvm.org.apache.hadoop.fs.Path(f"{root}/cell={int(c)}")
+            if fs.exists(p):
+                dirs.append(p)
+    out: dict[str, list[str]] = {}
+    for d in dirs:
+        cell = d.getName().split("=", 1)[1]
+        files = []
+        it = fs.listFiles(d, True)
+        while it.hasNext():
+            fp = it.next().getPath().toString()
+            if fp.endswith(".parquet"):
+                files.append(
+                    fp[len(qroot) + 1 :] if fp.startswith(qroot) else fp
+                )
+        if files:
+            out[cell] = sorted(files)
+    return out
+
+
+def refresh_files_manifest(
+    spark, path: str, cells: list[int] | None = None
+) -> None:
+    """Bring the file manifest up to date with the filesystem:
+    ``cells`` replaces just those cells' entries (the append shape --
+    the listing touches only the appended-to directories), None
+    rebuilds the whole manifest (build/compact, or migrating a
+    pre-manifest index). Single-writer, like every index mutation in
+    this package (appends are checkpoint-serialized, compaction runs
+    in the maintenance window)."""
+    if cells is None:
+        by_cell = _list_cell_files(spark, path)
+    else:
+        man = read_json_sidecar(spark, path, _IVF_FILES_FILE)
+        if man is None:  # pre-manifest index: one-time full migration
+            by_cell = _list_cell_files(spark, path)
+        else:
+            by_cell = man["cells"]
+            fresh = _list_cell_files(spark, path, cells)
+            for c in cells:
+                key = str(int(c))
+                if key in fresh:
+                    by_cell[key] = fresh[key]
+                else:
+                    by_cell.pop(key, None)
+    write_json_sidecar(spark, path, _IVF_FILES_FILE, {"cells": by_cell})
+
+
+def _read_files_direct(spark, root: str, files: list[str]):
+    """Read an explicit data-file list with ``basePath`` (partition
+    columns recovered from the paths) and the parallel-discovery
+    threshold raised past the file count for this one resolution, so
+    Spark stats the files driver-side instead of launching a listing
+    JOB -- the whole point of the manifest is that no probe-time
+    Spark job runs before the scan itself."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(max(len(files) + 1, 64)))
+    try:
+        return spark.read.option("basePath", root).parquet(*files)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 
 def kmeans_fit(
     df: DataFrame,
@@ -239,29 +344,55 @@ def write_ivf_index(
             "occupancy": occupancy,
         },
     )
+    # file manifest: probes open these files directly (no per-probe
+    # directory listing -- see _IVF_FILES_FILE)
+    refresh_files_manifest(df.sparkSession, path)
 
 
 def read_probed_cells(spark, path: str, cells: list[int]) -> DataFrame:
-    """Read ONLY the probed cells' directories of a cell-partitioned
-    index, with ``basePath`` so ``cell`` (and any sub-partition
-    columns, e.g. the streaming layout's ``_ingest_batch_id``) stay
-    partition columns.
+    """Read ONLY the probed cells' data of a cell-partitioned index,
+    with ``basePath`` so ``cell`` (and any sub-partition columns,
+    e.g. the streaming layout's ``_ingest_batch_id``) stay partition
+    columns.
 
-    Passing the leaf directories beats ``read.parquet(root).filter``
-    for one reason that dominates at sqrt(N) cell counts: the root
-    read must LIST every cell directory before pruning can happen,
-    and above ``spark.sql.sources.parallelPartitionDiscovery.
-    threshold`` that listing is itself a Spark job with one task per
-    directory — measured ~3 s per probe at 1,414 cells, more than the
-    pruned scan itself. Listing only the n_probe probed dirs is
-    O(n_probe) driver-side filesystem calls. Cells with no directory
-    (never written — empty under this centroid set) are skipped;
-    an empty probe set returns an empty relation with the index
-    schema when at least one cell dir exists, else raises (nothing
-    to infer a schema from — a cold index should be probed through
-    its sidecar-stamped reader instead)."""
-    fs, _, jvm = hadoop_fs(spark, path)
+    MANIFESTED index (every index this package writes): the file
+    manifest maps each probed cell to its exact data files, which are
+    opened DIRECTLY -- no directory listing at all, and no listing
+    Spark job (``_read_files_direct``; the job was ~3 s of fixed cost
+    per probe at 1,414 cells, more than the pruned scan itself, and
+    the reason the rerank arms measured below 1x brute at bench
+    scale). Cells absent from the manifest hold no rows and cost
+    nothing; an empty probed file set returns an empty relation with
+    the index schema when the manifest lists any file, else raises.
+
+    FOREIGN/legacy index (no file manifest): fall back to passing the
+    probed cells' leaf directories -- still never the root (the root
+    read must LIST every cell directory before pruning can happen;
+    probed-dirs-only is O(n_probe) filesystem calls). Cells with no
+    directory are skipped; an empty probe set returns an empty
+    relation with the index schema when at least one cell dir exists,
+    else raises (nothing to infer a schema from -- a cold index
+    should be probed through its sidecar-stamped reader instead)."""
     root = path.rstrip("/")
+    man = read_json_sidecar(spark, path, _IVF_FILES_FILE)
+    if man is not None:
+        by_cell = man["cells"]
+        files = [
+            f"{root}/{rel}"
+            for c in cells
+            for rel in by_cell.get(str(int(c)), [])
+        ]
+        if files:
+            return _read_files_direct(spark, root, files)
+        any_rel = next((fl[0] for fl in by_cell.values() if fl), None)
+        if any_rel is None:
+            raise ValueError(
+                f"IVF index at {path} holds no data files"
+            )
+        return _read_files_direct(
+            spark, root, [f"{root}/{any_rel}"]
+        ).limit(0)
+    fs, _, jvm = hadoop_fs(spark, path)
     dirs = [f"{root}/cell={int(c)}" for c in cells]
     if dirs:
         # optimistic read first: a per-dir exists() pre-check costs a
@@ -472,23 +603,39 @@ def append_to_ivf_index(
             F.col("cell")
         ),
         id_col,
-    )
-    if batch_id is None:
-        assigned.write.partitionBy("cell").mode("append").parquet(path)
-    else:
-        # streaming arm: sub-partition by the checkpoint-deterministic
-        # batch id and dynamically overwrite ONLY this batch's
-        # (cell, batch) partitions -- an at-least-once replay rewrites
-        # its own rows instead of duplicating ids in search results.
-        # Cell-level partition pruning at probe time is unaffected
-        # (cell stays the leading partition key).
-        (
-            assigned.withColumn("_ingest_batch_id", F.lit(batch_id))
-            .write.option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell", "_ingest_batch_id")
-            .mode("overwrite")
-            .parquet(path)
-        )
+    ).persist()  # two actions: the write + the touched-cell collect
+    try:
+        if batch_id is None:
+            assigned.write.partitionBy("cell").mode("append").parquet(
+                path
+            )
+        else:
+            # streaming arm: sub-partition by the checkpoint-
+            # deterministic batch id and dynamically overwrite ONLY
+            # this batch's (cell, batch) partitions -- an
+            # at-least-once replay rewrites its own rows instead of
+            # duplicating ids in search results. Cell-level partition
+            # pruning at probe time is unaffected (cell stays the
+            # leading partition key).
+            (
+                assigned.withColumn("_ingest_batch_id", F.lit(batch_id))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell", "_ingest_batch_id")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        touched = [
+            int(r[0])
+            for r in assigned.select("cell").distinct().collect()
+        ]
+    finally:
+        assigned.unpersist()
+    # manifest update tracks the BATCH's touched cells, not the index
+    # size (the append contract); a crash between the data write and
+    # this stamp leaves the batch invisible to probes until the
+    # at-least-once replay re-runs both (same honesty posture as the
+    # ingest sinks)
+    refresh_files_manifest(df.sparkSession, path, touched)
 
 
 def ivf_occupancy_drift(spark, path: str) -> dict:
@@ -668,6 +815,10 @@ def compact_ivf_index(
         .parquet(tmp)
     )
     write_json_sidecar(spark, tmp, _IVF_META_FILE, meta)
+    # file manifest regenerated from the compacted layout (relative
+    # paths survive the swap); a compaction also heals any manifest
+    # staleness a crashed append left behind
+    refresh_files_manifest(spark, tmp)
     rows_after = spark.read.parquet(tmp).count()
     files_after = count_data_files(spark, tmp)
 

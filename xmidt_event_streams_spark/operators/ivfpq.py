@@ -28,12 +28,13 @@ Plan shape: write = ONE fused Arrow pass computing (cell, codes)
 per row (_fused_encode -- the composed assign/residual/encode chain
 paid three Arrow round trips of the full vector payload), then a
 cell-partitioned, id-sorted write (one dir per cell, no small
-files; the shuffle moves only ids + code bytes). Probe = plan-time
-partition pruning to the probed cells (leaf-dir read,
-pytest-asserted), a shuffle-free mapInPandas ADC scan over int
-codes, and a driver-side top-k merge (distributed per-query reduce
-above a partials bound). Fit = driver-side numpy Lloyd on a bounded
-deterministic sample by default (see ivfpq_fit).
+files; the shuffle moves only ids + code bytes; the cell->files
+manifest is restamped). Probe = the probed cells' data files opened
+straight from the file manifest (no directory listing, no listing
+Spark job -- pytest-asserted), a shuffle-free mapInPandas ADC scan
+over int codes, and a driver-side top-k merge (distributed per-query
+reduce above a partials bound). Fit = driver-side numpy Lloyd on a
+bounded deterministic sample by default (see ivfpq_fit).
 """
 
 from __future__ import annotations
@@ -59,6 +60,7 @@ from xmidt_event_streams_spark.operators.ivf import (
     assign_cells,
     kmeans_fit,
     read_probed_cells,
+    refresh_files_manifest,
 )
 from xmidt_event_streams_spark.operators.pq import (
     _as_codebooks,
@@ -406,6 +408,9 @@ def write_ivfpq_index(
             "id_col": id_col,
         },
     )
+    # file manifest: probes open these files directly (no per-probe
+    # directory listing -- see ivf._IVF_FILES_FILE)
+    refresh_files_manifest(df.sparkSession, path)
 
 
 # above this many (partitions x queries x n_short) partial rows the
@@ -556,10 +561,12 @@ def probe_ivfpq_index(
             )
 
     probed = sorted({int(c) for cs in cells_per_q for c in cs})
-    # leaf-dir read, not root-read-then-prune: at sqrt(N) cell counts
-    # the root listing is itself a 1-task-per-directory Spark job
-    # (~3 s at 1.4k cells) that dwarfs the pruned scan (see
-    # ivf.read_probed_cells)
+    # manifest read, not directory listing: the probed cells' data
+    # files come straight from the file manifest the writers maintain,
+    # so NO listing Spark job precedes the scan (a leaf-dir read above
+    # the discovery threshold was a 1-task-per-directory job, ~3 s at
+    # 1.4k cells -- more than the pruned scan; see
+    # ivf.read_probed_cells / ivf._IVF_FILES_FILE)
     base = read_probed_cells(spark, path, probed)
     scored = (
         base.filter(F.col("cell").isin(probed))

@@ -31,6 +31,20 @@ At 100 TB, compose with IVF: coarse cells prune the scan, PQ codes
 shrink what remains (IVF-ADC). The composition is a filter on the
 cell column before pq_topk -- both operators already speak the same
 (id, vec/codes) schema.
+
+OPERATING-POINT CAVEAT (measured, r7-r8 bench): FLAT PQ at
+aggressive compression (8 bytes/row) is a BASELINE, not a production
+path. On a corpus with dense clusters (thousands of near neighbors
+inside one subspace quantization step) absolute-code ADC cannot
+separate true mates from cluster peers -- recall@10 measured 0.17 at
+2M rows -- and the refine stage cannot fix it (rerank re-orders the
+shortlist; it cannot recover neighbors the shortlist never
+contained: 0.43 after rerank at C=96). Residual IVF-PQ
+(operators/ivfpq.py) holds ~0.92 at the SAME bytes/row because its
+codes spend their resolution inside the cell (Jegou et al. 2011
+§IV). Use this module directly only on corpora known to be
+near-uniform, or as the measured contrast motivating the
+composition.
 """
 
 from __future__ import annotations

@@ -898,6 +898,88 @@ def snapshot_merge(
         up.unpersist()
 
 
+def snapshot_rebucket(
+    spark: SparkSession, path: str, new_bucket_hex: int
+) -> dict:
+    """LAYOUT evolution: re-commit the table under a new bucket count
+    (``new_bucket_hex`` md5-prefix hex chars -> 16**n buckets).
+
+    Why it exists: ``bucket_hex`` is pinned at :func:`snapshot_create`
+    and every merge rewrites WHOLE touched buckets — a table created
+    at 16 buckets that grows to 100 TB has 6 TB buckets, so each
+    merge rewrites terabytes to change kilobytes. Rebucketing is the
+    matching layout fix schema evolution got in r7: one full-table
+    rewrite commit (the honest cost — that IS the operation), after
+    which merges touch 16x smaller buckets.
+
+    Mechanics: reads the head under its pinned schema, writes every
+    row into this commit's immutable directory bucketed by the NEW
+    expression, and publishes under the claim protocol like any merge
+    (a racing writer gets :class:`SnapshotConflict`). The bucket
+    GENERATION is per-manifest — ``bucket_hex`` is already stamped on
+    every manifest — so readers, point lookups, and CDC each use the
+    generation of the version they address: time travel across the
+    boundary just works, and :func:`snapshot_changes` across it emits
+    NOTHING (rows rewritten byte-identically are movement, not
+    change — the row-level suppression already handles cross-
+    generation bucket keys, at full-table-diff cost for that one
+    interval). :func:`snapshot_expire` GCs the old generation's files
+    once no retained manifest references them.
+
+    Returns {version, bucket_hex, buckets}; a no-op (same hex)
+    returns the current head without committing."""
+    if not 1 <= int(new_bucket_hex) <= 8:
+        raise ValueError(
+            f"new_bucket_hex must be in [1, 8] (16..16^8 buckets), "
+            f"got {new_bucket_hex}"
+        )
+    head = snapshot_head(spark, path)
+    m = _read_manifest(spark, path, head)
+    key_col, old_hex = m["key_col"], m["bucket_hex"]
+    if int(new_bucket_hex) == int(old_hex):
+        return {
+            "version": head,
+            "bucket_hex": old_hex,
+            "buckets": len(m["buckets"]),
+        }
+    version = head + 1
+    files = [f for fl in m["buckets"].values() for f in fl]
+    if files:
+        df = _read_with_manifest_schema(spark, m, files)
+        new_buckets = _write_commit_files(
+            df.withColumn(
+                _BUCKET, _bucket_expr(key_col, int(new_bucket_hex))
+            ),
+            path,
+            version,
+        )
+    else:  # fully-tombstoned head: the new generation starts empty
+        new_buckets = {}
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        {
+            "version": version,
+            "parent": head,
+            "key_col": key_col,
+            "bucket_hex": int(new_bucket_hex),
+            "schema": m.get("schema"),
+            "buckets": new_buckets,
+            "stats": {
+                "upserts": 0,
+                "deletes": 0,
+                "rebucket": [int(old_hex), int(new_bucket_hex)],
+            },
+        },
+    )
+    return {
+        "version": version,
+        "bucket_hex": int(new_bucket_hex),
+        "buckets": len(new_buckets),
+    }
+
+
 def snapshot_expire(
     spark: SparkSession,
     path: str,
