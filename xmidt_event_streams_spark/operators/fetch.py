@@ -47,11 +47,22 @@ from pyspark.sql import functions as F
 # plan-cheap; matches the order of Spark's own in-filter thresholds
 SMALL_FETCH_IDS = 32
 
-# cap on pushed-down id ranges: 256 BETWEENs is a ~1k-node predicate
-# (milliseconds to plan) while covering 256 distinct id clusters --
-# candidate sets from ANN probes cluster by construction (group
-# mates, probed cells), so real fetches rarely need even this many
-MAX_FETCH_INTERVALS = 256
+# cap on pushed-down id ranges. 64 is the measured sweet spot on BOTH
+# channels (r8 decomposition, 2M-row id-sorted store, 6k rerank-shaped
+# candidate ids):
+#   * per-ROW cost: the OR-of-BETWEENs is evaluated on every row that
+#     survives row-group pruning, and past ~100 branches janino fails
+#     to compile the expression (64 KB method limit) -- Spark falls
+#     back to INTERPRETED evaluation and the "pruned" fetch measured
+#     3.7 s where 64 compiled branches measured 0.67 s (slower than
+#     scanning everything through the bare semi-join, 0.46 s);
+#   * pruning: row groups are thousands of rows, so interval budgets
+#     past the candidate clusters' count stop mattering -- 64 and 256
+#     intervals scanned IDENTICAL row counts (533k of 2M) on the
+#     rerank workload, because sub-row-group cover tightening prunes
+#     nothing.
+# The plan stays O(64) nodes regardless of |ids|.
+MAX_FETCH_INTERVALS = 64
 
 
 def coalesce_id_intervals(
@@ -82,7 +93,7 @@ def coalesce_id_intervals(
 
 # a range cover wider than this many rows per requested id is LOOSE:
 # the ids are scattered, the pushed ranges would admit (and evaluate
-# a ~256-branch predicate over) most of the store while pruning
+# a ~64-branch predicate over) most of the store while pruning
 # little -- measured 10x SLOWER than the bare semi-join's one clean
 # hash-filtered scan when the cover reached ~83% of a 2M-row store.
 # Tight covers keep the ranges and prune to ~|ids| rows. 192 is set
@@ -108,8 +119,8 @@ def fetch_by_ids(
     cover is applied only when TIGHT (:data:`FETCH_COVER_SLACK`);
     scattered or non-integer id sets use the semi-join alone (one
     hash-filtered scan -- still a bounded plan). The range predicate
-    is built as ONE SQL string: a Column-algebra reduce of ~256
-    betweens costs seconds of py4j round-trips per plan.
+    is built as ONE SQL string: a Column-algebra reduce of this
+    many betweens costs seconds of py4j round-trips per plan.
 
     ``id_type`` (Spark DDL, e.g. ``"decimal(10,2)"``) pins the id
     relation's type for callers that know the column's schema

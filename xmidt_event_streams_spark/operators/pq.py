@@ -254,7 +254,7 @@ def exact_rerank_l2(
     the parquet scan (row-group pruning on id-sorted stores -- the
     write-side contract of this package's vector writers) plus a
     broadcast semi-join for exactness. The fetch reads ~C*n_queries
-    rows of (id, vec), not the corpus, with an O(256)-node plan
+    rows of (id, vec), not the corpus, with an O(64)-node plan
     regardless of the candidate count (a literal IN list at C x
     n_queries = thousands of ids cost seconds of analysis and, past
     parquet's in-filter pushdown threshold, pruned NOTHING -- the
