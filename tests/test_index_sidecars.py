@@ -262,3 +262,29 @@ class TestIvfFilesManifest:
         got = read_probed_cells(spark, path, [empty_cell])
         assert got.count() == 0
         assert "cell" in got.columns  # index schema preserved
+
+
+def test_lsh_probe_triggers_no_listing_job(spark, tmp_path):
+    """The LSH index shares the file-manifest contract: a probe opens
+    the probed buckets' files from the manifest, so NO listing Spark
+    job runs (the root read previously listed all 2^n_planes bucket
+    dirs -- a per-probe job above the discovery threshold). Same
+    detector discipline as the IVF-PQ pin: the threshold is forced to
+    1 so any listing would surface as a job."""
+    from tests.test_ivfpq import _listing_jobs_since, _max_job_id
+
+    emb = _emb(spark)
+    path = str(tmp_path / "lshman")
+    write_lsh_index(emb, path)
+    q = emb.orderBy("vec_id").limit(4)
+
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        before = _max_job_id(spark)
+        got = probe_lsh_index(spark, path, q, k=3, multi_probe=True)
+        assert got.count() > 0
+        assert _listing_jobs_since(spark, before) == []
+    finally:
+        spark.conf.set(key, prev)

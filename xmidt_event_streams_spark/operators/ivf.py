@@ -52,22 +52,28 @@ _IVF_META_FILE = "_xes_ivf_index_meta.json"
 # below 1x brute at bench scale); at 100 TB on an object store a
 # per-probe LIST over hundreds of thousands of index files is a real
 # latency/cost hit, while a manifest read is one GET.
-_IVF_FILES_FILE = "_xes_ivf_files.json"
+_IVF_FILES_FILE = "_xes_index_files.json"
 
 
 def _list_cell_files(
-    spark, path: str, cells: list[int] | None = None
+    spark,
+    path: str,
+    cells: list[int] | None = None,
+    part_col: str = "cell",
 ) -> dict[str, list[str]]:
-    """cell -> sorted [root-relative data file path, ...] from ONE
-    recursive filesystem listing of the given cells' directories (all
-    ``cell=`` dirs when ``cells`` is None). Write-side cost, paid once
-    per build/append/compact, so probes never list anything."""
+    """partition value -> sorted [root-relative data file path, ...]
+    from ONE recursive filesystem listing of the given partitions'
+    directories (all ``{part_col}=`` dirs when ``cells`` is None).
+    Write-side cost, paid once per build/append/compact, so probes
+    never list anything. Generic over the partition column: the IVF
+    tiers partition by ``cell``, the LSH index by ``bucket``."""
     fs, _, jvm = hadoop_fs(spark, path)
     root = path.rstrip("/")
     qroot = fs.makeQualified(
         jvm.org.apache.hadoop.fs.Path(root)
     ).toString().rstrip("/")
     rp = jvm.org.apache.hadoop.fs.Path(root)
+    prefix = f"{part_col}="
     if cells is None:
         if not fs.exists(rp):
             return {}
@@ -75,12 +81,14 @@ def _list_cell_files(
             st.getPath()
             for st in fs.listStatus(rp)
             if st.isDirectory()
-            and st.getPath().getName().startswith("cell=")
+            and st.getPath().getName().startswith(prefix)
         ]
     else:
         dirs = []
         for c in cells:
-            p = jvm.org.apache.hadoop.fs.Path(f"{root}/cell={int(c)}")
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{root}/{prefix}{int(c)}"
+            )
             if fs.exists(p):
                 dirs.append(p)
     out: dict[str, list[str]] = {}
@@ -100,7 +108,10 @@ def _list_cell_files(
 
 
 def refresh_files_manifest(
-    spark, path: str, cells: list[int] | None = None
+    spark,
+    path: str,
+    cells: list[int] | None = None,
+    part_col: str = "cell",
 ) -> None:
     """Bring the file manifest up to date with the filesystem:
     ``cells`` replaces just those cells' entries (the append shape --
@@ -110,21 +121,28 @@ def refresh_files_manifest(
     this package (appends are checkpoint-serialized, compaction runs
     in the maintenance window)."""
     if cells is None:
-        by_cell = _list_cell_files(spark, path)
+        by_cell = _list_cell_files(spark, path, part_col=part_col)
     else:
         man = read_json_sidecar(spark, path, _IVF_FILES_FILE)
         if man is None:  # pre-manifest index: one-time full migration
-            by_cell = _list_cell_files(spark, path)
+            by_cell = _list_cell_files(spark, path, part_col=part_col)
         else:
             by_cell = man["cells"]
-            fresh = _list_cell_files(spark, path, cells)
+            fresh = _list_cell_files(
+                spark, path, cells, part_col=part_col
+            )
             for c in cells:
                 key = str(int(c))
                 if key in fresh:
                     by_cell[key] = fresh[key]
                 else:
                     by_cell.pop(key, None)
-    write_json_sidecar(spark, path, _IVF_FILES_FILE, {"cells": by_cell})
+    write_json_sidecar(
+        spark,
+        path,
+        _IVF_FILES_FILE,
+        {"part_col": part_col, "cells": by_cell},
+    )
 
 
 def _read_files_direct(spark, root: str, files: list[str]):
@@ -349,7 +367,9 @@ def write_ivf_index(
     refresh_files_manifest(df.sparkSession, path)
 
 
-def read_probed_cells(spark, path: str, cells: list[int]) -> DataFrame:
+def read_probed_cells(
+    spark, path: str, cells: list[int], part_col: str = "cell"
+) -> DataFrame:
     """Read ONLY the probed cells' data of a cell-partitioned index,
     with ``basePath`` so ``cell`` (and any sub-partition columns,
     e.g. the streaming layout's ``_ingest_batch_id``) stay partition
@@ -393,7 +413,7 @@ def read_probed_cells(spark, path: str, cells: list[int]) -> DataFrame:
             spark, root, [f"{root}/{any_rel}"]
         ).limit(0)
     fs, _, jvm = hadoop_fs(spark, path)
-    dirs = [f"{root}/cell={int(c)}" for c in cells]
+    dirs = [f"{root}/{part_col}={int(c)}" for c in cells]
     if dirs:
         # optimistic read first: a per-dir exists() pre-check costs a
         # py4j round trip per cell (~1 s at 256 probed cells); a cell
@@ -412,11 +432,11 @@ def read_probed_cells(spark, path: str, cells: list[int]) -> DataFrame:
             st.getPath().toString()
             for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(root))
             if st.isDirectory()
-            and st.getPath().getName().startswith("cell=")
+            and st.getPath().getName().startswith(f"{part_col}=")
         ][:1]
         if not any_dir:
             raise ValueError(
-                f"IVF index at {path} holds no cell directories"
+                f"index at {path} holds no {part_col}= directories"
             )
         return (
             spark.read.option("basePath", root)

@@ -296,6 +296,17 @@ def write_lsh_index(
         _LSH_META_FILE,
         {"n_planes": n_planes, "dim": dim, "seed": seed},
     )
+    # bucket -> data-files manifest (ivf.refresh_files_manifest, the
+    # shared vector-index pattern): probes open the probed buckets'
+    # files directly, so no directory listing -- and no listing Spark
+    # job -- precedes the scan (at 2^n_planes = 256 bucket dirs the
+    # root listing crossed the parallel-discovery threshold and ran
+    # as a per-probe job)
+    from xmidt_event_streams_spark.operators.ivf import (
+        refresh_files_manifest,
+    )
+
+    refresh_files_manifest(df.sparkSession, path, part_col="bucket")
 
 
 def probe_lsh_index(
@@ -346,7 +357,18 @@ def probe_lsh_index(
                 flipped = "1" if bits[i] == "0" else "0"
                 probed_bits.add(bits[:i] + flipped + bits[i + 1 :])
     probed = sorted(int(b, 2) for b in probed_bits)
-    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
+    # manifest read (ivf.read_probed_cells, part_col="bucket"): the
+    # probed buckets' data files open directly -- the root read
+    # previously LISTED all 2^n_planes bucket dirs before pruning, a
+    # per-probe Spark job above the discovery threshold; foreign
+    # (manifest-less) indexes fall back to probed-leaf-dir reads
+    from xmidt_event_streams_spark.operators.ivf import (
+        read_probed_cells,
+    )
+
+    corpus = read_probed_cells(
+        spark, path, probed, part_col="bucket"
+    ).filter(F.col("bucket").isin(probed))
     qb = lsh_bucket(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
