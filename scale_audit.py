@@ -33,6 +33,13 @@ count, a constant dim table). The per-query verdict flags:
     names the projected crossing point;
   * any nonzero spill is flagged (``spills``).
 
+The artifact also carries an ``index_paths`` section (r8): the
+IVF-PQ probe's scan relation and the point fetch measured across a
+10x corpus step with the same channels and flag rules -- those jobs
+run OUTSIDE the registry queries (driver-merged probes return local
+relations), so the registry audit alone never saw the engine's
+weakest plans.
+
 Output: SCALE_AUDIT.json (one run artifact, keyed by query) plus a
 one-line JSON summary on stdout. Caveats recorded in the artifact:
 scalar-subquery subtrees are not walked (their volumes are 1-row by
@@ -202,6 +209,187 @@ def audit_query(
     }
 
 
+# ---------------------------------------------------------------- #
+# index-path audit: the ANN probe and point-fetch jobs live OUTSIDE
+# the registry queries (driver-merged probes return local relations),
+# so the registry audit never sees their plans -- yet they are the
+# plans with the weakest prior evidence (VERDICT r7 #7). This section
+# measures probe_ivfpq_index's scan relation and fetch_by_ids across
+# a 10x corpus step with the same channels + flag rules.
+# ---------------------------------------------------------------- #
+
+_IDX_N_SMALL = 125_000
+_IDX_N_BIG = 1_250_000
+_IDX_DIM = 16
+_IDX_QUERIES = 64
+_IDX_N_PROBE = 4
+
+
+def _index_corpus(spark, n: int):
+    """Deterministic (id, embedding) relation from JVM hash
+    expressions (no Python in the generator): content quality is
+    irrelevant here -- the audit measures I/O channels, not recall."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        (
+            (
+                F.pmod(
+                    F.xxhash64(F.col("id") + F.lit(d * 1_000_003)),
+                    F.lit(2000),
+                )
+                - F.lit(1000)
+            ).cast("double")
+            / 1000.0
+        )
+        for d in range(_IDX_DIM)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+    )
+
+
+def _measure_index_paths(spark, n: int, tmpdir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.operators.fetch import (
+        fetch_by_ids,
+        scan_output_rows,
+    )
+    from xmidt_event_streams_spark.operators.ivf import (
+        _nearest_cells_driver,
+        read_probed_cells,
+    )
+    from xmidt_event_streams_spark.operators.ivfpq import (
+        ivfpq_fit,
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    corpus_dir = f"{tmpdir}/corpus{n}"
+    (
+        _index_corpus(spark, n)
+        .sortWithinPartitions("vec_id")  # the point-fetch write contract
+        .write.option("parquet.block.size", 1 << 20)
+        .parquet(corpus_dir)
+    )
+    corpus = spark.read.parquet(corpus_dir)
+    cents, cbs = ivfpq_fit(corpus, m=8, k=16, n_iters=2, corpus_rows=n)
+    ixdir = f"{tmpdir}/ix{n}"
+    write_ivfpq_index(corpus, ixdir, cents, cbs)
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in corpus.filter(
+            F.col("vec_id") % (n // _IDX_QUERIES) == 17
+        )
+        .limit(_IDX_QUERIES)
+        .collect()
+    ]
+
+    def _acc():
+        return {
+            "scan_bytes": 0,
+            "shuffle_bytes": 0,
+            "shuffle_records": 0,
+            "broadcast_bytes": 0,
+            "spill_bytes": 0,
+            "n_exchanges": 0,
+            "n_broadcasts": 0,
+        }
+
+    # probe wall time (warm min-of-2, the bench convention) ...
+    def _probe():
+        t0 = time.perf_counter()
+        probe_ivfpq_index(
+            spark, ixdir, qrows, 10, n_probe=_IDX_N_PROBE
+        ).collect()
+        return time.perf_counter() - t0
+
+    _probe()
+    probe_sec = round(min(_probe(), _probe()), 3)
+    # ... and the probe's SCAN relation's channels: the probe merges
+    # driver-side (its result is a local relation), so its executed
+    # scan plan is reconstructed here exactly as probe_ivfpq_index
+    # builds it (same probed-cell derivation, same manifest read)
+    cells_per_q = _nearest_cells_driver(
+        [v for _, v in qrows], cents, _IDX_N_PROBE
+    )
+    probed = sorted({int(c) for cs in cells_per_q for c in cs})
+    # the probe kernel's exact input projection (id + codes over the
+    # probed cells). collect() (not count()) so the metrics land on
+    # THIS DataFrame's QueryExecution -- count() builds its own plan,
+    # leaving the walked one unexecuted (zero channels)
+    base = (
+        read_probed_cells(spark, ixdir, probed)
+        .filter(F.col("cell").isin(probed))
+        .select("vec_id", "codes")
+    )
+    scanned = len(base.collect())
+    probe = _acc()
+    _walk(base._jdf.queryExecution().executedPlan(), probe)
+    probe["sec"] = probe_sec
+    probe["rows_scanned"] = scanned
+    probe["rows_scanned_frac"] = round(scanned / n, 4)
+    probe["probed_cells"] = len(probed)
+    probe["n_cells"] = len(cents)
+
+    # point fetch: a rerank-shaped candidate set (clustered runs +
+    # stragglers), size-invariant at ~650 ids so the measured growth
+    # is the STORE's, not the query's
+    ids = [
+        i
+        for g in range(_IDX_QUERIES)
+        for i in range(g * (n // _IDX_QUERIES) + 17,
+                       g * (n // _IDX_QUERIES) + 27)
+    ] + [3, n // 2, n - 5]
+    fdf = fetch_by_ids(corpus, ids, id_col="vec_id").select("vec_id")
+    got = len(fdf.collect())  # executes fdf's own QueryExecution
+    fetch = _acc()
+    _walk(fdf._jdf.queryExecution().executedPlan(), fetch)
+    t0 = time.perf_counter()
+    fetch_by_ids(corpus, ids, id_col="vec_id").select(
+        "vec_id"
+    ).collect()
+    fetch["sec"] = round(time.perf_counter() - t0, 3)
+    fetch["ids_requested"] = len(set(ids))
+    fetch["rows_fetched"] = got
+    fetch["rows_scanned"] = scan_output_rows(fdf)
+    fetch["rows_scanned_frac"] = round(fetch["rows_scanned"] / n, 4)
+    return {"probe": probe, "fetch": fetch}
+
+
+def audit_index_paths(spark) -> dict:
+    """probe + fetch channels at two corpus sizes with growth
+    exponents and the registry flag rules applied."""
+    import shutil
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="xes-index-audit-")
+    try:
+        small = _measure_index_paths(spark, _IDX_N_SMALL, tmpdir)
+        big = _measure_index_paths(spark, _IDX_N_BIG, tmpdir)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    ratio = _IDX_N_BIG / _IDX_N_SMALL
+    out: dict = {"n_small": _IDX_N_SMALL, "n_big": _IDX_N_BIG}
+    for part in ("probe", "fetch"):
+        s, b = small[part], big[part]
+        exps = {
+            ch: exponent(s[ch], b[ch], ratio)
+            for ch in ("scan_bytes", "shuffle_bytes", "broadcast_bytes")
+        }
+        exps["rows_scanned"] = exponent(
+            s["rows_scanned"], b["rows_scanned"], ratio
+        )
+        out[part] = {
+            "small": s,
+            "big": b,
+            "exponents": exps,
+            "flags": compute_flags(None, s, b, exps, ratio),
+        }
+    return out
+
+
 def main() -> None:
     sf_big = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
@@ -227,13 +415,19 @@ def main() -> None:
             spark, fn, sf_small, sf_big, sf_ratio, name=name
         )
 
+    index_paths = audit_index_paths(spark)
+
     flagged = {n: r["flags"] for n, r in out.items() if r["flags"]}
+    for part in ("probe", "fetch"):
+        if index_paths[part]["flags"]:
+            flagged[f"index_paths.{part}"] = index_paths[part]["flags"]
     artifact = {
         "full_registry": full,
         "sf_small": sf_small,
         "sf_big": sf_big,
         "sf_ratio": sf_ratio,
         "broadcast_threshold_bytes": _BCAST_THRESHOLD_BYTES,
+        "index_paths": index_paths,
         "queries": out,
         "caveats": [
             "scalar-subquery subtrees not walked (1-row by construction)",

@@ -288,3 +288,33 @@ def test_lsh_probe_triggers_no_listing_job(spark, tmp_path):
         assert _listing_jobs_since(spark, before) == []
     finally:
         spark.conf.set(key, prev)
+
+
+def test_ivf_append_with_null_vectors_updates_manifest(spark, tmp_path):
+    """Poison rows (null/ragged vectors) assign a NULL cell; the
+    append's touched-cell collect must skip them (they land in the
+    default partition probes never read) instead of crashing on
+    int(None), and the manifest still tracks the valid rows."""
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.operators.ivf import (
+        append_to_ivf_index,
+        read_probed_cells,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfnull")
+    cents = deterministic_planes(8, 64, seed="ivf-test")
+    write_ivf_index(emb.filter(F.col("vec_id") < 100), path, cents)
+    batch = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 160)
+    ).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    append_to_ivf_index(batch, path)  # must not raise
+    got = read_probed_cells(spark, path, list(range(8)))
+    want = 100 + batch.filter(F.col("embedding").isNotNull()).count()
+    assert got.count() == want

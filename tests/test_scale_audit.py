@@ -123,6 +123,36 @@ def test_checked_in_artifact_covers_current_registry():
     )
 
 
+def test_checked_in_artifact_audits_index_paths():
+    """The committed artifact must also carry the INDEX-PATH section
+    (probe + fetch channels across a 10x corpus step): the ANN probe
+    and point fetch run outside the registry queries, so without this
+    section the weakest plans in the engine would be the only ones
+    with no measured growth evidence."""
+    import json
+    from pathlib import Path
+
+    artifact = json.loads(
+        (Path(__file__).resolve().parent.parent / "SCALE_AUDIT.json")
+        .read_text()
+    )
+    ip = artifact.get("index_paths")
+    assert ip, "regenerate SCALE_AUDIT.json: no index_paths section"
+    assert ip["n_big"] >= 10 * ip["n_small"]
+    for part in ("probe", "fetch"):
+        assert ip[part]["exponents"]["scan_bytes"] is not None
+        # both paths must scan a bounded FRACTION that shrinks (probe:
+        # n_probe/n_cells with sqrt(N) cells; fetch: ~|ids| rows of a
+        # growing store) -- a frac that does not shrink across 10x
+        # means pruning stopped working
+        assert (
+            ip[part]["big"]["rows_scanned_frac"]
+            < ip[part]["small"]["rows_scanned_frac"]
+        ), part
+        # and never spill
+        assert ip[part]["big"]["spill_bytes"] == 0, part
+
+
 def test_superlinear_shuffle_is_flagged():
     """The flag rule itself (pure function): a shuffle exponent past
     the threshold is flagged; a documented-waiver query is flagged

@@ -644,9 +644,13 @@ def append_to_ivf_index(
                 .mode("overwrite")
                 .parquet(path)
             )
+        # null cells (null/ragged vectors -- poison-row containment)
+        # land in the default partition directory, which probes never
+        # read; they have no manifest entry to update
         touched = [
             int(r[0])
             for r in assigned.select("cell").distinct().collect()
+            if r[0] is not None
         ]
     finally:
         assigned.unpersist()
