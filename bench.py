@@ -228,13 +228,14 @@ def ann_bench(spark) -> dict:
     reduction the ``ivfpq_index_bytes_read_frac`` /
     ``adc_bytes_frac`` fields report from file-size arithmetic.
 
-    Reports the one-time index cost (codebook fit on a 10% sample +
-    full-corpus encode) separately from the per-query search arms:
-    at 100 TB the index is built once and searched forever, so
-    ``speedup_search`` is the recurring win and ``recall_at_10`` the
-    price. Unit vectors make L2-ADC and cosine rank identically, so
-    recall is apples-to-apples; PQ is asked for k+1 and its
-    self-match dropped (brute excludes self by contract).
+    Reports the one-time index costs (codebook/quantizer fits,
+    encode/build) separately from the per-query search arms: at
+    100 TB the index is built once and searched forever, so the
+    ``*_speedup_search`` fields are the recurring win and the
+    ``*_recall_at_10`` fields the price. Unit vectors make L2-ADC and
+    cosine rank identically, so recall is apples-to-apples; PQ is
+    asked for k+1 and its self-match dropped (brute excludes self by
+    contract).
 
     r8: flat PQ is DEMOTED to ``flat_pq_baseline`` (production:
     false) and has no rerank arm -- its production operating point is

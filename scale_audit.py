@@ -258,11 +258,11 @@ def _measure_index_paths(spark, n: int, tmpdir: str) -> dict:
     )
     from xmidt_event_streams_spark.operators.ivf import (
         _nearest_cells_driver,
-        read_probed_cells,
     )
     from xmidt_event_streams_spark.operators.ivfpq import (
         ivfpq_fit,
         probe_ivfpq_index,
+        probed_codes_relation,
         write_ivfpq_index,
     )
 
@@ -315,15 +315,12 @@ def _measure_index_paths(spark, n: int, tmpdir: str) -> dict:
         [v for _, v in qrows], cents, _IDX_N_PROBE
     )
     probed = sorted({int(c) for cs in cells_per_q for c in cs})
-    # the probe kernel's exact input projection (id + codes over the
-    # probed cells). collect() (not count()) so the metrics land on
-    # THIS DataFrame's QueryExecution -- count() builds its own plan,
-    # leaving the walked one unexecuted (zero channels)
-    base = (
-        read_probed_cells(spark, ixdir, probed)
-        .filter(F.col("cell").isin(probed))
-        .select("vec_id", "codes")
-    )
+    # the probe's OWN input relation (shared constructor, so the
+    # audited plan is the executed plan). collect() (not count()) so
+    # the metrics land on THIS DataFrame's QueryExecution -- count()
+    # builds its own plan, leaving the walked one unexecuted (zero
+    # channels)
+    base = probed_codes_relation(spark, ixdir, probed, "vec_id")
     scanned = len(base.collect())
     probe = _acc()
     _walk(base._jdf.queryExecution().executedPlan(), probe)

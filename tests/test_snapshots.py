@@ -794,6 +794,33 @@ def test_point_lookup_large_key_set_bounded_plan(spark, tmp_path):
     assert {r.doc_id for r in got.limit(5).collect()} <= set(keys)
 
 
+def test_point_lookup_int_keys_on_string_keyed_table(spark, tmp_path):
+    """Integer keys against a STRING key column, above the small-set
+    threshold: the fetch routing must build its id relation in the
+    COLUMN's type (str(int) == Spark's int->string cast), not crash
+    createDataFrame's strict verification with int rows under a
+    string schema -- the 32-key isin path always handled this, so the
+    33+-key path must too."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_read_keys,
+    )
+
+    path = str(tmp_path / "strkeys")
+    snapshot_create(
+        spark.createDataFrame(
+            [(str(i), f"doc {i}") for i in range(200)],
+            "k string, text string",
+        ),
+        path,
+        "k",
+    )
+    got = snapshot_read_keys(spark, path, list(range(100)))
+    assert got.count() == 100
+    assert {r.k for r in got.limit(3).collect()} <= {
+        str(i) for i in range(100)
+    }
+
+
 def test_rebucket_layout_evolution(spark, tmp_path):
     """snapshot_rebucket: create at 16 buckets -> rebucket to 256 ->
     content, point lookups, and CDC are correct on BOTH sides of the

@@ -139,7 +139,8 @@ def fetch_by_ids(
         isinstance(i, (int, np.integer)) and not isinstance(i, bool)
         for i in ids
     )
-    if numeric:
+    int_types = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+    if numeric and (id_type is None or id_type.lower() in int_types):
         ranges = coalesce_id_intervals(ids, max_intervals)
         cover = sum(hi - lo + 1 for lo, hi in ranges)
         if cover <= FETCH_COVER_SLACK * len(ids):
@@ -153,6 +154,14 @@ def fetch_by_ids(
             )
         id_rows = [(int(i),) for i in sorted(ids)]
         id_type = id_type or "long"
+    elif numeric and id_type is not None and id_type.lower() == "string":
+        # integer keys against a STRING column (a stringified-int
+        # snapshot table): the id relation must match the column's
+        # type -- createDataFrame verifies strictly, so int rows under
+        # a string schema would raise. Python str(int) equals Spark's
+        # int->string cast, and integer BETWEENs would not align with
+        # a string column's stats anyway, so no range arm.
+        id_rows = [(str(int(i)),) for i in sorted(ids)]
     else:
         try:
             id_rows = [(i,) for i in sorted(ids)]
@@ -161,13 +170,29 @@ def fetch_by_ids(
         if id_type is None and all(isinstance(i, str) for i in ids):
             id_type = "string"
     if id_type is not None:
-        idset = spark.createDataFrame(id_rows, f"`{id_col}` {id_type}")
-    else:
+        try:
+            idset = spark.createDataFrame(
+                id_rows, f"`{id_col}` {id_type}"
+            )
+        except Exception:
+            # values don't verify under the pinned type (e.g. int keys
+            # against a decimal column): fall through to inference
+            id_type = None
+    if id_type is None:
         try:  # float/decimal/date ids: let Spark infer the type
             idset = spark.createDataFrame(id_rows, [id_col])
         except Exception:
             # inference failed (mixed types): the literal filter is
-            # the only remaining exact expression of the set
+            # the last exact expression of the set -- but a giant IN
+            # is the exact plan-size hazard this module exists to
+            # avoid, so refuse past a bounded literal budget instead
+            # of silently building a multi-second interpreted plan
+            if len(ids) > 1024:
+                raise ValueError(
+                    f"fetch_by_ids: {len(ids)} ids of mixed/"
+                    "uninferable type cannot form a typed id relation; "
+                    "pass id_type= (Spark DDL) or normalize the id set"
+                )
             return df.filter(F.col(id_col).isin(ids))
     return df.join(F.broadcast(idset), id_col, "left_semi")
 

@@ -151,7 +151,14 @@ def _read_files_direct(spark, root: str, files: list[str]):
     threshold raised past the file count for this one resolution, so
     Spark stats the files driver-side instead of launching a listing
     JOB -- the whole point of the manifest is that no probe-time
-    Spark job runs before the scan itself."""
+    Spark job runs before the scan itself.
+
+    The threshold is a session conf set around the (eager) file-index
+    resolution and restored in ``finally`` -- the same posture as
+    ``fetch.arrow_collect_pandas``. Probes are driver-orchestrated
+    and serialized in this package's contracts; two sessions-sharing
+    threads racing this window could interleave restores (one driver
+    thread per probe stream is the supported shape)."""
     key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, str(max(len(files) + 1, 64)))
@@ -397,8 +404,18 @@ def read_probed_cells(
     man = read_json_sidecar(spark, path, _IVF_FILES_FILE)
     if man is not None:
         by_cell = man["cells"]
+
+        def _abs(rel: str) -> str:
+            # entries are root-relative, EXCEPT when the lister could
+            # not strip a differently-qualified URI (viewfs mounts,
+            # authority normalization) and stored the absolute path --
+            # re-prefixing those would double the root
+            if "://" in rel or rel.startswith("/"):
+                return rel
+            return f"{root}/{rel}"
+
         files = [
-            f"{root}/{rel}"
+            _abs(rel)
             for c in cells
             for rel in by_cell.get(str(int(c)), [])
         ]
@@ -410,7 +427,7 @@ def read_probed_cells(
                 f"IVF index at {path} holds no data files"
             )
         return _read_files_direct(
-            spark, root, [f"{root}/{any_rel}"]
+            spark, root, [_abs(any_rel)]
         ).limit(0)
     fs, _, jvm = hadoop_fs(spark, path)
     dirs = [f"{root}/{part_col}={int(c)}" for c in cells]

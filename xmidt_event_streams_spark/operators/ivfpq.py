@@ -434,6 +434,24 @@ def _fold_into(best: dict, qid: int, cur_ids, d, n_short: int) -> None:
     best[qid] = keep_top_by_dist_id(cur_ids, d, n_short)
 
 
+def probed_codes_relation(
+    spark, path: str, probed: list[int], id_col: str
+) -> DataFrame:
+    """The ADC scan's exact input relation: (id, codes, cell) over the
+    probed cells' manifest files, null-code poison rows excluded.
+    Shared by :func:`probe_ivfpq_index` and the scale audit's
+    index-path section (scale_audit._measure_index_paths), so the
+    plan the audit measures IS the plan the probe executes -- a
+    hand-copied twin would silently desynchronize on the next probe
+    change."""
+    return (
+        read_probed_cells(spark, path, probed)
+        .filter(F.col("cell").isin(probed))
+        .filter(F.col("codes").isNotNull())
+        .select(id_col, "codes", "cell")
+    )
+
+
 def probe_ivfpq_index(
     spark,
     path: str,
@@ -567,12 +585,8 @@ def probe_ivfpq_index(
     # the discovery threshold was a 1-task-per-directory job, ~3 s at
     # 1.4k cells -- more than the pruned scan; see
     # ivf.read_probed_cells / ivf._IVF_FILES_FILE)
-    base = read_probed_cells(spark, path, probed)
-    scored = (
-        base.filter(F.col("cell").isin(probed))
-        .filter(F.col("codes").isNotNull())
-        .mapInPandas(_score, out_schema)
-    )
+    base = probed_codes_relation(spark, path, probed, id_col)
+    scored = base.mapInPandas(_score, out_schema)
     # driver-side final merge, not a rank-window exchange: the scan
     # kernel already emits per-PARTITION top-n_short partials, so the
     # global answer is a merge of <= partitions x queries x n_short
