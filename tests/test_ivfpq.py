@@ -379,3 +379,139 @@ def test_fused_encode_matches_composed_path(spark, ix, sf_dir):
     by_id = {r["vec_id"]: r for r in fused}
     assert by_id[990_001]["cell"] is None and by_id[990_001]["codes"] is None
     assert by_id[990_002]["cell"] is None and by_id[990_002]["codes"] is None
+
+
+class TestIvfpqLifecycle:
+    """The production ANN path's full lifecycle beyond build-once:
+    append under the stamped quantizers (plain + streaming arms),
+    replay-idempotence via dynamic (cell, batch) overwrite, compaction
+    (dup + tombstone excision = the CODES tier of a takedown), and the
+    maintenance-window wiring."""
+
+    def test_append_then_probe_equals_rebuild(self, spark, ix, tmp_path):
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            append_to_ivfpq_index,
+        )
+
+        emb = ix["emb"]
+        old = emb.filter(F.col("vec_id") < 400)
+        new = emb.filter(F.col("vec_id") >= 400)
+
+        inc = str(tmp_path / "inc")
+        write_ivfpq_index(old, inc, ix["cents"], ix["cbs"])
+        append_to_ivfpq_index(new, inc)
+        full = str(tmp_path / "full")
+        write_ivfpq_index(emb, full, ix["cents"], ix["cbs"])
+
+        got = sorted(map(tuple, probe_ivfpq_index(
+            spark, inc, ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+        ).collect()))
+        want = sorted(map(tuple, probe_ivfpq_index(
+            spark, full, ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+        ).collect()))
+        assert got == want
+        new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+        assert any(r[1] in new_ids for r in got)
+
+    def test_streaming_append_replay_is_idempotent(
+        self, spark, ix, tmp_path
+    ):
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            append_to_ivfpq_index,
+        )
+
+        emb = ix["emb"]
+        path = str(tmp_path / "stream")
+        # streaming layout convention (same as the IVF tier): seed
+        # empty, fold the pre-existing corpus as batch -1 -- plain and
+        # batched appends cannot mix under one root (conflicting
+        # partition schemes)
+        write_ivfpq_index(emb.limit(0), path, ix["cents"], ix["cbs"])
+        append_to_ivfpq_index(
+            emb.filter(F.col("vec_id") < 300), path, batch_id=-1
+        )
+        batch = emb.filter(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+        )
+        append_to_ivfpq_index(batch, path, batch_id=7)
+        once = sorted(map(tuple, probe_ivfpq_index(
+            spark, path, ix["qrows"][:3], k_neighbors=5, n_probe=N_PROBE
+        ).collect()))
+        append_to_ivfpq_index(batch, path, batch_id=7)  # replay
+        again = sorted(map(tuple, probe_ivfpq_index(
+            spark, path, ix["qrows"][:3], k_neighbors=5, n_probe=N_PROBE
+        ).collect()))
+        assert once == again
+        idx = spark.read.parquet(path)
+        n_live = 300 + batch.count()
+        assert idx.count() == n_live  # no duplicated ids
+
+    def test_compact_dedups_tombstones_and_heals_manifest(
+        self, spark, ix, tmp_path
+    ):
+        from xmidt_event_streams_spark.fsutil import read_json_sidecar
+        from xmidt_event_streams_spark.operators.ivf import (
+            _IVF_FILES_FILE,
+        )
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            append_to_ivfpq_index,
+            compact_ivfpq_index,
+        )
+
+        emb = ix["emb"]
+        path = str(tmp_path / "compact")
+        write_ivfpq_index(emb, path, ix["cents"], ix["cbs"])
+        # plain double-append = duplicate ids (the bulk-backfill residue)
+        dup = emb.filter(F.col("vec_id") < 50)
+        append_to_ivfpq_index(dup, path)
+        tomb = [0, 1, 2]
+        rep = compact_ivfpq_index(spark, path, tombstones=tomb)
+        assert rep["rows_before"] == emb.count() + 50
+        assert rep["rows_after"] == emb.count() - len(tomb)
+        assert rep["files_after"] <= rep["files_before"]
+        got = probe_ivfpq_index(
+            spark, path, ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+        )
+        hit_ids = {r["vec_id"] for r in got.collect()}
+        assert not hit_ids & set(tomb)
+        # manifest regenerated over the compacted layout
+        man = read_json_sidecar(spark, path, _IVF_FILES_FILE)
+        from pathlib import Path as _P
+
+        fs_files = {
+            str(p.relative_to(path))
+            for p in _P(path).rglob("*.parquet")
+        }
+        assert set().union(*man["cells"].values()) == fs_files
+
+    def test_maintenance_target_and_takedown_wire(
+        self, spark, ix, tmp_path
+    ):
+        from xmidt_event_streams_spark.maintenance import run_maintenance
+
+        emb = ix["emb"]
+        path = str(tmp_path / "maint")
+        write_ivfpq_index(emb, path, ix["cents"], ix["cbs"])
+        rep = run_maintenance(
+            spark,
+            ivfpq_compactions=(path,),
+            tombstones={path: [5, 6]},
+        )
+        assert rep[path]["rows_after"] == emb.count() - 2
+        got = probe_ivfpq_index(
+            spark, path, ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+        )
+        assert not {5, 6} & {r["vec_id"] for r in got.collect()}
+
+    def test_append_refuses_missing_sidecar(self, spark, ix, tmp_path):
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            append_to_ivfpq_index,
+            compact_ivfpq_index,
+        )
+
+        bare = str(tmp_path / "bare")
+        ix["emb"].limit(5).write.parquet(bare)
+        with pytest.raises(ValueError, match="no quantizer sidecar"):
+            append_to_ivfpq_index(ix["emb"].limit(5), bare)
+        with pytest.raises(ValueError, match="foreign IVF-PQ"):
+            compact_ivfpq_index(spark, bare)

@@ -78,6 +78,7 @@ def run_maintenance(
     rollups: tuple[tuple[str, list, dict], ...] = (),
     ivf_indexes: tuple[str, ...] = (),
     ivf_compactions: tuple[str, ...] = (),
+    ivfpq_compactions: tuple[str, ...] = (),
     kmv_baselines: tuple[tuple[str, str], ...] = (),
     token_baselines: tuple[tuple[str, str], ...] = (),
     snapshot_tables: tuple[tuple[str, int], ...] = (),
@@ -111,7 +112,10 @@ def run_maintenance(
     streaming batch partitions into one file per cell and drops
     duplicate/tombstoned ids (per-path tombstone lists via
     ``tombstones`` -- the vector tier of a takedown); guarded like
-    other write targets. ``kmv_baselines``:
+    other write targets. ``ivfpq_compactions``: the same rewrite for
+    IVF-PQ indexes (``ivfpq.compact_ivfpq_index`` -- the CODES tier
+    of a takedown; report key suffix ``ivfpq_index``).
+    ``kmv_baselines``:
     (sketch_path, corpus_parquet_path) pairs -- a READ-ONLY content
     drift check (``contamination.kmv_drift``): n-gram-set Jaccard of
     the corpus today vs its stamped baseline, with a
@@ -181,6 +185,7 @@ def run_maintenance(
             | set(window_indexes)
             | set(inverted_indexes)
             | set(ivf_compactions)
+            | set(ivfpq_compactions)
             | {p for p, _, _ in rollups}
             | {p for p, _ in snapshot_tables}
             | {d for _, d, _ in replications}
@@ -252,6 +257,19 @@ def run_maintenance(
             path,
             "ivf_index",
             lambda p=path, t=tl: compact_ivf_index(spark, p, tombstones=t),
+        )
+    for path in ivfpq_compactions:
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            compact_ivfpq_index,
+        )
+
+        tl = (tombstones or {}).get(path)
+        _run(
+            path,
+            "ivfpq_index",
+            lambda p=path, t=tl: compact_ivfpq_index(
+                spark, p, tombstones=t
+            ),
         )
     for sketch_path, corpus_path in kmv_baselines:
         _run(

@@ -809,6 +809,33 @@ def compact_ivf_index(
             f"cannot compact a foreign IVF index (no {_IVF_META_FILE} "
             f"at {path})"
         )
+    return compact_cell_index(
+        spark,
+        path,
+        meta=meta,
+        meta_file=_IVF_META_FILE,
+        content_col=meta["vec_col"],
+        id_col=id_col,
+        tombstones=tombstones,
+    )
+
+
+def compact_cell_index(
+    spark,
+    path: str,
+    meta: dict,
+    meta_file: str,
+    content_col: str,
+    id_col: str,
+    tombstones: DataFrame | list | None = None,
+) -> dict:
+    """The shared cell-partitioned-index compactor (IVF stores raw
+    vectors, IVF-PQ stores codes -- same layout, same lifecycle):
+    deduplicate ids, excise tombstones, rewrite one file per
+    partition, restamp ``meta_file``, regenerate the file manifest,
+    atomic swap. See :func:`compact_ivf_index` for the full contract
+    (single-writer window, streaming-layout preservation,
+    deterministic duplicate resolution)."""
     idx = spark.read.parquet(path)
     batched = "_ingest_batch_id" in idx.columns
 
@@ -823,10 +850,9 @@ def compact_ivf_index(
     # no order column, so the hash alone gives a stable (if
     # arbitrary) winner. Mirrors compact_window_index's
     # deterministic-keep rule.
-    vec_col = meta["vec_col"]
     order = (
         [F.col("_ingest_batch_id").desc()] if batched else []
-    ) + [F.hash(F.col(vec_col)).asc()]
+    ) + [F.hash(F.col(content_col)).asc()]
     w = Window.partitionBy(id_col).orderBy(*order)
     compacted = (
         idx.withColumn("_xes_rn", F.row_number().over(w))
@@ -855,7 +881,7 @@ def compact_ivf_index(
         .mode("overwrite")
         .parquet(tmp)
     )
-    write_json_sidecar(spark, tmp, _IVF_META_FILE, meta)
+    write_json_sidecar(spark, tmp, meta_file, meta)
     # file manifest regenerated from the compacted layout (relative
     # paths survive the swap); a compaction also heals any manifest
     # staleness a crashed append left behind

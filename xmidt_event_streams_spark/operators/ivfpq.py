@@ -434,6 +434,109 @@ def _fold_into(best: dict, qid: int, cur_ids, d, n_short: int) -> None:
     best[qid] = keep_top_by_dist_id(cur_ids, d, n_short)
 
 
+def append_to_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> None:
+    """Fold a new vector batch into an existing IVF-PQ index -- the
+    lifecycle arm the production ANN path needs beyond build-once
+    (mirrors ivf.append_to_ivf_index): the batch is fused-encoded
+    under the STAMPED quantizers (never re-fit -- cells and codes are
+    meaningless under any other centroids/codebooks, so they are read
+    from the sidecar, not supplied) and appended to the cell
+    directories; the file manifest is updated for the touched cells
+    only.
+
+    ``batch_id`` enables the streaming arm: rows sub-partition by the
+    checkpoint-deterministic batch id and the write dynamically
+    overwrites ONLY this batch's (cell, batch) partitions, so an
+    at-least-once replay rewrites its own rows instead of duplicating
+    ids in probe results. Plain and batched appends cannot mix under
+    one root (conflicting partition schemes -- same contract as the
+    IVF tier): a streaming-shaped index is seeded with
+    ``write_ivfpq_index(df.limit(0), ...)`` and a pre-existing corpus
+    folded as ``batch_id=-1``. Quantizer DRIFT is the operational caveat,
+    exactly as for the IVF tier: stamped quantizers stay frozen while
+    the corpus moves -- monitor occupancy and rebuild (write_ivfpq_
+    index with a re-fit, an atomic swap under the sidecar contract)
+    when it alarms."""
+    spark = df.sparkSession
+    meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"no quantizer sidecar at {path}: initialize with "
+            "write_ivfpq_index"
+        )
+    id_col = meta["id_col"]
+    encoded = (
+        _fused_encode(
+            df, meta["centroids"], meta["codebooks"], id_col, vec_col
+        )
+        .repartition(F.col("cell"))
+        # id-sorted files: the point-fetch write contract
+        .sortWithinPartitions("cell", id_col)
+        .persist()  # two actions: the write + the touched-cell collect
+    )
+    try:
+        if batch_id is None:
+            encoded.write.partitionBy("cell").mode("append").parquet(
+                path
+            )
+        else:
+            (
+                encoded.withColumn("_ingest_batch_id", F.lit(batch_id))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell", "_ingest_batch_id")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        touched = [
+            int(r[0])
+            for r in encoded.select("cell").distinct().collect()
+            if r[0] is not None
+        ]
+    finally:
+        encoded.unpersist()
+    refresh_files_manifest(spark, path, touched)
+
+
+def compact_ivfpq_index(
+    spark,
+    path: str,
+    tombstones: DataFrame | list | None = None,
+) -> dict:
+    """Rewrite the IVF-PQ index in place, dropping duplicate ids
+    (newest batch wins on the streaming layout, code-hash tiebreak)
+    and tombstoned ids -- the CODES tier of a takedown: without it
+    the removed documents' quantized vectors keep answering ADC
+    probes from the index files. Shares ivf.compact_cell_index
+    (same layout, same single-writer contract, same one-file-per-
+    partition payoff); the quantizer sidecar is restamped as-is and
+    the file manifest regenerated. Returns {rows_before, rows_after,
+    files_before, files_after}."""
+    from xmidt_event_streams_spark.operators.ivf import (
+        compact_cell_index,
+    )
+
+    meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"cannot compact a foreign IVF-PQ index (no "
+            f"{_IVFPQ_META_FILE} at {path})"
+        )
+    return compact_cell_index(
+        spark,
+        path,
+        meta=meta,
+        meta_file=_IVFPQ_META_FILE,
+        content_col="codes",
+        id_col=meta["id_col"],
+        tombstones=tombstones,
+    )
+
+
 def probed_codes_relation(
     spark, path: str, probed: list[int], id_col: str
 ) -> DataFrame:

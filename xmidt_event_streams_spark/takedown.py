@@ -100,12 +100,16 @@ def takedown_ids(
     table_format: str = "keyed",
     expire_keep_last: int | None = None,
     ivf_index_path: str | None = None,
+    ivfpq_index_path: str | None = None,
 ) -> dict:
     """Tombstone ``ids`` out of the corpus table (keyed or snapshot,
     per ``table_format``) and (when given) compact them out of the
-    MinHash index and/or the IVF vector index (``ivf_index_path`` --
+    MinHash index, the IVF vector index (``ivf_index_path`` --
     without it the removed documents' EMBEDDINGS keep answering
-    similarity probes; report key ``"ivf_index"``). Shards are
+    similarity probes; report key ``"ivf_index"``), and/or the
+    IVF-PQ index (``ivfpq_index_path`` -- the CODES tier: quantized
+    vectors keep answering ADC probes until compacted out; report
+    key ``"ivfpq_index"``). Shards are
     derived artifacts: re-export them from the post-takedown corpus
     (operators/traindata.write_training_shards -- placement of
     surviving rows is a pure row hash, so nobody else moves).
@@ -125,6 +129,7 @@ def takedown_ids(
             "touched_buckets": [],
             "index": None,
             "ivf_index": None,
+            "ivfpq_index": None,
             "expire": None,
         }
     table = _read_table(spark, corpus_path, table_format)
@@ -153,6 +158,15 @@ def takedown_ids(
         ivf_report = compact_ivf_index(
             spark, ivf_index_path, tombstones=list(ids)
         )
+    ivfpq_report = None
+    if ivfpq_index_path is not None:
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            compact_ivfpq_index,
+        )
+
+        ivfpq_report = compact_ivfpq_index(
+            spark, ivfpq_index_path, tombstones=list(ids)
+        )
     expire = _maybe_expire(
         spark, corpus_path, table_format, expire_keep_last
     )
@@ -160,6 +174,7 @@ def takedown_ids(
         **stats,
         "index": report,
         "ivf_index": ivf_report,
+        "ivfpq_index": ivfpq_report,
         "expire": expire,
     }
 
