@@ -515,3 +515,41 @@ class TestIvfpqLifecycle:
             append_to_ivfpq_index(ix["emb"].limit(5), bare)
         with pytest.raises(ValueError, match="foreign IVF-PQ"):
             compact_ivfpq_index(spark, bare)
+
+
+def test_rebuild_ivfpq_refits_both_quantizers(spark, ix, tmp_path):
+    """rebuild_ivfpq_index: drift closure for the compressed tier --
+    re-fit on the RAW corpus (codes cannot train their replacement),
+    atomic swap, manifest + sidecar restamped, appends keep working
+    under the new quantizers."""
+    from pathlib import Path as _P
+
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+    from xmidt_event_streams_spark.operators.ivf import _IVF_FILES_FILE
+    from xmidt_event_streams_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        rebuild_ivfpq_index,
+    )
+
+    emb = ix["emb"]
+    path = str(tmp_path / "rebuildpq")
+    write_ivfpq_index(emb, path, ix["cents"], ix["cbs"])
+    rep = rebuild_ivfpq_index(spark, path, emb, n_iters=2)
+    assert rep["n_cells_before"] == N_CELLS
+    assert rep["n_cells_after"] == int(emb.count() ** 0.5)
+    assert rep["rows"] == emb.count()
+    got = probe_ivfpq_index(
+        spark, path, ix["qrows"][:3], k_neighbors=5, n_probe=4
+    )
+    assert got.count() == 15
+    # appended rows encode under the NEW stamped quantizers
+    extra = emb.limit(3).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    append_to_ivfpq_index(extra, path)
+    assert spark.read.parquet(path).count() == emb.count() + 3
+    man = read_json_sidecar(spark, path, _IVF_FILES_FILE)
+    fs_files = {
+        str(p.relative_to(path)) for p in _P(path).rglob("*.parquet")
+    }
+    assert set().union(*man["cells"].values()) == fs_files

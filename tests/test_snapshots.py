@@ -988,3 +988,24 @@ def test_commits_dir_stays_clean_and_cursor_never_vanishes(
     ], commits
     ck_files = {f for f in os.listdir(ckpt) if not f.endswith(".crc")}
     assert ck_files == {"cursor.json"}, ck_files
+
+
+def test_rebucket_as_maintenance_target(spark, table, tmp_path):
+    """run_maintenance(snapshot_rebuckets=...): the layout evolution
+    commits inside the window, before expiry; point lookups work
+    under the new generation."""
+    from xmidt_event_streams_spark.maintenance import run_maintenance
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_read_keys,
+    )
+
+    path, _ = table
+    rep = run_maintenance(
+        spark,
+        snapshot_rebuckets=((path, 3),),
+        snapshot_tables=((path, 2),),
+    )
+    assert rep[path]["kind"] == "snapshot_rebucket"
+    assert rep[path]["bucket_hex"] == 3
+    assert rep[f"{path}#snapshot_expire"]["kept_versions"] == [1, 2]
+    assert snapshot_read_keys(spark, path, [5]).count() == 1

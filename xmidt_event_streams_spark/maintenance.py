@@ -77,11 +77,13 @@ def run_maintenance(
     inverted_indexes: tuple[str, ...] = (),
     rollups: tuple[tuple[str, list, dict], ...] = (),
     ivf_indexes: tuple[str, ...] = (),
+    ivf_rebuild_on_shift: bool = False,
     ivf_compactions: tuple[str, ...] = (),
     ivfpq_compactions: tuple[str, ...] = (),
     kmv_baselines: tuple[tuple[str, str], ...] = (),
     token_baselines: tuple[tuple[str, str], ...] = (),
     snapshot_tables: tuple[tuple[str, int], ...] = (),
+    snapshot_rebuckets: tuple[tuple[str, int], ...] = (),
     replications: tuple[tuple[str, str, str], ...] = (),
     tombstones: dict[str, list] | None = None,
     batches_per_partition: int = 1_000,
@@ -107,7 +109,11 @@ def run_maintenance(
     check (``ivf.ivf_occupancy_drift``): the report carries the PSI
     verdict so the window that compacts everything else also tells
     you when frozen centroids need a refit ("shifted" = schedule a
-    rebuild; nothing is rewritten here). ``ivf_compactions``: IVF
+    rebuild; nothing is rewritten here) -- unless
+    ``ivf_rebuild_on_shift=True``, which closes the loop in the same
+    window: a "shifted" verdict triggers ``ivf.rebuild_ivf_index``
+    (re-fit on current contents + atomic swap, report key suffix
+    ``ivf_rebuild``; the path is then guarded as a write target). ``ivf_compactions``: IVF
     index paths to REWRITE (``ivf.compact_ivf_index``): folds
     streaming batch partitions into one file per cell and drops
     duplicate/tombstoned ids (per-path tombstone lists via
@@ -133,7 +139,11 @@ def run_maintenance(
     row's bytes persist until the last manifest referencing them
     expires. Guarded like other write targets via ``checkpoints``.
 
-    ``replications``: (src_path, dst_path, checkpoint_dir) triples --
+    ``snapshot_rebuckets``: (path, new_bucket_hex) pairs -- layout
+    evolution (``snapshots.snapshot_rebucket``, one claim-protected
+    full-rewrite commit; run it when per-bucket size has outgrown the
+    merge economics). Commits before replications/expiry in the same
+    window. ``replications``: (src_path, dst_path, checkpoint_dir) triples --
     CDC replica catch-up (``snapshots.replicate_snapshot``): drains
     every pending change interval into the replica at change-volume
     cost. The DESTINATION is the write target for guarding purposes;
@@ -175,6 +185,7 @@ def run_maintenance(
     from xmidt_event_streams_spark.operators.snapshots import (
         replicate_snapshot,
         snapshot_expire,
+        snapshot_rebucket,
     )
     from xmidt_event_streams_spark.streaming.rollup import compact_rollup
 
@@ -186,8 +197,10 @@ def run_maintenance(
             | set(inverted_indexes)
             | set(ivf_compactions)
             | set(ivfpq_compactions)
+            | (set(ivf_indexes) if ivf_rebuild_on_shift else set())
             | {p for p, _, _ in rollups}
             | {p for p, _ in snapshot_tables}
+            | {p for p, _ in snapshot_rebuckets}
             | {d for _, d, _ in replications}
         )
         for target, ckpt in checkpoints.items():
@@ -251,6 +264,28 @@ def run_maintenance(
             "ivf_drift",
             lambda p=path: ivf_occupancy_drift(spark, p),
         )
+        drift_key = next(
+            k
+            for k in (path, f"{path}#ivf_drift")
+            if report.get(k, {}).get("kind") == "ivf_drift"
+        )
+        if (
+            ivf_rebuild_on_shift
+            and report[drift_key].get("verdict") == "shifted"
+        ):
+            # close the drift loop in the same window: 'shifted' means
+            # the frozen centroids no longer match the corpus -- the
+            # documented response is a re-fit + atomic swap, which the
+            # rebuild performs (new occupancy becomes the baseline)
+            from xmidt_event_streams_spark.operators.ivf import (
+                rebuild_ivf_index,
+            )
+
+            _run(
+                path,
+                "ivf_rebuild",
+                lambda p=path: rebuild_ivf_index(spark, p),
+            )
     for path in ivf_compactions:
         tl = (tombstones or {}).get(path)
         _run(
@@ -286,6 +321,16 @@ def run_maintenance(
             lambda b=base_path, c=corpus_path: token_drift(
                 spark, b, spark.read.parquet(c)
             ),
+        )
+    # rebuckets commit BEFORE expiry (the rebucket is one more
+    # version; expiring first would be pointless churn) and before
+    # replication drains (followers then receive the empty cross-
+    # boundary interval instead of racing the rewrite)
+    for path, new_hex in snapshot_rebuckets:
+        _run(
+            path,
+            "snapshot_rebucket",
+            lambda p=path, h=new_hex: snapshot_rebucket(spark, p, h),
         )
     # replication drains run BEFORE expiry so a lagging follower is
     # caught up while its cursor's manifest is still retained

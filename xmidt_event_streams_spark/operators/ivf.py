@@ -820,6 +820,94 @@ def compact_ivf_index(
     )
 
 
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+) -> dict:
+    """RE-FIT the coarse quantizer on the index's CURRENT contents and
+    rewrite atomically -- the action :func:`ivf_occupancy_drift`'s
+    ``shifted`` verdict calls for (the stamped centroids stay frozen
+    while appends move the corpus; when occupancy skews, probes read
+    ever-fatter hot cells and recall decays in the cold ones). The
+    IVF index stores raw vectors, so the rebuild is self-contained:
+    one read of the index, a fresh spherical k-means fit
+    (``n_cells=None`` re-sizes to sqrt(current rows) -- growth since
+    the original fit is usually WHY it drifted), reassignment, and an
+    atomic swap that preserves the layout (a streaming-shaped index
+    folds to ``_ingest_batch_id=-1``, the compaction convention, so
+    later batch appends keep working). The new fit-time occupancy
+    becomes the drift baseline. Single-writer, like compaction.
+
+    Returns {rows, n_cells_before, n_cells_after}."""
+    meta = read_json_sidecar(spark, path, _IVF_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"cannot rebuild a foreign IVF index (no {_IVF_META_FILE} "
+            f"at {path})"
+        )
+    vec_col = meta["vec_col"]
+    idx = spark.read.parquet(path)
+    batched = "_ingest_batch_id" in idx.columns
+    rows = idx.select(
+        *[
+            c
+            for c in idx.columns
+            if c not in ("cell", "_ingest_batch_id")
+        ]
+    )
+    n_rows = rows.count()
+    if n_cells is None:
+        n_cells = max(1, min(int(n_rows**0.5), n_rows, 65_536))
+    cents = kmeans_fit(rows, n_cells, n_iters, vec_col, id_col)
+    base = assign_cells(rows, cents, vec_col).persist()
+    try:
+        assigned = base
+        part_cols = ["cell"]
+        if batched:
+            assigned = assigned.withColumn(
+                "_ingest_batch_id", F.lit(-1)
+            )
+            part_cols.append("_ingest_batch_id")
+        tmp = path.rstrip("/") + "__rebuild_tmp"
+        (
+            _sorted_by_id(
+                assigned.repartition(*[F.col(c) for c in part_cols]),
+                id_col,
+            )
+            .write.partitionBy(*part_cols)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        occupancy = {
+            str(r["cell"]): r["n"]
+            for r in base.groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    finally:
+        base.unpersist()
+    write_json_sidecar(
+        spark,
+        tmp,
+        _IVF_META_FILE,
+        {
+            "centroids": cents,
+            "vec_col": vec_col,
+            "occupancy": occupancy,
+        },
+    )
+    refresh_files_manifest(spark, tmp)
+    swap_into_place(spark, tmp, path)
+    return {
+        "rows": n_rows,
+        "n_cells_before": len(meta["centroids"]),
+        "n_cells_after": n_cells,
+    }
+
+
 def compact_cell_index(
     spark,
     path: str,

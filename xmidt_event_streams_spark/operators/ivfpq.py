@@ -502,6 +502,87 @@ def append_to_ivfpq_index(
     refresh_files_manifest(spark, path, touched)
 
 
+def rebuild_ivfpq_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    m: int | None = None,
+    k: int | None = None,
+    n_iters: int = 3,
+    corpus_rows: int | None = None,
+) -> dict:
+    """RE-FIT both quantizers and rewrite the index atomically -- the
+    drift-closure action for the compressed tier. Unlike the IVF
+    rebuild, this one needs the RAW ``corpus`` relation: the index
+    stores only codes, and codes cannot train their own replacement.
+    ``m``/``k`` default to the stamped values; ``n_cells=None``
+    re-sizes to sqrt(corpus) (pass ``corpus_rows`` when ``corpus`` is
+    a sample). Layout preserved: a streaming-shaped index folds to
+    ``_ingest_batch_id=-1`` (the compaction convention) so later
+    batch appends keep working. Single-writer, like compaction.
+
+    Returns {rows, n_cells_before, n_cells_after}."""
+    from xmidt_event_streams_spark.fsutil import swap_into_place
+
+    meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"cannot rebuild a foreign IVF-PQ index (no "
+            f"{_IVFPQ_META_FILE} at {path})"
+        )
+    id_col = meta["id_col"]
+    batched = "_ingest_batch_id" in spark.read.parquet(path).columns
+    m = m if m is not None else meta["m"]
+    k = k if k is not None else meta["k"]
+    cents, cbs = ivfpq_fit(
+        corpus,
+        n_cells=n_cells,
+        m=m,
+        k=k,
+        n_iters=n_iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        corpus_rows=corpus_rows,
+    )
+    cb = _as_codebooks(cbs)
+    encoded = _fused_encode(corpus, cents, cbs, id_col, vec_col)
+    part_cols = ["cell"]
+    if batched:
+        encoded = encoded.withColumn("_ingest_batch_id", F.lit(-1))
+        part_cols.append("_ingest_batch_id")
+    tmp = path.rstrip("/") + "__rebuild_tmp"
+    (
+        encoded.repartition(*[F.col(c) for c in part_cols])
+        .sortWithinPartitions("cell", id_col)
+        .write.partitionBy(*part_cols)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    write_json_sidecar(
+        spark,
+        tmp,
+        _IVFPQ_META_FILE,
+        {
+            "centroids": [[float(x) for x in c] for c in cents],
+            "codebooks": cb.tolist(),
+            "m": int(cb.shape[0]),
+            "k": int(cb.shape[1]),
+            "dsub": int(cb.shape[2]),
+            "id_col": id_col,
+        },
+    )
+    refresh_files_manifest(spark, tmp)
+    rows = spark.read.parquet(tmp).count()
+    swap_into_place(spark, tmp, path)
+    return {
+        "rows": rows,
+        "n_cells_before": len(meta["centroids"]),
+        "n_cells_after": len(cents),
+    }
+
+
 def compact_ivfpq_index(
     spark,
     path: str,

@@ -210,6 +210,7 @@ def start_ingest_vectors(
     dedup_threshold: float | None = None,
     dedup_n_probe: int = 2,
     id_col: str = "vec_id",
+    ivfpq_index_path: str | None = None,
     availableNow: bool = False,
     trigger_seconds: int = 15,
     query_name: str | None = None,
@@ -225,7 +226,26 @@ def start_ingest_vectors(
     and land in the rejects ledger with ``dup_of`` and
     ``reject_reason='semantic_duplicate'``. Verdicts are replay-
     exactly-once (the probe excludes the current batch id's own
-    prior append)."""
+    prior append).
+
+    ``ivfpq_index_path``: also fold each batch's accepted rows into a
+    COMPRESSED IVF-PQ serving index under its stamped quantizers
+    (``ivfpq.append_to_ivfpq_index``, the same replay-idempotent
+    (cell, batch) dynamic overwrite) -- the raw IVF index stays the
+    dedup/exact tier, the PQ index the cheap-ADC-scan serving tier,
+    and both advance in lockstep per micro-batch. The PQ index must
+    be streaming-seeded (``write_ivfpq_index(df.limit(0), ...)``)."""
+
+    def _fold_ivfpq(rows: DataFrame, batch_id: int) -> None:
+        if ivfpq_index_path is None:
+            return
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            append_to_ivfpq_index,
+        )
+
+        append_to_ivfpq_index(
+            rows, ivfpq_index_path, vec_col, batch_id=batch_id
+        )
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         valid, rejects = validate_embeddings(
@@ -264,6 +284,7 @@ def start_ingest_vectors(
                     append_to_ivf_index(
                         uniques, index_path, vec_col, batch_id=batch_id
                     )
+                    _fold_ivfpq(uniques, batch_id)
                     idempotent_batch_append(
                         rejects, batch_id, rejects_path, max_files=1
                     )
@@ -273,6 +294,7 @@ def start_ingest_vectors(
                 valid.unpersist()
             return
         append_to_ivf_index(valid, index_path, vec_col, batch_id=batch_id)
+        _fold_ivfpq(valid, batch_id)
         idempotent_batch_append(rejects, batch_id, rejects_path, max_files=1)
 
     writer = stream_df.writeStream.foreachBatch(_write).option(
