@@ -453,7 +453,13 @@ def ann_bench(spark) -> dict:
         n_cells = len(cents)
         ivfpq_fit_sec = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        write_ivfpq_index(corpus, ixdir, cents, cbs)
+        # refine='sq8': the in-index refine payload (dim+16 bytes/row
+        # next to the codes) -- reranking probes re-score their
+        # shortlist from the SAME scan, no corpus fetch, no second
+        # Spark action. Plain probes column-prune it (pytest-pinned),
+        # and ivfpq_index_bytes_read_frac is a FRACTION of index
+        # bytes, so the sweep's channels are unchanged by the payload.
+        write_ivfpq_index(corpus, ixdir, cents, cbs, refine="sq8")
         ivfpq_build_sec = round(time.perf_counter() - t0, 3)
 
         def _recall(rows):
@@ -496,7 +502,20 @@ def ann_bench(spark) -> dict:
         n_probe = chosen["n_probe"]
         ivfpq_sec = chosen["search_sec"]
         ivfpq_recall = chosen["recall_at_10"]
+        # PRODUCTION rerank arm: in-index SQ8 refine -- the shortlist
+        # re-scores from payload the probe scan already read, so the
+        # whole rerank is the probe plus a driver-side numpy decode
+        # (zero extra Spark actions; the r7 residue was exactly the
+        # fetch job's fixed cost)
         ivfpq_rr_rows, ivfpq_rr_sec = _warm2(
+            lambda: probe_ivfpq_index(
+                spark, ixdir, qrows, topk, n_probe=n_probe,
+                rerank=rerank_c,
+            ).collect()
+        )
+        # exact-rerank arm (kept measured: the path for callers that
+        # must report exact distances or rerank a refine-less index)
+        ivfpq_rrx_rows, ivfpq_rrx_sec = _warm2(
             lambda: probe_ivfpq_index(
                 spark, ixdir, qrows, topk, n_probe=n_probe,
                 rerank=rerank_c, vectors=corpus,
@@ -537,16 +556,21 @@ def ann_bench(spark) -> dict:
         )
     finally:
         shutil.rmtree(ixdir.rsplit("/", 1)[0], ignore_errors=True)
-    irr: dict = {}
-    for r in ivfpq_rr_rows:
-        irr.setdefault(r["query_id"], set()).add(r["vec_id"])
-    ivfpq_rr_recall = round(
-        sum(
-            len(exact[q] & irr.get(q, set())) / len(exact[q]) for q in exact
+    def _rr_recall(rows):
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return round(
+            sum(
+                len(exact[q] & got.get(q, set())) / len(exact[q])
+                for q in exact
+            )
+            / len(exact),
+            3,
         )
-        / len(exact),
-        3,
-    )
+
+    ivfpq_rr_recall = _rr_recall(ivfpq_rr_rows)
+    ivfpq_rrx_recall = _rr_recall(ivfpq_rrx_rows)
 
     codes.unpersist()
     _shutil.rmtree(corpus_dir.rsplit("/", 1)[0], ignore_errors=True)
@@ -602,9 +626,23 @@ def ann_bench(spark) -> dict:
         "ivfpq_index_bytes_read_frac": bytes_frac,
         "ivfpq_per_query_cell_frac": round(n_probe / n_cells, 3),
         "ivfpq_recall_at_10": ivfpq_recall,
+        # production rerank: in-index SQ8 refine (refine vectors ride
+        # the probe scan; re-score is a driver-side decode, zero extra
+        # Spark actions). Recall is measured against the EXACT ground
+        # truth, so any SQ8 tie-flip shows up here, not hidden.
+        "ivfpq_rerank_refine": "sq8-in-index",
         "ivfpq_rerank_search_sec": ivfpq_rr_sec,
         "ivfpq_rerank_speedup_search": round(brute_sec / ivfpq_rr_sec, 2),
         "ivfpq_rerank_recall_at_10": ivfpq_rr_recall,
+        # exact-distance rerank (ranged-fetch + semi-join path): for
+        # callers that must report exact distances or hold no refine
+        # payload; pays one fetch job per probe batch
+        "ivfpq_rerank_exact_search_sec": ivfpq_rrx_sec,
+        "ivfpq_rerank_exact_speedup_search": round(
+            brute_sec / ivfpq_rrx_sec, 2
+        ),
+        "ivfpq_rerank_exact_recall_at_10": ivfpq_rrx_recall,
+        "refine_bytes_per_row": dim + 16,
     }
 
 

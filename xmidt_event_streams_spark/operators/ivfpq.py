@@ -317,6 +317,7 @@ def _fused_encode(
     codebooks: Sequence[Sequence[Sequence[float]]],
     id_col: str,
     vec_col: str,
+    refine: str | None = None,
 ) -> DataFrame:
     """(id, codes, cell) in ONE Arrow pass: cell assignment (argmax
     of 6dp-rounded cosine -- numerically identical to
@@ -326,12 +327,22 @@ def _fused_encode(
     the full vector payload through THREE separate Arrow
     serialize/deserialize round trips; at index-build volume that
     transfer was most of the build cost. Null/ragged vectors yield
-    (null cell, null codes), as in the composed path."""
+    (null cell, null codes), as in the composed path.
+
+    ``refine='sq8'`` additionally emits the in-index refine payload
+    (``sq8`` binary + per-row affine bounds, operators/sq.py) computed
+    from the RAW vector in the same pass -- the refine approximates
+    the original vector, not the residual, so rerank distances are
+    directly comparable to exact L2. Null/ragged vectors yield null
+    refine columns too."""
     import pandas as pd
 
     from xmidt_event_streams_spark.functions.vectors import _stack_masked
     from xmidt_event_streams_spark.operators.pq import _encode_block
+    from xmidt_event_streams_spark.operators.sq import sq8_encode_block
 
+    if refine not in (None, "sq8"):
+        raise ValueError(f"unsupported refine codec {refine!r}")
     cb = _as_codebooks(codebooks)
     cm = np.asarray(centroids, dtype=np.float64)
     cn = np.sqrt((cm * cm).sum(axis=1))
@@ -340,12 +351,19 @@ def _fused_encode(
         f.name: f.dataType.simpleString() for f in df.schema.fields
     }[id_col]
     schema = f"`{id_col}` {id_type}, `codes` array<int>, `cell` int"
+    if refine == "sq8":
+        schema += ", `sq8` binary, `sq8_lo` double, `sq8_step` double"
 
     def _kernel(batches):
         for pdf in batches:
             n = len(pdf)
             codes_out = pd.Series([None] * n, dtype="object")
             cell_out = pd.Series([None] * n, dtype="object")
+            cols = {id_col: pdf[id_col], "codes": codes_out, "cell": cell_out}
+            if refine == "sq8":
+                cols["sq8"] = pd.Series([None] * n, dtype="object")
+                cols["sq8_lo"] = pd.Series([None] * n, dtype="object")
+                cols["sq8_step"] = pd.Series([None] * n, dtype="object")
             if n:
                 mat, valid = _stack_masked(pdf[vec_col], dim=dim)
                 if mat.shape[0]:
@@ -361,9 +379,12 @@ def _fused_encode(
                     idx = np.nonzero(valid)[0]
                     codes_out.iloc[idx] = list(codes)
                     cell_out.iloc[idx] = [int(c) for c in cells]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": codes_out, "cell": cell_out}
-            )
+                    if refine == "sq8":
+                        raw, lo, step = sq8_encode_block(mat)
+                        cols["sq8"].iloc[idx] = raw
+                        cols["sq8_lo"].iloc[idx] = list(lo)
+                        cols["sq8_step"].iloc[idx] = list(step)
+            yield pd.DataFrame(cols)
 
     return df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
@@ -377,16 +398,25 @@ def write_ivfpq_index(
     codebooks: Sequence[Sequence[Sequence[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: str | None = None,
 ) -> None:
     """Materialize (id, codes) partitioned by coarse cell, residual-
     encoded, with both quantizers stamped in the sidecar (cells and
     codes are meaningless under any other centroids/codebooks --
     probes verify or load, never silently mismatch). Encoding is the
     fused one-pass kernel (:func:`_fused_encode`); the shuffle to
-    cell directories moves only (id, m ints, cell), never vectors."""
+    cell directories moves only (id, m ints, cell), never vectors.
+
+    ``refine='sq8'`` stores the in-index refine payload next to the
+    codes (SQ8 bytes + affine bounds, operators/sq.py): probes with
+    ``rerank=C`` then re-rank the ADC shortlist from the SAME scan --
+    no raw-vector relation, no point-fetch job, zero extra Spark
+    actions. Cost: +dim+16 bytes/row in the cell files, read only by
+    reranking probes (plain probes keep the codes-only ReadSchema).
+    The codec is stamped in the sidecar; append/rebuild preserve it."""
     cb = _as_codebooks(codebooks)
     (
-        _fused_encode(df, centroids, codebooks, id_col, vec_col)
+        _fused_encode(df, centroids, codebooks, id_col, vec_col, refine)
         .repartition(F.col("cell"))
         # id-sorted files: the point-fetch write contract
         # (operators/fetch.py; see ivf._sorted_by_id)
@@ -406,6 +436,7 @@ def write_ivfpq_index(
             "k": int(cb.shape[1]),
             "dsub": int(cb.shape[2]),
             "id_col": id_col,
+            "refine": refine,
         },
     )
     # file manifest: probes open these files directly (no per-probe
@@ -420,18 +451,35 @@ def write_ivfpq_index(
 _DRIVER_MERGE_MAX_ROWS = 2_000_000
 
 
-def _fold_into(best: dict, qid: int, cur_ids, d, n_short: int) -> None:
+def _fold_into(
+    best: dict, qid: int, cur_ids, d, n_short: int, extras: tuple = ()
+) -> None:
     """Fold (ids, dists) into ``best[qid]`` keeping the n_short
     nearest (ties to the lower id) -- the shared partial-top-k kernel
     for the scan pass and the optional distributed merge pass.
     Selection via pq.keep_top_by_dist_id (argpartition + boundary-tie
-    lexsort: exact winners, O(n))."""
+    lexsort: exact winners, O(n)).
+
+    ``extras`` is a tuple of side arrays aligned with ``cur_ids``
+    (the in-index refine payload: SQ8 bytes + affine bounds); they are
+    concatenated and gathered with the SAME selection indices, so
+    ``best[qid]`` stays (ids, dists, *extras) row-aligned."""
     from xmidt_event_streams_spark.operators.pq import keep_top_by_dist_id
 
     if qid in best:
-        d = np.concatenate([best[qid][1], d])
-        cur_ids = np.concatenate([best[qid][0], cur_ids])
-    best[qid] = keep_top_by_dist_id(cur_ids, d, n_short)
+        prev = best[qid]
+        d = np.concatenate([prev[1], d])
+        cur_ids = np.concatenate([prev[0], cur_ids])
+        extras = tuple(
+            np.concatenate([p, e]) for p, e in zip(prev[2:], extras)
+        )
+    if not extras:
+        best[qid] = keep_top_by_dist_id(cur_ids, d, n_short)
+        return
+    kept_ids, kept_d, idx = keep_top_by_dist_id(
+        cur_ids, d, n_short, return_index=True
+    )
+    best[qid] = (kept_ids, kept_d, *(e[idx] for e in extras))
 
 
 def append_to_ivfpq_index(
@@ -472,7 +520,12 @@ def append_to_ivfpq_index(
     id_col = meta["id_col"]
     encoded = (
         _fused_encode(
-            df, meta["centroids"], meta["codebooks"], id_col, vec_col
+            df,
+            meta["centroids"],
+            meta["codebooks"],
+            id_col,
+            vec_col,
+            meta.get("refine"),
         )
         .repartition(F.col("cell"))
         # id-sorted files: the point-fetch write contract
@@ -533,6 +586,7 @@ def rebuild_ivfpq_index(
             f"{_IVFPQ_META_FILE} at {path})"
         )
     id_col = meta["id_col"]
+    refine = meta.get("refine")
     batched = "_ingest_batch_id" in spark.read.parquet(path).columns
     m = m if m is not None else meta["m"]
     k = k if k is not None else meta["k"]
@@ -547,7 +601,7 @@ def rebuild_ivfpq_index(
         corpus_rows=corpus_rows,
     )
     cb = _as_codebooks(cbs)
-    encoded = _fused_encode(corpus, cents, cbs, id_col, vec_col)
+    encoded = _fused_encode(corpus, cents, cbs, id_col, vec_col, refine)
     part_cols = ["cell"]
     if batched:
         encoded = encoded.withColumn("_ingest_batch_id", F.lit(-1))
@@ -571,6 +625,7 @@ def rebuild_ivfpq_index(
             "k": int(cb.shape[1]),
             "dsub": int(cb.shape[2]),
             "id_col": id_col,
+            "refine": refine,
         },
     )
     refresh_files_manifest(spark, tmp)
@@ -619,7 +674,8 @@ def compact_ivfpq_index(
 
 
 def probed_codes_relation(
-    spark, path: str, probed: list[int], id_col: str
+    spark, path: str, probed: list[int], id_col: str,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """The ADC scan's exact input relation: (id, codes, cell) over the
     probed cells' manifest files, null-code poison rows excluded.
@@ -627,12 +683,14 @@ def probed_codes_relation(
     index-path section (scale_audit._measure_index_paths), so the
     plan the audit measures IS the plan the probe executes -- a
     hand-copied twin would silently desynchronize on the next probe
-    change."""
+    change. ``extra_cols`` widens the projection (the in-index refine
+    payload) -- plain probes keep the codes-only ReadSchema so parquet
+    never decodes refine bytes they will not use."""
     return (
         read_probed_cells(spark, path, probed)
         .filter(F.col("cell").isin(probed))
         .filter(F.col("codes").isNotNull())
-        .select(id_col, "codes", "cell")
+        .select(id_col, "codes", "cell", *extra_cols)
     )
 
 
@@ -660,12 +718,28 @@ def probe_ivfpq_index(
     (vec_id == query_id) are excluded, matching the IVF family.
     Output: query_id, vec_id, adc_dist (ascending = nearest), rank.
 
-    ``rerank=C`` adds the refine stage (pq.exact_rerank_l2): the
-    residual-ADC scan short-lists C candidates per query, exact-re-
-    scored against the caller-supplied raw ``vectors`` relation; the
-    output gains ``exact_dist`` and re-ranks by it. This is how a
-    production IVF-PQ recovers the recall that residual quantization
-    costs, for C*dim floats per query.
+    ``rerank=C`` adds the refine stage: the residual-ADC scan
+    short-lists C candidates per query and re-scores them at full
+    resolution. TWO refine sources, switched on the arguments:
+
+      * IN-INDEX (``vectors=None`` on an index built with
+        ``refine='sq8'``): the scan kernel already read the
+        shortlist's SQ8 refine payload from the SAME cell files, so
+        re-ranking is a driver-side numpy decode over C*n_queries
+        rows -- NO second scan, NO point-fetch job, zero extra Spark
+        actions. The output gains ``refine_dist`` (SQ8-reconstructed
+        squared L2 -- error bound: half a quantization step per
+        dimension, operators/sq.py) and re-ranks by it. This is the
+        production path: its cost tracks the probe, not the corpus.
+      * EXACT (``vectors=`` a raw-vector relation): pq.exact_rerank_l2
+        fetches the C*n_queries exact vectors (gap-coalesced ranged
+        scan + semi-join, operators/fetch.py) and the output gains
+        ``exact_dist``. Use when exact distances must be reported or
+        the index stores no refine payload.
+
+    Both recover the recall that residual quantization costs (Jegou
+    et al. TPAMI 2011 SS V's re-ranking stage); recall@k becomes
+    ~recall@C of the compressed scan in each.
     """
     meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
     if meta is None:
@@ -714,13 +788,34 @@ def probe_ivfpq_index(
             np.stack([lut for _, lut in pairs]),
         )
 
-    out_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField(id_col, LongType()),
-            StructField("adc_dist", DoubleType()),
-        ]
+    # in-index refine: the shortlist's SQ8 payload rides the SAME scan
+    # (stored next to the codes by the writers) -- no second read
+    in_index_refine = (
+        rerank is not None
+        and vectors is None
+        and meta.get("refine") == "sq8"
     )
+    if rerank is not None and vectors is None and not in_index_refine:
+        raise ValueError(
+            "rerank needs a refine source: pass vectors= (exact "
+            "re-score) or build the index with refine='sq8' "
+            "(in-index re-score)"
+        )
+
+    fields = [
+        StructField("query_id", LongType()),
+        StructField(id_col, LongType()),
+        StructField("adc_dist", DoubleType()),
+    ]
+    if in_index_refine:
+        from pyspark.sql.types import BinaryType
+
+        fields += [
+            StructField("sq8", BinaryType()),
+            StructField("sq8_lo", DoubleType()),
+            StructField("sq8_step", DoubleType()),
+        ]
+    out_schema = StructType(fields)
 
     n_short = k_neighbors if rerank is None else max(rerank, k_neighbors)
 
@@ -733,15 +828,16 @@ def probe_ivfpq_index(
         rng = np.arange(m)
         best: dict = {}
 
-        def _fold(qid, cur_ids, d):
-            _fold_into(best, qid, cur_ids, d, n_short)
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cells = pdf["cell"].to_numpy()
             ids = pdf[id_col].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            if in_index_refine:
+                sq8 = pdf["sq8"].to_numpy()
+                lo = pdf["sq8_lo"].to_numpy(dtype="float64")
+                step = pdf["sq8_step"].to_numpy(dtype="float64")
             for c, (qids, lut3) in luts_by_cell.items():
                 mask = cells == c
                 if not mask.any():
@@ -750,17 +846,34 @@ def probe_ivfpq_index(
                 # (q_c, rows): one gather-sum scores every query that
                 # probed this cell against all its rows in the batch
                 dmat = lut3[:, rng[None, :], codes[mask]].sum(axis=2)
+                if in_index_refine:
+                    sub_extras = (sq8[mask], lo[mask], step[mask])
                 for qi, qid in enumerate(qids):
                     keep = sub_ids != qid  # self-match excluded
-                    _fold(int(qid), sub_ids[keep], dmat[qi][keep])
-        for qid, (ids_, d_) in best.items():
-            yield pd.DataFrame(
-                {
-                    "query_id": np.full(len(ids_), qid, dtype=np.int64),
-                    id_col: ids_,
-                    "adc_dist": d_,
-                }
-            )
+                    extras = (
+                        tuple(e[keep] for e in sub_extras)
+                        if in_index_refine
+                        else ()
+                    )
+                    _fold_into(
+                        best,
+                        int(qid),
+                        sub_ids[keep],
+                        dmat[qi][keep],
+                        n_short,
+                        extras,
+                    )
+        for qid, kept in best.items():
+            cols = {
+                "query_id": np.full(len(kept[0]), qid, dtype=np.int64),
+                id_col: kept[0],
+                "adc_dist": kept[1],
+            }
+            if in_index_refine:
+                cols["sq8"] = pd.Series(kept[2], dtype="object")
+                cols["sq8_lo"] = kept[3]
+                cols["sq8_step"] = kept[4]
+            yield pd.DataFrame(cols)
 
     probed = sorted({int(c) for cs in cells_per_q for c in cs})
     # manifest read, not directory listing: the probed cells' data
@@ -769,7 +882,15 @@ def probe_ivfpq_index(
     # the discovery threshold was a 1-task-per-directory job, ~3 s at
     # 1.4k cells -- more than the pruned scan; see
     # ivf.read_probed_cells / ivf._IVF_FILES_FILE)
-    base = probed_codes_relation(spark, path, probed, id_col)
+    base = probed_codes_relation(
+        spark,
+        path,
+        probed,
+        id_col,
+        extra_cols=(
+            ("sq8", "sq8_lo", "sq8_step") if in_index_refine else ()
+        ),
+    )
     scored = base.mapInPandas(_score, out_schema)
     # driver-side final merge, not a rank-window exchange: the scan
     # kernel already emits per-PARTITION top-n_short partials, so the
@@ -792,21 +913,34 @@ def probe_ivfpq_index(
             best: dict = {}
             for pdf in batches:
                 for qid, g in pdf.groupby("query_id"):
+                    extras = (
+                        (
+                            g["sq8"].to_numpy(),
+                            g["sq8_lo"].to_numpy(dtype="float64"),
+                            g["sq8_step"].to_numpy(dtype="float64"),
+                        )
+                        if in_index_refine
+                        else ()
+                    )
                     _fold_into(
                         best,
                         int(qid),
                         g[id_col].to_numpy(),
                         g["adc_dist"].to_numpy(),
                         n_short,
+                        extras,
                     )
-            for qid, (ids_, d_) in best.items():
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(len(ids_), qid, dtype=np.int64),
-                        id_col: ids_,
-                        "adc_dist": d_,
-                    }
-                )
+            for qid, kept in best.items():
+                cols = {
+                    "query_id": np.full(len(kept[0]), qid, dtype=np.int64),
+                    id_col: kept[0],
+                    "adc_dist": kept[1],
+                }
+                if in_index_refine:
+                    cols["sq8"] = pd.Series(kept[2], dtype="object")
+                    cols["sq8_lo"] = kept[3]
+                    cols["sq8_step"] = kept[4]
+                yield pd.DataFrame(cols)
 
         scored = scored.repartition("query_id").mapInPandas(
             _merge_partials, out_schema
@@ -814,8 +948,54 @@ def probe_ivfpq_index(
     partials = scored.collect()
     merged: dict = {}
     for r in partials:
+        payload = (
+            (bytes(r["sq8"]), float(r["sq8_lo"]), float(r["sq8_step"]))
+            if in_index_refine
+            else ()
+        )
         merged.setdefault(r["query_id"], []).append(
-            (float(r["adc_dist"]), int(r[id_col]))
+            (float(r["adc_dist"]), int(r[id_col]), *payload)
+        )
+    if in_index_refine:
+        # refine on the driver: the shortlist is C x n_queries rows by
+        # construction (the same driver-size contract as the LUTs);
+        # decode is one vectorized pass per query
+        from xmidt_event_streams_spark.operators.sq import (
+            sq8_decode_block,
+        )
+
+        qmap = {
+            int(qid): np.asarray(qv, dtype=np.float64)
+            for qid, qv in queries
+        }
+        rows_out = []
+        for qid, cand in merged.items():
+            cand.sort()
+            cand = cand[:n_short]
+            dec = sq8_decode_block(
+                [c[2] for c in cand],
+                np.asarray([c[3] for c in cand]),
+                np.asarray([c[4] for c in cand]),
+            )
+            diff = dec - qmap[int(qid)][None, :]
+            rd = np.einsum("ij,ij->i", diff, diff)
+            order = sorted(
+                range(len(cand)), key=lambda i: (rd[i], cand[i][1])
+            )[:k_neighbors]
+            rows_out.extend(
+                (
+                    int(qid),
+                    cand[i][1],
+                    round(cand[i][0], 6),
+                    round(float(rd[i]), 6),
+                    rank,
+                )
+                for rank, i in enumerate(order, start=1)
+            )
+        return spark.createDataFrame(
+            rows_out,
+            f"query_id long, {id_col} long, adc_dist double, "
+            "refine_dist double, rank int",
         )
     rows_out = []
     for qid, cand in merged.items():
@@ -827,10 +1007,6 @@ def probe_ivfpq_index(
     )
     if rerank is None:
         return adc_top
-    if vectors is None:
-        raise ValueError(
-            "rerank requires the raw-vector relation (vectors=) to re-score"
-        )
     from xmidt_event_streams_spark.operators.pq import exact_rerank_l2
 
     return exact_rerank_l2(

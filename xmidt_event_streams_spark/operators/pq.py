@@ -190,8 +190,8 @@ _DRIVER_REFINE_MAX_FLOATS = 4_000_000
 
 
 def keep_top_by_dist_id(
-    ids: np.ndarray, d: np.ndarray, n_short: int
-) -> tuple[np.ndarray, np.ndarray]:
+    ids: np.ndarray, d: np.ndarray, n_short: int, return_index: bool = False
+):
     """The EXACT top-``n_short`` by (distance, id) -- identical
     winners to a full ``lexsort((ids, d))[:n_short]``, at O(n)
     instead of O(n log n): argpartition selects by distance alone,
@@ -199,9 +199,16 @@ def keep_top_by_dist_id(
     tie-breaks cannot drop a winner, and only that small superset is
     lexsorted. This fold runs per (query, Arrow batch) in the ADC
     scans; the full lexsort was ~30% of scan kernel time at 64-query
-    batches."""
+    batches.
+
+    ``return_index=True`` additionally returns the kept positions
+    into the INPUT arrays (ids[idx] == kept ids, same order) -- the
+    refine-payload fold gathers its side arrays (SQ8 bytes, affine
+    bounds) with the same selection without re-deriving the tie
+    logic."""
     if len(d) <= n_short:
-        return ids, d
+        keep = np.arange(len(d))
+        return (ids, d, keep) if return_index else (ids, d)
     nan = np.isnan(d)
     if nan.any():
         # a NaN dmax breaks the boundary test (d <= NaN selects
@@ -212,9 +219,11 @@ def keep_top_by_dist_id(
         # remainder in id order — reproduced here exactly.
         good = np.nonzero(~nan)[0]
         if len(good) >= n_short:
-            kept_ids, kept_d = keep_top_by_dist_id(
-                ids[good], d[good], n_short
+            kept_ids, kept_d, sub = keep_top_by_dist_id(
+                ids[good], d[good], n_short, return_index=True
             )
+            if return_index:
+                return kept_ids, kept_d, good[sub]
             return kept_ids, kept_d
         bad = np.nonzero(nan)[0]
         fill = bad[np.argsort(ids[bad], kind="stable")][
@@ -223,11 +232,15 @@ def keep_top_by_dist_id(
         keep = np.concatenate(
             [good[np.lexsort((ids[good], d[good]))], fill]
         )
+        if return_index:
+            return ids[keep], d[keep], keep
         return ids[keep], d[keep]
     part = np.argpartition(d, n_short - 1)[:n_short]
     dmax = d[part].max()
     sel = np.nonzero(d <= dmax)[0]
     keep = sel[np.lexsort((ids[sel], d[sel]))[:n_short]]
+    if return_index:
+        return ids[keep], d[keep], keep
     return ids[keep], d[keep]
 
 
