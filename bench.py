@@ -382,6 +382,36 @@ def ann_bench(spark) -> dict:
         lambda: pq_topk(codes, qrows, cb, topk + 1).collect()
     )
 
+    # OPQ arm: the learned-rotation fix for flat PQ (Ge et al. CVPR
+    # 2013; operators/opq.py) at the SAME bytes/row -- measures how
+    # much of the flat-PQ collapse is axis-alignment (recoverable by
+    # rotation) vs absolute-code resolution (only residual coding
+    # fixes it; IVF-PQ below). Reported honestly either way.
+    from xmidt_event_streams_spark.operators.opq import (
+        opq_encode,
+        opq_fit,
+        opq_topk,
+    )
+
+    t0 = time.perf_counter()
+    opq_R, opq_cb = opq_fit(
+        corpus.filter(F.col("vec_id") % 10 == 0),
+        m=m, k=k_codes, n_iters=2, opq_iters=6,
+    )
+    opq_fit_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    opq_codes = (
+        opq_encode(corpus, opq_R, opq_cb).select("vec_id", "codes").persist()
+    )
+    opq_codes.count()
+    opq_encode_sec = round(time.perf_counter() - t0, 3)
+    opq_rows, opq_sec = _warm2(
+        lambda: opq_topk(
+            opq_codes, qrows, opq_R, opq_cb, topk + 1
+        ).collect()
+    )
+    opq_codes.unpersist()
+
     # the refine stage (Jegou et al. §V) is benched on the PRODUCTION
     # path only (IVF-PQ below): flat PQ at 8 bytes/row collapses on
     # this dense-cluster corpus (recall@10 ~ 0.17 pre-rerank), and a
@@ -411,18 +441,25 @@ def ann_bench(spark) -> dict:
     rerank_fetch_scanned_frac = round(scan_output_rows(fetch_df) / n, 4)
 
     exact: dict = {}
-    approx: dict = {}
     for r in brute_rows:
         exact.setdefault(r["query_id"], set()).add(r["vec_id"])
-    for r in pq_rows:
-        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
-    recall = round(
-        sum(
-            len(exact[q] & (approx[q] - {q})) / len(exact[q]) for q in exact
+
+    def _flat_recall(rows):
+        approx: dict = {}
+        for r in rows:
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return round(
+            sum(
+                len(exact[q] & (approx.get(q, set()) - {q}))
+                / len(exact[q])
+                for q in exact
+            )
+            / len(exact),
+            3,
         )
-        / len(exact),
-        3,
-    )
+
+    recall = _flat_recall(pq_rows)
+    opq_recall = _flat_recall(opq_rows)
     # IVF-PQ arm: residual PQ under coarse cell pruning -- the scan
     # reads m-int codes in only n_probe/n_cells of the corpus, so its
     # search time stacks the partition-pruning factor on top of ADC's
@@ -600,6 +637,19 @@ def ann_bench(spark) -> dict:
             "search_sec": pq_sec,
             "speedup_search": round(brute_sec / pq_sec, 2),
             "recall_at_10": recall,
+        },
+        # flat PQ + learned rotation (operators/opq.py) at the same
+        # bytes/row: quantifies how much of the collapse rotation
+        # alone recovers. On this corpus the failure is dominated by
+        # absolute-code resolution against 7,000-point clusters, so
+        # the production path stays residual IVF-PQ regardless.
+        "flat_opq_baseline": {
+            "production": False,
+            "fit_sec": opq_fit_sec,
+            "encode_sec": opq_encode_sec,
+            "search_sec": opq_sec,
+            "speedup_search": round(brute_sec / opq_sec, 2),
+            "recall_at_10": opq_recall,
         },
         # the channel that scales: bytes touched per corpus row by
         # each scan. Locally both arms run over page-cached data and

@@ -44,7 +44,11 @@ contained: 0.43 after rerank at C=96). Residual IVF-PQ
 codes spend their resolution inside the cell (Jegou et al. 2011
 §IV). Use this module directly only on corpora known to be
 near-uniform, or as the measured contrast motivating the
-composition.
+composition. When the miss is AXIS-ALIGNMENT rather than cluster
+density (variance mixed/concentrated across the fixed subspace
+blocks), the learned-rotation variant (operators/opq.py, Ge et al.
+CVPR 2013) recovers it at the same bytes/row -- measured ~3x
+recall@10 on a variance-mixed corpus (tests/test_opq.py).
 """
 
 from __future__ import annotations
