@@ -237,3 +237,109 @@ def test_same_path_as_two_targets_keeps_both_reports(spark, tmp_path):
     kinds = {v["kind"] for v in report.values()}
     assert {"ivf_drift", "ivf_index"} <= kinds
     assert len([k for k in report if k.startswith(idx)]) == 2
+
+
+class TestSwapRecovery:
+    """fsutil.recover_swap + the run_maintenance(swap_recoveries=)
+    pre-step: the compactor swap's one non-atomic window (dst deleted,
+    tmp not yet renamed) is recoverable because tmp IS the complete
+    replacement -- verified by crashing a fake swap at each point."""
+
+    def _index(self, spark, path):
+        from xmidt_event_streams_spark.operators.ivf import (
+            kmeans_fit,
+            write_ivf_index,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = kmeans_fit(emb, 4, 2)
+        write_ivf_index(emb, path, cents)
+        return emb, cents
+
+    def _probe(self, spark, path):
+        from xmidt_event_streams_spark.operators.ivf import (
+            probe_ivf_index,
+        )
+
+        qdf = spark.createDataFrame(
+            [(999, [1.0, 1.0, 1.0, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in probe_ivf_index(
+                spark, path, qdf, k=5, n_probe=4
+            ).collect()
+        )
+
+    def test_crash_between_delete_and_rename_is_completed(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from xmidt_event_streams_spark.fsutil import recover_swap
+
+        path = str(tmp_path / "ix")
+        self._index(spark, path)
+        want = self._probe(spark, path)
+        # simulate the crash window: replacement fully written to tmp,
+        # dst deleted, rename never happened
+        tmp = path + "__compact_tmp"
+        shutil.copytree(path, tmp)
+        shutil.rmtree(path)
+        out = recover_swap(spark, path)
+        assert out["completed"] == [tmp] and not out["removed"]
+        assert self._probe(spark, path) == want
+
+    def test_stale_tmp_next_to_live_index_is_removed(
+        self, spark, tmp_path
+    ):
+        import os
+        import shutil
+
+        from xmidt_event_streams_spark.fsutil import recover_swap
+
+        path = str(tmp_path / "ix")
+        self._index(spark, path)
+        tmp = path + "__rebuild_tmp"
+        shutil.copytree(path, tmp)
+        out = recover_swap(spark, path)
+        assert out["removed"] == [tmp] and not out["completed"]
+        assert not os.path.exists(tmp) and os.path.exists(path)
+
+    def test_incomplete_tmp_with_missing_index_refuses(
+        self, spark, tmp_path
+    ):
+        import os
+
+        import pytest
+
+        from xmidt_event_streams_spark.fsutil import recover_swap
+
+        path = str(tmp_path / "ix")
+        tmp = path + "__compact_tmp"
+        os.makedirs(tmp)  # no parquet inside, no live index
+        with pytest.raises(IOError, match="recover by hand"):
+            recover_swap(spark, path)
+
+    def test_clean_path_is_noop_and_window_wiring(self, spark, tmp_path):
+        import shutil
+
+        path = str(tmp_path / "ix")
+        self._index(spark, path)
+        # one crashed swap + one clean path through the window pre-step
+        tmp = path + "__compact_tmp"
+        shutil.copytree(path, tmp)
+        shutil.rmtree(path)
+        clean = str(tmp_path / "ix2")
+        self._index(spark, clean)
+        report = run_maintenance(
+            spark, swap_recoveries=(path, clean)
+        )
+        assert report[path]["kind"] == "swap_recovery"
+        assert report[path]["completed"] == [tmp]
+        assert report[clean]["completed"] == []
+        assert report[clean]["removed"] == []

@@ -180,3 +180,69 @@ def swap_into_place(spark: SparkSession, tmp: str, dst: str) -> None:
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hdst):
         raise IOError(f"compaction swap failed: rename({tmp} -> {dst})")
     spark.catalog.refreshByPath(dst)
+
+
+# the two tmp-dir suffixes every compactor/rebuilder in this package
+# writes before swap_into_place (ingest sink, MinHash, inverted,
+# window, IVF, IVF-PQ): recover_swap keys crash recovery off them
+SWAP_TMP_SUFFIXES = ("__compact_tmp", "__rebuild_tmp")
+
+
+def recover_swap(spark: SparkSession, path: str) -> dict:
+    """Crash recovery for the compactor swap -- run at the START of a
+    maintenance window (single-writer contract: never concurrently
+    with a live compaction on ``path``).
+
+    ``swap_into_place`` has one non-atomic window: dst is deleted,
+    then tmp renamed into its place. A crash leaves one of three
+    states, each recovered here:
+
+      * tmp exists, dst MISSING (crashed between delete and rename):
+        the tmp dir IS the complete replacement -- finish the rename.
+        A tmp that does not look like a finished write (no parquet
+        data file) is NOT renamed; that state is unreachable from
+        this package's writers (tmp is fully written before any swap
+        starts) and gets a loud error instead of garbage-in-place.
+      * tmp exists, dst exists (crashed before the swap started, or
+        mid-tmp-write): dst is live and authoritative -- the stale
+        tmp is deleted.
+      * no tmp: clean; nothing to do.
+
+    Returns {"path", "completed": [tmp...], "removed": [tmp...]}."""
+    fs, hdst, jvm = hadoop_fs(spark, path)
+    out: dict = {"path": path, "completed": [], "removed": []}
+    for suf in SWAP_TMP_SUFFIXES:
+        tname = path.rstrip("/") + suf
+        tpath = jvm.org.apache.hadoop.fs.Path(tname)
+        if not fs.exists(tpath):
+            continue
+        if fs.exists(hdst):
+            fs.delete(tpath, True)
+            out["removed"].append(tname)
+            continue
+        has_data = any(
+            st.getPath().getName().endswith(".parquet")
+            for st in fs.listStatus(tpath)
+        ) or _has_parquet_recursive(fs, tpath)
+        if not has_data:
+            raise IOError(
+                f"crash recovery at {path}: {tname} exists, the index "
+                "is missing, and the tmp holds no parquet data -- "
+                "refusing to rename an incomplete replacement into "
+                "place; recover by hand"
+            )
+        if not fs.rename(tpath, hdst):
+            raise IOError(
+                f"crash recovery rename failed: {tname} -> {path}"
+            )
+        spark.catalog.refreshByPath(path)
+        out["completed"].append(tname)
+    return out
+
+
+def _has_parquet_recursive(fs, tpath) -> bool:
+    it = fs.listFiles(tpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False

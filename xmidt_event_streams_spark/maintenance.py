@@ -85,6 +85,7 @@ def run_maintenance(
     snapshot_tables: tuple[tuple[str, int], ...] = (),
     snapshot_rebuckets: tuple[tuple[str, int], ...] = (),
     replications: tuple[tuple[str, str, str], ...] = (),
+    swap_recoveries: tuple[str, ...] = (),
     tombstones: dict[str, list] | None = None,
     batches_per_partition: int = 1_000,
     checkpoints: dict[str, str] | None = None,
@@ -151,6 +152,15 @@ def run_maintenance(
     the operational pairing that keeps the follower inside retained
     history (drain first: ``replications`` run before
     ``snapshot_tables``).
+
+    ``swap_recoveries``: index/sink paths to run crash recovery on
+    BEFORE anything else in the window (``fsutil.recover_swap``): a
+    compaction/rebuild that crashed inside the swap window leaves the
+    target missing with its complete replacement stranded in a
+    ``__compact_tmp``/``__rebuild_tmp`` dir -- recovery finishes that
+    rename; a stale tmp next to a live target is deleted. Listing a
+    path here makes every later target in the same window see a
+    healthy index. Report key suffix ``swap_recovery``.
 
     ``checkpoints`` maps write-target paths (sinks/indexes/rollups)
     to the checkpoint dirs of the streams that write them; guarded
@@ -221,6 +231,17 @@ def run_maintenance(
             report[key] = {"kind": kind, **out}
         except Exception as exc:  # independent targets: record, go on
             report[key] = {"kind": kind, "error": f"{type(exc).__name__}: {exc}"}
+
+    # crash recovery FIRST: later targets in this window must see a
+    # healthy index, not a swap-crashed one
+    from xmidt_event_streams_spark.fsutil import recover_swap
+
+    for path in swap_recoveries:
+        _run(
+            path,
+            "swap_recovery",
+            lambda p=path: recover_swap(spark, p),
+        )
 
     for path in ingest_sinks:
         _run(
