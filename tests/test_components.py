@@ -276,6 +276,7 @@ OFF_REGISTRY = [
     "simhash",
     "session_gaps",
     "embedding_centroids",
+    "lsh_ann",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -353,6 +354,13 @@ OFF_REGISTRY_EVIDENCE = {
     # stays via embedding_near_dup (registry, same fit machinery) +
     # the off-registry twin
     "embedding_centroids": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r8 to admit ann_refine_sq8 (the in-index SQ8
+    # refine tier's driver CORRECTNESS row) -- LSH-bucketed ANN
+    # evidence stays via the off-registry DuckDB twin +
+    # tests/test_similarity_multiprobe.py (Hamming-1 multi-probe
+    # recall floors); the ANN family keeps embedding_topk / ivf_ann /
+    # ann_rerank_exact / knn_join_exact driver rows
+    "lsh_ann": "tests/test_components.py::test_off_registry_parity",
 }
 
 

@@ -2683,6 +2683,91 @@ SELECT query_id, vec_id, exact_dist, CAST(rnk AS INT) AS rank FROM (
 """
 
 
+# ------------------------------------- IVF-PQ in-index SQ8 refine
+
+
+def q_ann_refine_sq8(spark, sf_dir):
+    """IVF-PQ probe with the IN-INDEX refine stage (operators/sq.py +
+    ivfpq.probe_ivfpq_index(rerank=, vectors=None)): the index stores
+    an SQ8 scalar-quantized copy of each vector next to the PQ codes,
+    so the probe re-ranks its shortlist from payload its OWN scan
+    read -- no corpus fetch, zero extra Spark actions (the production
+    refine path; Jegou et al. TPAMI 2011 SS V's re-ranking stage with
+    a compressed refine codec, the FAISS IVFPQ+refine shape).
+
+    Oracle-pinned END TO END because the SQ8 codec is deterministic
+    arithmetic DuckDB can reproduce: per vector lo = min(v), step =
+    (max(v)-lo)/255 (1.0 when degenerate), byte = clip(round((x-lo)/
+    step), 0, 255), decode = lo + step*byte. With n_probe = n_cells
+    and C >= corpus the shortlist is the whole corpus minus
+    self-matches, so the output is exactly the top-10 by
+    SQ8-reconstructed squared L2 -- quantizer choice affects only the
+    discarded ADC channel, and the oracle re-derives the codec in SQL
+    and must match row for row (encode -> write -> manifest probe ->
+    in-scan payload carry -> driver decode -> re-rank, all checked).
+    Output: query_id, vec_id, refine_dist, rank."""
+    import shutil
+    import tempfile
+
+    from xmidt_event_streams_spark.operators.ivfpq import (
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    cents = deterministic_planes(4, 64, seed="refine-cells")
+    tmp = tempfile.mkdtemp(prefix="xes-refine-row-") + "/ix"
+    try:
+        write_ivfpq_index(
+            emb, tmp, cents, _pq_codebooks(), refine="sq8"
+        )
+        # the probe's result is a LOCAL relation (driver-merged), so
+        # the index dir can be cleaned up before the caller collects
+        return probe_ivfpq_index(
+            spark,
+            tmp,
+            queries,
+            k_neighbors=10,
+            n_probe=len(cents),
+            rerank=1_000_000_000,  # >= corpus: exact-recovery arm
+        ).select("query_id", "vec_id", "refine_dist", "rank")
+    finally:
+        shutil.rmtree(tmp.rsplit("/", 1)[0], ignore_errors=True)
+
+
+SQL_ANN_REFINE_SQ8 = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bounds AS (
+  SELECT vec_id, v, list_min(v) AS lo,
+    CASE WHEN list_max(v) > list_min(v)
+         THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS step
+  FROM c
+), dec AS (
+  SELECT vec_id,
+    list_transform(
+      v, x -> lo + step * least(greatest(round((x - lo) / step), 0), 255)
+    ) AS dv
+  FROM bounds
+), s AS (
+  SELECT query_id, d.vec_id,
+    round(list_dot_product(dv, dv) - 2 * list_dot_product(dv, qv)
+          + list_dot_product(qv, qv), 6) AS refine_dist
+  FROM dec d CROSS JOIN q WHERE d.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, refine_dist, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY refine_dist, vec_id) AS rnk
+  FROM s
+) WHERE rnk <= 10
+"""
+
+
 # ------------------------------------------ exact frequent tokens
 
 
@@ -3953,7 +4038,15 @@ QUERIES: dict[str, QuerySpec] = {
     # embedding_near_dup (registry, same fit machinery) + the
     # off-registry DuckDB twin.
     "point_fetch": QuerySpec(q_point_fetch, SQL_POINT_FETCH),
-    "lsh_ann": QuerySpec(q_lsh_ann, SQL_LSH_ANN),
+    # lsh_ann rotated to the off-registry parity set in r8 to admit
+    # ann_refine_sq8 (the in-index SQ8 refine tier's driver
+    # CORRECTNESS row, per the point_fetch/snapshot_cdc precedent);
+    # LSH-bucketed ANN evidence stays via the off-registry DuckDB
+    # twin + tests/test_similarity_multiprobe.py (Hamming-1
+    # multi-probe recall floors), and the ANN family keeps
+    # embedding_topk / ivf_ann / ann_rerank_exact / knn_join_exact
+    # driver rows.
+    "ann_refine_sq8": QuerySpec(q_ann_refine_sq8, SQL_ANN_REFINE_SQ8),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1, True),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3, True),
     # events_windowed rotated to the off-registry parity set in r5 to

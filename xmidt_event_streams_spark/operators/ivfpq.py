@@ -978,7 +978,10 @@ def probe_ivfpq_index(
                 np.asarray([c[4] for c in cand]),
             )
             diff = dec - qmap[int(qid)][None, :]
-            rd = np.einsum("ij,ij->i", diff, diff)
+            # rank by the ROUNDED distance (ties to the lower id) --
+            # the same contract as exact_rerank_l2's driver path, so
+            # both refine sources order identically at the 6dp grain
+            rd = np.round(np.einsum("ij,ij->i", diff, diff), 6)
             order = sorted(
                 range(len(cand)), key=lambda i: (rd[i], cand[i][1])
             )[:k_neighbors]
@@ -987,7 +990,7 @@ def probe_ivfpq_index(
                     int(qid),
                     cand[i][1],
                     round(cand[i][0], 6),
-                    round(float(rd[i]), 6),
+                    float(rd[i]),
                     rank,
                 )
                 for rank, i in enumerate(order, start=1)
