@@ -312,3 +312,96 @@ def test_rebuild_preserves_refine_codec(spark, rix, tmp_path):
         rerank=20,
     )
     assert got.count() > 0 and "refine_dist" in got.columns
+
+
+# --------------------------------------------- standalone SQ8 tier
+
+
+class TestSq8ScanTier:
+    """sq8_encode + sq8_topk: the compressed-SCAN tier (1/8th bytes,
+    near-exact). Contracts mirror pq_topk (driver query list, partial
+    top-k fold, ties to lower id, self-match NOT excluded)."""
+
+    def test_near_exact_recall_vs_brute(self, spark, sf_dir):
+        from xmidt_event_streams_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        from xmidt_event_streams_spark.operators.sq import (
+            sq8_encode,
+            sq8_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qdf = emb.filter(F.col("vec_id") % 100 == 7)
+        qrows = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in qdf.collect()
+        ]
+        exact: dict = {}
+        for r in brute_force_topk(emb, qdf, k=10).collect():
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        enc = sq8_encode(emb).select("vec_id", "sq8", "sq8_lo", "sq8_step")
+        got: dict = {}
+        # k+1: sq8_topk keeps self-matches (the pq_topk contract);
+        # brute excludes them
+        for r in sq8_topk(enc, qrows, k_neighbors=11).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recall = sum(
+            len(exact[q] & (got.get(q, set()) - {q})) / len(exact[q])
+            for q in exact
+        ) / len(exact)
+        # 8 bits/dim on unit vectors: reconstruction error ~1e-3 per
+        # dim vs O(1) neighbor gaps -- near-exact by construction
+        assert recall >= 0.95, recall
+
+    def test_distance_error_within_codec_bound(self, spark, sf_dir):
+        import numpy as np
+
+        from xmidt_event_streams_spark.operators.sq import (
+            sq8_encode,
+            sq8_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.filter(F.col("vec_id") < 40).collect()
+        vmap = {
+            int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows
+        }
+        qrows = [(0, list(vmap[0]))]
+        enc = sq8_encode(emb.filter(F.col("vec_id") < 40)).select(
+            "vec_id", "sq8", "sq8_lo", "sq8_step"
+        )
+        got = sq8_topk(enc, qrows, k_neighbors=40).collect()
+        q = vmap[0]
+        dim = len(q)
+        for r in got:
+            true = float(((vmap[int(r["vec_id"])] - q) ** 2).sum())
+            # |d_sq8 - d_true| <= sum_i (2|v_i - q_i| e + e^2), e =
+            # step/2; bound loosely with e <= max step observed (~1e-2
+            # on unit vectors) -- assert a generous absolute envelope
+            assert abs(r["sq8_dist"] - true) < 0.05 * dim ** 0.5, (
+                r["vec_id"], r["sq8_dist"], true
+            )
+
+    def test_null_and_ragged_vectors_null_out(self, spark):
+        from xmidt_event_streams_spark.operators.sq import sq8_encode
+
+        df = spark.createDataFrame(
+            [(1, [0.1] * 8), (2, None), (3, [0.2] * 5)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r["vec_id"]: r["sq8"] for r in sq8_encode(df).collect()}
+        assert rows[1] is not None
+        assert rows[2] is None and rows[3] is None
+
+    def test_empty_queries_empty_result(self, spark, sf_dir):
+        from xmidt_event_streams_spark.operators.sq import (
+            sq8_encode,
+            sq8_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+        enc = sq8_encode(emb).select("vec_id", "sq8", "sq8_lo", "sq8_step")
+        out = sq8_topk(enc, [], k_neighbors=5)
+        assert out.count() == 0 and "sq8_dist" in out.columns
