@@ -147,3 +147,51 @@ def test_fetch_plan_is_bounded(spark, sorted_store):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     # exactness at this volume too
     assert got.count() == len(ids)
+
+
+def test_compaction_preserves_id_sorted_files(spark, tmp_path):
+    """The point-fetch write contract (id-sorted rows within each
+    data file, row-group pruning's precondition) must survive
+    compaction: the compactor's row_number window shuffles by id, so
+    without an explicit per-partition sort the rewritten files would
+    silently degrade every later ranged fetch to full-file scans."""
+    from pyspark.sql import functions as F
+
+    from xmidt_event_streams_spark.operators.ivf import (
+        compact_ivf_index,
+        kmeans_fit,
+        write_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (int(i), [float((i * 13) % 7), float(i % 5), 1.0, 0.25])
+            for i in range(500)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ix")
+    cents = kmeans_fit(emb, 4, 2)
+    write_ivf_index(emb, path, cents)
+    # a second append creates multi-file cells so compaction must merge
+    from xmidt_event_streams_spark.operators.ivf import (
+        append_to_ivf_index,
+    )
+
+    more = spark.createDataFrame(
+        [
+            (int(i), [float((i * 13) % 7), float(i % 5), 1.0, 0.25])
+            for i in range(500, 900)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(more, path)
+    compact_ivf_index(spark, path)
+    import glob
+
+    for f in glob.glob(f"{path}/cell=*/*.parquet"):
+        ids = [
+            r["vec_id"]
+            for r in spark.read.parquet(f).select("vec_id").collect()
+        ]
+        assert ids == sorted(ids), f

@@ -964,7 +964,13 @@ def compact_cell_index(
 
     tmp = path.rstrip("/") + "__compact_tmp"
     (
-        compacted.repartition(*[F.col(c) for c in part_cols])
+        # id-sorted files: every BUILDER honors the point-fetch write
+        # contract (row-group pruning on id ranges, operators/fetch);
+        # the compactor must not be the one writer that silently
+        # degrades it back to full-file scans
+        _sorted_by_id(
+            compacted.repartition(*[F.col(c) for c in part_cols]), id_col
+        )
         .write.partitionBy(*part_cols)
         .mode("overwrite")
         .parquet(tmp)
