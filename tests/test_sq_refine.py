@@ -405,3 +405,40 @@ class TestSq8ScanTier:
         enc = sq8_encode(emb).select("vec_id", "sq8", "sq8_lo", "sq8_step")
         out = sq8_topk(enc, [], k_neighbors=5)
         assert out.count() == 0 and "sq8_dist" in out.columns
+
+
+def test_in_index_refine_adds_zero_spark_jobs(spark, rix):
+    """The tier's entire reason to exist: a reranking probe must cost
+    exactly the jobs of a plain probe (the shortlist's refine payload
+    rides the probe scan; the re-score is driver-side numpy). The
+    exact-rerank arm, which fetches from the corpus, must cost MORE
+    jobs -- proving the counter distinguishes the two designs."""
+
+    def _jobs(fn):
+        store = spark.sparkContext._jsc.sc().statusStore()
+
+        def _max_id():
+            jobs = store.jobsList(None)
+            return max(
+                (jobs.apply(i).jobId() for i in range(jobs.size())),
+                default=-1,
+            )
+
+        before = _max_id()
+        fn()
+        return _max_id() - before
+
+    plain = _jobs(lambda: probe_ivfpq_index(
+        spark, rix["path"], rix["qrows"][:4], k_neighbors=5,
+        n_probe=N_PROBE,
+    ))
+    refine = _jobs(lambda: probe_ivfpq_index(
+        spark, rix["path"], rix["qrows"][:4], k_neighbors=5,
+        n_probe=N_PROBE, rerank=25,
+    ))
+    exact = _jobs(lambda: probe_ivfpq_index(
+        spark, rix["path"], rix["qrows"][:4], k_neighbors=5,
+        n_probe=N_PROBE, rerank=25, vectors=rix["emb"],
+    ).collect())
+    assert refine == plain, (refine, plain)
+    assert exact > refine, (exact, refine)
