@@ -1,0 +1,168 @@
+"""Vector index tiers following a snapshot table through the CDC
+sync harness (ivf.sync_ivf_with_snapshot / ivfpq.sync_ivfpq_with_
+snapshot): bootstrap-at-pinned-head, incremental drains, and the
+takedown-propagation loop -- a MERGE deleting a row from the table
+removes its vector/codes from the serving index at the next sync,
+with no separate tombstone bookkeeping.
+
+Same harness contracts as the inverted-index/MinHash syncs
+(tests/test_invindex.py, tests/test_incremental.py); these tests pin
+the vector-tier specifics: probes stop answering for deleted ids,
+updated vectors answer at their NEW location only, and the IVF-PQ
+bootstrap stamps the refine codec so the synced index can rerank
+from its own payload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    rng = np.random.default_rng(i)
+    v = rng.normal(size=dim)
+    return [float(x) for x in (v / np.linalg.norm(v))]
+
+
+def _mk_table(spark, tmp_path, n=60):
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_create,
+    )
+
+    table = str(tmp_path / "tab")
+    rows = [(int(i), _vec(i)) for i in range(n)]
+    snapshot_create(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        table,
+        "vec_id",
+    )
+    return table
+
+
+def _merge(spark, table, upserts=(), deletes=()):
+    from xmidt_event_streams_spark.operators.snapshots import (
+        snapshot_merge,
+    )
+
+    ups = spark.createDataFrame(
+        [(int(i), v) for i, v in upserts] or [],
+        "vec_id long, embedding array<double>",
+    ).withColumn("_deleted", F.lit(False))
+    tomb = spark.createDataFrame(
+        [(int(i), _vec(i)) for i in deletes] or [],
+        "vec_id long, embedding array<double>",
+    ).withColumn("_deleted", F.lit(True))
+    snapshot_merge(spark, table, ups.unionByName(tomb))
+
+
+class TestIvfpqSync:
+    def test_bootstrap_merge_propagation(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            probe_ivfpq_index,
+            sync_ivfpq_with_snapshot,
+        )
+
+        table = _mk_table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        ck = str(tmp_path / "ck")
+        r = sync_ivfpq_with_snapshot(
+            spark, table, ix, ck, m=4, k=8, n_cells=4
+        )
+        assert r["intervals"] == 0 and r["appended"] == 60
+
+        def hits(qid, rerank=None):
+            return [
+                row["vec_id"]
+                for row in probe_ivfpq_index(
+                    spark, ix, [(qid, _vec(qid))], k_neighbors=60,
+                    n_probe=4, rerank=rerank,
+                ).collect()
+            ]
+
+        assert 7 in hits(999)  # present pre-merge
+        # delete 7, move 11 to 999's neighborhood, insert 100
+        _merge(
+            spark,
+            table,
+            upserts=[(11, _vec(999)), (100, _vec(100))],
+            deletes=[7],
+        )
+        r2 = sync_ivfpq_with_snapshot(
+            spark, table, ix, ck, m=4, k=8, n_cells=4
+        )
+        assert r2["intervals"] == 1 and r2["removed"] == 2
+        got = hits(999)
+        assert 7 not in got          # takedown propagated
+        assert 100 in got            # insert landed
+        assert got.count(11) == 1    # updated id answers exactly once
+        # the moved vector now ranks FIRST for its new location
+        top = probe_ivfpq_index(
+            spark, ix, [(999, _vec(999))], k_neighbors=1, n_probe=4
+        ).collect()
+        assert top[0]["vec_id"] == 11
+        # bootstrap stamped the refine codec: rerank without vectors=
+        rr = probe_ivfpq_index(
+            spark, ix, [(999, _vec(999))], k_neighbors=5, n_probe=4,
+            rerank=20,
+        )
+        assert "refine_dist" in rr.columns and rr.count() == 5
+        # idle drain
+        assert sync_ivfpq_with_snapshot(
+            spark, table, ix, ck, m=4, k=8, n_cells=4
+        )["intervals"] == 0
+
+    def test_fork_refusal_on_fresh_checkpoint(self, spark, tmp_path):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            ivfpq_fit,
+            sync_ivfpq_with_snapshot,
+            write_ivfpq_index,
+        )
+
+        table = _mk_table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        emb = spark.createDataFrame(
+            [(int(i), _vec(i)) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        cents, cbs = ivfpq_fit(emb, n_cells=2, m=4, k=8)
+        write_ivfpq_index(emb, ix, cents, cbs)
+        with pytest.raises(ValueError, match="fork"):
+            sync_ivfpq_with_snapshot(
+                spark, table, ix, str(tmp_path / "ck"), m=4, k=8
+            )
+
+
+class TestIvfSync:
+    def test_bootstrap_merge_propagation(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.ivf import (
+            probe_ivf_index,
+            sync_ivf_with_snapshot,
+        )
+
+        table = _mk_table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        ck = str(tmp_path / "ck")
+        r = sync_ivf_with_snapshot(spark, table, ix, ck, n_cells=4)
+        assert r["intervals"] == 0 and r["appended"] == 60
+
+        def hits(qid):
+            qdf = spark.createDataFrame(
+                [(int(qid), _vec(qid))],
+                "vec_id long, embedding array<double>",
+            )
+            return [
+                row["vec_id"]
+                for row in probe_ivf_index(
+                    spark, ix, qdf, k=60, n_probe=4
+                ).collect()
+            ]
+
+        assert 7 in hits(999)
+        _merge(spark, table, upserts=[(100, _vec(100))], deletes=[7])
+        r2 = sync_ivf_with_snapshot(spark, table, ix, ck, n_cells=4)
+        assert r2["intervals"] == 1 and r2["removed"] == 1
+        got = hits(999)
+        assert 7 not in got and 100 in got

@@ -990,3 +990,78 @@ def compact_cell_index(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def sync_ivf_with_snapshot(
+    spark,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int | None = None,
+    n_iters: int = 3,
+    max_polls: int = 1_000_000,
+) -> dict:
+    """Keep an IVF vector index caught up with a SNAPSHOT TABLE
+    through the checkpointed change feed -- the vector tier joining
+    the sync family (inverted index, MinHash, replica; see
+    ``snapshots.sync_index_with_snapshot``). This closes the takedown
+    loop end to end: a row deleted from the snapshot table propagates
+    to the serving index at the next sync, with no separate
+    tombstone bookkeeping.
+
+    Per interval: delete+update ids compact OUT of the index
+    (``compact_ivf_index(tombstones=...)`` -- removed vectors must
+    stop answering probes), then insert+update after-images append
+    under the STAMPED centroids. Redelivery-convergent, same argument
+    as the inverted-index sync. Bootstrap (fresh checkpoint, absent
+    index): fit sqrt(N) centroids on the pinned-head read and build.
+    Centroid DRIFT stays the appends' documented caveat -- pair with
+    ``run_maintenance(ivf_rebuild_on_shift=True)``."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        compact_then_append_interval,
+        snapshot_read,
+        sync_index_with_snapshot,
+    )
+
+    def _exists() -> bool:
+        return (
+            read_json_sidecar(spark, index_path, _IVF_META_FILE)
+            is not None
+        )
+
+    def _bootstrap(version: int) -> int:
+        base = snapshot_read(spark, table_path, version=version).select(
+            F.col(id_col), F.col(vec_col)
+        )
+        n = base.count()
+        cells = n_cells if n_cells is not None else max(1, int(n**0.5))
+        cents = kmeans_fit(
+            base, min(cells, max(n, 1)), n_iters, vec_col, id_col
+        )
+        write_ivf_index(base, index_path, cents, vec_col, id_col)
+        return n
+
+    def _apply(ch):
+        return compact_then_append_interval(
+            ch,
+            id_col,
+            vec_col,
+            compact_fn=lambda stale: compact_ivf_index(
+                spark, index_path, tombstones=stale, id_col=id_col
+            ),
+            append_fn=lambda fresh: append_to_ivf_index(
+                fresh, index_path, vec_col, id_col=id_col
+            ),
+        )
+
+    return sync_index_with_snapshot(
+        spark,
+        table_path,
+        checkpoint_dir,
+        index_exists=_exists,
+        bootstrap=_bootstrap,
+        apply_interval=_apply,
+        max_polls=max_polls,
+    )

@@ -1015,3 +1015,91 @@ def probe_ivfpq_index(
     return exact_rerank_l2(
         adc_top, vectors, queries, k_neighbors, id_col=id_col, vec_col=vec_col
     )
+
+
+def sync_ivfpq_with_snapshot(
+    spark,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    n_cells: int | None = None,
+    n_iters: int = 3,
+    refine: str | None = "sq8",
+    max_polls: int = 1_000_000,
+) -> dict:
+    """Keep an IVF-PQ serving index caught up with a SNAPSHOT TABLE
+    through the checkpointed change feed -- the compressed tier's
+    membership in the sync family (``snapshots.sync_index_with_
+    snapshot``; raw-tier twin: ``ivf.sync_ivf_with_snapshot``). With
+    this, a takedown MERGE against the snapshot table propagates to
+    the ADC serving tier at the next sync: deleted/updated ids
+    compact out (their codes stop answering probes), insert/update
+    after-images fused-encode in under the STAMPED quantizers.
+
+    Bootstrap (fresh checkpoint, absent index): sample-fit both
+    quantizers on the pinned-head read (``ivfpq_fit``) and build with
+    the requested ``refine`` codec (default 'sq8' -- the production
+    serving index should be able to rerank from its own payload).
+    Redelivery-convergent per the shared applier's argument; quantizer
+    drift pairs with ``rebuild_ivfpq_index`` in the maintenance
+    window."""
+    from xmidt_event_streams_spark.operators.snapshots import (
+        compact_then_append_interval,
+        snapshot_read,
+        sync_index_with_snapshot,
+    )
+
+    def _exists() -> bool:
+        return (
+            read_json_sidecar(spark, index_path, _IVFPQ_META_FILE)
+            is not None
+        )
+
+    def _bootstrap(version: int) -> int:
+        from pyspark.sql import functions as SF
+
+        base = snapshot_read(spark, table_path, version=version).select(
+            SF.col(id_col), SF.col(vec_col)
+        )
+        n = base.count()
+        cents, cbs = ivfpq_fit(
+            base,
+            n_cells=n_cells,
+            m=m,
+            k=k,
+            n_iters=n_iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            corpus_rows=n,
+        )
+        write_ivfpq_index(
+            base, index_path, cents, cbs, id_col, vec_col, refine
+        )
+        return n
+
+    def _apply(ch):
+        return compact_then_append_interval(
+            ch,
+            id_col,
+            vec_col,
+            compact_fn=lambda stale: compact_ivfpq_index(
+                spark, index_path, tombstones=stale
+            ),
+            append_fn=lambda fresh: append_to_ivfpq_index(
+                fresh, index_path, vec_col
+            ),
+        )
+
+    return sync_index_with_snapshot(
+        spark,
+        table_path,
+        checkpoint_dir,
+        index_exists=_exists,
+        bootstrap=_bootstrap,
+        apply_interval=_apply,
+        max_polls=max_polls,
+    )
