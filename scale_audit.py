@@ -223,6 +223,7 @@ _IDX_N_BIG = 1_250_000
 _IDX_DIM = 16
 _IDX_QUERIES = 64
 _IDX_N_PROBE = 4
+_IDX_RERANK_C = 32
 
 
 def _index_corpus(spark, n: int):
@@ -352,7 +353,40 @@ def _measure_index_paths(spark, n: int, tmpdir: str) -> dict:
     fetch["rows_fetched"] = got
     fetch["rows_scanned"] = scan_output_rows(fdf)
     fetch["rows_scanned_frac"] = round(fetch["rows_scanned"] / n, 4)
-    return {"probe": probe, "fetch": fetch}
+
+    # in-index SQ8 refine probe (r8b): a SEPARATE refine-built index
+    # so the plain probe's scan_bytes channel above stays comparable
+    # across rounds (filesSize counts whole files; the refine payload
+    # would inflate it even though plain probes column-prune it). The
+    # refine probe should show the payload's byte cost and NOTHING
+    # else growing -- no fetch job, no new exchanges.
+    rixdir = f"{tmpdir}/rix{n}"
+    write_ivfpq_index(corpus, rixdir, cents, cbs, refine="sq8")
+
+    def _rprobe():
+        t0 = time.perf_counter()
+        probe_ivfpq_index(
+            spark, rixdir, qrows, 10, n_probe=_IDX_N_PROBE,
+            rerank=_IDX_RERANK_C,
+        ).collect()
+        return time.perf_counter() - t0
+
+    _rprobe()
+    rprobe_sec = round(min(_rprobe(), _rprobe()), 3)
+    rbase = probed_codes_relation(
+        spark, rixdir, probed, "vec_id",
+        extra_cols=("sq8", "sq8_lo", "sq8_step"),
+    )
+    rscanned = len(rbase.collect())
+    refine = _acc()
+    _walk(rbase._jdf.queryExecution().executedPlan(), refine)
+    refine["sec"] = rprobe_sec
+    refine["rerank_c"] = _IDX_RERANK_C
+    refine["rows_scanned"] = rscanned
+    refine["rows_scanned_frac"] = round(rscanned / n, 4)
+    refine["probed_cells"] = len(probed)
+    refine["n_cells"] = len(cents)
+    return {"probe": probe, "fetch": fetch, "refine_probe": refine}
 
 
 def audit_index_paths(spark) -> dict:
@@ -369,7 +403,7 @@ def audit_index_paths(spark) -> dict:
         shutil.rmtree(tmpdir, ignore_errors=True)
     ratio = _IDX_N_BIG / _IDX_N_SMALL
     out: dict = {"n_small": _IDX_N_SMALL, "n_big": _IDX_N_BIG}
-    for part in ("probe", "fetch"):
+    for part in ("probe", "fetch", "refine_probe"):
         s, b = small[part], big[part]
         exps = {
             ch: exponent(s[ch], b[ch], ratio)

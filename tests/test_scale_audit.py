@@ -139,9 +139,9 @@ def test_checked_in_artifact_audits_index_paths():
     ip = artifact.get("index_paths")
     assert ip, "regenerate SCALE_AUDIT.json: no index_paths section"
     assert ip["n_big"] >= 10 * ip["n_small"]
-    for part in ("probe", "fetch"):
+    for part in ("probe", "fetch", "refine_probe"):
         assert ip[part]["exponents"]["scan_bytes"] is not None
-        # both paths must scan a bounded FRACTION that shrinks (probe:
+        # all paths must scan a bounded FRACTION that shrinks (probe:
         # n_probe/n_cells with sqrt(N) cells; fetch: ~|ids| rows of a
         # growing store) -- a frac that does not shrink across 10x
         # means pruning stopped working
@@ -151,6 +151,10 @@ def test_checked_in_artifact_audits_index_paths():
         ), part
         # and never spill
         assert ip[part]["big"]["spill_bytes"] == 0, part
+    # the in-index refine probe (r8b) must stay a pure pruned scan:
+    # the refine payload rides the scan -- no fetch join, no exchange
+    assert ip["refine_probe"]["big"]["shuffle_bytes"] == 0
+    assert ip["refine_probe"]["big"]["n_broadcasts"] == 0
 
 
 def test_superlinear_shuffle_is_flagged():
