@@ -394,9 +394,13 @@ def ann_bench(spark) -> dict:
     )
 
     t0 = time.perf_counter()
+    # 32k fit rows: ~1k training points per code at k=32 (saturated
+    # per the FAISS guideline); the dual-start alternation at the
+    # default 64k cap costs ~2x this for no recall change here
     opq_R, opq_cb = opq_fit(
         corpus.filter(F.col("vec_id") % 10 == 0),
         m=m, k=k_codes, n_iters=2, opq_iters=6,
+        fit_sample_rows=32_768,
     )
     opq_fit_sec = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()

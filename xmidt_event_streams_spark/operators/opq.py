@@ -45,6 +45,14 @@ from pyspark.sql import functions as F
 
 _OPQ_META_FILE = "_xes_opq_index_meta.json"
 
+# OPQ's own fit-sample cap, deliberately SMALLER than the IVF-PQ
+# fit's 256k: the alternation re-runs the full Lloyd + encode +
+# Procrustes loop opq_iters times FROM TWO STARTS (~24 codebook fits
+# where a plain PQ fit does one -- measured 152 s at 200k x 64), and
+# codebook quality saturates around ~1k training points per code
+# (FAISS's own guideline), so 64k rows at k<=64 is already generous.
+OPQ_FIT_SAMPLE_ROWS = 65_536
+
 
 def _as_rotation(raw, dim: int | None = None) -> np.ndarray:
     R = np.asarray(raw, dtype=np.float64)
@@ -100,20 +108,22 @@ def opq_fit(
     fit_sample_rows: int | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Fit (rotation, codebooks) on a bounded deterministic sample
-    (ivfpq._collect_fit_sample; default cap FIT_SAMPLE_ROWS). Both
+    (ivfpq._collect_fit_sample; default cap OPQ_FIT_SAMPLE_ROWS --
+    smaller than the IVF-PQ fit's, see the constant's note). Both
     OPQ stages run as driver numpy: the eigen-allocation init, then
     ``opq_iters`` alternations of codebook re-fit (the same Lloyd
     kernel as the IVF-PQ fit) and the SVD Procrustes rotation update.
     Deterministic end to end (eigh/svd on a deterministic sample; no
     random init). Returns (R as dim x dim nested lists, codebooks)."""
     from xmidt_event_streams_spark.operators.ivfpq import (
-        FIT_SAMPLE_ROWS,
         _collect_fit_sample,
         _lloyd_l2_subspaces,
     )
     from xmidt_event_streams_spark.operators.pq import _encode_block
 
-    cap = FIT_SAMPLE_ROWS if fit_sample_rows is None else fit_sample_rows
+    cap = (
+        OPQ_FIT_SAMPLE_ROWS if fit_sample_rows is None else fit_sample_rows
+    )
     _, X = _collect_fit_sample(df, vec_col, id_col, cap)
     if len(X) < k:
         raise ValueError(f"fit sample holds {len(X)} rows < k={k}")
