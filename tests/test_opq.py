@@ -211,3 +211,47 @@ def test_opq_equals_pq_under_identity_rotation(spark, oc):
         ).collect()
     )
     assert a == b
+
+
+def test_opq_composes_with_ivfpq(spark, oc, tmp_path):
+    """The FAISS `OPQd,IVFx,PQy` shape by plain column composition
+    (USAGE.md's recipe): rotate once, index the rotated column, rotate
+    queries driver-side. Ids are rotation-independent and L2 is
+    rotation-invariant, so recall against the ORIGINAL-space exact
+    top-k is the apples-to-apples check."""
+    from xmidt_event_streams_spark.operators.ivfpq import (
+        ivfpq_fit,
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from xmidt_event_streams_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    df, R = oc["df"], np.asarray(oc["R"])
+    rot = rotate_vectors(df, oc["R"], "embedding", out_col="emb_r")
+    cents, cbs = ivfpq_fit(
+        rot, n_cells=8, m=M, k=K, n_iters=2, vec_col="emb_r"
+    )
+    path = str(tmp_path / "opq_ivfpq")
+    write_ivfpq_index(rot, path, cents, cbs, vec_col="emb_r",
+                      refine="sq8")
+    qdf = df.filter("vec_id % 400 = 7")
+    exact: dict = {}
+    for r in brute_force_topk(df, qdf, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qrows = [
+        (int(r["vec_id"]), list(np.asarray(r["embedding"]) @ R))
+        for r in qdf.collect()
+    ]
+    got: dict = {}
+    for r in probe_ivfpq_index(
+        spark, path, qrows, k_neighbors=10, n_probe=6, rerank=40
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    ) / len(exact)
+    # rotated-space IVF-PQ with in-index refine must recover original-
+    # space neighbors (floor with margin; measured well above)
+    assert recall >= 0.6, recall
