@@ -255,7 +255,10 @@ def opq_topk(
 
     R = _as_rotation(rotation)
     rotated_q = _rotate_queries(queries, R)
-    if rerank is None:
+    if rerank is None or not queries:
+        # empty probe batches take pq_topk's empty-result early return
+        # (the composed rerank path below would hand an empty
+        # candidate set to the fetch machinery)
         return pq_topk(
             corpus_codes,
             rotated_q,
@@ -263,6 +266,9 @@ def opq_topk(
             k_neighbors,
             id_col=id_col,
             codes_col=codes_col,
+            rerank=rerank,
+            vectors=vectors,
+            vec_col=vec_col,
         )
     # shortlist under ROTATED queries, refine under the ORIGINALS:
     # pq_topk's fused rerank would hand rotated queries to the exact
