@@ -428,6 +428,16 @@ def test_in_index_refine_adds_zero_spark_jobs(spark, rix):
         fn()
         return _max_id() - before
 
+    # warm both paths once: a first call can carry one-off jobs
+    # (footer reads, listener catch-up) that are not the design's
+    probe_ivfpq_index(
+        spark, rix["path"], rix["qrows"][:4], k_neighbors=5,
+        n_probe=N_PROBE,
+    )
+    probe_ivfpq_index(
+        spark, rix["path"], rix["qrows"][:4], k_neighbors=5,
+        n_probe=N_PROBE, rerank=25,
+    )
     plain = _jobs(lambda: probe_ivfpq_index(
         spark, rix["path"], rix["qrows"][:4], k_neighbors=5,
         n_probe=N_PROBE,
@@ -440,5 +450,9 @@ def test_in_index_refine_adds_zero_spark_jobs(spark, rix):
         spark, rix["path"], rix["qrows"][:4], k_neighbors=5,
         n_probe=N_PROBE, rerank=25, vectors=rix["emb"],
     ).collect())
-    assert refine == plain, (refine, plain)
+    # <= not ==: the status store is an async listener and other
+    # session activity (state-store coordinators, lazy init) can
+    # attribute a stray job to either window under the full suite;
+    # the design property is that refining adds NO jobs
+    assert refine <= plain, (refine, plain)
     assert exact > refine, (exact, refine)
