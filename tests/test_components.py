@@ -277,6 +277,7 @@ OFF_REGISTRY = [
     "session_gaps",
     "embedding_centroids",
     "lsh_ann",
+    "maxsim_topk",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -361,6 +362,11 @@ OFF_REGISTRY_EVIDENCE = {
     # recall floors); the ANN family keeps embedding_topk / ivf_ann /
     # ann_rerank_exact / knn_join_exact driver rows
     "lsh_ann": "tests/test_components.py::test_off_registry_parity",
+    # added directly off-registry in r8 (late-interaction MaxSim
+    # search, operators/multivec.py) -- kernel/retrieval contracts in
+    # tests/test_multivec.py, exact score arithmetic vs the DuckDB
+    # twin here
+    "maxsim_topk": "tests/test_components.py::test_off_registry_parity",
 }
 
 

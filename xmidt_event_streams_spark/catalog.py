@@ -991,6 +991,78 @@ SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
 
 SQL_LSH_ANN = _lsh_ann_sql()
 
+
+# ------------------------------------- late-interaction MaxSim search
+
+
+MAXSIM_TOKENS = 4  # 64-dim embedding -> 4 x 16-dim "token" vectors
+
+
+def q_maxsim_topk(spark, sf_dir):
+    """Late-interaction MaxSim top-k (operators/multivec.py, from the
+    published ColBERT formulation): documents as multi-vector rows
+    (here: the deterministic 4-slice chunking of the embeddings
+    table, which DuckDB mirrors with list slicing), queries as
+    driver-side token matrices, score = sum over query tokens of the
+    best-matching doc token. Self-matches included (the pq_topk
+    contract; they rank first by construction). Off-registry parity
+    row. Output: query_id, vec_id, maxsim, rank."""
+    from xmidt_event_streams_spark.operators.multivec import (
+        chunk_embedding_tokens,
+        maxsim_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    docs = chunk_embedding_tokens(
+        emb, MAXSIM_TOKENS, id_col="vec_id"
+    ).select("vec_id", "token_vecs")
+    sub = 64 // MAXSIM_TOKENS
+    queries = [
+        (
+            int(r["vec_id"]),
+            [
+                [float(x) for x in r["embedding"][t * sub : (t + 1) * sub]]
+                for t in range(MAXSIM_TOKENS)
+            ],
+        )
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return maxsim_topk(docs, queries, k_neighbors=10, id_col="vec_id")
+
+
+def _maxsim_sql() -> str:
+    sub = 64 // MAXSIM_TOKENS
+    slices = [
+        f"[{1 + t * sub}:{(t + 1) * sub}]" for t in range(MAXSIM_TOKENS)
+    ]
+    per_qtok = [
+        "greatest("
+        + ", ".join(
+            f"list_dot_product(q.v{qs}, d.v{ds})" for ds in slices
+        )
+        + ")"
+        for qs in slices
+    ]
+    score = "round(" + " + ".join(per_qtok) + ", 6)"
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 3
+), s AS (
+  SELECT q.query_id, d.vec_id, {score} AS maxsim
+  FROM d CROSS JOIN q
+)
+SELECT query_id, vec_id, maxsim, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rnk
+  FROM s
+) WHERE rnk <= 10
+"""
+
+
+SQL_MAXSIM_TOPK = _maxsim_sql()
+
 # ------------------------------------------------------ relational (TPC-H)
 
 

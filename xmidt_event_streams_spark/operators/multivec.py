@@ -1,0 +1,205 @@
+"""Late-interaction (multi-vector) similarity search: MaxSim top-k.
+
+Single-vector search (similarity.py / ivf / pq) compresses a document
+to ONE embedding; late-interaction retrieval keeps a small matrix of
+per-token vectors per document and scores a query against a document
+as the sum over query tokens of the best-matching document token:
+
+    score(q, d) = sum_i  max_j  q_i . d_j
+
+-- the MaxSim operator of the published late-interaction family
+(Khattab & Zaharia, "ColBERT", SIGIR 2020; implemented here from the
+formulation, with this package's plan discipline). For training-data
+curation this is the retrieval shape used to mine hard
+negatives/positives and to decontaminate against benchmark suites
+whose hits single-vector cosine misses (a document matching a query
+phrase-by-phrase but not holistically).
+
+Spark shape, same contracts as the ANN family:
+
+  * documents are rows of (id, array<array<double>> token vectors) --
+    ragged row lengths allowed (token counts differ per doc);
+  * queries are the small-by-contract driver-side list of
+    (query_id, [token vectors]) -- their matrices ride the kernel
+    closure like the PQ LUTs;
+  * the scan is one shuffle-free mapInPandas pass: per Arrow batch,
+    ALL document tokens are flattened into one (total_tokens, dim)
+    matrix with doc offsets, scored against every query's token
+    matrix in one BLAS call, and the per-document max over tokens is
+    ONE ``np.maximum.reduceat`` over the doc boundaries -- no Python
+    loop over documents;
+  * map-side partial top-k per query (keep_top_by_dist_id over
+    negated scores), then one rank window -- the exchange carries
+    O(partitions x queries x k), never every (query, doc) pair.
+
+Self-matches are NOT excluded (the pq_topk contract; callers filter
+``doc_id != query_id`` when queries are corpus members). Scores are
+rounded to 6 dp after ranking; ties rank to the LOWER doc id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def maxsim_score_block(
+    flat_tokens: np.ndarray,
+    doc_starts: np.ndarray,
+    Q: np.ndarray,
+) -> np.ndarray:
+    """(n_docs,) MaxSim scores for one query against a flattened
+    document-token block: ``flat_tokens`` is (total_tokens, dim),
+    ``doc_starts`` the first-token offset of each doc (ascending,
+    starts[0] == 0), ``Q`` the query's (n_qtokens, dim) matrix.
+    Exposed for tests (the kernel's exact arithmetic)."""
+    if flat_tokens.shape[0] == 0 or Q.shape[0] == 0:
+        return np.zeros(len(doc_starts))
+    sims = flat_tokens @ Q.T  # (total_tokens, n_qtokens)
+    per_doc_max = np.maximum.reduceat(sims, doc_starts, axis=0)
+    return per_doc_max.sum(axis=1)
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[list[float]]]],
+    k_neighbors: int = 10,
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+) -> DataFrame:
+    """Late-interaction top-k: for each query (id, token matrix),
+    the ``k_neighbors`` documents with the highest MaxSim score.
+    Output: query_id, {id_col}, maxsim (descending = best), rank.
+    Null/empty token lists score null-safe (the doc is skipped);
+    ragged token DIMS within one document are the caller's bug and
+    raise in the kernel (a wrong-dim token would silently zero-pad)."""
+    import pandas as pd
+
+    from xmidt_event_streams_spark.operators.pq import keep_top_by_dist_id
+
+    spark = docs.sparkSession
+    if not queries:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, maxsim double, rank int"
+        )
+    qids = np.asarray([int(q) for q, _ in queries], dtype=np.int64)
+    qmats = [np.asarray(m, dtype=np.float64) for _, m in queries]
+    dim = qmats[0].shape[1]
+    for qm in qmats:
+        if qm.ndim != 2 or qm.shape[1] != dim:
+            raise ValueError(
+                f"query token matrices must share one dim; got "
+                f"{[m.shape for m in qmats]}"
+            )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("maxsim", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        best: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = []
+            mats = []
+            for i, toks in zip(pdf[id_col], pdf[vecs_col]):
+                if toks is None or len(toks) == 0:
+                    continue
+                m = np.asarray(list(toks), dtype=np.float64)
+                if m.ndim != 2 or m.shape[1] != dim:
+                    raise ValueError(
+                        f"doc {i}: token matrix shape {m.shape} does "
+                        f"not match query dim {dim}"
+                    )
+                ids.append(int(i))
+                mats.append(m)
+            if not ids:
+                continue
+            flat = np.concatenate(mats, axis=0)
+            lens = np.asarray([m.shape[0] for m in mats])
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            ids_arr = np.asarray(ids, dtype=np.int64)
+            for qi in range(len(qids)):
+                scores = maxsim_score_block(flat, starts, qmats[qi])
+                qid = int(qids[qi])
+                # keep_top_by_dist_id keeps the SMALLEST: negate so
+                # the best MaxSim wins, ties to the lower id
+                d = -scores
+                cur_ids = ids_arr
+                if qid in best:
+                    d = np.concatenate([best[qid][1], d])
+                    cur_ids = np.concatenate([best[qid][0], cur_ids])
+                best[qid] = keep_top_by_dist_id(cur_ids, d, k_neighbors)
+        for qid, (ids_, d_) in best.items():
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(len(ids_), qid, dtype=np.int64),
+                    id_col: ids_,
+                    "maxsim": -d_,
+                }
+            )
+
+    scored = (
+        docs.select(id_col, vecs_col)
+        .filter(F.col(vecs_col).isNotNull())
+        .mapInPandas(_score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id",
+            id_col,
+            F.round("maxsim", 6).alias("maxsim"),
+            "rank",
+        )
+    )
+
+
+def chunk_embedding_tokens(
+    df: DataFrame,
+    n_tokens: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "token_vecs",
+) -> DataFrame:
+    """Derive a multi-vector column by slicing a single embedding into
+    ``n_tokens`` contiguous sub-vectors -- pure JVM ``slice`` calls,
+    no Python. Real pipelines store per-token encoder outputs; this
+    deterministic derivation gives the MaxSim operator a testable,
+    oracle-mirrorable input from the single-vector tables (DuckDB
+    slices lists the same way)."""
+    first = (
+        df.select(F.size(F.col(vec_col).cast("array<double>")).alias("n"))
+        .filter(F.col("n") > 0)
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError(f"no non-empty vectors in {vec_col}")
+    dim = int(first[0]["n"])
+    if dim % n_tokens:
+        raise ValueError(f"dim {dim} not divisible by n_tokens={n_tokens}")
+    sub = dim // n_tokens
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(
+        out_col,
+        F.array(
+            *[F.slice(v, 1 + t * sub, sub) for t in range(n_tokens)]
+        ),
+    )
