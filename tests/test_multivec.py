@@ -126,3 +126,117 @@ def test_maxsim_finds_phrase_match_cosine_misses(spark):
         np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))
     )
     assert cos(bm, qm) > cos(am, qm)
+
+
+class TestTwoStageServing:
+    """maxsim_rerank_topk: the retrieve-then-rerank scale shape. The
+    contract: with a shortlist covering the corpus it EQUALS brute
+    maxsim_topk; with a tight shortlist it scores only candidates and
+    recall follows the pooled retriever's recall@C."""
+
+    def _docs(self, spark, n=60, seed=2):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            m = rng.normal(size=(4, 8))
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            rows.append((i, [[float(x) for x in r] for r in m]))
+        return spark.createDataFrame(
+            rows, "doc_id long, token_vecs array<array<double>>"
+        ), rows
+
+    def test_full_shortlist_equals_brute(self, spark):
+        from xmidt_event_streams_spark.operators.multivec import (
+            maxsim_rerank_topk,
+        )
+
+        df, rows = self._docs(spark)
+        queries = [(int(i), rows[i][1]) for i in (0, 7)]
+        # the staged operator inherits the retrievers' self-exclusion
+        # (docstring contract); compare against brute WITHOUT self
+        brute_rows = maxsim_topk(df, queries, k_neighbors=6).collect()
+        per_q: dict = {}
+        for r in brute_rows:
+            if r["doc_id"] != r["query_id"]:
+                per_q.setdefault(r["query_id"], []).append(
+                    (-r["maxsim"], r["doc_id"])
+                )
+        brute = sorted(
+            (q, d, rk + 1)
+            for q, cands in per_q.items()
+            for rk, (_, d) in enumerate(sorted(cands)[:5])
+        )
+        staged = sorted(
+            (r["query_id"], r["doc_id"], r["rank"])
+            for r in maxsim_rerank_topk(
+                df, queries, k_neighbors=5, prefilter_c=60
+            ).collect()
+        )
+        assert staged == brute
+
+    def test_tight_shortlist_restricts_to_candidates(self, spark):
+        from xmidt_event_streams_spark.operators.multivec import (
+            maxsim_rerank_topk,
+            pooled_tokens,
+        )
+        from xmidt_event_streams_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        df, rows = self._docs(spark)
+        queries = [(0, rows[0][1])]
+        got = maxsim_rerank_topk(
+            df, queries, k_neighbors=5, prefilter_c=8
+        ).collect()
+        assert len(got) == 5
+        pooled = pooled_tokens(df)
+        qdf = spark.createDataFrame(
+            [(0, [float(x) for x in np.mean(rows[0][1], axis=0)])],
+            "doc_id long, embedding array<double>",
+        )
+        short = {
+            r["doc_id"]
+            for r in brute_force_topk(
+                pooled, qdf, k=8, id_col="doc_id"
+            ).collect()
+        }
+        assert {r["doc_id"] for r in got} <= short
+
+    def test_ivf_prefilter_arm(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.ivf import (
+            kmeans_fit,
+            write_ivf_index,
+        )
+        from xmidt_event_streams_spark.operators.multivec import (
+            maxsim_rerank_topk,
+            pooled_tokens,
+        )
+
+        df, rows = self._docs(spark)
+        pooled = pooled_tokens(df).withColumnRenamed("doc_id", "doc_id")
+        path = str(tmp_path / "pooled_ix")
+        cents = kmeans_fit(pooled, 4, 2, id_col="doc_id")
+        write_ivf_index(pooled, path, cents, id_col="doc_id")
+        got = maxsim_rerank_topk(
+            df,
+            [(0, rows[0][1])],
+            k_neighbors=5,
+            prefilter_c=20,
+            pooled_index_path=path,
+            n_probe=4,
+        ).collect()
+        assert len(got) == 5
+        assert all(r["query_id"] == 0 for r in got)
+
+    def test_pooled_tokens_mean_and_nulls(self, spark):
+        from xmidt_event_streams_spark.operators.multivec import (
+            pooled_tokens,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [[2.0, 0.0], [0.0, 2.0]]), (2, None), (3, [])],
+            "doc_id long, token_vecs array<array<double>>",
+        )
+        rows = {r["doc_id"]: r["embedding"] for r in pooled_tokens(df).collect()}
+        assert rows[1] == [1.0, 1.0]
+        assert rows[2] is None and rows[3] is None

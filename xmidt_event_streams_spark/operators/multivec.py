@@ -171,6 +171,147 @@ def maxsim_topk(
     )
 
 
+def maxsim_rerank_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[list[float]]]],
+    k_neighbors: int = 10,
+    prefilter_c: int = 100,
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+    pooled_index_path: str | None = None,
+    n_probe: int = 4,
+) -> DataFrame:
+    """The SCALE shape for late interaction (the published two-stage
+    serving pattern: single-vector retrieve, multi-vector re-rank):
+
+      1. RETRIEVE: each query's MEAN-pooled vector fetches a top-C
+         shortlist from an IVF index over the documents' mean-pooled
+         vectors (``pooled_index_path`` -- build once with
+         ``ivf.write_ivf_index`` over ``pooled_tokens``); with no
+         index, a brute pooled-cosine scan (correct, linear).
+      2. RERANK: MaxSim scores ONLY the shortlist -- the candidate
+         relation is C x n_queries rows fetched through the bounded-
+         plan id machinery (fetch.fetch_by_ids), never a full
+         multi-vector scan.
+
+    At 100 TB stage 1 reads n_probe/n_cells of pooled vectors (dim
+    floats/row) and stage 2 reads C*n_queries token MATRICES -- the
+    expensive payload is only ever touched for candidates. Recall
+    follows the pooled retriever's recall@C (MaxSim cannot recover a
+    doc the shortlist never contained -- the same ceiling as the PQ
+    refine stages, documented not hidden).
+
+    Unlike :func:`maxsim_topk` (the pq_topk include-self contract),
+    this operator EXCLUDES self-matches when query ids are corpus
+    members: both retriever arms (brute_force_topk, probe_ivf_index)
+    exclude them by their own contracts, so the shortlist never
+    contains the query's own document -- the natural semantics for a
+    retrieval stage.
+
+    Output: query_id, {id_col}, maxsim, rank (per-query rank over the
+    UNION of that query's shortlist)."""
+    from xmidt_event_streams_spark.operators.fetch import fetch_by_ids
+
+    spark = docs.sparkSession
+    if not queries:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, maxsim double, rank int"
+        )
+    pooled_q = [
+        (qid, np.asarray(m, dtype=np.float64).mean(axis=0).tolist())
+        for qid, m in queries
+    ]
+    if pooled_index_path is not None:
+        from xmidt_event_streams_spark.operators.ivf import (
+            probe_ivf_index,
+        )
+
+        qdf = spark.createDataFrame(
+            [(int(q), v) for q, v in pooled_q],
+            f"`{id_col}` long, `embedding` array<double>",
+        )
+        short = probe_ivf_index(
+            spark,
+            pooled_index_path,
+            qdf,
+            k=prefilter_c,
+            n_probe=n_probe,
+            id_col=id_col,
+        ).select("query_id", id_col)
+    else:
+        from xmidt_event_streams_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        pooled_docs = pooled_tokens(docs, id_col, vecs_col)
+        qdf = spark.createDataFrame(
+            [(int(q), v) for q, v in pooled_q],
+            f"`{id_col}` long, `embedding` array<double>",
+        )
+        short = brute_force_topk(
+            pooled_docs, qdf, k=prefilter_c, id_col=id_col
+        ).select("query_id", id_col)
+    pairs = short.collect()  # C x n_queries by contract, driver-sized
+    cand_ids = sorted({int(r[id_col]) for r in pairs})
+    by_q: dict[int, set] = {}
+    for r in pairs:
+        by_q.setdefault(int(r["query_id"]), set()).add(int(r[id_col]))
+    cand_docs = fetch_by_ids(docs, cand_ids, id_col=id_col).select(
+        id_col, vecs_col
+    )
+    scored = maxsim_topk(
+        cand_docs,
+        queries,
+        k_neighbors=max(k_neighbors, prefilter_c),
+        id_col=id_col,
+        vecs_col=vecs_col,
+    )
+    # restrict each query to ITS shortlist (the union fetch scored
+    # every candidate against every query) and re-rank
+    flat = [
+        (q, sorted(ids)) for q, ids in sorted(by_q.items())
+    ]
+    memb = spark.createDataFrame(
+        [(q, i) for q, ids in flat for i in ids],
+        f"query_id long, `{id_col}` long",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.join(F.broadcast(memb), ["query_id", id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", id_col, "maxsim", "rank")
+    )
+
+
+def pooled_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool the token matrix into one vector per document (pure
+    JVM aggregate/transform -- no Python): the single-vector side of
+    the two-stage serving pattern. Null/empty token lists pool to
+    null."""
+    v = F.col(vecs_col)
+    n = F.size(v)
+    summed = F.aggregate(
+        v,
+        F.expr(
+            f"transform(element_at({vecs_col}, 1), x -> cast(0.0 as double))"
+        ),
+        lambda acc, t: F.zip_with(acc, t, lambda a, x: a + x),
+    )
+    pooled = F.when(
+        v.isNotNull() & (n > 0),
+        F.transform(summed, lambda x: x / n.cast("double")),
+    )
+    return df.select(F.col(id_col), pooled.alias(out_col))
+
+
 def chunk_embedding_tokens(
     df: DataFrame,
     n_tokens: int,
