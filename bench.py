@@ -448,7 +448,10 @@ def ann_bench(spark) -> dict:
     for r in brute_rows:
         exact.setdefault(r["query_id"], set()).add(r["vec_id"])
 
-    def _flat_recall(rows):
+    def _recall_vs_exact(rows):
+        # '- {q}' drops self-matches where the arm includes them
+        # (flat scans); a no-op for the self-excluding probes -- ONE
+        # helper for every arm
         approx: dict = {}
         for r in rows:
             approx.setdefault(r["query_id"], set()).add(r["vec_id"])
@@ -462,8 +465,8 @@ def ann_bench(spark) -> dict:
             3,
         )
 
-    recall = _flat_recall(pq_rows)
-    opq_recall = _flat_recall(opq_rows)
+    recall = _recall_vs_exact(pq_rows)
+    opq_recall = _recall_vs_exact(opq_rows)
     # IVF-PQ arm: residual PQ under coarse cell pruning -- the scan
     # reads m-int codes in only n_probe/n_cells of the corpus, so its
     # search time stacks the partition-pruning factor on top of ADC's
@@ -597,21 +600,8 @@ def ann_bench(spark) -> dict:
         )
     finally:
         shutil.rmtree(ixdir.rsplit("/", 1)[0], ignore_errors=True)
-    def _rr_recall(rows):
-        got: dict = {}
-        for r in rows:
-            got.setdefault(r["query_id"], set()).add(r["vec_id"])
-        return round(
-            sum(
-                len(exact[q] & got.get(q, set())) / len(exact[q])
-                for q in exact
-            )
-            / len(exact),
-            3,
-        )
-
-    ivfpq_rr_recall = _rr_recall(ivfpq_rr_rows)
-    ivfpq_rrx_recall = _rr_recall(ivfpq_rrx_rows)
+    ivfpq_rr_recall = _recall_vs_exact(ivfpq_rr_rows)
+    ivfpq_rrx_recall = _recall_vs_exact(ivfpq_rrx_rows)
 
     codes.unpersist()
     _shutil.rmtree(corpus_dir.rsplit("/", 1)[0], ignore_errors=True)

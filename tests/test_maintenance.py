@@ -343,3 +343,28 @@ class TestSwapRecovery:
         assert report[path]["completed"] == [tmp]
         assert report[clean]["completed"] == []
         assert report[clean]["removed"] == []
+
+    def test_incomplete_tmp_does_not_block_completable_one(
+        self, spark, tmp_path
+    ):
+        """Review fix: a long-dead incomplete __compact_tmp must not
+        block healing a COMPLETE __rebuild_tmp whose swap crashed --
+        recovery completes the rebuild first, after which the
+        incomplete tmp is stale and deleted, not raised on."""
+        import os
+        import shutil
+
+        from xmidt_event_streams_spark.fsutil import recover_swap
+
+        path = str(tmp_path / "ix")
+        self._index(spark, path)
+        want = self._probe(spark, path)
+        stale = path + "__compact_tmp"
+        os.makedirs(stale)  # incomplete: no parquet
+        done = path + "__rebuild_tmp"
+        shutil.copytree(path, done)
+        shutil.rmtree(path)
+        out = recover_swap(spark, path)
+        assert out["completed"] == [done]
+        assert out["removed"] == [stale]
+        assert self._probe(spark, path) == want

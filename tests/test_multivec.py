@@ -240,3 +240,43 @@ class TestTwoStageServing:
         rows = {r["doc_id"]: r["embedding"] for r in pooled_tokens(df).collect()}
         assert rows[1] == [1.0, 1.0]
         assert rows[2] is None and rows[3] is None
+
+
+def test_divergent_shortlists_keep_each_querys_candidates(spark):
+    """Review fix: the inner MaxSim pass used to truncate to the
+    UNION's top-C, so a query whose shortlist scored uniformly lower
+    than another query's lost its entire result set. Two queries in
+    orthogonal subspaces with small C must EACH return k rows from
+    their own shortlists."""
+    from xmidt_event_streams_spark.operators.multivec import (
+        maxsim_rerank_topk,
+    )
+
+    rng = np.random.default_rng(6)
+    rows = []
+    # docs 0-19 live in dims 0-3 (query A's subspace), scaled LOW;
+    # docs 20-39 in dims 4-7 (query B's subspace), scaled HIGH --
+    # every B-doc outscores every A-doc for ANY query, so the union
+    # top-C would be all B docs
+    for i in range(20):
+        m = np.zeros((2, 8)); m[:, :4] = rng.normal(size=(2, 4)) * 0.2
+        rows.append((i, [[float(x) for x in r] for r in m]))
+    for i in range(20, 40):
+        m = np.zeros((2, 8)); m[:, 4:] = rng.normal(size=(2, 4)) * 5.0
+        rows.append((i, [[float(x) for x in r] for r in m]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    qa = np.zeros((2, 8)); qa[:, :4] = rng.normal(size=(2, 4))
+    qb = np.zeros((2, 8)); qb[:, 4:] = rng.normal(size=(2, 4))
+    got = maxsim_rerank_topk(
+        df,
+        [(100, qa.tolist()), (200, qb.tolist())],
+        k_neighbors=4,
+        prefilter_c=6,
+    ).collect()
+    per_q: dict = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert len(per_q[100]) == 4 and all(d < 20 for d in per_q[100]), per_q
+    assert len(per_q[200]) == 4 and all(d >= 20 for d in per_q[200]), per_q

@@ -166,3 +166,37 @@ class TestIvfSync:
         assert r2["intervals"] == 1 and r2["removed"] == 1
         got = hits(999)
         assert 7 not in got and 100 in got
+
+
+def test_full_takedown_interval_empties_index_without_crash(
+    spark, tmp_path
+):
+    """Review fix: an interval deleting EVERY remaining row used to
+    crash the compactor's read-back ('unable to infer schema' on a
+    zero-data-file write) and strand the tmp. The empty index is a
+    legitimate end state: the sync drains cleanly, a later insert
+    interval refills it under the stamped quantizers."""
+    from xmidt_event_streams_spark.operators.ivf import (
+        probe_ivf_index,
+        sync_ivf_with_snapshot,
+    )
+
+    table = _mk_table(spark, tmp_path, n=20)
+    ix = str(tmp_path / "ix")
+    ck = str(tmp_path / "ck")
+    sync_ivf_with_snapshot(spark, table, ix, ck, n_cells=2)
+    _merge(spark, table, deletes=list(range(20)))
+    r = sync_ivf_with_snapshot(spark, table, ix, ck, n_cells=2)
+    assert r["removed"] == 20 and r["appended"] == 0
+    # refill
+    _merge(spark, table, upserts=[(100, _vec(100)), (101, _vec(101))])
+    r2 = sync_ivf_with_snapshot(spark, table, ix, ck, n_cells=2)
+    assert r2["appended"] == 2
+    qdf = spark.createDataFrame(
+        [(999, _vec(100))], "vec_id long, embedding array<double>"
+    )
+    got = [
+        row["vec_id"]
+        for row in probe_ivf_index(spark, ix, qdf, k=2, n_probe=2).collect()
+    ]
+    assert 100 in got

@@ -1013,9 +1013,9 @@ def q_maxsim_topk(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    docs = chunk_embedding_tokens(
-        emb, MAXSIM_TOKENS, id_col="vec_id"
-    ).select("vec_id", "token_vecs")
+    docs = chunk_embedding_tokens(emb, MAXSIM_TOKENS).select(
+        "vec_id", "token_vecs"
+    )
     sub = 64 // MAXSIM_TOKENS
     queries = [
         (

@@ -211,32 +211,45 @@ def recover_swap(spark: SparkSession, path: str) -> dict:
     Returns {"path", "completed": [tmp...], "removed": [tmp...]}."""
     fs, hdst, jvm = hadoop_fs(spark, path)
     out: dict = {"path": path, "completed": [], "removed": []}
+    present = []
     for suf in SWAP_TMP_SUFFIXES:
         tname = path.rstrip("/") + suf
         tpath = jvm.org.apache.hadoop.fs.Path(tname)
-        if not fs.exists(tpath):
+        if fs.exists(tpath):
+            present.append((tname, tpath, _has_parquet_recursive(fs, tpath)))
+    # PHASE 1 -- complete a crashed swap first: with dst missing, the
+    # first COMPLETE tmp is renamed into place. Doing this before any
+    # stale-tmp handling means an unrelated incomplete tmp (e.g. a
+    # long-dead __compact_tmp) cannot block healing a completable
+    # __rebuild_tmp -- and once dst is restored, that incomplete tmp
+    # is just stale and is deleted in phase 2 instead of raising.
+    if not fs.exists(hdst):
+        for tname, tpath, has_data in present:
+            if not has_data:
+                continue
+            if not fs.rename(tpath, hdst):
+                raise IOError(
+                    f"crash recovery rename failed: {tname} -> {path}"
+                )
+            spark.catalog.refreshByPath(path)
+            out["completed"].append(tname)
+            break
+    # PHASE 2 -- with dst live (pre-existing or just restored), every
+    # remaining tmp is stale and deleted; if dst is STILL missing,
+    # only incomplete tmps remain and that is a hand-recovery state.
+    for tname, tpath, _has in present:
+        if tname in out["completed"]:
             continue
         if fs.exists(hdst):
             fs.delete(tpath, True)
             out["removed"].append(tname)
-            continue
-        has_data = any(
-            st.getPath().getName().endswith(".parquet")
-            for st in fs.listStatus(tpath)
-        ) or _has_parquet_recursive(fs, tpath)
-        if not has_data:
+        else:
             raise IOError(
                 f"crash recovery at {path}: {tname} exists, the index "
-                "is missing, and the tmp holds no parquet data -- "
+                "is missing, and no tmp holds parquet data -- "
                 "refusing to rename an incomplete replacement into "
                 "place; recover by hand"
             )
-        if not fs.rename(tpath, hdst):
-            raise IOError(
-                f"crash recovery rename failed: {tname} -> {path}"
-            )
-        spark.catalog.refreshByPath(path)
-        out["completed"].append(tname)
     return out
 
 

@@ -980,8 +980,16 @@ def compact_cell_index(
     # paths survive the swap); a compaction also heals any manifest
     # staleness a crashed append left behind
     refresh_files_manifest(spark, tmp)
-    rows_after = spark.read.parquet(tmp).count()
     files_after = count_data_files(spark, tmp)
+    # a fully-tombstoned index (reachable via the snapshot-sync
+    # takedown path: an interval deleting every remaining id) writes
+    # ZERO data files -- reading the dir back would throw 'unable to
+    # infer schema' mid-compaction and strand the tmp. The empty
+    # index is a legitimate end state: sidecar + empty manifest stay,
+    # so later appends refill it under the stamped parameters.
+    rows_after = (
+        spark.read.parquet(tmp).count() if files_after else 0
+    )
 
     swap_into_place(spark, tmp, path)
     return {

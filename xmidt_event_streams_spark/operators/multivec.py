@@ -135,8 +135,12 @@ def maxsim_topk(
                 scores = maxsim_score_block(flat, starts, qmats[qi])
                 qid = int(qids[qi])
                 # keep_top_by_dist_id keeps the SMALLEST: negate so
-                # the best MaxSim wins, ties to the lower id
-                d = -scores
+                # the best MaxSim wins, ties to the lower id. Round
+                # to the 6dp grain BEFORE folding/ranking -- the
+                # family convention (brute_force_topk, the refine
+                # stages) and the DuckDB twin's ORDER BY, so boundary
+                # ties resolve identically everywhere
+                d = -np.round(scores, 6)
                 cur_ids = ids_arr
                 if qid in best:
                     d = np.concatenate([best[qid][1], d])
@@ -259,10 +263,15 @@ def maxsim_rerank_topk(
     cand_docs = fetch_by_ids(docs, cand_ids, id_col=id_col).select(
         id_col, vecs_col
     )
+    # score EVERY fetched candidate per query (k = the union size):
+    # truncating to the union's top-C here could drop one query's
+    # entire shortlist when another query's candidates outscore it --
+    # the per-query membership join below is what narrows each query
+    # to ITS shortlist, and the final window truncates to k
     scored = maxsim_topk(
         cand_docs,
         queries,
-        k_neighbors=max(k_neighbors, prefilter_c),
+        k_neighbors=max(len(cand_ids), 1),
         id_col=id_col,
         vecs_col=vecs_col,
     )
@@ -316,7 +325,6 @@ def chunk_embedding_tokens(
     df: DataFrame,
     n_tokens: int,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     out_col: str = "token_vecs",
 ) -> DataFrame:
     """Derive a multi-vector column by slicing a single embedding into
