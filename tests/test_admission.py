@@ -1,5 +1,6 @@
 """V5 admission control (request_handler.go:79-88): shed load beyond
 max_outstanding, rejects carry the 503 analog."""
+from tests.streamutil import await_stream
 
 from pyspark.sql import functions as F
 
@@ -71,7 +72,7 @@ def test_admission_best_effort_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
     res = spark.read.parquet(str(out))
     assert res.count() == 100  # every row marked, none dropped
     # quota = ceil(8/2) = 4 per task partition: per-partition quota

@@ -3,6 +3,7 @@ running pipeline out -- routed deliveries per stream, reject ledger,
 checkpointed restarts."""
 
 from __future__ import annotations
+from tests.streamutil import await_stream
 
 import json
 import os
@@ -89,7 +90,7 @@ def _run(spark, dirs):
         rejects_path=dirs["rejects"],
         availableNow=True,
     )
-    q.awaitTermination(180)
+    await_stream(q, 180)
 
 
 def test_yaml_to_routed_deliveries(spark, dirs):
@@ -209,7 +210,7 @@ def test_expectations_feed_the_same_reject_ledger(spark, dirs):
         expectations=[("not_null", ["session_id"])],
         availableNow=True,
     )
-    q.awaitTermination(180)
+    await_stream(q, 180)
     assert len(_delivered(dirs["sink"], "boot-stream")) == 1
     reasons = sorted(
         r["reject_reason"]

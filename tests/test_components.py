@@ -277,7 +277,8 @@ OFF_REGISTRY = [
     "session_gaps",
     "embedding_centroids",
     "lsh_ann",
-    "maxsim_topk",
+    "ann_rerank_exact",
+    "approx_distinct_users",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -362,11 +363,17 @@ OFF_REGISTRY_EVIDENCE = {
     # recall floors); the ANN family keeps embedding_topk / ivf_ann /
     # ann_rerank_exact / knn_join_exact driver rows
     "lsh_ann": "tests/test_components.py::test_off_registry_parity",
-    # added directly off-registry in r8 (late-interaction MaxSim
-    # search, operators/multivec.py) -- kernel/retrieval contracts in
-    # tests/test_multivec.py, exact score arithmetic vs the DuckDB
-    # twin here
-    "maxsim_topk": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r9 to admit maxsim_topk (late-interaction MaxSim
+    # earned its driver row per the rotation precedent) -- the
+    # corpus-fetch exact rerank was demoted to an option in r8
+    # (in-index SQ8 is the production refine and holds the
+    # ann_refine_sq8 registry row); exact-rerank evidence stays via
+    # the off-registry twin + tests/test_pq.py
+    "ann_rerank_exact": "tests/test_components.py::test_off_registry_parity",
+    # rotated out in r9 to admit sq8_topk (the byte ladder's middle
+    # rung earned its driver row) -- generic built-in HLL agg; the
+    # exact twin distinct_users_salted keeps its registry row
+    "approx_distinct_users": "tests/test_components.py::test_off_registry_parity",
 }
 
 

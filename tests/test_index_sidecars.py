@@ -271,7 +271,7 @@ def test_lsh_probe_triggers_no_listing_job(spark, tmp_path):
     dirs -- a per-probe job above the discovery threshold). Same
     detector discipline as the IVF-PQ pin: the threshold is forced to
     1 so any listing would surface as a job."""
-    from tests.test_ivfpq import _listing_jobs_since, _max_job_id
+    from tests.jobcount import listing_jobs
 
     emb = _emb(spark)
     path = str(tmp_path / "lshman")
@@ -282,10 +282,15 @@ def test_lsh_probe_triggers_no_listing_job(spark, tmp_path):
     prev = spark.conf.get(key)
     spark.conf.set(key, "1")
     try:
-        before = _max_job_id(spark)
-        got = probe_lsh_index(spark, path, q, k=3, multi_probe=True)
-        assert got.count() > 0
-        assert _listing_jobs_since(spark, before) == []
+        counts: dict = {}
+        hits = listing_jobs(spark, lambda: counts.setdefault(
+            "n",
+            probe_lsh_index(
+                spark, path, q, k=3, multi_probe=True
+            ).count(),
+        ))
+        assert counts["n"] > 0
+        assert hits == []
     finally:
         spark.conf.set(key, prev)
 

@@ -3,6 +3,7 @@ the persistent MinHash index, uniques feed corpus + index, dups feed
 the rejects sink. The cross-trigger case (a doc duplicating a
 survivor from an EARLIER trigger) is the property in-memory
 dropDuplicates state cannot give unboundedly."""
+from tests.streamutil import await_stream
 
 import json
 
@@ -62,7 +63,7 @@ def test_ingest_dedup_stream(spark, tmp_path):
         availableNow=True,
         query_name="ingest-dedup-test",
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     kept = {
         r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
@@ -151,7 +152,7 @@ def test_restart_from_checkpoint_resumes_not_repeats(spark, tmp_path):
     # run 1: drain what's available (batch1 only), then stop -- the
     # checkpoint now holds committed offsets through b1.json
     q1 = _run_ingest(spark, src, idx, corpus_out, rejects_out, ckpt)
-    q1.awaitTermination(300)
+    await_stream(q1, 300)
     kept1, rejects1 = _verdicts(spark, corpus_out, rejects_out)
     assert kept1 == {101} and rejects1 == {100: 0}
 
@@ -163,7 +164,7 @@ def test_restart_from_checkpoint_resumes_not_repeats(spark, tmp_path):
     # run 2: restart from the same checkpoint -- must process ONLY
     # b2.json (offsets say b1 is done)
     q2 = _run_ingest(spark, src, idx, corpus_out, rejects_out, ckpt)
-    q2.awaitTermination(300)
+    await_stream(q2, 300)
 
     kept, rejects = _verdicts(spark, corpus_out, rejects_out)
     assert kept == {101, 202}
@@ -183,7 +184,7 @@ def test_restart_from_checkpoint_resumes_not_repeats(spark, tmp_path):
     q3 = _run_ingest(
         spark, src, idx2, corpus2, rejects2, str(tmp_path / "ckpt2")
     )
-    q3.awaitTermination(300)
+    await_stream(q3, 300)
     kept_u, rejects_u = _verdicts(spark, corpus2, rejects2)
     assert (kept, rejects) == (kept_u, rejects_u)
 
@@ -223,7 +224,7 @@ def test_cold_start_stream(spark, tmp_path):
     _write_batch_file(src, "b2.json", [(3, _text("alpha")), (4, _text("gamma"))])
 
     q = _run_ingest(spark, src, idx, corpus_out, rejects_out, str(tmp_path / "ckpt"))
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     kept, rejects = _verdicts(spark, corpus_out, rejects_out)
     assert kept == {1, 2, 4}
@@ -338,7 +339,7 @@ def test_ingest_with_quality_gate(spark, tmp_path):
     )
     q = _run_ingest_q(spark, src, idx, corpus_out, rejects_out,
                       str(tmp_path / "ckpt"), quality="gopher+c4")
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     kept = {r["doc_id"] for r in spark.read.parquet(corpus_out).collect()}
     rej = {
@@ -508,7 +509,7 @@ def test_ingest_with_span_scrub_gate(spark, tmp_path):
     gate = chain_gates(span_scrub_gate(bench, window=5))
     q = _run_ingest_q(spark, src, idx, corpus_out, rejects_out,
                       str(tmp_path / "ckpt"), quality=gate)
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     rows = spark.read.parquet(corpus_out).collect()
     assert [r["doc_id"] for r in rows] == [1]
@@ -561,7 +562,7 @@ def test_ingest_keeps_inverted_index_fresh_across_restart(spark, tmp_path):
             stream, idx, corpus_out, rejects_out,
             checkpoint_dir=ckpt, invindex_path=inv, availableNow=True,
         )
-        q.awaitTermination(300)
+        await_stream(q, 300)
 
     _write_batch_file(
         src, "b1.json", [(1, "alpha beta gamma"), (2, "delta beta alpha")]

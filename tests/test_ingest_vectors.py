@@ -2,6 +2,7 @@
 validate -> idempotent IVF-index fold -> rejects ledger."""
 
 from __future__ import annotations
+from tests.streamutil import await_stream
 
 import json
 
@@ -37,7 +38,7 @@ def _run(spark, src, index, rejects, ckpt):
         str(index), str(rejects), str(ckpt), dim=DIM,
         availableNow=True,
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
 
 def test_stream_folds_batches_and_ledgers_rejects(spark, tmp_path):
@@ -205,7 +206,7 @@ def test_stream_semantic_dedup_across_restart(spark, tmp_path):
             dedup_threshold=0.99, dedup_n_probe=2,
             availableNow=True,
         )
-        q.awaitTermination(300)
+        await_stream(q, 300)
 
     # b1: 0..3 distinct one-hots; 4 duplicates 0 (same vector)
     _write_items(
@@ -440,7 +441,7 @@ def test_stream_folds_ivfpq_serving_index_in_lockstep(spark, tmp_path):
         str(index), str(rejects), str(ckpt), dim=DIM,
         availableNow=True, ivfpq_index_path=str(pq_index),
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
     pq_rows = spark.read.parquet(str(pq_index))
     assert pq_rows.count() == 20  # accepted rows only, once each
@@ -461,7 +462,7 @@ def test_stream_folds_ivfpq_serving_index_in_lockstep(spark, tmp_path):
         str(index), str(rejects), str(ckpt), dim=DIM,
         availableNow=True, ivfpq_index_path=str(pq_index),
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
     assert spark.read.parquet(str(pq_index)).count() == 30
     assert spark.read.parquet(str(index)).count() == 30
 

@@ -92,30 +92,9 @@ def test_probe_prunes_cells_at_plan_time(spark, ix):
     assert got.count() == 5
 
 
-def _max_job_id(spark) -> int:
-    store = spark.sparkContext._jsc.sc().statusStore()
-    jobs = store.jobsList(None)
-    return max(
-        (jobs.apply(i).jobId() for i in range(jobs.size())), default=-1
-    )
-
-
-def _listing_jobs_since(spark, min_job_id: int) -> list:
-    """Spark jobs newer than ``min_job_id`` whose description marks
-    them as file-listing jobs (InMemoryFileIndex stamps 'Listing leaf
-    files and directories for N paths')."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    jobs = store.jobsList(None)
-    hits = []
-    for i in range(jobs.size()):
-        j = jobs.apply(i)
-        if j.jobId() <= min_job_id:
-            continue
-        desc = j.description()
-        text = (desc.get() if desc.isDefined() else "") + " " + j.name()
-        if "Listing leaf files" in text:
-            hits.append((j.jobId(), text[:120]))
-    return hits
+# listing-job detection lives in tests/jobcount.py (job-group-scoped:
+# only jobs the measured call itself submits are attributed, so
+# concurrent suite activity can't pollute the pin)
 
 
 def test_probe_triggers_no_listing_job(spark, ix):
@@ -133,28 +112,35 @@ def test_probe_triggers_no_listing_job(spark, ix):
         refresh_files_manifest,
     )
 
+    from tests.jobcount import listing_jobs
+
     key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     prev = spark.conf.get(key)
     spark.conf.set(key, "1")
     try:
-        before = _max_job_id(spark)
-        got = probe_ivfpq_index(
-            spark, ix["path"], ix["qrows"][:4], k_neighbors=5,
-            n_probe=N_PROBE,
-        )
-        assert got.count() > 0
-        assert _listing_jobs_since(spark, before) == []
+        counts: dict = {}
+        hits = listing_jobs(spark, lambda: counts.setdefault(
+            "manifest",
+            probe_ivfpq_index(
+                spark, ix["path"], ix["qrows"][:4], k_neighbors=5,
+                n_probe=N_PROBE,
+            ).count(),
+        ))
+        assert counts["manifest"] > 0
+        assert hits == []
         # detector sanity: remove the manifest -> the legacy leaf-dir
         # fallback lists, and the detector sees it
         man = os.path.join(ix["path"], _IVF_FILES_FILE)
         os.remove(man)
-        before = _max_job_id(spark)
-        got2 = probe_ivfpq_index(
-            spark, ix["path"], ix["qrows"][:4], k_neighbors=5,
-            n_probe=N_PROBE,
-        )
-        assert got2.count() > 0
-        assert _listing_jobs_since(spark, before), (
+        hits = listing_jobs(spark, lambda: counts.setdefault(
+            "legacy",
+            probe_ivfpq_index(
+                spark, ix["path"], ix["qrows"][:4], k_neighbors=5,
+                n_probe=N_PROBE,
+            ).count(),
+        ))
+        assert counts["legacy"] > 0
+        assert hits, (
             "the listing-job detector failed to see the legacy "
             "path's listing job -- the no-listing assertion above "
             "proves nothing"

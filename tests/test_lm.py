@@ -11,6 +11,7 @@ recoverable from content there).
 """
 
 from __future__ import annotations
+from tests.streamutil import await_stream
 
 import random
 
@@ -309,7 +310,7 @@ def test_streaming_ingest_with_lm_gate(spark, tmp_path, planted):
         min_agreement=0.95,
         availableNow=True,
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     kept = {r["doc_id"] for r in spark.read.parquet(corpus_out).collect()}
     rej = {
@@ -727,7 +728,7 @@ def test_streaming_gate_from_loaded_artifact(spark, tmp_path, planted):
         min_agreement=0.95,
         availableNow=True,
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
     kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
     rej = {
         r["doc_id"]: r["reject_reason"]

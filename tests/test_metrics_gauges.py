@@ -2,6 +2,7 @@
 queue_batch_size via observe() + StreamingQueryListener, mirroring
 internal/queue/queue.go:165,195 and internal/metrics/fx.go:44-54.
 """
+from tests.streamutil import await_stream
 
 import json
 
@@ -57,7 +58,7 @@ def test_streaming_gauges_listener(spark, tmp_path):
             availableNow=True,
             query_name="gauge-test",
         )
-        q.awaitTermination(120)
+        await_stream(q, 120)
 
         batch = listener.wait_for(GAUGE_BATCH_SIZE, min_records=1)
         waiting = listener.wait_for(GAUGE_WAITING, min_records=1)
@@ -112,7 +113,7 @@ def test_streaming_gauge_tracks_backlog_across_triggers(spark, tmp_path):
             availableNow=True,
             query_name="backlog-test",
         )
-        q.awaitTermination(180)
+        await_stream(q, 180)
         waiting = [
             r
             for r in listener.wait_for(GAUGE_WAITING, min_records=len(sizes))
@@ -156,7 +157,7 @@ def test_streaming_gauge_reflects_validation_drops(spark, tmp_path):
             query_name="gauge-drop-test",
             transform=lambda df: fix_wrp(df.filter(valid_msg_type("msg_type"))),
         )
-        q.awaitTermination(120)
+        await_stream(q, 120)
         batch = listener.wait_for(GAUGE_BATCH_SIZE, min_records=1)
         waiting = listener.wait_for(GAUGE_WAITING, min_records=1)
     finally:

@@ -8,6 +8,7 @@ sink, match by key: integrationTests/kinesis_test.go:39-62) but
 exercises the parity flags too: V5 shed to a rejects sink, B1/B2/B4
 flush arms, M4/M5 gauges.
 """
+from tests.streamutil import await_stream
 
 import json
 import time
@@ -97,7 +98,7 @@ def test_admission_routing_gauges_compose(spark, tmp_path):
             .queryName("e2e")
             .start()
         )
-        q.awaitTermination(120)
+        await_stream(q, 120)
         from xmidt_event_streams_spark.streaming.metrics import GAUGE_BATCH_SIZE
 
         gauges = listener.wait_for(GAUGE_BATCH_SIZE, timeout_s=30)
@@ -158,7 +159,7 @@ def test_route_flush_deliver_compose(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
     recs = _read_dir(out, "device-status-stream")
     assert sorted(r["partition_key"] for r in recs) == [

@@ -4,6 +4,7 @@ across stream restarts and batch replays, and compact without
 changing the view."""
 
 from __future__ import annotations
+from tests.streamutil import await_stream
 
 import json
 
@@ -41,7 +42,7 @@ def _run(spark, src, rollup_dir, ckpt):
         str(ckpt),
         availableNow=True,
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
 
 def _view(spark, rollup_dir):
@@ -275,7 +276,7 @@ def test_routed_stream_feeds_rollup(spark, tmp_path, sf_dir):
         routed, ["stream_name", "event_type"], m,
         str(tmp_path / "roll"), str(tmp_path / "ck"), availableNow=True,
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
     got = {
         (r["stream_name"], r["event_type"]): r["n"]

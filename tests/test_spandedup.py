@@ -1,6 +1,7 @@
 """Incremental window-hash index: batches excised against corpus
 HISTORY (history wins), replay-safe probing, append folding,
 compaction, and the fixpoint-vs-history stitch case."""
+from tests.streamutil import await_stream
 
 import pytest
 from pyspark.sql import functions as F
@@ -208,7 +209,7 @@ def test_streaming_scrub_on_ingest(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     rows = {
         r["doc_id"]: r["text"]

@@ -412,21 +412,16 @@ def test_in_index_refine_adds_zero_spark_jobs(spark, rix):
     exactly the jobs of a plain probe (the shortlist's refine payload
     rides the probe scan; the re-score is driver-side numpy). The
     exact-rerank arm, which fetches from the corpus, must cost MORE
-    jobs -- proving the counter distinguishes the two designs."""
+    jobs -- proving the counter distinguishes the two designs.
+
+    Counting is job-group-scoped (tests/jobcount.py): only jobs THIS
+    thread submits inside the measured call are attributed, so
+    concurrent suite activity (streaming micro-batches, coordinators)
+    cannot land in the window -- the r8 full-suite flake."""
+    from tests.jobcount import count_jobs
 
     def _jobs(fn):
-        store = spark.sparkContext._jsc.sc().statusStore()
-
-        def _max_id():
-            jobs = store.jobsList(None)
-            return max(
-                (jobs.apply(i).jobId() for i in range(jobs.size())),
-                default=-1,
-            )
-
-        before = _max_id()
-        fn()
-        return _max_id() - before
+        return count_jobs(spark, fn)
 
     # warm both paths once: a first call can carry one-off jobs
     # (footer reads, listener catch-up) that are not the design's
@@ -450,9 +445,8 @@ def test_in_index_refine_adds_zero_spark_jobs(spark, rix):
         spark, rix["path"], rix["qrows"][:4], k_neighbors=5,
         n_probe=N_PROBE, rerank=25, vectors=rix["emb"],
     ).collect())
-    # <= not ==: the status store is an async listener and other
-    # session activity (state-store coordinators, lazy init) can
-    # attribute a stray job to either window under the full suite;
-    # the design property is that refining adds NO jobs
-    assert refine <= plain, (refine, plain)
+    # strict equality: group scoping removed the cross-talk that
+    # forced r8's <= deflake, so the design property -- refining adds
+    # exactly ZERO jobs -- is pinned exactly
+    assert refine == plain, (refine, plain)
     assert exact > refine, (exact, refine)

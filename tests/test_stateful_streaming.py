@@ -1,6 +1,7 @@
 """Stateful streaming: hybrid size/time flush (B2/B3 parity via
 applyInPandasWithState), watermark late-data policy, and
 dropDuplicatesWithinWatermark (the §2.8 at-least-once fix)."""
+from tests.streamutil import await_stream
 
 import json
 import time
@@ -28,7 +29,7 @@ def _run_available_now(df, ckpt, out_rows):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
 
 def _run_stateful(df, ckpt, out_rows, expect_rows, max_wait=60.0):
@@ -47,7 +48,7 @@ def _run_stateful(df, ckpt, out_rows, expect_rows, max_wait=60.0):
     while time.time() < deadline and len(out_rows) < expect_rows:
         time.sleep(0.3)
     q.stop()
-    q.awaitTermination(60)
+    await_stream(q, 60)
 
 
 def test_hybrid_flush_size_arm(spark, tmp_path):
@@ -180,7 +181,7 @@ def test_hybrid_flush_timer_anchored_at_first_item(spark, tmp_path):
         elapsed = time.time() - t0
     finally:
         q.stop()
-        q.awaitTermination(60)
+        await_stream(q, 60)
     assert out, "time flush never fired"
     assert out[0]["flush_reason"] == "time"
     assert sorted(out[0]["items"]) == ["m0", "m1"]
@@ -252,7 +253,7 @@ def test_hybrid_flush_drop_counter_cumulative(spark, tmp_path):
             time.sleep(0.2)
     finally:
         q.stop()
-        q.awaitTermination(60)
+        await_stream(q, 60)
     assert [(r.n, r.dropped_total) for r in out] == [(3, 2), (3, 3)]
 
 
@@ -385,7 +386,7 @@ def test_hybrid_flush_under_rocksdb_state_store(spark, tmp_path):
             time.sleep(0.5)
             progresses = list(q.recentProgress)
         q.stop()
-        q.awaitTermination(60)
+        await_stream(q, 60)
     finally:
         for k, v in saved.items():
             if v is None:
@@ -450,7 +451,7 @@ def test_hybrid_flush_state_survives_restart(spark, tmp_path):
                 break
             time.sleep(0.3)
         q.stop()
-        q.awaitTermination(60)
+        await_stream(q, 60)
 
     out1: list = []
     _run_until_rows_committed(out1, expect_input=3)

@@ -3,6 +3,7 @@ event-time bounds, cross-micro-batch matching, state expiry via
 watermark, and batch/streaming plan parity."""
 
 from __future__ import annotations
+from tests.streamutil import await_stream
 
 import json
 
@@ -33,7 +34,7 @@ def _run_available_now(df, ckpt, out_rows):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
 
 SCHEMA = "ts timestamp, user_id long, kind string"
@@ -210,7 +211,7 @@ def test_streaming_requires_watermark_contract(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_stream(q, 60)
 
     # stripped bound -> AnalysisException at start()
     bare = left.selectExpr(

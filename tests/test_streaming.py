@@ -3,6 +3,7 @@ route -> per-stream DirSender sinks -> read back and assert (mirrors
 the reference's integration pattern: post event, poll Kinesis, match
 by session id -- integrationTests/kinesis_test.go:39-62).
 """
+from tests.streamutil import await_stream
 
 import json
 import os
@@ -65,7 +66,7 @@ def test_stream_route_deliver_readback(spark, tmp_path):
         transform=transform,
         availableNow=True,
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
     def read_stream_dir(stream):
         recs = []
@@ -107,7 +108,7 @@ def test_streaming_incremental_batches(spark, tmp_path):
         read_wrp_stream(spark, str(src)), filters, _DirSenderFactory(str(out)),
         checkpoint_dir=str(ckpt), availableNow=True,
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
     with open(src / "b2.json", "w") as f:
         f.write(json.dumps(_wrp_event(2, "event:b", "s2")) + "\n")
@@ -115,7 +116,7 @@ def test_streaming_incremental_batches(spark, tmp_path):
         read_wrp_stream(spark, str(src)), filters, _DirSenderFactory(str(out)),
         checkpoint_dir=str(ckpt), availableNow=True,
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
     recs = []
     for p in (out / "all").iterdir():

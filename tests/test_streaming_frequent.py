@@ -4,6 +4,7 @@ and restart continuity (the state store carries the summary across a
 query restart)."""
 
 from __future__ import annotations
+from tests.streamutil import await_stream
 
 import json
 
@@ -31,7 +32,7 @@ def _drive(spark, src, ckpt, out_batches, **kw):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
 
 
 def test_summaries_track_stream_and_survive_restart(spark, tmp_path):

@@ -1,0 +1,132 @@
+"""Measured host-speed calibration for benchmark artifacts.
+
+Problem this solves (r8 post-mortem): the bench's idle gate was a
+load-average threshold, and it certified ``noisy: false`` on a host
+that was demonstrably ~25% degraded (every query inflated 13-29%,
+including four untouched TPC-H rows; a brute BLAS scan swung
+1.84 s -> 4.6 s at near-zero load average). Load average measures
+runnable-queue length, not delivered CPU speed -- it is blind to
+thermal throttling, noisy co-tenants on other cgroups, and memory-
+bandwidth contention. The fix is to MEASURE delivered speed: run two
+fixed reference kernels right before the benchmark, stamp their times
+into the artifact, and compare against the best this repo has ever
+recorded (``CALIBRATION.json``). A regressed headline on a run whose
+calibration is 25% over best is the box; the same regression at
+calibration parity is the code. The question becomes decidable from
+the artifact alone.
+
+Kernels (both deterministic, seconds-scale, input-free):
+
+* ``numpy_ms`` -- single-threaded CPU ALU/cache speed: argsort of a
+  seeded 2M-element float64 array plus a 256x256 matmul loop.
+  ``np.argsort`` is single-threaded by construction, so the number is
+  per-core speed regardless of BLAS threading config.
+* ``spark_ms`` -- end-to-end Spark fixed job: ``range(20M) -> hash ->
+  sum`` collected. Exercises scheduler latency, codegen, and
+  multi-core throughput -- the component a bench query actually pays.
+
+Both report the MIN over several repetitions (min filters scheduling
+jitter; delivered-speed degradation shifts the min itself).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+# a calibration more than this factor above the recorded best means
+# the host is NOT delivering the speed the best-known artifact was
+# measured at; artifacts stamp host_degraded so a slower headline on
+# such a run reads as "the box", not "the code"
+DEGRADED_FACTOR = 1.2
+
+CALIBRATION_FILE = Path(__file__).resolve().parent.parent / "CALIBRATION.json"
+
+
+def numpy_kernel_ms(reps: int = 5) -> float:
+    """Min wall-clock (ms) of the fixed single-threaded numpy kernel."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    arr = rng.random(2_000_000)
+    mat = rng.random((256, 256))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        order = np.argsort(arr, kind="stable")
+        acc = mat
+        for _ in range(8):
+            acc = acc @ mat
+        # fold both results so the work cannot be dead-code-eliminated
+        sink = float(order[::100_000].sum()) + float(acc[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    assert sink == sink  # not NaN; keeps `sink` live
+    return round(best * 1000, 1)
+
+
+def spark_kernel_ms(spark, reps: int = 3) -> float:
+    """Min wall-clock (ms) of the fixed tiny Spark job."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        # shift the hash to 32 bits so the 20M-row sum stays inside a
+        # long under ANSI arithmetic
+        spark.range(20_000_000).select(
+            F.sum(F.shiftrightunsigned(F.xxhash64("id"), 32)).alias("h")
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
+def load_best() -> dict | None:
+    try:
+        return json.loads(CALIBRATION_FILE.read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def record_best(cal: dict) -> None:
+    """Fold a fresh calibration into the recorded best (per-kernel
+    min). Committed alongside the bench artifacts so every future run
+    compares against the fastest this container class has ever
+    delivered."""
+    best = load_best() or {}
+    out = {
+        k: min(
+            cal.get(k, float("inf")), best.get(k, float("inf"))
+        )
+        for k in ("numpy_ms", "spark_ms")
+        if k in cal or k in best
+    }
+    CALIBRATION_FILE.write_text(json.dumps(out, indent=1) + "\n")
+
+
+def host_calibration(spark=None) -> dict:
+    """Run both kernels; compare against the recorded best.
+
+    Returns ``{numpy_ms, spark_ms, best, factor, host_degraded}``
+    where ``factor`` is the worst per-kernel ratio current/best
+    (>1 = slower than best-known) and ``host_degraded`` is
+    ``factor > DEGRADED_FACTOR``. With no recorded best yet, factor
+    is 1.0 and the current numbers seed the record.
+    """
+    cal = {"numpy_ms": numpy_kernel_ms()}
+    if spark is not None:
+        cal["spark_ms"] = spark_kernel_ms(spark)
+    best = load_best()
+    if best:
+        ratios = [
+            cal[k] / best[k]
+            for k in ("numpy_ms", "spark_ms")
+            if k in cal and best.get(k)
+        ]
+        factor = round(max(ratios), 3) if ratios else 1.0
+    else:
+        factor = 1.0
+    cal["best"] = best or {k: v for k, v in cal.items()}
+    cal["factor"] = factor
+    cal["host_degraded"] = factor > DEGRADED_FACTOR
+    return cal

@@ -2840,6 +2840,63 @@ SELECT query_id, vec_id, refine_dist, CAST(rnk AS INT) AS rank FROM (
 """
 
 
+def q_sq8_topk(spark, sf_dir):
+    """Standalone SQ8 compressed-scan top-k (operators/sq.py:
+    sq8_encode + sq8_topk) -- the middle rung of the ANN byte ladder:
+    brute-force squared-L2 ranking over the 1-byte-per-dimension
+    column, 1/8th the scanned bytes of the float64 scan at near-exact
+    recall (pytest pins recall@10 >= 0.95 vs brute).
+
+    Oracle-pinned END TO END like ann_refine_sq8: the codec is
+    deterministic arithmetic (lo = min(v), step = (max(v)-lo)/255,
+    byte = clip(round_half_away((x-lo)/step), 0, 255), decode =
+    lo + step*byte) and the scan ranks by the expanded squared L2
+    (||d||^2 - 2 d.q + ||q||^2, the same form the SQL computes), so
+    DuckDB re-derives encode -> decode -> rank and must match row for
+    row. Self-matches are NOT excluded (the pq_topk contract).
+    Output: query_id, vec_id, sq8_dist, rank."""
+    from xmidt_event_streams_spark.operators.sq import (
+        sq8_encode,
+        sq8_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return sq8_topk(sq8_encode(emb), queries, k_neighbors=10)
+
+
+SQL_SQ8_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bounds AS (
+  SELECT vec_id, v, list_min(v) AS lo,
+    CASE WHEN list_max(v) > list_min(v)
+         THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS step
+  FROM c
+), dec AS (
+  SELECT vec_id,
+    list_transform(
+      v, x -> lo + step * least(greatest(round((x - lo) / step), 0), 255)
+    ) AS dv
+  FROM bounds
+), s AS (
+  SELECT query_id, d.vec_id,
+    round(list_dot_product(dv, dv) - 2 * list_dot_product(dv, qv)
+          + list_dot_product(qv, qv), 6) AS sq8_dist
+  FROM dec d CROSS JOIN q
+)
+SELECT query_id, vec_id, sq8_dist, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq8_dist, vec_id) AS rnk
+  FROM s
+) WHERE rnk <= 10
+"""
+
+
 # ------------------------------------------ exact frequent tokens
 
 
@@ -4151,20 +4208,21 @@ QUERIES: dict[str, QuerySpec] = {
     # row); gap/window evidence stays via session_windows (registry)
     # + the off-registry session_gaps twin.
     "snapshot_cdc": QuerySpec(q_snapshot_cdc, SQL_SNAPSHOT_CDC),
-    # running_user_value / events_cube rotated to the off-registry
-    # parity set in r5 (generic window/cube shapes, amply covered by
-    # the TPC-H family there) to admit ann_rerank_exact and
-    # frequent_tokens under the 50-entry cap
-    "ann_rerank_exact": QuerySpec(q_ann_rerank_exact, SQL_ANN_RERANK_EXACT),
+    # ann_rerank_exact rotated to the off-registry parity set in r9
+    # to admit maxsim_topk: the corpus-fetch rerank was demoted to
+    # an option in r8 (in-index SQ8 is the production refine, with
+    # its own registry row ann_refine_sq8); the exact-rerank path
+    # keeps its off-registry twin + tests/test_pq.py coverage.
     "frequent_tokens": QuerySpec(q_frequent_tokens, SQL_FREQUENT_TOKENS),
-    # value_percentiles rotated to the off-registry parity set in r5
-    # to admit dup_span_removal (exact-substring excision); percentile
-    # evidence stays via value_histogram + quality_quantile_filter and
-    # the off-registry DuckDB twin.
-    "approx_distinct_users": QuerySpec(
-        q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS
-    ),
+    # approx_distinct_users rotated to the off-registry parity set in
+    # r9 to admit sq8_topk: the HLL shape is a generic built-in agg
+    # whose exact twin distinct_users_salted keeps a registry row;
+    # the sketch keeps its off-registry twin.
     "ivf_ann": QuerySpec(q_ivf_ann, SQL_IVF_ANN, True),
+    # r9 rotation-ins: the two first-class ANN operators that landed
+    # in r8 without driver rows (VERDICT r8 "What's missing" #1)
+    "maxsim_topk": QuerySpec(q_maxsim_topk, SQL_MAXSIM_TOPK),
+    "sq8_topk": QuerySpec(q_sq8_topk, SQL_SQ8_TOPK),
     # ivf_ann_kmeans (learned centroids) is exercised in pytest
     # (tests/test_msgpack_asof.py) -- the registry is capped at 50 so
     # every entry lands a driver CORRECTNESS row; the search path it

@@ -977,11 +977,21 @@ def probe_ivfpq_index(
                 np.asarray([c[3] for c in cand]),
                 np.asarray([c[4] for c in cand]),
             )
-            diff = dec - qmap[int(qid)][None, :]
             # rank by the ROUNDED distance (ties to the lower id) --
             # the same contract as exact_rerank_l2's driver path, so
-            # both refine sources order identically at the 6dp grain
-            rd = np.round(np.einsum("ij,ij->i", diff, diff), 6)
+            # both refine sources order identically at the 6dp grain.
+            # Expanded form (||d||^2 - 2 d.q + ||q||^2), NOT
+            # (d-q)^2: the DuckDB oracle and sq8_topk both compute
+            # this expansion, and distances that land exactly on a
+            # 6dp rounding boundary must round the same way on both
+            # sides of the parity check
+            qv = qmap[int(qid)]
+            rd = np.round(
+                np.einsum("ij,ij->i", dec, dec)
+                - 2.0 * (dec @ qv)
+                + float(qv @ qv),
+                6,
+            )
             order = sorted(
                 range(len(cand)), key=lambda i: (rd[i], cand[i][1])
             )[:k_neighbors]

@@ -56,7 +56,11 @@ def sq8_encode_block(
     ok = np.isfinite(lo) & np.isfinite(hi) & (hi > lo)
     lo = np.where(np.isfinite(lo), lo, 0.0)
     step = np.where(ok, (hi - lo) / 255.0, 1.0)
-    q = np.rint((mat - lo[:, None]) / step[:, None])
+    # half-AWAY-from-zero rounding (floor(x+0.5) on the non-negative
+    # quotient), matching SQL round() in DuckDB/ANSI -- np.rint's
+    # half-to-even would flip the byte on exact half-step quotients
+    # and break oracle parity one vector in ~2^53
+    q = np.floor((mat - lo[:, None]) / step[:, None] + 0.5)
     q = np.clip(np.nan_to_num(q, nan=0.0, posinf=255.0, neginf=0.0), 0, 255)
     codes = q.astype(np.uint8)
     return [r.tobytes() for r in codes], lo, step
@@ -81,8 +85,9 @@ def sq8_decode_block(
 
 def sq8_max_abs_error(lo: np.ndarray, step: np.ndarray) -> np.ndarray:
     """Per-row bound on |v - decode(encode(v))| per dimension: half a
-    step (rint rounds to nearest). Exposed for tests and for callers
-    that want to reason about refine-vs-exact rank agreement."""
+    step (round-to-nearest, half away from zero). Exposed for tests
+    and for callers that want to reason about refine-vs-exact rank
+    agreement."""
     return np.asarray(step, dtype=np.float64) / 2.0
 
 
