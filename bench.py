@@ -113,6 +113,7 @@ def main() -> None:
         "ann": ann_bench(spark),
         "curation": curation_bench(spark),
         "stream": stream_bench(spark),
+        "maxsim": maxsim_bench(spark),
     }
     sidecar_path = Path(__file__).resolve().parent / "BENCH_SIDECARS.json"
     sidecar_path.write_text(json.dumps(sidecars, indent=1) + "\n")
@@ -880,3 +881,178 @@ def stream_bench(spark) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def maxsim_bench(spark) -> dict:
+    """Sidecar metric: late-interaction (multi-vector) serving arms
+    over a deterministic 200k-doc x 4-token x 16-dim corpus, written
+    to parquet so every arm reads from storage.
+
+    Three search arms, each min-of-2 after a warmup:
+
+      * brute_maxsim_sec    -- maxsim_topk over the full corpus (the
+        exact baseline; linear in corpus tokens);
+      * fetch_arm_sec       -- maxsim_rerank_topk with an IVF pooled
+        index: pooled probe -> collect shortlist -> fetch_by_ids for
+        the token matrices -> rerank. Pays a separate fetch job per
+        query batch;
+      * in_index_sec        -- probe_maxsim_index: the token payload
+        rides the probe's own scan (SQ8), rerank is driver-side
+        decode. Zero extra Spark actions vs a pooled-only probe
+        (pytest-pinned).
+
+    recall@10 for both staged arms is against the brute exact ranking
+    -- it folds BOTH ceilings (pooled retriever's recall@C and SQ8
+    near-tie flips) into one honest number.
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from xmidt_event_streams_spark.operators.ivf import (
+        kmeans_fit,
+        write_ivf_index,
+    )
+    from xmidt_event_streams_spark.operators.multivec import (
+        maxsim_rerank_topk,
+        maxsim_topk,
+        pooled_tokens,
+        probe_maxsim_index,
+        write_maxsim_index,
+    )
+
+    n_docs, n_tok, dim = 500_000, 4, 32
+    n_queries, k, c = 8, 10, 100
+    n_cells, n_probe = 256, 16
+    # planted TOPICAL structure (what makes two-stage serving a valid
+    # design at all): each doc's tokens = its topic vector + noise,
+    # ~100 docs per topic. Parameters are measured, not guessed: a
+    # fully random-token corpus has NO correlation between pooled
+    # cosine and MaxSim (recall ~0.013 -- the pooled retriever is a
+    # coin flip there), and at dim=16/noise=0.6 chance token
+    # alignments across 800k tokens still drown the topic signal
+    # (pooled recall@100 ~0.1). dim=32/noise=0.25 is the regime real
+    # retrieval corpora live in: pooled recall@100 ~0.95, MaxSim
+    # discriminates within topic.
+    n_topics = 5_000
+    noise = 0.25
+
+    def _topic_vec(t):
+        trng = np.random.default_rng(1_000_000_007 + int(t))
+        v = trng.normal(size=dim)
+        return v / np.linalg.norm(v)
+
+    work = tempfile.mkdtemp(prefix="xes-maxsim-bench-")
+    try:
+        corpus_path = f"{work}/docs"
+        mv_path = f"{work}/mvix"
+        pooled_path = f"{work}/pooledix"
+
+        def _gen(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                toks = []
+                for i in ids:
+                    rng = np.random.default_rng(int(i))
+                    topic = _topic_vec(int(i) % n_topics)
+                    m = topic[None, :] + noise * rng.normal(
+                        size=(n_tok, dim)
+                    )
+                    m /= np.linalg.norm(m, axis=1, keepdims=True)
+                    toks.append([[float(x) for x in r] for r in m])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "token_vecs": pd.Series(toks, dtype="object"),
+                    }
+                )
+
+        spark.range(n_docs).repartition(32).mapInPandas(
+            _gen, "doc_id long, token_vecs array<array<double>>"
+        ).write.mode("overwrite").parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path)
+
+        qrng = np.random.default_rng(987_654)
+        queries = []
+        for qi in range(n_queries):
+            # query = a fresh token draw from topic qi*37 (a topic the
+            # corpus holds ~100 docs of) -- the retrieval shape: find
+            # the topic's best phrase-level matches
+            topic = _topic_vec((qi * 37) % n_topics)
+            m = topic[None, :] + noise * qrng.normal(size=(n_tok, dim))
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            queries.append((-(qi + 1), [[float(x) for x in r] for r in m]))
+
+        t0 = time.perf_counter()
+        cents = kmeans_fit(
+            pooled_tokens(docs), n_cells, 2, id_col="doc_id"
+        )
+        write_maxsim_index(docs, mv_path, cents)
+        build_sec = round(time.perf_counter() - t0, 3)
+        write_ivf_index(
+            pooled_tokens(docs), pooled_path, cents, id_col="doc_id"
+        )
+
+        def _brute():
+            return {
+                (r["query_id"], r["doc_id"])
+                for r in maxsim_topk(docs, queries, k_neighbors=k).collect()
+            }
+
+        def _fetch():
+            return {
+                (r["query_id"], r["doc_id"])
+                for r in maxsim_rerank_topk(
+                    docs, queries, k_neighbors=k, prefilter_c=c,
+                    pooled_index_path=pooled_path, n_probe=n_probe,
+                ).collect()
+            }
+
+        def _inindex():
+            return {
+                (r["query_id"], r["doc_id"])
+                for r in probe_maxsim_index(
+                    spark, mv_path, queries, k_neighbors=k,
+                    n_probe=n_probe, prefilter_c=c,
+                ).collect()
+            }
+
+        def _time(fn):
+            fn()  # warm
+            best, res = float("inf"), None
+            for _ in range(2):
+                t = time.perf_counter()
+                res = fn()
+                best = min(best, time.perf_counter() - t)
+            return round(best, 3), res
+
+        brute_sec, brute_top = _time(_brute)
+        fetch_sec, fetch_top = _time(_fetch)
+        inindex_sec, inindex_top = _time(_inindex)
+        denom = max(len(brute_top), 1)
+        return {
+            "corpus_docs": n_docs,
+            "tokens_per_doc": n_tok,
+            "dim": dim,
+            "n_cells": n_cells,
+            "n_probe": n_probe,
+            "prefilter_c": c,
+            "build_sec": build_sec,
+            "brute_maxsim_sec": brute_sec,
+            "fetch_arm_sec": fetch_sec,
+            "in_index_sec": inindex_sec,
+            "speedup_fetch_arm": round(brute_sec / max(fetch_sec, 1e-9), 2),
+            "speedup_in_index": round(
+                brute_sec / max(inindex_sec, 1e-9), 2
+            ),
+            "recall_fetch_at_10": round(
+                len(brute_top & fetch_top) / denom, 3
+            ),
+            "recall_in_index_at_10": round(
+                len(brute_top & inindex_top) / denom, 3
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -31,6 +31,12 @@ def await_stream(q, timeout_s: float) -> None:
     A query that terminated *with* an exception also fails the test --
     a crashed stream that happens to leave the right files behind is
     not a pass.
+
+    NOT for stateful operators with ``ProcessingTimeTimeout`` (e.g.
+    ``hybrid_flush``): their ``shouldRunAnotherBatch`` is always true,
+    so even availableNow spins state-cleanup batches forever and this
+    helper would burn the whole timeout then fail. Use
+    :func:`drain_and_stop` there.
     """
     try:
         terminated = q.awaitTermination(timeout_s)
@@ -42,3 +48,40 @@ def await_stream(q, timeout_s: float) -> None:
         assert exc is None, f"streaming query failed: {exc}"
     finally:
         q.stop()
+
+
+def drain_and_stop(q, done, timeout_s: float, settle_s: float = 2.0) -> None:
+    """For queries that CANNOT self-terminate (stateful operators with
+    ``ProcessingTimeTimeout`` keep scheduling cleanup batches forever,
+    even under availableNow): poll ``done()`` until it holds, wait for
+    the current trigger to settle past a data-less state, then stop --
+    and still assert the query didn't die with an exception.
+
+    ``done`` is the test's own completion predicate (e.g. "the
+    expected flush rows arrived"); the settle wait gives the batch
+    that produced them time to COMMIT before the stop, so checkpointed
+    state is preserved for restart tests.
+    """
+    import time
+
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline and not done():
+            time.sleep(0.3)
+        assert done(), (
+            f"streaming query {q.name or q.id}: completion predicate "
+            f"still false after {timeout_s}s"
+        )
+        # let the emitting batch commit: no data pending and the
+        # trigger idle, or the settle budget elapses
+        settle_deadline = time.time() + settle_s
+        while time.time() < settle_deadline:
+            st = q.status
+            if not st["isDataAvailable"] and not st["isTriggerActive"]:
+                break
+            time.sleep(0.2)
+        exc = q.exception()
+        assert exc is None, f"streaming query failed: {exc}"
+    finally:
+        q.stop()
+        q.awaitTermination(60)

@@ -280,3 +280,228 @@ def test_divergent_shortlists_keep_each_querys_candidates(spark):
         per_q.setdefault(r["query_id"], []).append(r["doc_id"])
     assert len(per_q[100]) == 4 and all(d < 20 for d in per_q[100]), per_q
     assert len(per_q[200]) == 4 and all(d >= 20 for d in per_q[200]), per_q
+
+
+class TestInIndexMaxSim:
+    """write_maxsim_index / probe_maxsim_index: the fetch-free
+    two-stage -- token payload carried by the probe's own scan
+    (the ivfpq refine='sq8' posture applied to multi-vector)."""
+
+    def _docs(self, spark, n=60, seed=11):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            t = int(rng.integers(2, 6))  # ragged token counts
+            m = rng.normal(size=(t, 8))
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            rows.append((i, [[float(x) for x in r] for r in m]))
+        df = spark.createDataFrame(
+            rows, "doc_id long, token_vecs array<array<double>>"
+        )
+        return df, rows
+
+    def _index(self, spark, tmp_path, df):
+        from xmidt_event_streams_spark.operators.ivf import kmeans_fit
+        from xmidt_event_streams_spark.operators.multivec import (
+            pooled_tokens,
+            write_maxsim_index,
+        )
+
+        path = str(tmp_path / "mvix")
+        cents = kmeans_fit(pooled_tokens(df), 4, 2, id_col="doc_id")
+        write_maxsim_index(df, path, cents)
+        return path, cents
+
+    def test_full_probe_matches_sq8_reference(self, spark, tmp_path):
+        """n_probe = all cells, C >= corpus: the output is EXACTLY the
+        top-k by MaxSim over SQ8-decoded tokens (self excluded) -- the
+        whole pipeline (encode -> write -> manifest probe -> in-scan
+        payload carry -> driver decode -> rerank) against a literal
+        numpy reference."""
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+        from xmidt_event_streams_spark.operators.sq import (
+            sq8_decode_block,
+            sq8_encode_block,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+        got = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["maxsim"])
+            for r in probe_maxsim_index(
+                spark, path, queries, k_neighbors=5, n_probe=4,
+                prefilter_c=1000,
+            ).collect()
+        )
+        want = []
+        for qid, qm in queries:
+            Q = np.asarray(qm)
+            scored = []
+            for i, m in rows:
+                if i == qid:
+                    continue
+                raw, lo, step = sq8_encode_block(np.asarray(m))
+                dec = sq8_decode_block(raw, lo, step)
+                scored.append(
+                    (-round(_ref_maxsim(Q, dec), 6), i)
+                )
+            for rk, (neg, i) in enumerate(sorted(scored)[:5], start=1):
+                want.append((qid, rk, i, -neg))
+        assert got == sorted(want)
+
+    def test_pooled_only_matches_numpy_cosine(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        q = rows[3][1]
+        got = [
+            (r["rank"], r["doc_id"], r["cos_sim"])
+            for r in sorted(
+                probe_maxsim_index(
+                    spark, path, [(3, q)], k_neighbors=5, n_probe=4,
+                    pooled_only=True,
+                ).collect(),
+                key=lambda r: r["rank"],
+            )
+        ]
+        qv = np.mean(np.asarray(q), axis=0)
+        qv = qv / np.linalg.norm(qv)
+        scored = []
+        for i, m in rows:
+            if i == 3:
+                continue
+            dv = np.mean(np.asarray(m), axis=0)
+            dv = dv / np.linalg.norm(dv)
+            scored.append((-round(float(dv @ qv), 6), i))
+        want = [
+            (rk, i, -neg)
+            for rk, (neg, i) in enumerate(sorted(scored)[:5], start=1)
+        ]
+        assert got == want
+
+    def test_two_stage_adds_zero_spark_jobs(self, spark, tmp_path):
+        """The payload's whole point: a reranking probe costs exactly
+        the Spark jobs of the pooled-only probe -- the shortlist's
+        token matrices ride the probe's own scan, never a second
+        fetch job. (maxsim_rerank_topk, the fetch arm, pays extra
+        jobs for the same work -- measured in the bench sidecar.)"""
+        from tests.jobcount import count_jobs
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+        # warm both paths (first-call footer reads / listener catch-up)
+        probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=2,
+            pooled_only=True,
+        )
+        probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=2,
+            prefilter_c=20,
+        )
+        pooled = count_jobs(spark, lambda: probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=2,
+            pooled_only=True,
+        ))
+        staged = count_jobs(spark, lambda: probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=2,
+            prefilter_c=20,
+        ))
+        assert staged == pooled, (staged, pooled)
+
+    def test_probe_triggers_no_listing_job(self, spark, tmp_path):
+        from tests.jobcount import listing_jobs
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "1")
+        try:
+            res: dict = {}
+            hits = listing_jobs(spark, lambda: res.setdefault(
+                "n",
+                probe_maxsim_index(
+                    spark, path, [(0, rows[0][1])], k_neighbors=5,
+                    n_probe=2, prefilter_c=20,
+                ).count(),
+            ))
+            assert res["n"] > 0
+            assert hits == []
+        finally:
+            spark.conf.set(key, prev)
+
+    def test_recall_vs_exact_maxsim(self, spark, tmp_path):
+        """Full-probe recall@5 vs exact (unquantized) MaxSim: SQ8
+        reconstruction may flip only near-ties, so recall stays high;
+        the pooled-retriever ceiling is exercised separately in the
+        bench sidecar."""
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+
+        df, rows = self._docs(spark, n=80, seed=23)
+        path, _ = self._index(spark, tmp_path, df)
+        queries = [(int(i), rows[i][1]) for i in (0, 7, 11)]
+        got = probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=4,
+            prefilter_c=1000,
+        ).collect()
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+        hits = tot = 0
+        for qid, qm in queries:
+            Q = np.asarray(qm)
+            exact = sorted(
+                (-round(_ref_maxsim(Q, np.asarray(m)), 6), i)
+                for i, m in rows
+                if i != qid
+            )[:5]
+            want = {i for _, i in exact}
+            hits += len(want & by_q[qid])
+            tot += 5
+        assert hits / tot >= 0.9, hits / tot
+
+    def test_ragged_and_poison_rows_skipped(self, spark, tmp_path):
+        """Null/empty token lists and wrong-dim rows are contained at
+        write time (V9 posture): the index holds only valid docs."""
+        from xmidt_event_streams_spark.operators.ivf import kmeans_fit
+        from xmidt_event_streams_spark.operators.multivec import (
+            pooled_tokens,
+            probe_maxsim_index,
+            write_maxsim_index,
+        )
+
+        good = [
+            (1, [[1.0, 0.0], [0.0, 1.0]]),
+            (2, [[0.6, 0.8]]),
+            (3, [[0.0, 1.0], [1.0, 0.0], [0.6, 0.8]]),
+        ]
+        bad = [(7, None), (8, []), (9, [[1.0, 0.0, 0.0]])]
+        df = spark.createDataFrame(
+            good + bad, "doc_id long, token_vecs array<array<double>>"
+        )
+        path = str(tmp_path / "mvix")
+        good_df = spark.createDataFrame(
+            good, "doc_id long, token_vecs array<array<double>>"
+        )
+        cents = kmeans_fit(pooled_tokens(good_df), 2, 2, id_col="doc_id")
+        write_maxsim_index(df, path, cents)
+        got = probe_maxsim_index(
+            spark, path, [(0, [[1.0, 0.0]])], k_neighbors=10,
+            n_probe=2, prefilter_c=100,
+        ).collect()
+        assert sorted(r["doc_id"] for r in got) == [1, 2, 3]

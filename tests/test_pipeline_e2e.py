@@ -159,7 +159,16 @@ def test_route_flush_deliver_compose(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    await_stream(q, 120)
+    # hybrid_flush uses ProcessingTimeTimeout, whose
+    # shouldRunAnotherBatch is always true -- the query never
+    # self-terminates, so wait for the deliveries and stop
+    from tests.streamutil import drain_and_stop
+
+    drain_and_stop(
+        q,
+        lambda: len(_read_dir(out, "device-status-stream")) >= 7,
+        120,
+    )
 
     recs = _read_dir(out, "device-status-stream")
     assert sorted(r["partition_key"] for r in recs) == [

@@ -1,7 +1,7 @@
 """Stateful streaming: hybrid size/time flush (B2/B3 parity via
 applyInPandasWithState), watermark late-data policy, and
 dropDuplicatesWithinWatermark (the §2.8 at-least-once fix)."""
-from tests.streamutil import await_stream
+from tests.streamutil import await_stream, drain_and_stop
 
 import json
 import time
@@ -30,6 +30,21 @@ def _run_available_now(df, ckpt, out_rows):
         .start()
     )
     await_stream(q, 120)
+
+
+def _run_flush(df, ckpt, out_rows, expect_rows):
+    """hybrid_flush variant of _run_available_now: ProcessingTime-
+    timeout operators never self-terminate (shouldRunAnotherBatch is
+    always true -- Spark spins state-cleanup batches even under
+    availableNow), so wait for the expected flush rows and stop."""
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out_rows.extend(b.collect()))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_and_stop(q, lambda: len(out_rows) >= expect_rows, 120)
 
 
 def _run_stateful(df, ckpt, out_rows, expect_rows, max_wait=60.0):
@@ -99,20 +114,21 @@ def test_hybrid_flush_idle_arm(spark, tmp_path):
     """B4 SubmitOnEmptyQueue (queue.go:209-216; spec
     queue_test.go:444-483): batch_size=10 but a single arrival flushes
     immediately once the channel drains -- reason 'idle', no state
-    held (so availableNow terminates cleanly, proving nothing is
+    held (state.remove() after the flush, proving nothing is
     buffered)."""
     src = tmp_path / "in"
     src.mkdir()
     _write_items(src / "b1.json", [{"stream_name": "s1", "item": "m0"}])
     stream = _read_stream(spark, src, "stream_name string, item string")
     out: list = []
-    _run_available_now(
+    _run_flush(
         hybrid_flush(
             stream, batch_size=10, time_limit_ms=60_000,
             submit_on_empty_queue=True,
         ),
         tmp_path / "ckpt",
         out,
+        expect_rows=1,
     )
     assert [(r.stream_name, r.n, r.flush_reason) for r in out] == [("s1", 1, "idle")]
     assert out[0]["items"] == ["m0"]
@@ -131,13 +147,14 @@ def test_hybrid_flush_idle_after_size(spark, tmp_path):
     )
     stream = _read_stream(spark, src, "stream_name string, item string")
     out: list = []
-    _run_available_now(
+    _run_flush(
         hybrid_flush(
             stream, batch_size=2, time_limit_ms=60_000,
             submit_on_empty_queue=True,
         ),
         tmp_path / "ckpt",
         out,
+        expect_rows=3,
     )
     assert [(r.n, r.flush_reason) for r in out] == [
         (2, "size"), (2, "size"), (1, "idle")
@@ -203,13 +220,14 @@ def test_hybrid_flush_drop_on_full(spark, tmp_path):
     )
     stream = _read_stream(spark, src, "stream_name string, item string")
     out: list = []
-    _run_available_now(
+    _run_flush(
         hybrid_flush(
             stream, batch_size=10, time_limit_ms=60_000,
             submit_on_empty_queue=True, queue_size=3,
         ),
         tmp_path / "ckpt",
         out,
+        expect_rows=1,
     )
     assert [(r.n, r.flush_reason, r.dropped_total) for r in out] == [(3, "idle", 2)]
     assert out[0]["items"] == ["m0", "m1", "m2"]

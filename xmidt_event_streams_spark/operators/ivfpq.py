@@ -905,7 +905,16 @@ def probe_ivfpq_index(
     # to EXACTLY queries x n_short rows before the collect (the
     # shuffle moves only partials, not the corpus).
     n_scan_parts = base.rdd.getNumPartitions()
-    if n_scan_parts * len(queries) * n_short > _DRIVER_MERGE_MAX_ROWS:
+    # byte-aware guard: with in-index refine each partial row carries
+    # dim SQ8 bytes + two doubles on top of the (id, dist) pair the
+    # row constant was sized for (~24 B), so scale the cap down by
+    # the per-row payload width -- a dim=512 refine collect would
+    # otherwise be ~20x heavier than the guard assumed
+    row_cap = _DRIVER_MERGE_MAX_ROWS
+    if in_index_refine:
+        dim = m * dsub
+        row_cap = max(1, (_DRIVER_MERGE_MAX_ROWS * 24) // (dim + 24))
+    if n_scan_parts * len(queries) * n_short > row_cap:
 
         def _merge_partials(batches):
             import pandas as pd

@@ -352,3 +352,388 @@ def chunk_embedding_tokens(
             *[F.slice(v, 1 + t * sub, sub) for t in range(n_tokens)]
         ),
     )
+
+
+# ------------------------------------------------------------------
+# In-index two-stage serving: the token matrices live IN the IVF
+# cells (SQ8-quantized), so the multi-vector rerank reads ZERO bytes
+# outside the probe's own scan -- the same pattern that made the
+# single-vector rerank fetch-free (operators/ivfpq.py refine='sq8').
+# ------------------------------------------------------------------
+
+_MAXSIM_META_FILE = "_xes_maxsim_index_meta.json"
+
+
+def write_maxsim_index(
+    docs: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+) -> None:
+    """Materialize the late-interaction serving index: one IVF layout
+    over the documents' MEAN-POOLED vectors, with each row carrying
+    its token matrix as an SQ8 payload (``tok_sq8`` = the row-major
+    token bytes, ``tok_lo``/``tok_step`` = per-TOKEN affine bounds --
+    ragged token counts fine, ``size(tok_lo)`` is the count).
+
+    Why in-index: :func:`maxsim_rerank_topk` pays a separate
+    ``fetch_by_ids`` Spark job for the shortlist's token matrices --
+    at 100 TB that is a second cluster round-trip per query batch.
+    Here the probe's own cell scan returns the shortlist's tokens, so
+    the two-stage search costs exactly the Spark jobs of a pooled-only
+    probe (pytest pins the equality). Payload cost: dim bytes/token
+    (8x smaller than float64) + 16 B/token bounds, read ONLY inside
+    probed cells; pooled-only probes column-prune it away entirely.
+
+    The layout is the package's standard cell-partitioned index
+    (partitioned by ``cell``, id-sorted files, centroid sidecar, file
+    manifest), so the shared machinery applies: manifest probes with
+    zero listing jobs (ivf.read_probed_cells), compaction
+    (ivf.compact_cell_index), takedown."""
+    import pandas as pd
+
+    from xmidt_event_streams_spark.operators.ivf import (
+        _sorted_by_id,
+        assign_cells,
+        refresh_files_manifest,
+    )
+    from xmidt_event_streams_spark.operators.sq import sq8_encode_block
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    dim = int(
+        docs.select(
+            F.size(F.element_at(F.col(vecs_col), 1)).alias("d")
+        )
+        .filter(F.col("d") > 0)
+        .limit(1)
+        .collect()[0]["d"]
+    )
+
+    enc_schema = (
+        f"`{id_col}` long, `embedding` array<double>, `tok_sq8` binary, "
+        "`tok_lo` array<double>, `tok_step` array<double>"
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            rows = {
+                id_col: [], "embedding": [], "tok_sq8": [],
+                "tok_lo": [], "tok_step": [],
+            }
+            for i, toks in zip(pdf[id_col], pdf[vecs_col]):
+                if toks is None or len(toks) == 0:
+                    continue  # poison rows: no tokens -> not indexable
+                m = np.asarray(list(toks), dtype=np.float64)
+                if m.ndim != 2 or m.shape[1] != dim:
+                    continue  # ragged dim: V9 containment, skip
+                raw, lo, step = sq8_encode_block(m)
+                rows[id_col].append(int(i))
+                rows["embedding"].append(m.mean(axis=0).tolist())
+                rows["tok_sq8"].append(b"".join(raw))
+                rows["tok_lo"].append([float(x) for x in lo])
+                rows["tok_step"].append([float(x) for x in step])
+            # explicit dtypes: an all-skipped batch would otherwise
+            # default its empty list columns to float64 ndarrays,
+            # which Arrow cannot convert to list<double>
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows[id_col], dtype="int64"),
+                    "embedding": pd.Series(
+                        rows["embedding"], dtype="object"
+                    ),
+                    "tok_sq8": pd.Series(rows["tok_sq8"], dtype="object"),
+                    "tok_lo": pd.Series(rows["tok_lo"], dtype="object"),
+                    "tok_step": pd.Series(
+                        rows["tok_step"], dtype="object"
+                    ),
+                }
+            )
+
+    encoded = docs.select(id_col, vecs_col).mapInPandas(
+        _encode, enc_schema
+    )
+    assigned = assign_cells(encoded, centroids, "embedding")
+    (
+        _sorted_by_id(assigned.repartition(F.col("cell")), id_col)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    write_json_sidecar(
+        docs.sparkSession,
+        path,
+        _MAXSIM_META_FILE,
+        {"centroids": centroids, "id_col": id_col, "dim": dim},
+    )
+    refresh_files_manifest(docs.sparkSession, path)
+
+
+def probe_maxsim_index(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[list[float]]]],
+    k_neighbors: int = 10,
+    n_probe: int = 4,
+    prefilter_c: int = 100,
+    pooled_only: bool = False,
+) -> DataFrame:
+    """Two-stage MaxSim search against a :func:`write_maxsim_index`
+    layout, fetch-free:
+
+      1. RETRIEVE: each query's mean-pooled vector probes its
+         ``n_probe`` nearest cells (driver-side, static pruning; the
+         probed cells' files come from the manifest -- no listing
+         job) and the scan keeps a per-query top-``prefilter_c``
+         shortlist by pooled cosine, CARRYING each candidate's SQ8
+         token payload from the same scan.
+      2. RERANK: driver-side numpy decodes the C x n_queries
+         shortlist's token matrices and re-scores with exact MaxSim
+         (sum over query tokens of the best-matching decoded doc
+         token) -- zero additional Spark actions, the ivfpq
+         refine='sq8' posture.
+
+    ``pooled_only=True`` skips stage 2 and never selects the payload
+    columns (the scan column-prunes them away): output
+    (query_id, id, cos_sim, rank) -- the job-count twin the zero-
+    extra-jobs pytest pin compares against.
+
+    Self-matches (id == query_id) are excluded, the retrieval-stage
+    contract shared with :func:`maxsim_rerank_topk`. Recall ceiling =
+    the pooled retriever's recall@C (a doc the shortlist never held
+    cannot be recovered), plus SQ8 reconstruction error on near-ties
+    -- both documented, both measured in the bench sidecar.
+    Output: query_id, {id_col}, maxsim, rank (maxsim descending)."""
+    import pandas as pd
+
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+    from xmidt_event_streams_spark.operators.ivf import (
+        _nearest_cells_driver,
+        read_probed_cells,
+    )
+    from xmidt_event_streams_spark.operators.ivfpq import (
+        _DRIVER_MERGE_MAX_ROWS,
+        _fold_into,
+    )
+
+    meta = read_json_sidecar(spark, path, _MAXSIM_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"no maxsim sidecar at {path}: build with write_maxsim_index"
+        )
+    centroids = meta["centroids"]
+    id_col = meta["id_col"]
+    dim = int(meta["dim"])
+    if not queries:
+        out_cols = "cos_sim" if pooled_only else "maxsim"
+        return spark.createDataFrame(
+            [], f"query_id long, `{id_col}` long, {out_cols} double, rank int"
+        )
+    qmats = {
+        int(qid): np.asarray(m, dtype=np.float64) for qid, m in queries
+    }
+    for qid, qm in qmats.items():
+        if qm.ndim != 2 or qm.shape[1] != dim:
+            raise ValueError(
+                f"query {qid}: token matrix shape {qm.shape} does not "
+                f"match index dim {dim}"
+            )
+    pooled = [(qid, qm.mean(axis=0)) for qid, qm in qmats.items()]
+    cells_per_q = _nearest_cells_driver(
+        [v.tolist() for _, v in pooled], centroids, n_probe
+    )
+    # cell -> (query ids, stacked pooled unit vectors): one matmul
+    # scores all of a cell's queries per batch (the LUT-batch idea)
+    by_cell: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for (qid, qv), cells in zip(pooled, cells_per_q):
+        nrm = np.linalg.norm(qv)
+        unit = qv / nrm if nrm > 0 else qv
+        for c in cells:
+            by_cell.setdefault(int(c), []).append((qid, unit))
+    qs_by_cell = {
+        c: (
+            np.asarray([q for q, _ in pairs], dtype=np.int64),
+            np.stack([u for _, u in pairs]),
+        )
+        for c, pairs in by_cell.items()
+    }
+
+    carry = not pooled_only
+    fields = [
+        StructField("query_id", LongType()),
+        StructField(id_col, LongType()),
+        StructField("cos_sim", DoubleType()),
+    ]
+    if carry:
+        from pyspark.sql.types import ArrayType, BinaryType
+
+        fields += [
+            StructField("tok_sq8", BinaryType()),
+            StructField("tok_lo", ArrayType(DoubleType())),
+            StructField("tok_step", ArrayType(DoubleType())),
+        ]
+    out_schema = StructType(fields)
+    n_short = k_neighbors if pooled_only else max(prefilter_c, k_neighbors)
+
+    def _score(batches):
+        best: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(emb, axis=1)
+            nrm[nrm == 0] = 1.0
+            unit = emb / nrm[:, None]
+            if carry:
+                sq8 = pdf["tok_sq8"].to_numpy()
+                lo = pdf["tok_lo"].to_numpy()
+                step = pdf["tok_step"].to_numpy()
+            for c, (qids, qunit) in qs_by_cell.items():
+                mask = cells == c
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                cmat = np.round(unit[mask] @ qunit.T, 6)  # (rows, q_c)
+                if carry:
+                    sub_extras = (sq8[mask], lo[mask], step[mask])
+                for qi, qid in enumerate(qids):
+                    keep = sub_ids != qid  # retrieval contract
+                    extras = (
+                        tuple(e[keep] for e in sub_extras) if carry else ()
+                    )
+                    _fold_into(
+                        best,
+                        int(qid),
+                        sub_ids[keep],
+                        -cmat[:, qi][keep],  # fold keeps SMALLEST
+                        n_short,
+                        extras,
+                    )
+        for qid, kept in best.items():
+            cols = {
+                "query_id": np.full(len(kept[0]), qid, dtype=np.int64),
+                id_col: kept[0],
+                "cos_sim": -kept[1],
+            }
+            if carry:
+                cols["tok_sq8"] = pd.Series(kept[2], dtype="object")
+                cols["tok_lo"] = pd.Series(list(kept[3]), dtype="object")
+                cols["tok_step"] = pd.Series(list(kept[4]), dtype="object")
+            yield pd.DataFrame(cols)
+
+    probed = sorted({int(c) for cs in cells_per_q for c in cs})
+    scan_cols = [id_col, "cell", "embedding"]
+    if carry:
+        scan_cols += ["tok_sq8", "tok_lo", "tok_step"]
+    base = (
+        read_probed_cells(spark, path, probed)
+        .filter(F.col("cell").isin(probed))
+        .select(*scan_cols)
+    )
+    scored = base.mapInPandas(_score, out_schema)
+    # driver merge guard, byte-aware like ivfpq's: a carried row is
+    # ~(avg tokens x (dim + 16)) bytes, estimated here from the
+    # scan's own shortlist being bounded by C x queries x partitions
+    n_scan_parts = base.rdd.getNumPartitions()
+    row_cap = _DRIVER_MERGE_MAX_ROWS
+    if carry:
+        row_cap = max(1, (_DRIVER_MERGE_MAX_ROWS * 24) // (4 * (dim + 16)))
+    if n_scan_parts * len(queries) * n_short > row_cap:
+        # fold partials to exactly queries x n_short rows BEFORE the
+        # collect: the shuffle moves shortlist partials, not cells
+        def _merge_partials(batches):
+            best: dict = {}
+            for pdf in batches:
+                for qid, g in pdf.groupby("query_id"):
+                    extras = (
+                        (
+                            g["tok_sq8"].to_numpy(),
+                            g["tok_lo"].to_numpy(),
+                            g["tok_step"].to_numpy(),
+                        )
+                        if carry
+                        else ()
+                    )
+                    _fold_into(
+                        best,
+                        int(qid),
+                        g[id_col].to_numpy(),
+                        -g["cos_sim"].to_numpy(dtype="float64"),
+                        n_short,
+                        extras,
+                    )
+            for qid, kept in best.items():
+                cols = {
+                    "query_id": np.full(len(kept[0]), qid, dtype=np.int64),
+                    id_col: kept[0],
+                    "cos_sim": -kept[1],
+                }
+                if carry:
+                    cols["tok_sq8"] = pd.Series(kept[2], dtype="object")
+                    cols["tok_lo"] = pd.Series(list(kept[3]), dtype="object")
+                    cols["tok_step"] = pd.Series(
+                        list(kept[4]), dtype="object"
+                    )
+                yield pd.DataFrame(cols)
+
+        scored = scored.repartition("query_id").mapInPandas(
+            _merge_partials, out_schema
+        )
+
+    partials = scored.collect()
+    merged: dict = {}
+    for r in partials:
+        payload = (
+            (bytes(r["tok_sq8"]), list(r["tok_lo"]), list(r["tok_step"]))
+            if carry
+            else ()
+        )
+        merged.setdefault(int(r["query_id"]), []).append(
+            (-float(r["cos_sim"]), int(r[id_col]), *payload)
+        )
+
+    if pooled_only:
+        rows_out = []
+        for qid, cand in merged.items():
+            cand.sort()
+            rows_out.extend(
+                (qid, cid, round(-negcos, 6), rank)
+                for rank, (negcos, cid) in enumerate(
+                    cand[:k_neighbors], start=1
+                )
+            )
+        return spark.createDataFrame(
+            rows_out, f"query_id long, `{id_col}` long, cos_sim double, rank int"
+        )
+
+    rows_out = []
+    for qid, cand in merged.items():
+        cand.sort()
+        cand = cand[:n_short]
+        # decode all candidates' tokens into one flat block and score
+        # with the shared kernel -- one reduceat, no per-doc loop
+        mats = []
+        for _negcos, _cid, raw, lo, step in cand:
+            t = len(lo)
+            q = np.frombuffer(raw, dtype=np.uint8).reshape(t, dim)
+            mats.append(
+                np.asarray(lo)[:, None] + np.asarray(step)[:, None] * q
+            )
+        flat = np.concatenate(mats, axis=0)
+        lens = np.asarray([m.shape[0] for m in mats])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        scores = np.round(
+            maxsim_score_block(flat, starts, qmats[qid]), 6
+        )
+        order = sorted(
+            range(len(cand)), key=lambda i: (-scores[i], cand[i][1])
+        )[:k_neighbors]
+        rows_out.extend(
+            (qid, cand[i][1], float(scores[i]), rank)
+            for rank, i in enumerate(order, start=1)
+        )
+    return spark.createDataFrame(
+        rows_out, f"query_id long, `{id_col}` long, maxsim double, rank int"
+    )
