@@ -588,6 +588,47 @@ def ann_bench(spark) -> dict:
                 rerank=rerank_c, vectors=corpus,
             ).collect()
         )
+        # OPQ x IVF-PQ composition (r9, the FAISS `OPQd,IVFx,PQy`
+        # shape; USAGE.md's recipe): rotate the corpus with the OPQ
+        # rotation already fit above, fit+build residual IVF-PQ in
+        # ROTATED space, rotate queries driver-side, probe at the
+        # plain arm's chosen operating point. L2 is rotation-
+        # invariant, so recall vs the ORIGINAL-space exact top-10 is
+        # apples-to-apples with every other arm.
+        from xmidt_event_streams_spark.operators.opq import (
+            rotate_vectors,
+        )
+
+        opq_ixdir = f"{ixdir}_opq"
+        Rm = np.stack([np.asarray(r, dtype=np.float64) for r in opq_R])
+        rot = rotate_vectors(corpus, opq_R, "embedding", out_col="emb_r")
+        t0 = time.perf_counter()
+        ocents, ocbs = ivfpq_fit(
+            rot.filter(F.col("vec_id") % 10 == 0),
+            m=m, k=k_codes, n_iters=2, corpus_rows=n, vec_col="emb_r",
+        )
+        opq_ivfpq_fit_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        write_ivfpq_index(
+            rot, opq_ixdir, ocents, ocbs, vec_col="emb_r", refine="sq8"
+        )
+        opq_ivfpq_build_sec = round(time.perf_counter() - t0, 3)
+        oqrows = [
+            (qid, list(np.asarray(qv, dtype=np.float64) @ Rm))
+            for qid, qv in qrows
+        ]
+        opq_ivfpq_rows, opq_ivfpq_sec = _warm2(
+            lambda: probe_ivfpq_index(
+                spark, opq_ixdir, oqrows, topk, n_probe=n_probe,
+            ).collect()
+        )
+        opq_ivfpq_rr_rows, opq_ivfpq_rr_sec = _warm2(
+            lambda: probe_ivfpq_index(
+                spark, opq_ixdir, oqrows, topk, n_probe=n_probe,
+                rerank=rerank_c,
+            ).collect()
+        )
+        shutil.rmtree(opq_ixdir, ignore_errors=True)
         # the quantity that scales: fraction of index bytes the pruned
         # probe touches (locally the search is overhead-bound -- a few
         # hundred cells of m-int codes is nothing -- but at 100 TB
@@ -710,6 +751,23 @@ def ann_bench(spark) -> dict:
         ),
         "ivfpq_rerank_exact_recall_at_10": ivfpq_rrx_recall,
         "refine_bytes_per_row": dim + 16,
+        # OPQ pre-rotation ahead of residual IVF-PQ (r9; the FAISS
+        # `OPQd,IVFx,PQy` composition) at the plain arm's operating
+        # point and the SAME bytes/row -- the frontier that decides
+        # whether the learned rotation becomes the fit default
+        # (decision recorded in USAGE.md)
+        "ivfpq_opq": {
+            "fit_sec": opq_ivfpq_fit_sec,
+            "build_sec": opq_ivfpq_build_sec,
+            "search_sec": opq_ivfpq_sec,
+            "speedup_search": round(brute_sec / opq_ivfpq_sec, 2),
+            "recall_at_10": _recall_vs_exact(opq_ivfpq_rows),
+            "rerank_search_sec": opq_ivfpq_rr_sec,
+            "rerank_speedup_search": round(
+                brute_sec / opq_ivfpq_rr_sec, 2
+            ),
+            "rerank_recall_at_10": _recall_vs_exact(opq_ivfpq_rr_rows),
+        },
     }
 
 

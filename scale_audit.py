@@ -187,6 +187,53 @@ def compute_flags(
     return flags
 
 
+_FETCH_SCAN_EXP_FLAG = 0.9
+
+# constant-output fetch arms whose linear scan growth is a property
+# of the MEASUREMENT GEOMETRY, not a pruning regression -- flagged
+# WITH the waiver text, never silently
+FETCH_SCAN_WAIVERS = {
+    "fetch": (
+        "scattered candidate geometry: 64 uniform runs place one "
+        "interval in essentially every row group, so row-group "
+        "pruning cannot drop any at the small store (frac 1.0) and "
+        "the fraction halves per 10x as group count outgrows run "
+        "count; the production shortlist shape is the clustered arm "
+        "(fetch_clustered), which prunes to <0.10 at both sizes"
+    ),
+}
+
+
+def fetch_scan_flags(
+    name: str, small: dict, big: dict, exps: dict
+) -> list[str]:
+    """r9 rule (the r8 audit's blind spot): a fetch whose OUTPUT is
+    constant across the store-size step but whose scan shows pruning
+    not engaging -- scanned rows growing ~linearly (e >= 0.9), OR the
+    small store scanned essentially in full (frac >= 0.9) -- is
+    exactly the regression class this audit exists to catch. Pure so
+    tests pin it."""
+    flags: list[str] = []
+    e_rows = exps.get("rows_scanned")
+    frac_small = small.get("rows_scanned_frac")
+    linear = e_rows is not None and e_rows >= _FETCH_SCAN_EXP_FLAG
+    unpruned = frac_small is not None and frac_small >= 0.9
+    if small.get("rows_fetched") == big.get("rows_fetched") and (
+        linear or unpruned
+    ):
+        note = (
+            f"linear_scan_on_constant_fetch: rows_scanned e={e_rows}, "
+            f"small-store frac={frac_small} "
+            f"({small['rows_scanned']} -> {big['rows_scanned']}) for a "
+            f"constant {big.get('rows_fetched')}-row fetch"
+        )
+        waiver = FETCH_SCAN_WAIVERS.get(name)
+        if waiver:
+            note += f" -- WAIVED: {waiver}"
+        flags.append(note)
+    return flags
+
+
 def audit_query(
     spark,
     fn,
@@ -354,6 +401,34 @@ def _measure_index_paths(spark, n: int, tmpdir: str) -> dict:
     fetch["rows_scanned"] = scan_output_rows(fdf)
     fetch["rows_scanned_frac"] = round(fetch["rows_scanned"] / n, 4)
 
+    # clustered fetch (r9): the PRODUCTION shortlist shape after the
+    # id-sort compaction fix -- candidate ids arrive as a few dense
+    # runs (gap-coalesced rerank shortlists, snapshot point lookups),
+    # so the pushed range cover lands in a handful of row groups and
+    # pruning drops the rest. The scattered arm above is the
+    # adversarial geometry (one interval per row group, nothing
+    # prunable at the small store); this arm is the evidence that the
+    # store's pruning DOES engage when the id set is prunable. Same
+    # constant output size at both store sizes.
+    cl_ids = [
+        i
+        for start in (n // 7, (5 * n) // 9)
+        for i in range(start, start + 100)
+    ]
+    cdf = fetch_by_ids(corpus, cl_ids, id_col="vec_id").select("vec_id")
+    cgot = len(cdf.collect())
+    fetch_cl = _acc()
+    _walk(cdf._jdf.queryExecution().executedPlan(), fetch_cl)
+    t0 = time.perf_counter()
+    fetch_by_ids(corpus, cl_ids, id_col="vec_id").select(
+        "vec_id"
+    ).collect()
+    fetch_cl["sec"] = round(time.perf_counter() - t0, 3)
+    fetch_cl["ids_requested"] = len(set(cl_ids))
+    fetch_cl["rows_fetched"] = cgot
+    fetch_cl["rows_scanned"] = scan_output_rows(cdf)
+    fetch_cl["rows_scanned_frac"] = round(fetch_cl["rows_scanned"] / n, 4)
+
     # in-index SQ8 refine probe (r8b): a SEPARATE refine-built index
     # so the plain probe's scan_bytes channel above stays comparable
     # across rounds (filesSize counts whole files; the refine payload
@@ -386,7 +461,12 @@ def _measure_index_paths(spark, n: int, tmpdir: str) -> dict:
     refine["rows_scanned_frac"] = round(rscanned / n, 4)
     refine["probed_cells"] = len(probed)
     refine["n_cells"] = len(cents)
-    return {"probe": probe, "fetch": fetch, "refine_probe": refine}
+    return {
+        "probe": probe,
+        "fetch": fetch,
+        "fetch_clustered": fetch_cl,
+        "refine_probe": refine,
+    }
 
 
 def audit_index_paths(spark) -> dict:
@@ -403,7 +483,7 @@ def audit_index_paths(spark) -> dict:
         shutil.rmtree(tmpdir, ignore_errors=True)
     ratio = _IDX_N_BIG / _IDX_N_SMALL
     out: dict = {"n_small": _IDX_N_SMALL, "n_big": _IDX_N_BIG}
-    for part in ("probe", "fetch", "refine_probe"):
+    for part in ("probe", "fetch", "fetch_clustered", "refine_probe"):
         s, b = small[part], big[part]
         exps = {
             ch: exponent(s[ch], b[ch], ratio)
@@ -412,11 +492,14 @@ def audit_index_paths(spark) -> dict:
         exps["rows_scanned"] = exponent(
             s["rows_scanned"], b["rows_scanned"], ratio
         )
+        flags = compute_flags(None, s, b, exps, ratio)
+        if part.startswith("fetch"):
+            flags += fetch_scan_flags(part, s, b, exps)
         out[part] = {
             "small": s,
             "big": b,
             "exponents": exps,
-            "flags": compute_flags(None, s, b, exps, ratio),
+            "flags": flags,
         }
     return out
 
@@ -449,7 +532,7 @@ def main() -> None:
     index_paths = audit_index_paths(spark)
 
     flagged = {n: r["flags"] for n, r in out.items() if r["flags"]}
-    for part in ("probe", "fetch"):
+    for part in ("probe", "fetch", "fetch_clustered", "refine_probe"):
         if index_paths[part]["flags"]:
             flagged[f"index_paths.{part}"] = index_paths[part]["flags"]
     artifact = {

@@ -344,6 +344,51 @@ class TestSwapRecovery:
         assert report[clean]["completed"] == []
         assert report[clean]["removed"] == []
 
+    def test_two_complete_tmps_newest_wins(self, spark, tmp_path):
+        """r9 (ADVICE fix): with BOTH suffixes holding complete tmps
+        and dst missing, the most recently MODIFIED tmp is the later
+        maintenance attempt and must win -- suffix order would
+        resurrect the older layout. Completeness is the committer's
+        _SUCCESS marker, not an any-parquet sniff (a marker-less tmp
+        with data files is a crashed partial write and must refuse)."""
+        import os
+        import shutil
+        import time as _t
+
+        from xmidt_event_streams_spark.fsutil import recover_swap
+
+        path = str(tmp_path / "ix")
+        self._index(spark, path)
+        older = path + "__compact_tmp"
+        shutil.copytree(path, older)
+        _t.sleep(0.05)
+        newer = path + "__rebuild_tmp"
+        shutil.copytree(path, newer)
+        os.utime(older, (_t.time() - 3600, _t.time() - 3600))
+        shutil.rmtree(path)
+        out = recover_swap(spark, path)
+        assert out["completed"] == [newer]
+        assert out["removed"] == [older]
+
+    def test_partial_write_without_success_marker_refuses(
+        self, spark, tmp_path
+    ):
+        import os
+        import shutil
+
+        import pytest
+
+        from xmidt_event_streams_spark.fsutil import recover_swap
+
+        path = str(tmp_path / "ix")
+        self._index(spark, path)
+        tmp = path + "__compact_tmp"
+        shutil.copytree(path, tmp)
+        os.remove(os.path.join(tmp, "_SUCCESS"))  # crashed mid-write
+        shutil.rmtree(path)
+        with pytest.raises(IOError, match="recover by hand"):
+            recover_swap(spark, path)
+
     def test_incomplete_tmp_does_not_block_completable_one(
         self, spark, tmp_path
     ):

@@ -202,3 +202,87 @@ def test_superlinear_shuffle_is_flagged():
     # linear shuffle (e ~ 1): not flagged
     s, b, e = vols(25_000, 250_000)
     assert not compute_flags("some_query", s, b, e, 10.0)
+
+
+def test_constant_fetch_linear_scan_is_flagged():
+    """r9 rule: a constant-output fetch whose scanned rows grow at
+    e >= 0.9 across the store step must flag (pruning silently off is
+    exactly the regression the audit exists to catch); the scattered
+    arm's known geometry carries its waiver text, visibly."""
+    from scale_audit import fetch_scan_flags
+
+    small = {
+        "rows_fetched": 643, "rows_scanned": 125_000,
+        "rows_scanned_frac": 1.0,
+    }
+    big = {
+        "rows_fetched": 643, "rows_scanned": 1_200_000,
+        "rows_scanned_frac": 0.96,
+    }
+    exps = {"rows_scanned": 0.98}
+    got = fetch_scan_flags("fetch_clustered", small, big, exps)
+    assert got and "linear_scan_on_constant_fetch" in got[0]
+    assert "WAIVED" not in got[0]  # the clustered arm has no waiver
+    waived = fetch_scan_flags("fetch", small, big, exps)
+    assert waived and "WAIVED" in waived[0]
+    # an unpruned SMALL store flags even when the exponent is
+    # sublinear (the r8 scattered arm's shape: frac 1.0 -> 0.54,
+    # e=0.73 -- the audit must not stay silent on a full-store scan
+    # for a constant fetch)
+    got = fetch_scan_flags(
+        "fetch_clustered",
+        {"rows_fetched": 643, "rows_scanned": 125_000,
+         "rows_scanned_frac": 1.0},
+        {"rows_fetched": 643, "rows_scanned": 680_000,
+         "rows_scanned_frac": 0.54},
+        {"rows_scanned": 0.73},
+    )
+    assert got and "linear_scan_on_constant_fetch" in got[0]
+    # growing output explains growing scan: no flag
+    assert fetch_scan_flags(
+        "fetch_clustered",
+        {"rows_fetched": 100, "rows_scanned": 10_000,
+         "rows_scanned_frac": 0.08},
+        {"rows_fetched": 1_000, "rows_scanned": 100_000,
+         "rows_scanned_frac": 0.08},
+        {"rows_scanned": 1.0},
+    ) == []
+    # pruned and sublinear: no flag
+    assert fetch_scan_flags(
+        "fetch_clustered",
+        {"rows_fetched": 643, "rows_scanned": 8_000,
+         "rows_scanned_frac": 0.064},
+        {"rows_fetched": 643, "rows_scanned": 38_000,
+         "rows_scanned_frac": 0.03},
+        {"rows_scanned": 0.68},
+    ) == []
+
+
+def test_checked_in_artifact_has_clustered_fetch_arm():
+    """The committed artifact must carry the r9 clustered-fetch arm
+    (the production shortlist geometry) proving row-group pruning
+    engages: scanned fraction < 0.10 at BOTH store sizes -- and the
+    scattered arm's linear scan must be flagged WITH its waiver, not
+    silent (the r8 audit's blind spot)."""
+    import json
+    from pathlib import Path
+
+    artifact = json.loads(
+        (Path(__file__).resolve().parent.parent / "SCALE_AUDIT.json")
+        .read_text()
+    )
+    ip = artifact["index_paths"]
+    cl = ip.get("fetch_clustered")
+    assert cl, "regenerate SCALE_AUDIT.json: no fetch_clustered arm"
+    assert cl["small"]["rows_scanned_frac"] < 0.10, cl["small"]
+    assert cl["big"]["rows_scanned_frac"] < 0.10, cl["big"]
+    assert cl["small"]["rows_fetched"] == cl["big"]["rows_fetched"]
+    assert not any(
+        "linear_scan_on_constant_fetch" in f and "WAIVED" not in f
+        for f in cl["flags"]
+    ), cl["flags"]
+    # the scattered arm's geometry-driven linear scan is flagged+waived
+    assert any(
+        "linear_scan_on_constant_fetch" in f and "WAIVED" in f
+        for f in ip["fetch"]["flags"]
+    ), ip["fetch"]["flags"]

@@ -199,10 +199,15 @@ def recover_swap(spark: SparkSession, path: str) -> dict:
 
       * tmp exists, dst MISSING (crashed between delete and rename):
         the tmp dir IS the complete replacement -- finish the rename.
-        A tmp that does not look like a finished write (no parquet
-        data file) is NOT renamed; that state is unreachable from
-        this package's writers (tmp is fully written before any swap
-        starts) and gets a loud error instead of garbage-in-place.
+        Completeness = the write committer's own ``_SUCCESS`` marker
+        at the tmp root (r9; the old any-parquet sniff accepted a
+        crashed PARTIAL write whose first data file had landed, and
+        rejected a legitimately empty committed compaction). A tmp
+        without the marker is NOT renamed; that state is unreachable
+        from this package's writers and gets a loud error instead of
+        garbage-in-place. When BOTH suffixes hold complete tmps, the
+        most recently MODIFIED one wins (it is the later maintenance
+        attempt) -- never suffix order.
       * tmp exists, dst exists (crashed before the swap started, or
         mid-tmp-write): dst is live and authoritative -- the stale
         tmp is deleted.
@@ -216,28 +221,35 @@ def recover_swap(spark: SparkSession, path: str) -> dict:
         tname = path.rstrip("/") + suf
         tpath = jvm.org.apache.hadoop.fs.Path(tname)
         if fs.exists(tpath):
-            present.append((tname, tpath, _has_parquet_recursive(fs, tpath)))
+            complete = fs.exists(
+                jvm.org.apache.hadoop.fs.Path(tname + "/_SUCCESS")
+            )
+            mtime = fs.getFileStatus(tpath).getModificationTime()
+            present.append((tname, tpath, complete, mtime))
     # PHASE 1 -- complete a crashed swap first: with dst missing, the
-    # first COMPLETE tmp is renamed into place. Doing this before any
+    # NEWEST complete tmp is renamed into place. Doing this before any
     # stale-tmp handling means an unrelated incomplete tmp (e.g. a
     # long-dead __compact_tmp) cannot block healing a completable
-    # __rebuild_tmp -- and once dst is restored, that incomplete tmp
-    # is just stale and is deleted in phase 2 instead of raising.
+    # __rebuild_tmp -- and once dst is restored, every other tmp
+    # (complete or not) is just stale and is deleted in phase 2
+    # instead of raising.
     if not fs.exists(hdst):
-        for tname, tpath, has_data in present:
-            if not has_data:
-                continue
+        candidates = sorted(
+            (p for p in present if p[2]),
+            key=lambda p: p[3],
+            reverse=True,
+        )
+        for tname, tpath, _complete, _mtime in candidates[:1]:
             if not fs.rename(tpath, hdst):
                 raise IOError(
                     f"crash recovery rename failed: {tname} -> {path}"
                 )
             spark.catalog.refreshByPath(path)
             out["completed"].append(tname)
-            break
     # PHASE 2 -- with dst live (pre-existing or just restored), every
     # remaining tmp is stale and deleted; if dst is STILL missing,
     # only incomplete tmps remain and that is a hand-recovery state.
-    for tname, tpath, _has in present:
+    for tname, tpath, _complete, _mtime in present:
         if tname in out["completed"]:
             continue
         if fs.exists(hdst):
@@ -246,16 +258,8 @@ def recover_swap(spark: SparkSession, path: str) -> dict:
         else:
             raise IOError(
                 f"crash recovery at {path}: {tname} exists, the index "
-                "is missing, and no tmp holds parquet data -- "
-                "refusing to rename an incomplete replacement into "
-                "place; recover by hand"
+                "is missing, and no tmp carries the committer's "
+                "_SUCCESS marker -- refusing to rename an incomplete "
+                "replacement into place; recover by hand"
             )
     return out
-
-
-def _has_parquet_recursive(fs, tpath) -> bool:
-    it = fs.listFiles(tpath, True)
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            return True
-    return False

@@ -148,17 +148,31 @@ def opq_fit(
         )
         return R, cb, err
 
-    # TWO starts, keep the lower final distortion: the eigen-
+    # THREE candidates, keep the lowest final distortion. The eigen-
     # allocation init wins when variance is concentrated/correlated
     # across the fixed blocks (the regime OPQ exists for), but on
     # corpora whose natural blocks are already balanced it can land
     # in a WORSE basin than the identity (measured on a normalized
     # random-mixed corpus: 0.235 vs 0.203 sample distortion, and the
-    # alternation does not recover). The identity start's first
-    # codebook fit IS plain PQ and each alternation step is monotone
-    # non-increasing in the joint objective, so taking the min
-    # guarantees OPQ never quantizes worse than PQ on the sample.
+    # alternation does not recover). The alternation is NOT strictly
+    # monotone here -- each step refits codebooks from a fresh fixed
+    # Lloyd init rather than warm-starting, so a step can regress --
+    # which is why plain PQ (identity rotation, one codebook fit) is
+    # its own explicit candidate: the min is what GUARANTEES the fit
+    # never quantizes worse than PQ on the sample, empirically and by
+    # construction, rather than by a monotonicity argument the code
+    # does not satisfy.
+    def _pq_only():
+        cb = _lloyd_l2_subspaces(X, m, k, n_iters)
+        err = float(
+            ((X - _reconstruct(_encode_block(X, cb), cb)) ** 2)
+            .sum(axis=1)
+            .mean()
+        )
+        return np.eye(dim), cb, err
+
     cand = [
+        _pq_only(),
         _alternate(np.eye(dim)),
         _alternate(eigenvalue_allocation_init(X, m)),
     ]
