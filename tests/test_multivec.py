@@ -505,3 +505,39 @@ class TestInIndexMaxSim:
             n_probe=2, prefilter_c=100,
         ).collect()
         assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
+
+    def test_compact_and_takedown_preserve_probe(self, spark, tmp_path):
+        """The maxsim index rides the family's shared lifecycle:
+        compact_maxsim_index dedups/rewrites through the shared
+        compactor (manifest regenerated, id-sort preserved) and
+        tombstoned ids disappear from probes while every other
+        result row is bit-identical."""
+        from xmidt_event_streams_spark.operators.multivec import (
+            compact_maxsim_index,
+            probe_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+
+        def probe():
+            return sorted(
+                (r["query_id"], r["doc_id"], r["maxsim"])
+                for r in probe_maxsim_index(
+                    spark, path, queries, k_neighbors=50, n_probe=4,
+                    prefilter_c=1000,
+                ).collect()
+            )
+
+        before = probe()
+        out = compact_maxsim_index(spark, path)
+        assert out["rows_after"] == out["rows_before"]
+        assert probe() == before  # pure rewrite: results identical
+        victims = {int(before[0][1]), int(before[1][1])}
+        compact_maxsim_index(spark, path, tombstones=sorted(victims))
+        after = probe()
+        assert not {d for _, d, _ in after} & victims
+        # every surviving before-row keeps its exact score (removal
+        # can only ADD new tail entries, never perturb the rest)
+        assert {t for t in before if t[1] not in victims} <= set(after)

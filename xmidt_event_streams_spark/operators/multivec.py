@@ -737,3 +737,35 @@ def probe_maxsim_index(
     return spark.createDataFrame(
         rows_out, f"query_id long, `{id_col}` long, maxsim double, rank int"
     )
+
+
+def compact_maxsim_index(
+    spark, path: str, tombstones=None
+) -> dict:
+    """Compact/takedown for the MaxSim serving index via the shared
+    cell-partitioned-index compactor (ivf.compact_cell_index): the
+    layout is the family standard, so dedup-by-id, tombstone excision,
+    one-file-per-cell rewrite, id-sort preservation, manifest
+    regeneration and the atomic swap (with recover_swap crash
+    recovery) all apply unchanged. ``tombstones`` = ids to remove
+    (the right-to-be-forgotten path for indexed documents)."""
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+    from xmidt_event_streams_spark.operators.ivf import (
+        compact_cell_index,
+    )
+
+    meta = read_json_sidecar(spark, path, _MAXSIM_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"no maxsim sidecar at {path}: not a write_maxsim_index "
+            "layout"
+        )
+    return compact_cell_index(
+        spark,
+        path,
+        meta,
+        _MAXSIM_META_FILE,
+        content_col="tok_sq8",
+        id_col=meta["id_col"],
+        tombstones=tombstones,
+    )
