@@ -200,3 +200,116 @@ def test_full_takedown_interval_empties_index_without_crash(
         for row in probe_ivf_index(spark, ix, qdf, k=2, n_probe=2).collect()
     ]
     assert 100 in got
+
+
+def _toks(i: int, t: int = 3, dim: int = 8) -> list[list[float]]:
+    rng = np.random.default_rng(10_000 + i)
+    m = rng.normal(size=(t, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return [[float(x) for x in r] for r in m]
+
+
+class TestMaxsimSync:
+    """The late-interaction tier follows a snapshot table of
+    multi-vector documents: deletes stop answering MaxSim probes,
+    updates answer with their NEW token matrices, inserts appear --
+    all through the shared checkpointed harness."""
+
+    def _mk_doc_table(self, spark, tmp_path, n=40):
+        from xmidt_event_streams_spark.operators.snapshots import (
+            snapshot_create,
+        )
+
+        table = str(tmp_path / "dtab")
+        rows = [(int(i), _toks(i)) for i in range(n)]
+        snapshot_create(
+            spark.createDataFrame(
+                rows, "doc_id long, token_vecs array<array<double>>"
+            ),
+            table,
+            "doc_id",
+        )
+        return table
+
+    def _merge_docs(self, spark, table, upserts=(), deletes=()):
+        from xmidt_event_streams_spark.operators.snapshots import (
+            snapshot_merge,
+        )
+
+        ups = spark.createDataFrame(
+            [(int(i), m) for i, m in upserts] or [],
+            "doc_id long, token_vecs array<array<double>>",
+        ).withColumn("_deleted", F.lit(False))
+        tomb = spark.createDataFrame(
+            [(int(i), _toks(i)) for i in deletes] or [],
+            "doc_id long, token_vecs array<array<double>>",
+        ).withColumn("_deleted", F.lit(True))
+        snapshot_merge(spark, table, ups.unionByName(tomb))
+
+    def test_bootstrap_merge_propagation(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+            sync_maxsim_with_snapshot,
+        )
+
+        table = self._mk_doc_table(spark, tmp_path)
+        ix = str(tmp_path / "mvix")
+        ck = str(tmp_path / "ck")
+        r = sync_maxsim_with_snapshot(
+            spark, table, ix, ck, n_cells=4
+        )
+        assert r["intervals"] == 0 and r["appended"] == 40
+
+        def hits(qid):
+            return {
+                row["doc_id"]: row["maxsim"]
+                for row in probe_maxsim_index(
+                    spark, ix, [(qid, _toks(qid))], k_neighbors=40,
+                    n_probe=4, prefilter_c=1000,
+                ).collect()
+            }
+
+        base = hits(0)
+        assert 1 in base and 0 not in base  # self excluded
+        # delete 1, update 2 with a NEW token matrix, insert 77
+        new_m = _toks(2_000_002)
+        self._merge_docs(
+            spark, table, upserts=[(2, new_m), (77, _toks(77))],
+            deletes=[1],
+        )
+        r2 = sync_maxsim_with_snapshot(spark, table, ix, ck, n_cells=4)
+        assert r2["intervals"] >= 1 and r2["removed"] >= 1
+        after = hits(0)
+        assert 1 not in after  # takedown propagated
+        assert 77 in after  # insert landed
+        # the updated doc answers with its NEW matrix: probing with
+        # the new matrix as the query now scores doc 2 as (near) its
+        # own content, far above its old random alignment
+        q_new = hits_q = {
+            row["doc_id"]: row["maxsim"]
+            for row in probe_maxsim_index(
+                spark, ix, [(999, new_m)], k_neighbors=5, n_probe=4,
+                prefilter_c=1000,
+            ).collect()
+        }
+        assert 2 in q_new
+        assert q_new[2] == max(q_new.values())
+
+    def test_fork_refusal(self, spark, tmp_path):
+        import pytest
+
+        from xmidt_event_streams_spark.operators.multivec import (
+            sync_maxsim_with_snapshot,
+        )
+
+        table = self._mk_doc_table(spark, tmp_path, n=10)
+        ix = str(tmp_path / "mvix")
+        sync_maxsim_with_snapshot(
+            spark, table, ix, str(tmp_path / "ck1"), n_cells=2
+        )
+        # a FRESH checkpoint against the existing index must refuse
+        # (it cannot know which intervals the index already folded)
+        with pytest.raises(ValueError, match="checkpoint"):
+            sync_maxsim_with_snapshot(
+                spark, table, ix, str(tmp_path / "ck2"), n_cells=2
+            )

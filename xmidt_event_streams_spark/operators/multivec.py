@@ -364,51 +364,14 @@ def chunk_embedding_tokens(
 _MAXSIM_META_FILE = "_xes_maxsim_index_meta.json"
 
 
-def write_maxsim_index(
-    docs: DataFrame,
-    path: str,
-    centroids: list[list[float]],
-    id_col: str = "doc_id",
-    vecs_col: str = "token_vecs",
-) -> None:
-    """Materialize the late-interaction serving index: one IVF layout
-    over the documents' MEAN-POOLED vectors, with each row carrying
-    its token matrix as an SQ8 payload (``tok_sq8`` = the row-major
-    token bytes, ``tok_lo``/``tok_step`` = per-TOKEN affine bounds --
-    ragged token counts fine, ``size(tok_lo)`` is the count).
-
-    Why in-index: :func:`maxsim_rerank_topk` pays a separate
-    ``fetch_by_ids`` Spark job for the shortlist's token matrices --
-    at 100 TB that is a second cluster round-trip per query batch.
-    Here the probe's own cell scan returns the shortlist's tokens, so
-    the two-stage search costs exactly the Spark jobs of a pooled-only
-    probe (pytest pins the equality). Payload cost: dim bytes/token
-    (8x smaller than float64) + 16 B/token bounds, read ONLY inside
-    probed cells; pooled-only probes column-prune it away entirely.
-
-    The layout is the package's standard cell-partitioned index
-    (partitioned by ``cell``, id-sorted files, centroid sidecar, file
-    manifest), so the shared machinery applies: manifest probes with
-    zero listing jobs (ivf.read_probed_cells), compaction
-    (ivf.compact_cell_index), takedown."""
+def _encode_tokens(docs, dim: int, id_col: str, vecs_col: str):
+    """(id, pooled embedding, SQ8 token payload) in one Arrow pass --
+    the encode kernel write_maxsim_index and append_to_maxsim_index
+    share. Poison rows (null/empty token lists, ragged dims) are
+    skipped -- V9 containment, same posture as the vector writers."""
     import pandas as pd
 
-    from xmidt_event_streams_spark.operators.ivf import (
-        _sorted_by_id,
-        assign_cells,
-        refresh_files_manifest,
-    )
     from xmidt_event_streams_spark.operators.sq import sq8_encode_block
-    from xmidt_event_streams_spark.fsutil import write_json_sidecar
-
-    dim = int(
-        docs.select(
-            F.size(F.element_at(F.col(vecs_col), 1)).alias("d")
-        )
-        .filter(F.col("d") > 0)
-        .limit(1)
-        .collect()[0]["d"]
-    )
 
     enc_schema = (
         f"`{id_col}` long, `embedding` array<double>, `tok_sq8` binary, "
@@ -450,9 +413,52 @@ def write_maxsim_index(
                 }
             )
 
-    encoded = docs.select(id_col, vecs_col).mapInPandas(
-        _encode, enc_schema
+    return docs.select(id_col, vecs_col).mapInPandas(_encode, enc_schema)
+
+
+def write_maxsim_index(
+    docs: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+) -> None:
+    """Materialize the late-interaction serving index: one IVF layout
+    over the documents' MEAN-POOLED vectors, with each row carrying
+    its token matrix as an SQ8 payload (``tok_sq8`` = the row-major
+    token bytes, ``tok_lo``/``tok_step`` = per-TOKEN affine bounds --
+    ragged token counts fine, ``size(tok_lo)`` is the count).
+
+    Why in-index: :func:`maxsim_rerank_topk` pays a separate
+    ``fetch_by_ids`` Spark job for the shortlist's token matrices --
+    at 100 TB that is a second cluster round-trip per query batch.
+    Here the probe's own cell scan returns the shortlist's tokens, so
+    the two-stage search costs exactly the Spark jobs of a pooled-only
+    probe (pytest pins the equality). Payload cost: dim bytes/token
+    (8x smaller than float64) + 16 B/token bounds, read ONLY inside
+    probed cells; pooled-only probes column-prune it away entirely.
+
+    The layout is the package's standard cell-partitioned index
+    (partitioned by ``cell``, id-sorted files, centroid sidecar, file
+    manifest), so the shared machinery applies: manifest probes with
+    zero listing jobs (ivf.read_probed_cells), compaction
+    (ivf.compact_cell_index), takedown."""
+    from xmidt_event_streams_spark.operators.ivf import (
+        _sorted_by_id,
+        assign_cells,
+        refresh_files_manifest,
     )
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    dim = int(
+        docs.select(
+            F.size(F.element_at(F.col(vecs_col), 1)).alias("d")
+        )
+        .filter(F.col("d") > 0)
+        .limit(1)
+        .collect()[0]["d"]
+    )
+    encoded = _encode_tokens(docs, dim, id_col, vecs_col)
     assigned = assign_cells(encoded, centroids, "embedding")
     (
         _sorted_by_id(assigned.repartition(F.col("cell")), id_col)
@@ -768,4 +774,132 @@ def compact_maxsim_index(
         content_col="tok_sq8",
         id_col=meta["id_col"],
         tombstones=tombstones,
+    )
+
+
+def append_to_maxsim_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    vecs_col: str = "token_vecs",
+) -> None:
+    """Fold a new document batch into an existing MaxSim index
+    (append-only: existing cell files are never rewritten; cell
+    assignment is a pure function of the STAMPED centroids, read from
+    the sidecar and never supplied, so appended rows land in
+    directories probes already prune to -- the IVF append contract).
+    Batch-sized cost: one Arrow encode+assignment pass + per-cell
+    appends; the index grows but is never rescanned. Centroid drift
+    stays the documented caveat (rebuild via write_maxsim_index when
+    occupancy drift alarms)."""
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+    from xmidt_event_streams_spark.operators.ivf import (
+        _sorted_by_id,
+        assign_cells,
+        refresh_files_manifest,
+    )
+
+    spark = docs.sparkSession
+    meta = read_json_sidecar(spark, path, _MAXSIM_META_FILE)
+    if meta is None:
+        raise ValueError(
+            f"no maxsim sidecar at {path}: initialize with "
+            "write_maxsim_index"
+        )
+    id_col = id_col or meta["id_col"]
+    if id_col != meta["id_col"]:
+        raise ValueError(
+            f"index at {path} stores id_col={meta['id_col']!r}, "
+            f"append supplied {id_col!r}"
+        )
+    encoded = _encode_tokens(docs, int(meta["dim"]), id_col, vecs_col)
+    assigned = _sorted_by_id(
+        assign_cells(encoded, meta["centroids"], "embedding").repartition(
+            F.col("cell")
+        ),
+        id_col,
+    ).persist()  # two actions: the write + the touched-cell collect
+    try:
+        assigned.write.partitionBy("cell").mode("append").parquet(path)
+        touched = [
+            int(r[0])
+            for r in assigned.select("cell").distinct().collect()
+            if r[0] is not None
+        ]
+    finally:
+        assigned.unpersist()
+    refresh_files_manifest(spark, path, touched)
+
+
+def sync_maxsim_with_snapshot(
+    spark,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    vecs_col: str = "token_vecs",
+    id_col: str = "doc_id",
+    n_cells: int | None = None,
+    n_iters: int = 3,
+    max_polls: int = 1_000_000,
+) -> dict:
+    """Keep a MaxSim serving index caught up with a SNAPSHOT TABLE of
+    multi-vector documents through the checkpointed change feed --
+    the late-interaction tier joining the sync family (IVF, IVF-PQ,
+    inverted index, MinHash). A document deleted from the snapshot
+    table stops answering MaxSim probes at the next sync; an updated
+    document's OLD token matrix compacts out before the new one folds
+    in. Redelivery-convergent via the shared harness contract.
+
+    Bootstrap (fresh checkpoint, absent index): fit sqrt(N) centroids
+    on the pinned head's POOLED vectors and build."""
+    from xmidt_event_streams_spark.fsutil import read_json_sidecar
+    from xmidt_event_streams_spark.operators.ivf import kmeans_fit
+    from xmidt_event_streams_spark.operators.snapshots import (
+        compact_then_append_interval,
+        snapshot_read,
+        sync_index_with_snapshot,
+    )
+
+    def _exists() -> bool:
+        return (
+            read_json_sidecar(spark, index_path, _MAXSIM_META_FILE)
+            is not None
+        )
+
+    def _bootstrap(version: int) -> int:
+        base = snapshot_read(spark, table_path, version=version).select(
+            F.col(id_col), F.col(vecs_col)
+        )
+        n = base.count()
+        cells = n_cells if n_cells is not None else max(1, int(n**0.5))
+        pooled = pooled_tokens(base, id_col, vecs_col).filter(
+            F.col("embedding").isNotNull()
+        )
+        cents = kmeans_fit(
+            pooled, min(cells, max(n, 1)), n_iters, id_col=id_col
+        )
+        write_maxsim_index(base, index_path, cents, id_col, vecs_col)
+        return n
+
+    def _apply(ch):
+        return compact_then_append_interval(
+            ch,
+            id_col,
+            vecs_col,
+            compact_fn=lambda stale: compact_maxsim_index(
+                spark, index_path, tombstones=stale
+            ),
+            append_fn=lambda fresh: append_to_maxsim_index(
+                fresh, index_path, id_col=id_col, vecs_col=vecs_col
+            ),
+        )
+
+    return sync_index_with_snapshot(
+        spark,
+        table_path,
+        checkpoint_dir,
+        index_exists=_exists,
+        bootstrap=_bootstrap,
+        apply_interval=_apply,
+        max_polls=max_polls,
     )
