@@ -25,6 +25,8 @@ SURVEY.md §2.9 -- the data plane starts at the durable source.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import functions as F
 
 from xmidt_event_streams_spark.config import (
@@ -189,9 +191,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             trigger_seconds=args.trigger_seconds,
             availableNow=args.drain,
         )
-        if args.drain:
-            q.awaitTermination(args.timeout)
-        else:  # pragma: no cover - interactive mode
+        if args.drain and args.timeout is not None:
+            # surface a drain that did not finish: an unchecked
+            # timeout would exit 0 with the backlog half-processed
+            # AND leave the query running into the session teardown
+            if not q.awaitTermination(args.timeout):
+                q.stop()
+                print(
+                    f"drain did not finish within {args.timeout}s; "
+                    "query stopped (checkpoint preserves progress)",
+                    file=sys.stderr,
+                )
+                return 1
+        else:  # no timeout: block until the drain (or the
+            # interactive query) terminates on its own
             q.awaitTermination()
         return 0
     finally:
