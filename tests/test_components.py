@@ -279,6 +279,7 @@ OFF_REGISTRY = [
     "lsh_ann",
     "ann_rerank_exact",
     "approx_distinct_users",
+    "maxsim_inindex",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -374,6 +375,11 @@ OFF_REGISTRY_EVIDENCE = {
     # rung earned its driver row) -- generic built-in HLL agg; the
     # exact twin distinct_users_salted keeps its registry row
     "approx_distinct_users": "tests/test_components.py::test_off_registry_parity",
+    # added directly off-registry in r9: the in-index MaxSim
+    # two-stage, end to end vs a DuckDB twin that re-derives the SQ8
+    # token codec AND the MaxSim score in SQL (the registry is at its
+    # 50-row cap; maxsim_topk holds the family's driver row)
+    "maxsim_inindex": "tests/test_components.py::test_off_registry_parity",
 }
 
 

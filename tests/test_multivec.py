@@ -541,3 +541,48 @@ class TestInIndexMaxSim:
         # every surviving before-row keeps its exact score (removal
         # can only ADD new tail entries, never perturb the rest)
         assert {t for t in before if t[1] not in victims} <= set(after)
+
+    def test_distributed_merge_path_identical(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The driver-merge guard's fallback (pre-fold partials to
+        queries x n_short rows via a repartition-by-query merge before
+        the collect) must be result-identical to the direct path --
+        forced here by shrinking the imported row cap to 1."""
+        import xmidt_event_streams_spark.operators.ivfpq as ivfpq
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+
+        def run():
+            return sorted(
+                tuple(r)
+                for r in probe_maxsim_index(
+                    spark, path, queries, k_neighbors=5, n_probe=4,
+                    prefilter_c=20,
+                ).collect()
+            )
+
+        direct = run()
+        monkeypatch.setattr(ivfpq, "_DRIVER_MERGE_MAX_ROWS", 1)
+        assert run() == direct
+        # and the pooled-only arm through the same fallback
+        pooled = sorted(
+            tuple(r)
+            for r in probe_maxsim_index(
+                spark, path, queries, k_neighbors=5, n_probe=4,
+                pooled_only=True,
+            ).collect()
+        )
+        monkeypatch.undo()
+        assert sorted(
+            tuple(r)
+            for r in probe_maxsim_index(
+                spark, path, queries, k_neighbors=5, n_probe=4,
+                pooled_only=True,
+            ).collect()
+        ) == pooled

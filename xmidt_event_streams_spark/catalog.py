@@ -1063,6 +1063,121 @@ SELECT query_id, vec_id, maxsim, CAST(rnk AS INT) AS rank FROM (
 
 SQL_MAXSIM_TOPK = _maxsim_sql()
 
+
+def q_maxsim_inindex(spark, sf_dir):
+    """The r9 in-index MaxSim two-stage, oracle-pinned END TO END
+    (operators/multivec.py: write_maxsim_index + probe_maxsim_index):
+    token matrices ride the IVF cells as an SQ8 payload next to the
+    pooled vectors, so the rerank decodes from bytes the probe's own
+    scan read -- no corpus fetch, zero extra Spark actions (the
+    ivfpq refine='sq8' posture applied to multi-vector serving).
+
+    With n_probe = n_cells and C >= corpus the shortlist is the whole
+    corpus minus self-matches, so the output is exactly the top-10 by
+    MaxSim over SQ8-RECONSTRUCTED doc tokens vs raw query tokens --
+    deterministic arithmetic DuckDB re-derives in SQL (per-token
+    affine codec: lo = min(t), step = (max-min)/255 or 1.0, byte =
+    clip(round_half_away((x-lo)/step), 0, 255), decode = lo +
+    step*byte; score = sum over query tokens of greatest-of-dots
+    against the four decoded doc tokens). The whole pipeline --
+    encode -> cell write -> manifest probe -> in-scan payload carry
+    -> driver decode -> rerank -- must match row for row.
+    Off-registry parity row. Output: query_id, vec_id, maxsim, rank."""
+    import shutil
+    import tempfile
+
+    from xmidt_event_streams_spark.operators.multivec import (
+        chunk_embedding_tokens,
+        probe_maxsim_index,
+        write_maxsim_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    docs = chunk_embedding_tokens(emb, MAXSIM_TOKENS).select(
+        "vec_id", "token_vecs"
+    )
+    sub = 64 // MAXSIM_TOKENS
+    queries = [
+        (
+            int(r["vec_id"]),
+            [
+                [float(x) for x in r["embedding"][t * sub : (t + 1) * sub]]
+                for t in range(MAXSIM_TOKENS)
+            ],
+        )
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    cents = deterministic_planes(4, sub, seed="maxsim-cells")
+    tmp = tempfile.mkdtemp(prefix="xes-maxsim-row-") + "/ix"
+    try:
+        write_maxsim_index(docs, tmp, cents, id_col="vec_id")
+        # the probe's result is a LOCAL relation (driver-merged), so
+        # the index dir can be cleaned up before the caller collects
+        return probe_maxsim_index(
+            spark,
+            tmp,
+            queries,
+            k_neighbors=10,
+            n_probe=len(cents),
+            prefilter_c=1_000_000_000,  # >= corpus: exact-recovery arm
+        )
+    finally:
+        shutil.rmtree(tmp.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def _maxsim_inindex_sql() -> str:
+    sub = 64 // MAXSIM_TOKENS
+    ts = range(1, MAXSIM_TOKENS + 1)
+    tok_cols = ", ".join(
+        f"v[{1 + (t - 1) * sub}:{t * sub}] AS t{t}" for t in ts
+    )
+    bound_cols = ", ".join(
+        f"list_min(t{t}) AS lo{t}, "
+        f"CASE WHEN list_max(t{t}) > list_min(t{t}) "
+        f"THEN (list_max(t{t}) - list_min(t{t})) / 255.0 ELSE 1.0 END "
+        f"AS st{t}"
+        for t in ts
+    )
+    dec_cols = ", ".join(
+        f"list_transform(t{t}, x -> lo{t} + st{t} * "
+        f"least(greatest(round((x - lo{t}) / st{t}), 0), 255)) AS d{t}"
+        for t in ts
+    )
+    q_cols = ", ".join(
+        f"v[{1 + (t - 1) * sub}:{t * sub}] AS q{t}" for t in ts
+    )
+    per_qtok = [
+        "greatest("
+        + ", ".join(f"list_dot_product(dec.d{dt}, q.q{qt})" for dt in ts)
+        + ")"
+        for qt in ts
+    ]
+    score = "round(" + " + ".join(per_qtok) + ", 6)"
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), toks AS (
+  SELECT vec_id, {tok_cols} FROM d
+), bounds AS (
+  SELECT *, {bound_cols} FROM toks
+), dec AS (
+  SELECT vec_id, {dec_cols} FROM bounds
+), q AS (
+  SELECT vec_id AS query_id, {q_cols}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 3)
+), s AS (
+  SELECT q.query_id, dec.vec_id, {score} AS maxsim
+  FROM dec CROSS JOIN q WHERE dec.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, maxsim, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rnk
+  FROM s
+) WHERE rnk <= 10
+"""
+
+
+SQL_MAXSIM_ININDEX = _maxsim_inindex_sql()
+
 # ------------------------------------------------------ relational (TPC-H)
 
 
