@@ -541,3 +541,106 @@ def test_maintenance_rebuilds_on_shifted_drift(
     assert rb["n_cells_after"] == int(400**0.5)
     got = probe_ivf_index(spark, idx, df.limit(2), None, k=3, n_probe=3)
     assert got.count() == 6
+
+
+class TestMultivecIngest:
+    """Streaming ingest for the MaxSim tier: JVM-side validation to
+    the rejects ledger, replay-idempotent (cell, batch) folds, and a
+    cold-seeded index that fills from the stream."""
+
+    DIM = 4
+
+    def _toks(self, i, t=2):
+        import numpy as np
+
+        rng = np.random.default_rng(500 + i)
+        m = rng.normal(size=(t, self.DIM))
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return [[float(x) for x in r] for r in m]
+
+    def _seed(self, spark, path):
+        from xmidt_event_streams_spark.operators.multivec import (
+            write_maxsim_index,
+        )
+        from xmidt_event_streams_spark.operators.similarity import (
+            deterministic_planes,
+        )
+
+        cents = deterministic_planes(2, self.DIM, seed="mv-ingest")
+        empty = spark.createDataFrame(
+            [], "doc_id long, token_vecs array<array<double>>"
+        )
+        write_maxsim_index(empty, path, cents)
+        return cents
+
+    def test_stream_fills_cold_index_and_rejects_poison(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+        from xmidt_event_streams_spark.streaming.ingest_vectors import (
+            start_ingest_multivec,
+        )
+
+        ix = str(tmp_path / "mvix")
+        rejects = str(tmp_path / "rejects")
+        src = tmp_path / "in"
+        src.mkdir()
+        self._seed(spark, ix)
+        rows = [
+            {"doc_id": i, "token_vecs": self._toks(i)} for i in range(4)
+        ] + [
+            {"doc_id": 90, "token_vecs": None},
+            {"doc_id": 91, "token_vecs": []},
+            {"doc_id": 92, "token_vecs": [[1.0, 2.0]]},  # wrong dim
+        ]
+        with open(src / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        q = start_ingest_multivec(
+            spark.readStream.schema(
+                "doc_id long, token_vecs array<array<double>>"
+            ).json(str(src)),
+            ix,
+            rejects,
+            str(tmp_path / "ck"),
+            dim=self.DIM,
+            availableNow=True,
+        )
+        await_stream(q, 300)
+        got = probe_maxsim_index(
+            spark, ix, [(999, self._toks(999))], k_neighbors=10,
+            n_probe=2, prefilter_c=100,
+        ).collect()
+        assert sorted(r["doc_id"] for r in got) == [0, 1, 2, 3]
+        led = {
+            r["doc_id"]: r["reject_reason"]
+            for r in spark.read.parquet(rejects).collect()
+        }
+        assert led == {
+            90: "null_tokens", 91: "empty_tokens", 92: "bad_token"
+        }
+
+    def test_replayed_batch_id_does_not_duplicate(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.multivec import (
+            append_to_maxsim_index,
+            probe_maxsim_index,
+        )
+
+        ix = str(tmp_path / "mvix")
+        self._seed(spark, ix)
+        batch = spark.createDataFrame(
+            [(i, self._toks(i)) for i in range(5)],
+            "doc_id long, token_vecs array<array<double>>",
+        )
+        append_to_maxsim_index(batch, ix, batch_id=7)
+        append_to_maxsim_index(batch, ix, batch_id=7)  # replay
+        got = probe_maxsim_index(
+            spark, ix, [(999, self._toks(999))], k_neighbors=20,
+            n_probe=2, prefilter_c=100,
+        ).collect()
+        ids = sorted(r["doc_id"] for r in got)
+        assert ids == [0, 1, 2, 3, 4]  # no duplicate rows rank twice

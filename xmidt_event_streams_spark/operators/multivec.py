@@ -450,14 +450,19 @@ def write_maxsim_index(
     )
     from xmidt_event_streams_spark.fsutil import write_json_sidecar
 
-    dim = int(
+    first = (
         docs.select(
             F.size(F.element_at(F.col(vecs_col), 1)).alias("d")
         )
         .filter(F.col("d") > 0)
         .limit(1)
-        .collect()[0]["d"]
+        .collect()
     )
+    # cold-start seeding (the streaming-ingest contract shared with
+    # write_ivf_index(df.limit(0), ...)): with zero rows the token
+    # dim comes from the centroids -- pooled dim == token dim by
+    # construction (pooling is a mean over tokens)
+    dim = int(first[0]["d"]) if first else len(centroids[0])
     encoded = _encode_tokens(docs, dim, id_col, vecs_col)
     assigned = assign_cells(encoded, centroids, "embedding")
     (
@@ -782,6 +787,7 @@ def append_to_maxsim_index(
     path: str,
     id_col: str | None = None,
     vecs_col: str = "token_vecs",
+    batch_id: int | None = None,
 ) -> None:
     """Fold a new document batch into an existing MaxSim index
     (append-only: existing cell files are never rewritten; cell
@@ -820,7 +826,23 @@ def append_to_maxsim_index(
         id_col,
     ).persist()  # two actions: the write + the touched-cell collect
     try:
-        assigned.write.partitionBy("cell").mode("append").parquet(path)
+        if batch_id is None:
+            assigned.write.partitionBy("cell").mode("append").parquet(
+                path
+            )
+        else:
+            # streaming arm (the IVF append contract): sub-partition
+            # by the checkpoint-deterministic batch id and dynamically
+            # overwrite ONLY this batch's (cell, batch) partitions --
+            # an at-least-once replay rewrites its own rows instead of
+            # duplicating doc ids in search results
+            (
+                assigned.withColumn("_ingest_batch_id", F.lit(batch_id))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell", "_ingest_batch_id")
+                .mode("overwrite")
+                .parquet(path)
+            )
         touched = [
             int(r[0])
             for r in assigned.select("cell").distinct().collect()

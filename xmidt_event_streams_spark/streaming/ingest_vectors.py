@@ -307,3 +307,79 @@ def start_ingest_vectors(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def validate_token_matrices(
+    batch: DataFrame, dim: int, vecs_col: str = "token_vecs"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, rejects) split for multi-vector rows -- pure JVM column
+    predicates (no Python): a row is valid iff its token list is
+    non-null, non-empty, and EVERY token has exactly ``dim`` finite
+    entries. Rejects carry ``reject_reason``."""
+    v = F.col(vecs_col)
+    bad_token = F.exists(
+        v,
+        lambda t: t.isNull()
+        | (F.size(t) != F.lit(dim))
+        | F.exists(t, lambda x: x.isNull() | F.isnan(x)),
+    )
+    reason = (
+        F.when(v.isNull(), "null_tokens")
+        .when(F.size(v) == 0, "empty_tokens")
+        .when(bad_token, "bad_token")
+        .otherwise("")
+    )
+    tagged = batch.withColumn("reject_reason", reason)
+    return (
+        tagged.filter(F.col("reject_reason") == "").drop("reject_reason"),
+        tagged.filter(F.col("reject_reason") != ""),
+    )
+
+
+def start_ingest_multivec(
+    stream_df: DataFrame,
+    index_path: str,
+    rejects_path: str,
+    checkpoint_dir: str,
+    dim: int,
+    vecs_col: str = "token_vecs",
+    id_col: str = "doc_id",
+    availableNow: bool = False,
+    trigger_seconds: int = 15,
+    query_name: str | None = None,
+):
+    """Streaming ingest for the late-interaction (MaxSim) serving
+    tier: validate each micro-batch's multi-vector rows (JVM-side
+    split; poison rows land in the rejects ledger with a reason,
+    never silently dropped), then fold the valid rows into the
+    maxsim index under its stamped centroids with the family's
+    replay-idempotent (cell, batch) dynamic overwrite
+    (``multivec.append_to_maxsim_index(batch_id=...)``).
+
+    The index must be streaming-seeded first:
+    ``write_maxsim_index(docs.limit(0), path, centroids)`` writes the
+    sidecar + manifest with zero data files (dim comes from the
+    centroids). Compaction in the maintenance window folds the batch
+    partitions into one file per cell (``compact_maxsim_index``)."""
+    from xmidt_event_streams_spark.operators.multivec import (
+        append_to_maxsim_index,
+    )
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        valid, rejects = validate_token_matrices(batch, dim, vecs_col)
+        append_to_maxsim_index(
+            valid, index_path, id_col=id_col, vecs_col=vecs_col,
+            batch_id=batch_id,
+        )
+        idempotent_batch_append(rejects, batch_id, rejects_path, max_files=1)
+
+    writer = stream_df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if availableNow:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
