@@ -937,10 +937,6 @@ def stream_bench(spark) -> dict:
         shutil.rmtree(d, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def maxsim_bench(spark) -> dict:
     """Sidecar metric: late-interaction (multi-vector) serving arms
     over a deterministic 200k-doc x 4-token x 16-dim corpus, written
@@ -1114,3 +1110,7 @@ def maxsim_bench(spark) -> dict:
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
