@@ -539,3 +539,184 @@ def test_rebuild_ivfpq_refits_both_quantizers(spark, ix, tmp_path):
         str(p.relative_to(path)) for p in _P(path).rglob("*.parquet")
     }
     assert set().union(*man["cells"].values()) == fs_files
+
+
+class TestOpqLifecycle:
+    """The composed OPQ x IVF-PQ tier (r10, FAISS ``OPQd,IVFx,PQy``):
+    the rotation is fit by ``ivfpq_fit(opq=True)``, stamped in the
+    sidecar next to the quantizers it was fit with, applied inside
+    the fused encode kernel, and read back by every lifecycle arm --
+    so callers hand RAW vectors and RAW queries everywhere and the
+    rotated coordinate system never leaks out of the index."""
+
+    def _fit(self, emb):
+        return ivfpq_fit(
+            emb, n_cells=N_CELLS, m=M, k=K, n_iters=2, opq=True
+        )
+
+    def test_fit_returns_orthogonal_rotation(self, spark, ix):
+        cents, cbs, rot = self._fit(ix["emb"])
+        R = np.asarray(rot)
+        dim = len(ix["qrows"][0][1])
+        assert R.shape == (dim, dim)
+        assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)
+        assert len(cents) == N_CELLS and len(cbs) == M
+
+    def test_identity_rotation_probe_is_bit_identical(
+        self, spark, ix, tmp_path
+    ):
+        """The plumbing pin: an index written with rotation=identity
+        must probe BIT-IDENTICALLY to the plain index under the same
+        quantizers (x @ I is exact in IEEE arithmetic), for all three
+        probe modes -- plain ADC, in-index sq8 refine, exact rerank.
+        Any leak of the rotation into the wrong stage breaks this."""
+        emb = ix["emb"]
+        dim = len(ix["qrows"][0][1])
+        ident = np.eye(dim).tolist()
+        plain, rotated = str(tmp_path / "p"), str(tmp_path / "r")
+        write_ivfpq_index(emb, plain, ix["cents"], ix["cbs"],
+                          refine="sq8")
+        write_ivfpq_index(emb, rotated, ix["cents"], ix["cbs"],
+                          refine="sq8", rotation=ident)
+        qs = ix["qrows"][:4]
+
+        def probes(path, **kw):
+            return sorted(map(tuple, probe_ivfpq_index(
+                spark, path, qs, k_neighbors=5, n_probe=N_PROBE, **kw
+            ).collect()))
+
+        assert probes(plain) == probes(rotated)
+        assert probes(plain, rerank=20) == probes(rotated, rerank=20)
+        assert probes(plain, rerank=20, vectors=emb) == probes(
+            rotated, rerank=20, vectors=emb
+        )
+
+    def test_full_lifecycle_round_trip(self, spark, ix, tmp_path):
+        """write -> probe (all modes) -> append -> streaming append
+        replay -> compact+tombstone -> rebuild, all on the composed
+        tier with RAW vectors/queries at every call site."""
+        from xmidt_event_streams_spark.fsutil import read_json_sidecar
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            _IVFPQ_META_FILE,
+            append_to_ivfpq_index,
+            compact_ivfpq_index,
+            rebuild_ivfpq_index,
+        )
+        from xmidt_event_streams_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        emb = ix["emb"]
+        cents, cbs, rot = self._fit(emb)
+        path = str(tmp_path / "opqix")
+        old = emb.filter(F.col("vec_id") < 400)
+        new = emb.filter(F.col("vec_id") >= 400)
+        write_ivfpq_index(old, path, cents, cbs, refine="sq8",
+                          rotation=rot)
+        meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
+        assert meta["rotation"] == rot
+
+        # append reads the rotation from the sidecar: incremental
+        # index == full rebuild, bit for bit (the plain tier's
+        # equality contract holds for the composed tier)
+        append_to_ivfpq_index(new, path)
+        full = str(tmp_path / "opqfull")
+        write_ivfpq_index(emb, full, cents, cbs, refine="sq8",
+                          rotation=rot)
+        got = sorted(map(tuple, probe_ivfpq_index(
+            spark, path, ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+        ).collect()))
+        want = sorted(map(tuple, probe_ivfpq_index(
+            spark, full, ix["qrows"], k_neighbors=10, n_probe=N_PROBE
+        ).collect()))
+        assert got == want
+
+        # recall sanity at full probe width: rotated-space in-index
+        # refine recovers exact-space neighbors (L2 rotation-invariant)
+        exact: dict = {}
+        for r in brute_force_topk(emb, ix["qdf"], k=10).collect():
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        rr = probe_ivfpq_index(
+            spark, full, ix["qrows"], k_neighbors=10,
+            n_probe=N_CELLS, rerank=50,
+        )
+        approx: dict = {}
+        for r in rr.collect():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recall = sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q])
+            for q in exact
+        ) / len(exact)
+        assert recall >= 0.40, recall
+
+        # exact rerank against the RAW relation with RAW queries
+        er = probe_ivfpq_index(
+            spark, full, ix["qrows"][:2], k_neighbors=5,
+            n_probe=N_PROBE, rerank=20, vectors=emb,
+        ).collect()
+        assert len(er) == 10 and all(r["exact_dist"] >= 0 for r in er)
+
+        # compaction restamps the rotation untouched
+        compact_ivfpq_index(spark, path, tombstones=[0, 1])
+        meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
+        assert meta["rotation"] == rot
+        hit = {
+            r["vec_id"]
+            for r in probe_ivfpq_index(
+                spark, path, ix["qrows"], k_neighbors=10,
+                n_probe=N_PROBE,
+            ).collect()
+        }
+        assert not hit & {0, 1}
+
+        # drift rebuild REFITS the rotation by default (opq=None
+        # preserves the stamped shape); opq=False migrates it away
+        rebuild_ivfpq_index(spark, path, emb, n_iters=2)
+        meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
+        assert meta["rotation"] is not None
+        R = np.asarray(meta["rotation"])
+        assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+        assert probe_ivfpq_index(
+            spark, path, ix["qrows"][:3], k_neighbors=5, n_probe=4
+        ).count() == 15
+        rebuild_ivfpq_index(spark, path, emb, n_iters=2, opq=False)
+        meta = read_json_sidecar(spark, path, _IVFPQ_META_FILE)
+        assert meta["rotation"] is None
+
+    def test_streaming_append_replay_idempotent_with_rotation(
+        self, spark, ix, tmp_path
+    ):
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            append_to_ivfpq_index,
+        )
+
+        emb = ix["emb"]
+        cents, cbs, rot = self._fit(emb)
+        path = str(tmp_path / "opqstream")
+        write_ivfpq_index(emb.limit(0), path, cents, cbs,
+                          refine="sq8", rotation=rot)
+        append_to_ivfpq_index(
+            emb.filter(F.col("vec_id") < 300), path, batch_id=-1
+        )
+        batch = emb.filter(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+        )
+        append_to_ivfpq_index(batch, path, batch_id=7)
+        once = sorted(map(tuple, probe_ivfpq_index(
+            spark, path, ix["qrows"][:3], k_neighbors=5,
+            n_probe=N_PROBE,
+        ).collect()))
+        append_to_ivfpq_index(batch, path, batch_id=7)  # replay
+        again = sorted(map(tuple, probe_ivfpq_index(
+            spark, path, ix["qrows"][:3], k_neighbors=5,
+            n_probe=N_PROBE,
+        ).collect()))
+        assert once == again
+        assert spark.read.parquet(path).count() == 300 + batch.count()
+
+    def test_opq_requires_sample_fit(self, spark, ix):
+        with pytest.raises(ValueError, match="sample-based fit"):
+            ivfpq_fit(
+                ix["emb"], n_cells=4, m=M, k=8, opq=True,
+                fit_sample_rows=None,
+            )

@@ -346,11 +346,16 @@ class TestSwapRecovery:
 
     def test_two_complete_tmps_newest_wins(self, spark, tmp_path):
         """r9 (ADVICE fix): with BOTH suffixes holding complete tmps
-        and dst missing, the most recently MODIFIED tmp is the later
-        maintenance attempt and must win -- suffix order would
-        resurrect the older layout. Completeness is the committer's
-        _SUCCESS marker, not an any-parquet sniff (a marker-less tmp
-        with data files is a crashed partial write and must refuse)."""
+        and dst missing, the later maintenance attempt must win --
+        suffix order would resurrect the older layout. Recency is the
+        ``_SUCCESS`` MARKER's mtime (r10): directory mtimes are
+        synthetic (often 0) on object stores like S3A, so the
+        directory-status tiebreak was arbitrary exactly where crash
+        recovery matters most. The older tmp's DIRECTORY is left
+        newer here on purpose -- the marker must decide anyway.
+        Completeness is the committer's _SUCCESS marker, not an
+        any-parquet sniff (a marker-less tmp with data files is a
+        crashed partial write and must refuse)."""
         import os
         import shutil
         import time as _t
@@ -364,7 +369,12 @@ class TestSwapRecovery:
         _t.sleep(0.05)
         newer = path + "__rebuild_tmp"
         shutil.copytree(path, newer)
-        os.utime(older, (_t.time() - 3600, _t.time() - 3600))
+        past = _t.time() - 3600
+        os.utime(os.path.join(older, "_SUCCESS"), (past, past))
+        # adversarial: directory mtimes say the OPPOSITE (older dir
+        # touched now, newer dir backdated) -- the marker must win
+        os.utime(older, None)
+        os.utime(newer, (past - 3600, past - 3600))
         shutil.rmtree(path)
         out = recover_swap(spark, path)
         assert out["completed"] == [newer]

@@ -490,7 +490,17 @@ class TestInIndexMaxSim:
             (2, [[0.6, 0.8]]),
             (3, [[0.0, 1.0], [1.0, 0.0], [0.6, 0.8]]),
         ]
-        bad = [(7, None), (8, []), (9, [[1.0, 0.0, 0.0]])]
+        # 7-9: null list / empty / uniform-wrong-dim; 10: INTRA-doc
+        # ragged (np.asarray raises ValueError before any shape
+        # check); 11: a null token entry (TypeError) -- both must be
+        # contained, not crash the whole write job
+        bad = [
+            (7, None),
+            (8, []),
+            (9, [[1.0, 0.0, 0.0]]),
+            (10, [[1.0, 0.0], [1.0]]),
+            (11, [[1.0, 0.0], None]),
+        ]
         df = spark.createDataFrame(
             good + bad, "doc_id long, token_vecs array<array<double>>"
         )
@@ -505,6 +515,47 @@ class TestInIndexMaxSim:
             n_probe=2, prefilter_c=100,
         ).collect()
         assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
+
+    def test_token_stats_stamped_and_folded(self, spark, tmp_path):
+        """The sidecar carries the corpus's (n_docs, mean_tokens):
+        stamped exactly at write, weighted-merged on append, resynced
+        exactly at compaction -- the probe's byte-aware driver-merge
+        guard sizes carried payload from it (a hardcoded tokens/doc
+        underestimates real late-interaction corpora ~25x)."""
+        from xmidt_event_streams_spark.fsutil import read_json_sidecar
+        from xmidt_event_streams_spark.operators.multivec import (
+            _MAXSIM_META_FILE,
+            append_to_maxsim_index,
+            compact_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        tok_counts = [len(m) for _, m in rows]
+        meta = read_json_sidecar(spark, path, _MAXSIM_META_FILE)
+        assert meta["n_docs"] == len(rows)
+        assert meta["mean_tokens"] == pytest.approx(
+            sum(tok_counts) / len(tok_counts)
+        )
+
+        more, more_rows = self._docs(spark, n=20, seed=99)
+        more = more.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000)
+        )
+        append_to_maxsim_index(more, path)
+        all_counts = tok_counts + [len(m) for _, m in more_rows]
+        meta = read_json_sidecar(spark, path, _MAXSIM_META_FILE)
+        assert meta["n_docs"] == len(all_counts)
+        assert meta["mean_tokens"] == pytest.approx(
+            sum(all_counts) / len(all_counts)
+        )
+
+        compact_maxsim_index(spark, path)
+        meta = read_json_sidecar(spark, path, _MAXSIM_META_FILE)
+        assert meta["n_docs"] == len(all_counts)
+        assert meta["mean_tokens"] == pytest.approx(
+            sum(all_counts) / len(all_counts)
+        )
 
     def test_compact_and_takedown_preserve_probe(self, spark, tmp_path):
         """The maxsim index rides the family's shared lifecycle:
@@ -586,3 +637,230 @@ class TestInIndexMaxSim:
                 pooled_only=True,
             ).collect()
         ) == pooled
+
+
+class TestTokenRetrieval:
+    """retrieval='token' (r10): per-query-token probed-cell union +
+    exact-over-SQ8 MaxSim scored IN the scan -- the published
+    ColBERT/PLAID candidate-generation shape over this layout. Lifts
+    the pooled retriever's recall ceiling; only (query_id, id, score)
+    rows reach the driver."""
+
+    _docs = TestInIndexMaxSim._docs
+    _index = TestInIndexMaxSim._index
+
+    def test_full_width_matches_sq8_reference(self, spark, tmp_path):
+        """n_probe = all cells: the token arm's output is EXACTLY the
+        top-k by MaxSim over SQ8-decoded tokens (self excluded) --
+        same literal-numpy oracle as the pooled full-probe test, so
+        the two arms agree wherever both have full coverage."""
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+        from xmidt_event_streams_spark.operators.sq import (
+            sq8_decode_block,
+            sq8_encode_block,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+        got = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["maxsim"])
+            for r in probe_maxsim_index(
+                spark, path, queries, k_neighbors=5, n_probe=4,
+                retrieval="token",
+            ).collect()
+        )
+        want = []
+        for qid, qm in queries:
+            Q = np.asarray(qm)
+            scored = []
+            for i, m in rows:
+                if i == qid:
+                    continue
+                raw, lo, step = sq8_encode_block(np.asarray(m))
+                dec = sq8_decode_block(raw, lo, step)
+                scored.append((-round(_ref_maxsim(Q, dec), 6), i))
+            for rk, (neg, i) in enumerate(sorted(scored)[:5], start=1):
+                want.append((qid, rk, i, -neg))
+        assert got == sorted(want)
+
+    def test_token_probe_costs_no_extra_jobs(self, spark, tmp_path):
+        """Same manifest machinery as the pooled arm: job count of a
+        token probe equals a pooled-only probe's (no listing job, no
+        second scan, no fetch)."""
+        from tests.jobcount import count_jobs
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+        # warm both paths (first-call footer reads / listener catch-up)
+        probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=2,
+            pooled_only=True,
+        )
+        probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=2,
+            retrieval="token",
+        )
+        pooled = count_jobs(spark, lambda: probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=2,
+            pooled_only=True,
+        ))
+        token = count_jobs(spark, lambda: probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=2,
+            retrieval="token",
+        ))
+        assert token == pooled, (token, pooled)
+
+    def test_token_assign_lifts_pooled_ceiling(self, spark, tmp_path):
+        """The arm's reason to exist: a doc whose POOLED mean lands in
+        a cell the pooled probe never opens is still retrieved through
+        one strongly-matching token -- PROVIDED the index is token-
+        ASSIGNED (assign='token': the doc rides in every capped token
+        cell, the ColBERT/PLAID inverted-file shape). Constructed
+        corpus: doc 100's tokens = [query-token match, far-away
+        filler], so its mean sits in the b-cluster's cell and the
+        pooled-assigned pooled probe at n_probe=1 can never see it."""
+        from xmidt_event_streams_spark.operators.ivf import kmeans_fit
+        from xmidt_event_streams_spark.operators.multivec import (
+            _MAXSIM_META_FILE,
+            pooled_tokens,
+            probe_maxsim_index,
+            write_maxsim_index,
+        )
+        from xmidt_event_streams_spark.fsutil import read_json_sidecar
+
+        e = [0.0] * 8
+        a = list(e); a[0] = 1.0          # query direction
+        b = list(e); b[1] = 1.0          # a far-away cluster
+        mixed = [list(a), [0.0] + [3.0] + [0.0] * 6]  # mean near b
+        rows = [(int(i), [b, b]) for i in range(40)]
+        rows += [(int(50 + i), [a, a]) for i in range(4)]
+        rows.append((100, mixed))
+        df = spark.createDataFrame(
+            rows, "doc_id long, token_vecs array<array<double>>"
+        )
+        cents = kmeans_fit(pooled_tokens(df), 2, 4, id_col="doc_id")
+        pooled_path = str(tmp_path / "mvp")
+        token_path = str(tmp_path / "mvt")
+        write_maxsim_index(df, pooled_path, cents)
+        write_maxsim_index(df, token_path, cents, assign="token")
+        q = [(999, [a])]
+        pooled_hits = {
+            r["doc_id"]
+            for r in probe_maxsim_index(
+                spark, pooled_path, q, k_neighbors=5, n_probe=1,
+                prefilter_c=100,
+            ).collect()
+        }
+        token_hits = {
+            r["doc_id"]
+            for r in probe_maxsim_index(
+                spark, token_path, q, k_neighbors=5, n_probe=1,
+                retrieval="token",
+            ).collect()
+        }
+        # the pooled arm's ceiling: doc 100 maximizes MaxSim against
+        # [a] (its first token IS a) but lives in the b-cluster cell,
+        # and with n_probe=1 the pooled probe opens only the a-cell
+        assert 100 not in pooled_hits
+        # the token-assigned arm retrieves it through its a-token
+        # replica AND ranks it first (exact-over-SQ8 scoring)
+        assert 100 in token_hits
+        meta = read_json_sidecar(spark, token_path, _MAXSIM_META_FILE)
+        assert meta["assign"] == "token"
+        # doc 100 is the only 2-cell doc: amplification (40+4+2)/45
+        assert meta["row_amplification"] == pytest.approx(
+            46 / 45, abs=1e-3
+        )
+        # a doc retrieved from MULTIPLE probed cells appears ONCE
+        got = probe_maxsim_index(
+            spark, token_path, q, k_neighbors=45, n_probe=2,
+            retrieval="token",
+        ).collect()
+        ids = [r["doc_id"] for r in got]
+        assert len(ids) == len(set(ids))
+
+    def test_token_assign_lifecycle(self, spark, tmp_path):
+        """append honors the stamped token assignment (replicas land
+        in the batch docs' token cells); compaction dedups on
+        (id, cell) -- never collapsing legitimate replicas -- while a
+        tombstone still removes EVERY replica of its id."""
+        from xmidt_event_streams_spark.operators.ivf import kmeans_fit
+        from xmidt_event_streams_spark.operators.multivec import (
+            append_to_maxsim_index,
+            compact_maxsim_index,
+            pooled_tokens,
+            probe_maxsim_index,
+            write_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        cents = kmeans_fit(pooled_tokens(df), 4, 2, id_col="doc_id")
+        path = str(tmp_path / "mvt")
+        old = df.filter(F.col("doc_id") < 40)
+        new = df.filter(F.col("doc_id") >= 40)
+        write_maxsim_index(old, path, cents, assign="token")
+        append_to_maxsim_index(new, path)
+        # incremental == full rebuild, the family equality contract
+        full = str(tmp_path / "mvtfull")
+        write_maxsim_index(df, full, cents, assign="token")
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+        got = sorted(map(tuple, probe_maxsim_index(
+            spark, path, queries, k_neighbors=5, n_probe=4,
+            retrieval="token",
+        ).collect()))
+        want = sorted(map(tuple, probe_maxsim_index(
+            spark, full, queries, k_neighbors=5, n_probe=4,
+            retrieval="token",
+        ).collect()))
+        assert got == want
+        rows_before = spark.read.parquet(path).count()
+        # double-append = true duplicate (id, cell) rows to compact
+        append_to_maxsim_index(new.limit(3), path)
+        rep = compact_maxsim_index(spark, path, tombstones=[0, 1])
+        idx = spark.read.parquet(path)
+        # replicas survived (row count back to the pre-dup layout
+        # minus the tombstoned ids' replicas), duplicates did not
+        tomb_rows = rows_before - idx.count()
+        assert rep["rows_after"] == idx.count()
+        assert tomb_rows >= 2  # both ids' replicas gone
+        assert idx.filter(F.col("doc_id").isin([0, 1])).count() == 0
+        assert (
+            idx.groupBy("doc_id", "cell").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+        after = sorted(map(tuple, probe_maxsim_index(
+            spark, path, queries[1:], k_neighbors=5, n_probe=4,
+            retrieval="token",
+        ).collect()))
+        want_after = [
+            t for t in want
+            if t[0] == queries[1][0] and t[1] not in (0, 1)
+        ]
+        # rank values shift after removals; compare ordered ids
+        assert [t[1] for t in after][:3] == [
+            t[1] for t in want_after
+        ][:3]
+
+    def test_rejects_contradictory_flags(self, spark, tmp_path):
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        path, _ = self._index(spark, tmp_path, df)
+        with pytest.raises(ValueError, match="pooled_only"):
+            probe_maxsim_index(
+                spark, path, [(0, rows[0][1])], pooled_only=True,
+                retrieval="token",
+            )
+        with pytest.raises(ValueError, match="retrieval"):
+            probe_maxsim_index(
+                spark, path, [(0, rows[0][1])], retrieval="centroid",
+            )

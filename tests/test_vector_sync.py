@@ -112,6 +112,58 @@ class TestIvfpqSync:
             spark, table, ix, ck, m=4, k=8, n_cells=4
         )["intervals"] == 0
 
+    def test_opq_bootstrap_and_follow(self, spark, tmp_path):
+        """opq=True bootstraps the composed OPQ x IVF-PQ shape: the
+        rotation lands in the sidecar with its quantizers and the
+        INCREMENTAL appliers (append after a snapshot MERGE) encode
+        under it read-from-sidecar -- delete/insert propagation is
+        identical to the plain tier, with raw queries throughout."""
+        import numpy as np
+
+        from xmidt_event_streams_spark.fsutil import read_json_sidecar
+        from xmidt_event_streams_spark.operators.ivfpq import (
+            _IVFPQ_META_FILE,
+            probe_ivfpq_index,
+            sync_ivfpq_with_snapshot,
+        )
+
+        table = _mk_table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        ck = str(tmp_path / "ck")
+        r = sync_ivfpq_with_snapshot(
+            spark, table, ix, ck, m=4, k=8, n_cells=4, opq=True
+        )
+        assert r["appended"] == 60
+        meta = read_json_sidecar(spark, ix, _IVFPQ_META_FILE)
+        R = np.asarray(meta["rotation"])
+        assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+
+        def hits(qid):
+            return [
+                row["vec_id"]
+                for row in probe_ivfpq_index(
+                    spark, ix, [(qid, _vec(qid))], k_neighbors=60,
+                    n_probe=4,
+                ).collect()
+            ]
+
+        assert 7 in hits(999)
+        _merge(
+            spark,
+            table,
+            upserts=[(11, _vec(999)), (100, _vec(100))],
+            deletes=[7],
+        )
+        r2 = sync_ivfpq_with_snapshot(
+            spark, table, ix, ck, m=4, k=8, n_cells=4, opq=True
+        )
+        assert r2["intervals"] == 1 and r2["removed"] == 2
+        got = hits(999)
+        assert 7 not in got and 100 in got and got.count(11) == 1
+        # the follow path preserved the stamped rotation untouched
+        meta2 = read_json_sidecar(spark, ix, _IVFPQ_META_FILE)
+        assert meta2["rotation"] == meta["rotation"]
+
     def test_fork_refusal_on_fresh_checkpoint(self, spark, tmp_path):
         import pytest
 

@@ -206,8 +206,9 @@ def recover_swap(spark: SparkSession, path: str) -> dict:
         without the marker is NOT renamed; that state is unreachable
         from this package's writers and gets a loud error instead of
         garbage-in-place. When BOTH suffixes hold complete tmps, the
-        most recently MODIFIED one wins (it is the later maintenance
-        attempt) -- never suffix order.
+        one whose ``_SUCCESS`` marker has the newest mtime wins (it is
+        the later maintenance attempt) -- never suffix order, and
+        never the directory mtime (synthetic/zero on object stores).
       * tmp exists, dst exists (crashed before the swap started, or
         mid-tmp-write): dst is live and authoritative -- the stale
         tmp is deleted.
@@ -221,10 +222,16 @@ def recover_swap(spark: SparkSession, path: str) -> dict:
         tname = path.rstrip("/") + suf
         tpath = jvm.org.apache.hadoop.fs.Path(tname)
         if fs.exists(tpath):
-            complete = fs.exists(
-                jvm.org.apache.hadoop.fs.Path(tname + "/_SUCCESS")
-            )
-            mtime = fs.getFileStatus(tpath).getModificationTime()
+            spath = jvm.org.apache.hadoop.fs.Path(tname + "/_SUCCESS")
+            complete = fs.exists(spath)
+            # recency = the _SUCCESS FILE's mtime, not the directory's:
+            # object-store filesystems (S3A) synthesize directory
+            # mtimes (often 0), which would make the both-complete
+            # tiebreak arbitrary there; the marker is a real file
+            # written at commit time on every filesystem
+            mtime = fs.getFileStatus(
+                spath if complete else tpath
+            ).getModificationTime()
             present.append((tname, tpath, complete, mtime))
     # PHASE 1 -- complete a crashed swap first: with dst missing, the
     # NEWEST complete tmp is renamed into place. Doing this before any

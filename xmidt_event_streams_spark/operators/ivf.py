@@ -916,6 +916,7 @@ def compact_cell_index(
     content_col: str,
     id_col: str,
     tombstones: DataFrame | list | None = None,
+    key_cols: tuple[str, ...] | None = None,
 ) -> dict:
     """The shared cell-partitioned-index compactor (IVF stores raw
     vectors, IVF-PQ stores codes -- same layout, same lifecycle):
@@ -923,7 +924,14 @@ def compact_cell_index(
     partition, restamp ``meta_file``, regenerate the file manifest,
     atomic swap. See :func:`compact_ivf_index` for the full contract
     (single-writer window, streaming-layout preservation,
-    deterministic duplicate resolution)."""
+    deterministic duplicate resolution).
+
+    ``key_cols`` overrides the duplicate-resolution key (default
+    ``(id_col,)``): a token-ASSIGNED MaxSim layout legitimately holds
+    one row per (doc, token cell), so its compactor dedups on
+    ``(id, cell)`` -- a global id-dedup would silently collapse the
+    inverted-file replication. Tombstones still excise by id alone
+    (a takedown removes every replica)."""
     idx = spark.read.parquet(path)
     batched = "_ingest_batch_id" in idx.columns
 
@@ -941,7 +949,7 @@ def compact_cell_index(
     order = (
         [F.col("_ingest_batch_id").desc()] if batched else []
     ) + [F.hash(F.col(content_col)).asc()]
-    w = Window.partitionBy(id_col).orderBy(*order)
+    w = Window.partitionBy(*(key_cols or (id_col,))).orderBy(*order)
     compacted = (
         idx.withColumn("_xes_rn", F.row_number().over(w))
         .filter(F.col("_xes_rn") == 1)

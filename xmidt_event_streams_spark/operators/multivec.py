@@ -364,11 +364,30 @@ def chunk_embedding_tokens(
 _MAXSIM_META_FILE = "_xes_maxsim_index_meta.json"
 
 
-def _encode_tokens(docs, dim: int, id_col: str, vecs_col: str):
+def _encode_tokens(
+    docs,
+    dim: int,
+    id_col: str,
+    vecs_col: str,
+    centroids=None,
+    max_cells: int | None = None,
+):
     """(id, pooled embedding, SQ8 token payload) in one Arrow pass --
     the encode kernel write_maxsim_index and append_to_maxsim_index
     share. Poison rows (null/empty token lists, ragged dims) are
-    skipped -- V9 containment, same posture as the vector writers."""
+    skipped -- V9 containment, same posture as the vector writers.
+
+    ``centroids`` switches on TOKEN-LEVEL cell assignment (the
+    ColBERT/PLAID inverted-file shape, r10): the row gains a
+    ``cells`` column holding the DISTINCT coarse cells of the doc's
+    own tokens (6dp-rounded cosine argmax, the assign_cells
+    contract), capped at the ``max_cells`` cells holding the MOST of
+    the doc's tokens (ties to the lower cell id -- deterministic).
+    The writer explodes on it, so the doc's payload rides in every
+    cell any of its tokens points at: a query token probing that
+    cell retrieves the doc even when its pooled mean lives elsewhere
+    -- the recall past the pooled retriever's ceiling, paid for with
+    a measured storage amplification of (mean distinct cells/doc)."""
     import pandas as pd
 
     from xmidt_event_streams_spark.operators.sq import sq8_encode_block
@@ -377,6 +396,26 @@ def _encode_tokens(docs, dim: int, id_col: str, vecs_col: str):
         f"`{id_col}` long, `embedding` array<double>, `tok_sq8` binary, "
         "`tok_lo` array<double>, `tok_step` array<double>"
     )
+    cmat = None
+    if centroids is not None:
+        cmat = np.asarray(centroids, dtype=np.float64)
+        cn = np.maximum(np.sqrt((cmat * cmat).sum(axis=1)), 1e-300)
+        enc_schema += ", `cells` array<int>"
+
+    def _token_cells(m: np.ndarray) -> list[int]:
+        tn = np.maximum(
+            np.sqrt(np.einsum("ij,ij->i", m, m)), 1e-300
+        )
+        sims = np.round((m @ cmat.T) / np.outer(tn, cn), 6)
+        owner = np.argmax(sims, axis=1)
+        cells, counts = np.unique(owner, return_counts=True)
+        if max_cells is not None and len(cells) > max_cells:
+            # keep the cells holding the most tokens (ties -> lower
+            # cell id): np.unique returns ascending cells, and a
+            # stable sort on -counts preserves that tiebreak
+            keep = np.argsort(-counts, kind="stable")[:max_cells]
+            cells = cells[keep]
+        return sorted(int(c) for c in cells)
 
     def _encode(batches):
         for pdf in batches:
@@ -384,10 +423,19 @@ def _encode_tokens(docs, dim: int, id_col: str, vecs_col: str):
                 id_col: [], "embedding": [], "tok_sq8": [],
                 "tok_lo": [], "tok_step": [],
             }
+            if cmat is not None:
+                rows["cells"] = []
             for i, toks in zip(pdf[id_col], pdf[vecs_col]):
                 if toks is None or len(toks) == 0:
                     continue  # poison rows: no tokens -> not indexable
-                m = np.asarray(list(toks), dtype=np.float64)
+                try:
+                    # intra-doc ragged token dims or null token entries
+                    # make asarray itself raise (ValueError/TypeError on
+                    # numpy>=1.24) BEFORE the shape check can run --
+                    # catch here so one poison row can't kill the job
+                    m = np.asarray(list(toks), dtype=np.float64)
+                except (ValueError, TypeError):
+                    continue  # ragged/null tokens: V9 containment, skip
                 if m.ndim != 2 or m.shape[1] != dim:
                     continue  # ragged dim: V9 containment, skip
                 raw, lo, step = sq8_encode_block(m)
@@ -396,22 +444,25 @@ def _encode_tokens(docs, dim: int, id_col: str, vecs_col: str):
                 rows["tok_sq8"].append(b"".join(raw))
                 rows["tok_lo"].append([float(x) for x in lo])
                 rows["tok_step"].append([float(x) for x in step])
+                if cmat is not None:
+                    rows["cells"].append(_token_cells(m))
             # explicit dtypes: an all-skipped batch would otherwise
             # default its empty list columns to float64 ndarrays,
             # which Arrow cannot convert to list<double>
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(rows[id_col], dtype="int64"),
-                    "embedding": pd.Series(
-                        rows["embedding"], dtype="object"
-                    ),
-                    "tok_sq8": pd.Series(rows["tok_sq8"], dtype="object"),
-                    "tok_lo": pd.Series(rows["tok_lo"], dtype="object"),
-                    "tok_step": pd.Series(
-                        rows["tok_step"], dtype="object"
-                    ),
-                }
-            )
+            cols = {
+                id_col: pd.Series(rows[id_col], dtype="int64"),
+                "embedding": pd.Series(
+                    rows["embedding"], dtype="object"
+                ),
+                "tok_sq8": pd.Series(rows["tok_sq8"], dtype="object"),
+                "tok_lo": pd.Series(rows["tok_lo"], dtype="object"),
+                "tok_step": pd.Series(
+                    rows["tok_step"], dtype="object"
+                ),
+            }
+            if cmat is not None:
+                cols["cells"] = pd.Series(rows["cells"], dtype="object")
+            yield pd.DataFrame(cols)
 
     return docs.select(id_col, vecs_col).mapInPandas(_encode, enc_schema)
 
@@ -422,6 +473,8 @@ def write_maxsim_index(
     centroids: list[list[float]],
     id_col: str = "doc_id",
     vecs_col: str = "token_vecs",
+    assign: str = "pooled",
+    max_cells_per_doc: int = 4,
 ) -> None:
     """Materialize the late-interaction serving index: one IVF layout
     over the documents' MEAN-POOLED vectors, with each row carrying
@@ -442,7 +495,21 @@ def write_maxsim_index(
     (partitioned by ``cell``, id-sorted files, centroid sidecar, file
     manifest), so the shared machinery applies: manifest probes with
     zero listing jobs (ivf.read_probed_cells), compaction
-    (ivf.compact_cell_index), takedown."""
+    (ivf.compact_cell_index), takedown.
+
+    ``assign='token'`` (r10, the ColBERT/PLAID inverted-file shape):
+    instead of one row in the pooled mean's cell, the doc's payload
+    is written into every DISTINCT cell its own tokens point at
+    (capped at the ``max_cells_per_doc`` cells holding most of its
+    tokens) -- so ``probe_maxsim_index(retrieval='token')`` retrieves
+    a doc through any one strongly-matching token, past the pooled
+    retriever's recall ceiling. Cost: storage amplification of
+    (mean distinct cells/doc), stamped in the sidecar as
+    ``row_amplification`` so the trade is visible; probes on this
+    layout dedupe ids driver-side (exact scores make duplicates
+    harmless) and widen their scan shortlists by the stamped cap so
+    duplicates cannot crowd distinct docs out of a partition's
+    partial top-k."""
     from xmidt_event_streams_spark.operators.ivf import (
         _sorted_by_id,
         assign_cells,
@@ -463,19 +530,61 @@ def write_maxsim_index(
     # dim comes from the centroids -- pooled dim == token dim by
     # construction (pooling is a mean over tokens)
     dim = int(first[0]["d"]) if first else len(centroids[0])
-    encoded = _encode_tokens(docs, dim, id_col, vecs_col)
-    assigned = assign_cells(encoded, centroids, "embedding")
+    # stamp the corpus's token-count stats: the probe's byte-aware
+    # driver-merge guard sizes the carried payload as
+    # mean_tokens x (dim + 16) bytes/row -- a hardcoded constant
+    # underestimates a real late-interaction corpus (~100+ tok/doc)
+    # by ~25x and lets the direct collect engage far past the bound
+    tok_stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(vecs_col)).alias("mean_toks"),
+    ).collect()[0]
+    n_docs = int(tok_stats["n"] or 0)
+    mean_tokens = float(tok_stats["mean_toks"] or 0.0)
+    if assign not in ("pooled", "token"):
+        raise ValueError(
+            f"assign must be 'pooled' or 'token', got {assign!r}"
+        )
+    if assign == "token":
+        encoded = _encode_tokens(
+            docs, dim, id_col, vecs_col,
+            centroids=centroids, max_cells=max_cells_per_doc,
+        )
+        assigned = encoded.select(
+            *[c for c in encoded.columns if c != "cells"],
+            F.explode("cells").alias("cell"),
+        )
+    else:
+        encoded = _encode_tokens(docs, dim, id_col, vecs_col)
+        assigned = assign_cells(encoded, centroids, "embedding")
     (
         _sorted_by_id(assigned.repartition(F.col("cell")), id_col)
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
     )
+    row_amp = None
+    if assign == "token" and n_docs:
+        # measured storage trade: index rows per source doc
+        row_amp = round(
+            docs.sparkSession.read.parquet(path).count() / n_docs, 3
+        )
     write_json_sidecar(
         docs.sparkSession,
         path,
         _MAXSIM_META_FILE,
-        {"centroids": centroids, "id_col": id_col, "dim": dim},
+        {
+            "centroids": centroids,
+            "id_col": id_col,
+            "dim": dim,
+            "n_docs": n_docs,
+            "mean_tokens": mean_tokens,
+            "assign": assign,
+            "max_cells_per_doc": (
+                max_cells_per_doc if assign == "token" else None
+            ),
+            "row_amplification": row_amp,
+        },
     )
     refresh_files_manifest(docs.sparkSession, path)
 
@@ -488,6 +597,7 @@ def probe_maxsim_index(
     n_probe: int = 4,
     prefilter_c: int = 100,
     pooled_only: bool = False,
+    retrieval: str = "pooled",
 ) -> DataFrame:
     """Two-stage MaxSim search against a :func:`write_maxsim_index`
     layout, fetch-free:
@@ -514,6 +624,22 @@ def probe_maxsim_index(
     the pooled retriever's recall@C (a doc the shortlist never held
     cannot be recovered), plus SQ8 reconstruction error on near-ties
     -- both documented, both measured in the bench sidecar.
+
+    ``retrieval='token'`` (r10, the published ColBERT/PLAID
+    candidate-generation shape re-expressed over this layout): stage
+    1 probes the union of each QUERY TOKEN's ``n_probe`` nearest
+    cells instead of the pooled vector's -- a doc whose pooled mean
+    sits far from the query can still be retrieved through any one
+    strongly-matching token -- and the scan scores candidates by
+    EXACT MaxSim over the SQ8-decoded token payload it is already
+    reading (``maxsim_score_block``, one segmented-max per cell
+    batch). That lifts the pooled retriever's recall ceiling AND
+    moves the rerank arithmetic into the executors: nothing but
+    (query_id, id, score) rows ever reach the driver, so the carried-
+    payload merge guard is moot on this arm. Cost: the scan decodes
+    every probed row's tokens (vs one pooled dot), so wall grows with
+    tokens/doc x query tokens -- the bench sidecar's frontier sweeps
+    both arms; pick by the measured crossover.
     Output: query_id, {id_col}, maxsim, rank (maxsim descending)."""
     import pandas as pd
 
@@ -549,10 +675,38 @@ def probe_maxsim_index(
                 f"query {qid}: token matrix shape {qm.shape} does not "
                 f"match index dim {dim}"
             )
+    if retrieval not in ("pooled", "token"):
+        raise ValueError(
+            f"retrieval must be 'pooled' or 'token', got {retrieval!r}"
+        )
+    if retrieval == "token" and pooled_only:
+        raise ValueError(
+            "pooled_only=True contradicts retrieval='token' (the "
+            "token arm's scan scores exact MaxSim, not pooled cosine)"
+        )
     pooled = [(qid, qm.mean(axis=0)) for qid, qm in qmats.items()]
-    cells_per_q = _nearest_cells_driver(
-        [v.tolist() for _, v in pooled], centroids, n_probe
-    )
+    if retrieval == "token":
+        # one driver-side nearest-cells pass over ALL query tokens at
+        # once (sum_q tokens_q rows x n_cells dots -- driver-sized by
+        # the queries-are-a-driver-list contract), then a per-query
+        # union of its tokens' probed cells
+        qid_order = [qid for qid, _ in pooled]
+        tok_counts = [qmats[qid].shape[0] for qid in qid_order]
+        all_tok = np.concatenate([qmats[qid] for qid in qid_order])
+        per_tok = _nearest_cells_driver(
+            all_tok.tolist(), centroids, n_probe
+        )
+        cells_per_q = []
+        at = 0
+        for t in tok_counts:
+            cells_per_q.append(
+                sorted({int(c) for cs in per_tok[at : at + t] for c in cs})
+            )
+            at += t
+    else:
+        cells_per_q = _nearest_cells_driver(
+            [v.tolist() for _, v in pooled], centroids, n_probe
+        )
     # cell -> (query ids, stacked pooled unit vectors): one matmul
     # scores all of a cell's queries per batch (the LUT-batch idea)
     by_cell: dict[int, list[tuple[int, np.ndarray]]] = {}
@@ -569,10 +723,38 @@ def probe_maxsim_index(
         for c, pairs in by_cell.items()
     }
 
-    carry = not pooled_only
+    token_mode = retrieval == "token"
+    if token_mode:
+        # cell -> (query ids, all their token matrices stacked, and
+        # each query's [a, b) span in the stack): ONE flat @ Qcat.T
+        # matmul + one segmented max scores every query that probed
+        # the cell against all its rows in a batch
+        tok_by_cell: dict[int, tuple] = {}
+        _tacc: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for (qid, _qv), cells in zip(pooled, cells_per_q):
+            for c in cells:
+                _tacc.setdefault(int(c), []).append((qid, qmats[qid]))
+        for c, pairs in _tacc.items():
+            spans, at = [], 0
+            for _qid, qm in pairs:
+                spans.append((at, at + qm.shape[0]))
+                at += qm.shape[0]
+            tok_by_cell[c] = (
+                np.asarray([q for q, _ in pairs], dtype=np.int64),
+                np.concatenate([qm for _, qm in pairs]),
+                spans,
+            )
+
+    # carry: the pooled arm hauls the shortlist's SQ8 payload to the
+    # driver for stage-2 decode; the token arm's scan already scored
+    # exact-over-SQ8 MaxSim, so only (query_id, id, score) ever moves
+    carry = not pooled_only and not token_mode
     fields = [
         StructField("query_id", LongType()),
         StructField(id_col, LongType()),
+        # holds pooled cosine on the pooled arm, exact-SQ8 MaxSim on
+        # the token arm (one internal name keeps the merge kernels
+        # shared); the OUTPUT column is renamed per arm below
         StructField("cos_sim", DoubleType()),
     ]
     if carry:
@@ -584,7 +766,80 @@ def probe_maxsim_index(
             StructField("tok_step", ArrayType(DoubleType())),
         ]
     out_schema = StructType(fields)
-    n_short = k_neighbors if pooled_only else max(prefilter_c, k_neighbors)
+    n_short = (
+        k_neighbors
+        if (pooled_only or token_mode)
+        else max(prefilter_c, k_neighbors)
+    )
+    # token-ASSIGNED layout: one doc legitimately rides in up to
+    # max_cells_per_doc cells, so a partition's partial top-k can
+    # hold duplicates. Widening the fold by the stamped cap
+    # guarantees >= n_short DISTINCT docs survive every partial
+    # (duplicates carry identical exact scores); the driver merge
+    # dedupes below. Pooled-assigned layouts keep width 1.
+    dup_width = 1
+    if meta.get("assign") == "token":
+        dup_width = max(1, int(meta.get("max_cells_per_doc") or 1))
+    n_short_kernel = n_short * dup_width
+
+    def _score_token(batches):
+        # exact-over-SQ8 MaxSim in the scan: decode each cell's rows
+        # ONCE into a flat (total_tokens, dim) block, one matmul
+        # against the cell's stacked query tokens, one segmented max
+        # (np.maximum.reduceat -- the maxsim_score_block kernel shape,
+        # widened to score all of a cell's queries per pass)
+        best: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            sq8 = pdf["tok_sq8"].to_numpy()
+            lo = pdf["tok_lo"].to_numpy()
+            step = pdf["tok_step"].to_numpy()
+            for c, (qids, Qcat, spans) in tok_by_cell.items():
+                mask = cells == c
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                sub_lo = lo[mask]
+                lens = np.asarray([len(x) for x in sub_lo])
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                q = np.frombuffer(
+                    b"".join(bytes(b) for b in sq8[mask]), dtype=np.uint8
+                ).reshape(int(lens.sum()), dim)
+                lo_f = np.concatenate(
+                    [np.asarray(x, dtype=np.float64) for x in sub_lo]
+                )
+                st_f = np.concatenate(
+                    [np.asarray(x, dtype=np.float64) for x in step[mask]]
+                )
+                flat = lo_f[:, None] + st_f[:, None] * q
+                sims = flat @ Qcat.T
+                per_doc_max = np.maximum.reduceat(sims, starts, axis=0)
+                for qi, qid in enumerate(qids):
+                    a, b = spans[qi]
+                    sc = np.round(
+                        per_doc_max[:, a:b].sum(axis=1), 6
+                    )
+                    keep = sub_ids != qid  # retrieval contract
+                    _fold_into(
+                        best,
+                        int(qid),
+                        sub_ids[keep],
+                        -sc[keep],  # fold keeps SMALLEST
+                        n_short_kernel,
+                    )
+        for qid, kept in best.items():
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(
+                        len(kept[0]), qid, dtype=np.int64
+                    ),
+                    id_col: kept[0],
+                    "cos_sim": -kept[1],
+                }
+            )
 
     def _score(batches):
         best: dict = {}
@@ -619,7 +874,7 @@ def probe_maxsim_index(
                         int(qid),
                         sub_ids[keep],
                         -cmat[:, qi][keep],  # fold keeps SMALLEST
-                        n_short,
+                        n_short_kernel,
                         extras,
                     )
         for qid, kept in best.items():
@@ -635,23 +890,34 @@ def probe_maxsim_index(
             yield pd.DataFrame(cols)
 
     probed = sorted({int(c) for cs in cells_per_q for c in cs})
-    scan_cols = [id_col, "cell", "embedding"]
-    if carry:
-        scan_cols += ["tok_sq8", "tok_lo", "tok_step"]
+    if token_mode:
+        # the token arm never reads the pooled embedding column (its
+        # scan scores from the payload alone) -- column-pruned away
+        scan_cols = [id_col, "cell", "tok_sq8", "tok_lo", "tok_step"]
+    else:
+        scan_cols = [id_col, "cell", "embedding"]
+        if carry:
+            scan_cols += ["tok_sq8", "tok_lo", "tok_step"]
     base = (
         read_probed_cells(spark, path, probed)
         .filter(F.col("cell").isin(probed))
         .select(*scan_cols)
     )
-    scored = base.mapInPandas(_score, out_schema)
+    scored = base.mapInPandas(
+        _score_token if token_mode else _score, out_schema
+    )
     # driver merge guard, byte-aware like ivfpq's: a carried row is
-    # ~(avg tokens x (dim + 16)) bytes, estimated here from the
-    # scan's own shortlist being bounded by C x queries x partitions
+    # ~(mean tokens x (dim + 16)) bytes, with mean tokens/doc read
+    # from the sidecar stamped at write/append time (a hardcoded
+    # constant underestimates a ~100-token late-interaction corpus by
+    # ~25x); shortlist rows are bounded by C x queries x partitions
     n_scan_parts = base.rdd.getNumPartitions()
     row_cap = _DRIVER_MERGE_MAX_ROWS
     if carry:
-        row_cap = max(1, (_DRIVER_MERGE_MAX_ROWS * 24) // (4 * (dim + 16)))
-    if n_scan_parts * len(queries) * n_short > row_cap:
+        mean_toks = float(meta.get("mean_tokens") or 0.0) or 4.0
+        row_bytes = max(1, int(mean_toks * (dim + 16)))
+        row_cap = max(1, (_DRIVER_MERGE_MAX_ROWS * 24) // row_bytes)
+    if n_scan_parts * len(queries) * n_short_kernel > row_cap:
         # fold partials to exactly queries x n_short rows BEFORE the
         # collect: the shuffle moves shortlist partials, not cells
         def _merge_partials(batches):
@@ -672,7 +938,7 @@ def probe_maxsim_index(
                         int(qid),
                         g[id_col].to_numpy(),
                         -g["cos_sim"].to_numpy(dtype="float64"),
-                        n_short,
+                        n_short_kernel,
                         extras,
                     )
             for qid, kept in best.items():
@@ -704,8 +970,22 @@ def probe_maxsim_index(
         merged.setdefault(int(r["query_id"]), []).append(
             (-float(r["cos_sim"]), int(r[id_col]), *payload)
         )
+    if dup_width > 1:
+        # token-assigned layout: the same id can arrive from several
+        # probed cells with IDENTICAL exact scores -- keep one
+        # (post-sort, so the kept entry is the ranking one)
+        for qid, cand in merged.items():
+            cand.sort()
+            seen: set = set()
+            merged[qid] = [
+                c for c in cand
+                if c[1] not in seen and not seen.add(c[1])
+            ]
 
-    if pooled_only:
+    if pooled_only or token_mode:
+        # both arms are already finally-scored at the scan: pooled-
+        # only by pooled cosine, the token arm by exact-SQ8 MaxSim
+        out_col = "cos_sim" if pooled_only else "maxsim"
         rows_out = []
         for qid, cand in merged.items():
             cand.sort()
@@ -716,7 +996,8 @@ def probe_maxsim_index(
                 )
             )
         return spark.createDataFrame(
-            rows_out, f"query_id long, `{id_col}` long, cos_sim double, rank int"
+            rows_out,
+            f"query_id long, `{id_col}` long, {out_col} double, rank int",
         )
 
     rows_out = []
@@ -771,7 +1052,8 @@ def compact_maxsim_index(
             f"no maxsim sidecar at {path}: not a write_maxsim_index "
             "layout"
         )
-    return compact_cell_index(
+    token_assigned = meta.get("assign") == "token"
+    stats = compact_cell_index(
         spark,
         path,
         meta,
@@ -779,7 +1061,36 @@ def compact_maxsim_index(
         content_col="tok_sq8",
         id_col=meta["id_col"],
         tombstones=tombstones,
+        # the inverted-file layout holds one row per (doc, token
+        # cell) ON PURPOSE -- dedup on the pair, never id alone
+        key_cols=(
+            (meta["id_col"], "cell") if token_assigned else None
+        ),
     )
+    # restamp EXACT token-count stats from the compacted survivors
+    # (append keeps a weighted running mean that can drift under
+    # at-least-once replay; compaction is the natural resync point);
+    # per-DOC stats, so the token-assigned layout drops its replicas
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
+    if stats["files_after"]:
+        survivors = spark.read.parquet(path)
+        if token_assigned:
+            survivors = survivors.dropDuplicates([meta["id_col"]])
+        exact = survivors.select(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size("tok_lo")).alias("mean_toks"),
+        ).collect()[0]
+        meta["n_docs"] = int(exact["n"] or 0)
+        meta["mean_tokens"] = float(exact["mean_toks"] or 0.0)
+    else:  # fully-tombstoned: a legitimate empty end state
+        meta["n_docs"], meta["mean_tokens"] = 0, 0.0
+    if token_assigned and meta["n_docs"]:
+        meta["row_amplification"] = round(
+            stats["rows_after"] / meta["n_docs"], 3
+        )
+    write_json_sidecar(spark, path, _MAXSIM_META_FILE, meta)
+    return stats
 
 
 def append_to_maxsim_index(
@@ -805,6 +1116,8 @@ def append_to_maxsim_index(
         refresh_files_manifest,
     )
 
+    from xmidt_event_streams_spark.fsutil import write_json_sidecar
+
     spark = docs.sparkSession
     meta = read_json_sidecar(spark, path, _MAXSIM_META_FILE)
     if meta is None:
@@ -818,11 +1131,25 @@ def append_to_maxsim_index(
             f"index at {path} stores id_col={meta['id_col']!r}, "
             f"append supplied {id_col!r}"
         )
-    encoded = _encode_tokens(docs, int(meta["dim"]), id_col, vecs_col)
+    if meta.get("assign") == "token":
+        # token-assigned layout (see write_maxsim_index): the batch's
+        # docs ride in every capped token cell, same as at build time
+        encoded = _encode_tokens(
+            docs, int(meta["dim"]), id_col, vecs_col,
+            centroids=meta["centroids"],
+            max_cells=meta.get("max_cells_per_doc"),
+        )
+        placed = encoded.select(
+            *[c for c in encoded.columns if c != "cells"],
+            F.explode("cells").alias("cell"),
+        )
+    else:
+        encoded = _encode_tokens(
+            docs, int(meta["dim"]), id_col, vecs_col
+        )
+        placed = assign_cells(encoded, meta["centroids"], "embedding")
     assigned = _sorted_by_id(
-        assign_cells(encoded, meta["centroids"], "embedding").repartition(
-            F.col("cell")
-        ),
+        placed.repartition(F.col("cell")),
         id_col,
     ).persist()  # two actions: the write + the touched-cell collect
     try:
@@ -848,8 +1175,31 @@ def append_to_maxsim_index(
             for r in assigned.select("cell").distinct().collect()
             if r[0] is not None
         ]
+        # per-DOC stats (the token-assigned layout replicates index
+        # rows, which would inflate n and bias the mean): one cheap
+        # agg over the source batch, column-pruned to the token count
+        batch_stats = docs.select(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(vecs_col)).alias("mean_toks"),
+        ).collect()[0]
     finally:
         assigned.unpersist()
+    # fold the batch into the stamped token-count stats (weighted
+    # mean) so the probe's byte-aware merge guard tracks the corpus.
+    # Under at-least-once streaming replay n_docs can over-count a
+    # rewritten batch, but the MEAN -- the only field the guard uses
+    # -- barely moves (the replayed batch has the same distribution);
+    # compaction restamps exact counts.
+    b_n = int(batch_stats["n"] or 0)
+    if b_n > 0:
+        old_n = int(meta.get("n_docs") or 0)
+        old_mean = float(meta.get("mean_tokens") or 0.0)
+        new_n = old_n + b_n
+        meta["mean_tokens"] = (
+            old_n * old_mean + b_n * float(batch_stats["mean_toks"])
+        ) / new_n
+        meta["n_docs"] = new_n
+        write_json_sidecar(spark, path, _MAXSIM_META_FILE, meta)
     refresh_files_manifest(spark, path, touched)
 
 

@@ -117,14 +117,30 @@ def opq_fit(
     random init). Returns (R as dim x dim nested lists, codebooks)."""
     from xmidt_event_streams_spark.operators.ivfpq import (
         _collect_fit_sample,
-        _lloyd_l2_subspaces,
     )
-    from xmidt_event_streams_spark.operators.pq import _encode_block
 
     cap = (
         OPQ_FIT_SAMPLE_ROWS if fit_sample_rows is None else fit_sample_rows
     )
     _, X = _collect_fit_sample(df, vec_col, id_col, cap)
+    R, cb, _ = _opq_fit_array(X, m, k, n_iters, opq_iters)
+    return R.tolist(), cb.tolist()
+
+
+def _opq_fit_array(
+    X: np.ndarray, m: int, k: int, n_iters: int, opq_iters: int
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """The driver-numpy OPQ fit kernel over an already-collected
+    sample: returns (rotation, codebooks, sample distortion) from the
+    three-candidate min described in :func:`opq_fit`. Split out so
+    composed fits (ivfpq_fit(opq=True) -- the FAISS ``OPQd,IVFx,PQy``
+    shape) can learn the rotation on the SAME sample their coarse/
+    residual quantizers train on, without a second collection pass."""
+    from xmidt_event_streams_spark.operators.ivfpq import (
+        _lloyd_l2_subspaces,
+    )
+    from xmidt_event_streams_spark.operators.pq import _encode_block
+
     if len(X) < k:
         raise ValueError(f"fit sample holds {len(X)} rows < k={k}")
     dim = X.shape[1]
@@ -176,8 +192,8 @@ def opq_fit(
         _alternate(np.eye(dim)),
         _alternate(eigenvalue_allocation_init(X, m)),
     ]
-    R, cb, _ = min(cand, key=lambda t: t[2])
-    return R.tolist(), cb.tolist()
+    R, cb, err = min(cand, key=lambda t: t[2])
+    return np.asarray(R), np.asarray(cb), float(err)
 
 
 def rotate_vectors(
