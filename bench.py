@@ -573,10 +573,10 @@ def ann_bench(spark) -> dict:
             )
         # operating point (r10, closes the r9 `ivfpq_search_sec <=
         # 1.5` gate miss): cheapest n_probe whose RERANKED recall
-        # >= 0.9 -- at cal parity that is n_probe=2 (1.366 s, ADC
-        # 0.855 -> reranked 0.944) where the old ADC-recall rule
-        # chose n_probe=4 (1.582 s) and paid +16% wall for recall
-        # the rerank already recovers. Fallback: best reranked recall.
+        # >= 0.9 -- the served path always reranks (near-free), so
+        # qualifying on raw ADC recall (the old rule) paid extra
+        # probe wall for recall the rerank already recovers.
+        # Fallback: best reranked recall.
         ok = [p for p in sweep if p["rerank_recall_at_10"] >= 0.9]
         chosen = (
             min(ok, key=lambda p: p["search_sec"])
@@ -1066,6 +1066,25 @@ def maxsim_bench(spark) -> dict:
         for qi in range(n_queries):
             topic = _topic_vec((qi * 37) % n_topics)
             m = topic[None, :] + noise * qrng.normal(size=(n_tok, dim))
+            if qi % 2:
+                # SPLIT query (every other one): half its tokens from
+                # a far topic -- its pooled mean sits between the two
+                # topics' cells, the exact regime where pooled
+                # retrieval under-probes and token-level retrieval
+                # earns its keep. Pure queries alone measured recall
+                # 1.0 at EVERY swept point (r10 first run) -- a flat
+                # frontier that cannot rank the arms. The pairing
+                # offset (+251) deliberately differs from the corpus
+                # split docs' (+499): a query pairing that exists in
+                # the corpus is served by split DOCS whose pooled
+                # means sit exactly where the query's does (measured:
+                # still recall 1.0 everywhere); an unseen pairing
+                # forces retrieval of PURE docs across two distant
+                # cells, which is the ceiling being measured.
+                other = _topic_vec(((qi * 37) + 251) % n_topics)
+                m[n_tok // 2 :] = other[None, :] + noise * qrng.normal(
+                    size=(n_tok // 2, dim)
+                )
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             queries.append((-(qi + 1), [[float(x) for x in r] for r in m]))
 

@@ -280,6 +280,7 @@ OFF_REGISTRY = [
     "ann_rerank_exact",
     "approx_distinct_users",
     "maxsim_inindex",
+    "maxsim_token",
 ]
 
 # every catalog q_* not in the 50-entry driver registry must appear
@@ -380,6 +381,10 @@ OFF_REGISTRY_EVIDENCE = {
     # token codec AND the MaxSim score in SQL (the registry is at its
     # 50-row cap; maxsim_topk holds the family's driver row)
     "maxsim_inindex": "tests/test_components.py::test_off_registry_parity",
+    # r10: the token-level serving arm's exact-recovery twin (same
+    # SQL oracle as maxsim_inindex -- full-width probes of both arms
+    # must recover the identical exact-over-SQ8 ranking)
+    "maxsim_token": "tests/test_components.py::test_off_registry_parity",
 }
 
 

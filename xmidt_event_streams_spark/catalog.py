@@ -1178,6 +1178,65 @@ SELECT query_id, vec_id, maxsim, CAST(rnk AS INT) AS rank FROM (
 
 SQL_MAXSIM_ININDEX = _maxsim_inindex_sql()
 
+
+def q_maxsim_token(spark, sf_dir):
+    """r10, the token-level serving arm end to end: token-ASSIGNED
+    index (assign='token', each doc replicated into its tokens'
+    capped cells -- the ColBERT/PLAID inverted-file shape) probed
+    with retrieval='token' (per-query-token cell union, exact
+    MaxSim over the SQ8 payload scored IN the scan, driver dedupe of
+    replicas). At full probe width the output must be EXACTLY the
+    top-k by MaxSim over SQ8-decoded tokens -- the same exact-
+    recovery contract as q_maxsim_inindex, so the two arms share one
+    DuckDB twin (SQL_MAXSIM_TOKEN = SQL_MAXSIM_ININDEX): one oracle
+    pins assignment + replication + union probe + in-scan scoring +
+    dedupe + rank against a full SQL re-derivation of the codec and
+    the score. Off-registry parity row. Output: query_id, vec_id,
+    maxsim, rank."""
+    import shutil
+    import tempfile
+
+    from xmidt_event_streams_spark.operators.multivec import (
+        chunk_embedding_tokens,
+        probe_maxsim_index,
+        write_maxsim_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    docs = chunk_embedding_tokens(emb, MAXSIM_TOKENS).select(
+        "vec_id", "token_vecs"
+    )
+    sub = 64 // MAXSIM_TOKENS
+    queries = [
+        (
+            int(r["vec_id"]),
+            [
+                [float(x) for x in r["embedding"][t * sub : (t + 1) * sub]]
+                for t in range(MAXSIM_TOKENS)
+            ],
+        )
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    cents = deterministic_planes(4, sub, seed="maxsim-cells")
+    tmp = tempfile.mkdtemp(prefix="xes-maxsim-tok-") + "/ix"
+    try:
+        write_maxsim_index(
+            docs, tmp, cents, id_col="vec_id", assign="token"
+        )
+        return probe_maxsim_index(
+            spark,
+            tmp,
+            queries,
+            k_neighbors=10,
+            n_probe=len(cents),  # full width: exact-recovery arm
+            retrieval="token",
+        )
+    finally:
+        shutil.rmtree(tmp.rsplit("/", 1)[0], ignore_errors=True)
+
+
+SQL_MAXSIM_TOKEN = SQL_MAXSIM_ININDEX
+
 # ------------------------------------------------------ relational (TPC-H)
 
 
