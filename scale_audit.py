@@ -461,11 +461,100 @@ def _measure_index_paths(spark, n: int, tmpdir: str) -> dict:
     refine["rows_scanned_frac"] = round(rscanned / n, 4)
     refine["probed_cells"] = len(probed)
     refine["n_cells"] = len(cents)
+
+    # token-level MaxSim probe (r10): the ColBERT/PLAID-shaped arm --
+    # token-ASSIGNED index (docs replicated into their tokens' capped
+    # cells), probed with the per-query-token cell union, exact
+    # MaxSim scored IN the scan. The channels to pin: scan stays a
+    # manifest-listed pruned read (scan_bytes sublinear across the
+    # 10x step), ZERO shuffles/broadcasts (driver merge carries only
+    # (query_id, id, score) partials), rows_scanned tracks the
+    # probed-cell fraction TIMES the stamped row amplification.
+    from xmidt_event_streams_spark.operators.ivf import (
+        read_probed_cells,
+    )
+    from xmidt_event_streams_spark.operators.multivec import (
+        chunk_embedding_tokens,
+        probe_maxsim_index,
+        write_maxsim_index,
+    )
+    from xmidt_event_streams_spark.operators.similarity import (
+        deterministic_planes,
+    )
+
+    mv_tok, mv_sub = 4, _IDX_DIM // 4
+    mvdocs = chunk_embedding_tokens(corpus, mv_tok).select(
+        "vec_id", "token_vecs"
+    )
+    # sqrt(N) deterministic-plane centroids: cell count scales with
+    # the corpus like the fitted tiers', with zero fit cost -- the
+    # audit measures I/O channels, not recall (see _index_corpus).
+    # The query batch is SMALL for this arm (8, n_probe=2/token): a
+    # token probe's cell set is a UNION over query tokens, so the
+    # registry's 64-query batch at n_probe=4 unions to every cell at
+    # this cell count and the pruning channel reads as frac 1.0 --
+    # geometry, not a pruning regression (measured r10 first cut).
+    mv_cells = deterministic_planes(
+        max(16, int(n**0.5)), mv_sub, seed="audit-maxsim"
+    )
+    mvdir = f"{tmpdir}/mvix{n}"
+    write_maxsim_index(
+        mvdocs, mvdir, mv_cells, id_col="vec_id", assign="token"
+    )
+    mv_n_probe = 2
+    mv_queries = [
+        (
+            qid,
+            [
+                list(map(float, qv[t * mv_sub : (t + 1) * mv_sub]))
+                for t in range(mv_tok)
+            ],
+        )
+        for qid, qv in qrows[:8]
+    ]
+
+    def _tprobe():
+        t0 = time.perf_counter()
+        probe_maxsim_index(
+            spark, mvdir, mv_queries, 10, n_probe=mv_n_probe,
+            retrieval="token",
+        ).collect()
+        return time.perf_counter() - t0
+
+    _tprobe()
+    tprobe_sec = round(min(_tprobe(), _tprobe()), 3)
+    # the probe's own scan relation, reconstructed exactly as
+    # probe_maxsim_index builds it (same per-token cell derivation,
+    # same manifest read, same payload projection)
+    tok_cells_union = sorted(
+        {
+            int(c)
+            for qid, qm in mv_queries
+            for cs in _nearest_cells_driver(qm, mv_cells, mv_n_probe)
+            for c in cs
+        }
+    )
+    tbase = (
+        read_probed_cells(spark, mvdir, tok_cells_union)
+        .filter(F.col("cell").isin(tok_cells_union))
+        .select("vec_id", "cell", "tok_sq8", "tok_lo", "tok_step")
+    )
+    tscanned = len(tbase.collect())
+    tok_probe = _acc()
+    _walk(tbase._jdf.queryExecution().executedPlan(), tok_probe)
+    mv_rows = spark.read.parquet(mvdir).count()
+    tok_probe["sec"] = tprobe_sec
+    tok_probe["rows_scanned"] = tscanned
+    tok_probe["rows_scanned_frac"] = round(tscanned / mv_rows, 4)
+    tok_probe["index_rows"] = mv_rows
+    tok_probe["probed_cells"] = len(tok_cells_union)
+    tok_probe["n_cells"] = len(mv_cells)
     return {
         "probe": probe,
         "fetch": fetch,
         "fetch_clustered": fetch_cl,
         "refine_probe": refine,
+        "maxsim_token_probe": tok_probe,
     }
 
 
@@ -483,7 +572,13 @@ def audit_index_paths(spark) -> dict:
         shutil.rmtree(tmpdir, ignore_errors=True)
     ratio = _IDX_N_BIG / _IDX_N_SMALL
     out: dict = {"n_small": _IDX_N_SMALL, "n_big": _IDX_N_BIG}
-    for part in ("probe", "fetch", "fetch_clustered", "refine_probe"):
+    for part in (
+        "probe",
+        "fetch",
+        "fetch_clustered",
+        "refine_probe",
+        "maxsim_token_probe",
+    ):
         s, b = small[part], big[part]
         exps = {
             ch: exponent(s[ch], b[ch], ratio)
@@ -532,7 +627,13 @@ def main() -> None:
     index_paths = audit_index_paths(spark)
 
     flagged = {n: r["flags"] for n, r in out.items() if r["flags"]}
-    for part in ("probe", "fetch", "fetch_clustered", "refine_probe"):
+    for part in (
+        "probe",
+        "fetch",
+        "fetch_clustered",
+        "refine_probe",
+        "maxsim_token_probe",
+    ):
         if index_paths[part]["flags"]:
             flagged[f"index_paths.{part}"] = index_paths[part]["flags"]
     artifact = {

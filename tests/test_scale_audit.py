@@ -155,6 +155,19 @@ def test_checked_in_artifact_audits_index_paths():
     # the refine payload rides the scan -- no fetch join, no exchange
     assert ip["refine_probe"]["big"]["shuffle_bytes"] == 0
     assert ip["refine_probe"]["big"]["n_broadcasts"] == 0
+    # the token-level MaxSim probe (r10) rides the same machinery:
+    # manifest-listed pruned scan over the probed-cell union, rerank
+    # arithmetic IN the scan, driver merge carries only score rows --
+    # so zero shuffles/broadcasts and a shrinking scanned fraction of
+    # the (replicated) index
+    tp = ip.get("maxsim_token_probe")
+    assert tp, "regenerate SCALE_AUDIT.json: no maxsim_token_probe arm"
+    assert tp["big"]["shuffle_bytes"] == 0
+    assert tp["big"]["n_broadcasts"] == 0
+    assert tp["big"]["spill_bytes"] == 0
+    assert (
+        tp["big"]["rows_scanned_frac"] < tp["small"]["rows_scanned_frac"]
+    )
 
 
 def test_superlinear_shuffle_is_flagged():
