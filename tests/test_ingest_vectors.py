@@ -624,6 +624,43 @@ class TestMultivecIngest:
             90: "null_tokens", 91: "empty_tokens", 92: "bad_token"
         }
 
+    def test_token_assigned_streaming_replay_idempotent(
+        self, spark, tmp_path
+    ):
+        """The token-ASSIGNED layout rides the same streaming-append
+        contract: a replayed (cell, batch) overwrite rewrites its own
+        replicas instead of duplicating them -- each doc's replica
+        set lands in the SAME partitions on replay because cell
+        assignment is a pure function of the stamped centroids."""
+        from xmidt_event_streams_spark.operators.multivec import (
+            append_to_maxsim_index,
+            probe_maxsim_index,
+            write_maxsim_index,
+        )
+        from xmidt_event_streams_spark.operators.similarity import (
+            deterministic_planes,
+        )
+
+        ix = str(tmp_path / "mvixtok")
+        cents = deterministic_planes(2, self.DIM, seed="mv-ingest")
+        empty = spark.createDataFrame(
+            [], "doc_id long, token_vecs array<array<double>>"
+        )
+        write_maxsim_index(empty, ix, cents, assign="token")
+        batch = spark.createDataFrame(
+            [(i, self._toks(i)) for i in range(5)],
+            "doc_id long, token_vecs array<array<double>>",
+        )
+        append_to_maxsim_index(batch, ix, batch_id=3)
+        once = spark.read.parquet(ix).count()
+        append_to_maxsim_index(batch, ix, batch_id=3)  # replay
+        assert spark.read.parquet(ix).count() == once
+        got = probe_maxsim_index(
+            spark, ix, [(999, self._toks(999))], k_neighbors=20,
+            n_probe=2, retrieval="token",
+        ).collect()
+        assert sorted(r["doc_id"] for r in got) == [0, 1, 2, 3, 4]
+
     def test_replayed_batch_id_does_not_duplicate(self, spark, tmp_path):
         from xmidt_event_streams_spark.operators.multivec import (
             append_to_maxsim_index,

@@ -848,6 +848,43 @@ class TestTokenRetrieval:
             t[1] for t in want_after
         ][:3]
 
+    def test_pooled_probe_on_token_assigned_index(
+        self, spark, tmp_path
+    ):
+        """The pooled arm stays correct on a token-ASSIGNED layout:
+        replicas enter the carried-payload shortlist from multiple
+        cells, the fold width scales by the stamped cap, and the
+        driver merge dedupes -- so a full-width pooled probe on the
+        token layout equals the same probe on the pooled layout,
+        column for column."""
+        from xmidt_event_streams_spark.operators.ivf import kmeans_fit
+        from xmidt_event_streams_spark.operators.multivec import (
+            pooled_tokens,
+            probe_maxsim_index,
+            write_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        cents = kmeans_fit(pooled_tokens(df), 4, 2, id_col="doc_id")
+        pooled_path = str(tmp_path / "pp")
+        token_path = str(tmp_path / "tt")
+        write_maxsim_index(df, pooled_path, cents)
+        write_maxsim_index(df, token_path, cents, assign="token")
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+        for kw in (
+            {"prefilter_c": 1000},              # two-stage rerank
+            {"pooled_only": True},              # pooled-only
+        ):
+            got = sorted(map(tuple, probe_maxsim_index(
+                spark, token_path, queries, k_neighbors=5, n_probe=4,
+                **kw,
+            ).collect()))
+            want = sorted(map(tuple, probe_maxsim_index(
+                spark, pooled_path, queries, k_neighbors=5, n_probe=4,
+                **kw,
+            ).collect()))
+            assert got == want, kw
+
     def test_rejects_contradictory_flags(self, spark, tmp_path):
         from xmidt_event_streams_spark.operators.multivec import (
             probe_maxsim_index,

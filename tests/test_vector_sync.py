@@ -347,6 +347,59 @@ class TestMaxsimSync:
         assert 2 in q_new
         assert q_new[2] == max(q_new.values())
 
+    def test_token_assign_bootstrap_and_follow(self, spark, tmp_path):
+        """assign='token' bootstraps the inverted-file layout through
+        the CDC sync; the follow path (compact + append) preserves
+        replica semantics -- delete removes every replica, an update's
+        OLD matrix compacts out of all its cells, the stamped
+        assignment survives."""
+        from xmidt_event_streams_spark.fsutil import read_json_sidecar
+        from xmidt_event_streams_spark.operators.multivec import (
+            _MAXSIM_META_FILE,
+            probe_maxsim_index,
+            sync_maxsim_with_snapshot,
+        )
+
+        table = self._mk_doc_table(spark, tmp_path)
+        ix = str(tmp_path / "mvix")
+        ck = str(tmp_path / "ck")
+        r = sync_maxsim_with_snapshot(
+            spark, table, ix, ck, n_cells=4, assign="token"
+        )
+        assert r["appended"] == 40
+        meta = read_json_sidecar(spark, ix, _MAXSIM_META_FILE)
+        assert meta["assign"] == "token"
+
+        def hits(qid):
+            return {
+                row["doc_id"]
+                for row in probe_maxsim_index(
+                    spark, ix, [(qid, _toks(qid))], k_neighbors=40,
+                    n_probe=4, retrieval="token",
+                ).collect()
+            }
+
+        assert 1 in hits(0)
+        self._merge_docs(
+            spark, table,
+            upserts=[(2, _toks(2_000_002)), (77, _toks(77))],
+            deletes=[1],
+        )
+        sync_maxsim_with_snapshot(
+            spark, table, ix, ck, n_cells=4, assign="token"
+        )
+        after = hits(0)
+        assert 1 not in after and 77 in after
+        idx = spark.read.parquet(ix)
+        assert idx.filter(F.col("doc_id") == 1).count() == 0
+        # replicas stay deduped per (id, cell) after the follow
+        assert (
+            idx.groupBy("doc_id", "cell").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+        meta = read_json_sidecar(spark, ix, _MAXSIM_META_FILE)
+        assert meta["assign"] == "token"
+
     def test_fork_refusal(self, spark, tmp_path):
         import pytest
 

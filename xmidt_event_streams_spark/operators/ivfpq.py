@@ -318,13 +318,16 @@ def ivfpq_fit(
             _opq_fit_array,
         )
 
-        # rotation fit on a bounded PREFIX of the sample (the
-        # alternation re-runs ~24 codebook fits; quality saturates at
-        # ~1k points/code -- see OPQ_FIT_SAMPLE_ROWS), codebooks
-        # discarded: the residual quantizer below refits them in
-        # rotated space under the final cells
+        # rotation fit on a bounded PREFIX of the sample, sized at
+        # ~1k training points per code (the FAISS saturation
+        # guideline; the alternation re-runs ~17 codebook fits, so
+        # its cost is linear in this row count -- measured 200-300 s
+        # at the 64k cap on the bench corpus, roughly halved at the
+        # per-code size). Codebooks discarded: the residual quantizer
+        # below refits them in rotated space under the final cells.
+        rot_rows = min(OPQ_FIT_SAMPLE_ROWS, max(4096, 1024 * k))
         R, _, _ = _opq_fit_array(
-            X[:OPQ_FIT_SAMPLE_ROWS], m, k, n_iters, opq_iters
+            X[:rot_rows], m, k, n_iters, opq_iters
         )
         X = X @ R
     if len(X) < max(n_cells, k):

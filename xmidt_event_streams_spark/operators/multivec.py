@@ -1213,6 +1213,7 @@ def sync_maxsim_with_snapshot(
     n_cells: int | None = None,
     n_iters: int = 3,
     max_polls: int = 1_000_000,
+    assign: str = "pooled",
 ) -> dict:
     """Keep a MaxSim serving index caught up with a SNAPSHOT TABLE of
     multi-vector documents through the checkpointed change feed --
@@ -1223,7 +1224,11 @@ def sync_maxsim_with_snapshot(
     in. Redelivery-convergent via the shared harness contract.
 
     Bootstrap (fresh checkpoint, absent index): fit sqrt(N) centroids
-    on the pinned head's POOLED vectors and build."""
+    on the pinned head's POOLED vectors and build. ``assign='token'``
+    bootstraps the token-assigned (inverted-file) layout; the
+    incremental appliers read the stamped assignment from the
+    sidecar, so the follow path is identical either way (replica
+    semantics handled by compact/append -- see write_maxsim_index)."""
     from xmidt_event_streams_spark.fsutil import read_json_sidecar
     from xmidt_event_streams_spark.operators.ivf import kmeans_fit
     from xmidt_event_streams_spark.operators.snapshots import (
@@ -1250,7 +1255,9 @@ def sync_maxsim_with_snapshot(
         cents = kmeans_fit(
             pooled, min(cells, max(n, 1)), n_iters, id_col=id_col
         )
-        write_maxsim_index(base, index_path, cents, id_col, vecs_col)
+        write_maxsim_index(
+            base, index_path, cents, id_col, vecs_col, assign=assign
+        )
         return n
 
     def _apply(ch):
