@@ -78,7 +78,10 @@ def _run_group(idx: int, files: list[str], cpus: int) -> dict:
         "rc": proc.returncode,
         "tail": tail[0] if tail else "(no output)",
         "passed": int(m.group(1)) if m else 0,
+        # keep BOTH streams on failure: a JVM abort, py4j stack or
+        # pytest startup error lands on stderr only
         "stdout": proc.stdout if proc.returncode else "",
+        "stderr": proc.stderr if proc.returncode else "",
     }
 
 
@@ -112,7 +115,11 @@ def main() -> int:
         f"{len(bad)} group(s) failed"
     )
     for r in bad:
-        print(f"--- group {r['group']} output ---\n{r['stdout'][-4000:]}")
+        print(f"--- group {r['group']} stdout ---\n{r['stdout'][-4000:]}")
+        if r["stderr"]:
+            print(
+                f"--- group {r['group']} stderr ---\n{r['stderr'][-4000:]}"
+            )
     return 1 if bad else 0
 
 

@@ -848,6 +848,63 @@ class TestTokenRetrieval:
             t[1] for t in want_after
         ][:3]
 
+    def test_corrected_reappend_converges_on_compaction(
+        self, spark, tmp_path
+    ):
+        """r10 review finding: a corrected document re-appended to a
+        token-ASSIGNED index whose new tokens map to a DIFFERENT cell
+        set left its old replicas alive in the vacated cells (no
+        (id, cell) duplicate there to evict them), so probes could
+        serve the superseded content forever. Compaction now picks
+        the id's winning version FIRST (the family's deterministic
+        order) and drops every losing-version replica."""
+        from xmidt_event_streams_spark.operators.multivec import (
+            append_to_maxsim_index,
+            compact_maxsim_index,
+            probe_maxsim_index,
+            write_maxsim_index,
+        )
+
+        e = [0.0] * 4
+        a = list(e); a[0] = 1.0
+        b = list(e); b[1] = 1.0
+        cents = [a, b]
+        path = str(tmp_path / "mvcorr")
+        # doc 7 v1: tokens in BOTH cells; fillers anchor each cell
+        rows = [
+            (1, [a, a]),
+            (2, [b, b]),
+            (7, [a, b]),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, token_vecs array<array<double>>"
+        )
+        # streaming layout so "newest batch wins" is well-defined
+        write_maxsim_index(
+            df.limit(0), path, cents, assign="token"
+        )
+        append_to_maxsim_index(df, path, batch_id=1)
+        # corrected doc 7 v2: tokens ONLY in the b-cell -- the a-cell
+        # replica of v1 is now stale and has no (id, cell) duplicate
+        fix = spark.createDataFrame(
+            [(7, [b, [0.0, 0.9, 0.1, 0.0]])],
+            "doc_id long, token_vecs array<array<double>>",
+        )
+        append_to_maxsim_index(fix, path, batch_id=2)
+        compact_maxsim_index(spark, path)
+        idx = spark.read.parquet(path).select("doc_id", "cell").collect()
+        cells_of_7 = sorted(r["cell"] for r in idx if r["doc_id"] == 7)
+        assert cells_of_7 == [1], cells_of_7  # a-cell replica GONE
+        # and a probe of the a-direction no longer surfaces doc 7's
+        # old a-token content
+        got = probe_maxsim_index(
+            spark, path, [(999, [a])], k_neighbors=3, n_probe=1,
+            retrieval="token",
+        ).collect()
+        top = {r["doc_id"]: r["maxsim"] for r in got}
+        assert top[1] == max(top.values())
+        assert top.get(7, 0.0) < 1.0  # old exact-match token is gone
+
     def test_pooled_probe_on_token_assigned_index(
         self, spark, tmp_path
     ):

@@ -146,8 +146,18 @@ def test_ann_serving_gate_at_calibration_parity():
         pytest.skip("sidecar self-describes a degraded host")
     ann = side["ann"]
     assert ann["ivfpq_search_sec"] <= 1.5, (
-        f"ANN serving gate missed at calibration parity: "
+        f"ANN probe gate missed at calibration parity: "
         f"{ann['ivfpq_search_sec']} > 1.5"
+    )
+    # the SERVED path's wall is the rerank probe's (scan + in-index
+    # payload carry + driver decode), strictly above the raw probe's
+    # -- gate it too, at the probe gate + the measured in-index
+    # decode overhead (<= 0.5 s across r9/r10 runs), so the 1.5 s
+    # probe gate can't be "met" by a config whose actually-served
+    # wall drifted (r10 review finding)
+    assert ann["ivfpq_rerank_search_sec"] <= 2.0, (
+        f"served-path (rerank) wall missed: "
+        f"{ann['ivfpq_rerank_search_sec']} > 2.0"
     )
     chosen = [
         p

@@ -949,6 +949,26 @@ def compact_cell_index(
     order = (
         [F.col("_ingest_batch_id").desc()] if batched else []
     ) + [F.hash(F.col(content_col)).asc()]
+    if key_cols:
+        # replicated layout (token-assigned MaxSim: one row per
+        # (id, cell) ON PURPOSE, replicas of one version sharing one
+        # payload). Convergence needs TWO rules, not one: first the
+        # id's WINNING VERSION is chosen by the family's deterministic
+        # order and every row of a losing version is dropped -- a
+        # re-appended corrected document's OLD replicas would
+        # otherwise survive forever in the cells the new version no
+        # longer occupies, with no (id, cell) duplicate to evict them
+        # (r10 review finding); then exact duplicate replicas of the
+        # winning version dedup on the full key.
+        wid = Window.partitionBy(id_col).orderBy(*order)
+        idx = (
+            idx.withColumn(
+                "_xes_win",
+                F.first(F.hash(F.col(content_col))).over(wid),
+            )
+            .filter(F.hash(F.col(content_col)) == F.col("_xes_win"))
+            .drop("_xes_win")
+        )
     w = Window.partitionBy(*(key_cols or (id_col,))).orderBy(*order)
     compacted = (
         idx.withColumn("_xes_rn", F.row_number().over(w))

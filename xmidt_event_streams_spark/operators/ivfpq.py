@@ -326,8 +326,14 @@ def ivfpq_fit(
         # per-code size). Codebooks discarded: the residual quantizer
         # below refits them in rotated space under the final cells.
         rot_rows = min(OPQ_FIT_SAMPLE_ROWS, max(4096, 1024 * k))
+        # STRIDED subset, not a prefix: _collect_fit_sample returns
+        # rows id-sorted, so a prefix would train the rotation on the
+        # oldest slice of a time-ordered corpus while the quantizers
+        # below train on all of it (r10 review finding) -- the stride
+        # keeps the subset distribution-representative at equal cost
+        stride = max(1, len(X) // rot_rows)
         R, _, _ = _opq_fit_array(
-            X[:rot_rows], m, k, n_iters, opq_iters
+            X[::stride][:rot_rows], m, k, n_iters, opq_iters
         )
         X = X @ R
     if len(X) < max(n_cells, k):

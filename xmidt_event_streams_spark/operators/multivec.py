@@ -530,17 +530,6 @@ def write_maxsim_index(
     # dim comes from the centroids -- pooled dim == token dim by
     # construction (pooling is a mean over tokens)
     dim = int(first[0]["d"]) if first else len(centroids[0])
-    # stamp the corpus's token-count stats: the probe's byte-aware
-    # driver-merge guard sizes the carried payload as
-    # mean_tokens x (dim + 16) bytes/row -- a hardcoded constant
-    # underestimates a real late-interaction corpus (~100+ tok/doc)
-    # by ~25x and lets the direct collect engage far past the bound
-    tok_stats = docs.select(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(vecs_col)).alias("mean_toks"),
-    ).collect()[0]
-    n_docs = int(tok_stats["n"] or 0)
-    mean_tokens = float(tok_stats["mean_toks"] or 0.0)
     if assign not in ("pooled", "token"):
         raise ValueError(
             f"assign must be 'pooled' or 'token', got {assign!r}"
@@ -563,12 +552,33 @@ def write_maxsim_index(
         .mode("overwrite")
         .parquet(path)
     )
-    row_amp = None
-    if assign == "token" and n_docs:
-        # measured storage trade: index rows per source doc
-        row_amp = round(
-            docs.sparkSession.read.parquet(path).count() / n_docs, 3
+    # token-count stats from the WRITTEN index, not the source frame:
+    # the probe's byte-aware driver-merge guard sizes carried payload
+    # as mean_tokens x (dim + 16) bytes/row (a hardcoded constant
+    # underestimates a ~100-token corpus ~25x), and counting the raw
+    # docs would (a) include poison rows the encoder skipped and
+    # (b) re-evaluate the whole source lineage for one agg (r10
+    # review findings). One column-pruned scan of the fresh parquet;
+    # cold-seed (zero files) stamps zeros.
+    from xmidt_event_streams_spark.fsutil import count_data_files
+
+    n_docs, mean_tokens, row_amp = 0, 0.0, None
+    if count_data_files(docs.sparkSession, path):
+        written = docs.sparkSession.read.parquet(path)
+        stats_src = (
+            written.dropDuplicates([id_col])
+            if assign == "token"
+            else written
         )
+        st = stats_src.select(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size("tok_lo")).alias("mean_toks"),
+        ).collect()[0]
+        n_docs = int(st["n"] or 0)
+        mean_tokens = float(st["mean_toks"] or 0.0)
+        if assign == "token" and n_docs:
+            # measured storage trade: index rows per source doc
+            row_amp = round(written.count() / n_docs, 3)
     write_json_sidecar(
         docs.sparkSession,
         path,
@@ -1085,9 +1095,12 @@ def compact_maxsim_index(
         meta["mean_tokens"] = float(exact["mean_toks"] or 0.0)
     else:  # fully-tombstoned: a legitimate empty end state
         meta["n_docs"], meta["mean_tokens"] = 0, 0.0
-    if token_assigned and meta["n_docs"]:
-        meta["row_amplification"] = round(
-            stats["rows_after"] / meta["n_docs"], 3
+    if token_assigned:
+        # empty index -> None, never a stale pre-compaction value
+        meta["row_amplification"] = (
+            round(stats["rows_after"] / meta["n_docs"], 3)
+            if meta["n_docs"]
+            else None
         )
     write_json_sidecar(spark, path, _MAXSIM_META_FILE, meta)
     return stats
@@ -1175,12 +1188,17 @@ def append_to_maxsim_index(
             for r in assigned.select("cell").distinct().collect()
             if r[0] is not None
         ]
-        # per-DOC stats (the token-assigned layout replicates index
-        # rows, which would inflate n and bias the mean): one cheap
-        # agg over the source batch, column-pruned to the token count
-        batch_stats = docs.select(
+        # per-DOC stats from the PERSISTED encoded batch (not the
+        # source frame: that would re-evaluate the whole lineage for
+        # one agg AND count poison rows the encoder skipped); the
+        # token-assigned layout's replicas dedup on id first so they
+        # cannot inflate n or bias the mean
+        stats_src = assigned
+        if meta.get("assign") == "token":
+            stats_src = assigned.dropDuplicates([id_col])
+        batch_stats = stats_src.select(
             F.count(F.lit(1)).alias("n"),
-            F.avg(F.size(vecs_col)).alias("mean_toks"),
+            F.avg(F.size("tok_lo")).alias("mean_toks"),
         ).collect()[0]
     finally:
         assigned.unpersist()
