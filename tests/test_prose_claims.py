@@ -144,10 +144,18 @@ def test_ann_serving_gate_at_calibration_parity():
     cal = side.get("calibration_end") or side.get("calibration_start")
     if cal is None or cal.get("host_degraded"):
         pytest.skip("sidecar self-describes a degraded host")
+    # scale the wall bounds by the MEASURED host factor (>= 1.0): the
+    # per-round regen runs on whatever box the driver has, and a
+    # sub-threshold co-tenant (factor 1.0-1.2, flagged healthy)
+    # inflates walls by exactly that factor -- the calibration
+    # channel exists to adjudicate this, so the gate uses it instead
+    # of flaking on it. A real code regression (2x) still fails at
+    # any healthy factor.
+    scale = max(1.0, float(cal.get("factor") or 1.0))
     ann = side["ann"]
-    assert ann["ivfpq_search_sec"] <= 1.5, (
+    assert ann["ivfpq_search_sec"] <= 1.5 * scale, (
         f"ANN probe gate missed at calibration parity: "
-        f"{ann['ivfpq_search_sec']} > 1.5"
+        f"{ann['ivfpq_search_sec']} > 1.5 x {scale}"
     )
     # the SERVED path's wall is the rerank probe's (scan + in-index
     # payload carry + driver decode), strictly above the raw probe's
@@ -155,9 +163,9 @@ def test_ann_serving_gate_at_calibration_parity():
     # decode overhead (<= 0.5 s across r9/r10 runs), so the 1.5 s
     # probe gate can't be "met" by a config whose actually-served
     # wall drifted (r10 review finding)
-    assert ann["ivfpq_rerank_search_sec"] <= 2.0, (
+    assert ann["ivfpq_rerank_search_sec"] <= 2.0 * scale, (
         f"served-path (rerank) wall missed: "
-        f"{ann['ivfpq_rerank_search_sec']} > 2.0"
+        f"{ann['ivfpq_rerank_search_sec']} > 2.0 x {scale}"
     )
     chosen = [
         p
