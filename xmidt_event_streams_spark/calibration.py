@@ -27,6 +27,21 @@ Kernels (both deterministic, seconds-scale, input-free):
 
 Both report the MIN over several repetitions (min filters scheduling
 jitter; delivered-speed degradation shifts the min itself).
+
+Start-of-run bias (r10 continuation post-mortem): measured on this
+container class, a FRESH session's first kernel reps are inflated by
+two warm-up effects that have nothing to do with co-tenant load --
+the numpy kernel's first two reps ran ~9x its converged floor (CPU
+frequency governor ramping up from an idle box) and the spark
+kernel's min-over-3 landed ~2x its converged floor (codegen JIT
+tiering settles over ~6-10 jobs, not 3). Both effects read as
+``host_degraded`` at bench start and burn the retry budget on a
+healthy host. The fix is in the kernels themselves: a short CPU
+busy-warm before the numpy measurement (raises the governor while
+measuring nothing) and converged-min repetition for the spark kernel
+(keep repeating, capped, until the running min stops improving).
+The recorded bests stay comparable: both changes only remove upward
+bias from the measurement, they do not change the kernels' work.
 """
 
 from __future__ import annotations
@@ -44,10 +59,27 @@ DEGRADED_FACTOR = 1.2
 CALIBRATION_FILE = Path(__file__).resolve().parent.parent / "CALIBRATION.json"
 
 
+def _busy_warm(target_s: float = 1.0) -> None:
+    """Spin the CPU briefly so an idle-governed core ramps to its
+    delivered frequency BEFORE the measured reps start. Measures
+    nothing; exists because the first reps on an idle box otherwise
+    time the frequency ramp, not the host's speed."""
+    import numpy as np
+
+    mat = np.random.default_rng(7).random((256, 256))
+    t0 = time.perf_counter()
+    sink = 0.0
+    while time.perf_counter() - t0 < target_s:
+        # fresh product each pass: an accumulating product overflows
+        sink += float((mat @ mat)[0, 0])
+    assert sink == sink  # keep the loop live
+
+
 def numpy_kernel_ms(reps: int = 5) -> float:
     """Min wall-clock (ms) of the fixed single-threaded numpy kernel."""
     import numpy as np
 
+    _busy_warm()
     rng = np.random.default_rng(20260816)
     arr = rng.random(2_000_000)
     mat = rng.random((256, 256))
@@ -65,19 +97,33 @@ def numpy_kernel_ms(reps: int = 5) -> float:
     return round(best * 1000, 1)
 
 
-def spark_kernel_ms(spark, reps: int = 3) -> float:
-    """Min wall-clock (ms) of the fixed tiny Spark job."""
+def spark_kernel_ms(spark, reps: int = 3, max_reps: int = 12) -> float:
+    """Converged min wall-clock (ms) of the fixed tiny Spark job.
+
+    Runs at least ``reps`` repetitions, then keeps going (capped at
+    ``max_reps``) while the running min is still improving by more
+    than 3% within a 3-rep window -- a fresh session's JIT tiering
+    settles over ~6-10 jobs, so a flat min-over-3 reads ~2x high and
+    falsely flags a healthy host at bench start. A warmed session
+    converges immediately and exits at ``reps``."""
     from pyspark.sql import functions as F
 
     best = float("inf")
-    for _ in range(reps):
+    best_at = 0
+    for i in range(max_reps):
         t0 = time.perf_counter()
         # shift the hash to 32 bits so the 20M-row sum stays inside a
         # long under ANSI arithmetic
         spark.range(20_000_000).select(
             F.sum(F.shiftrightunsigned(F.xxhash64("id"), 32)).alias("h")
         ).collect()
-        best = min(best, time.perf_counter() - t0)
+        elapsed = time.perf_counter() - t0
+        if elapsed < best:
+            if elapsed < best * 0.97:
+                best_at = i  # a >3% improvement resets the window
+            best = elapsed
+        if i + 1 >= reps and i - best_at >= 2:
+            break  # no >3% improvement in a 3-rep window: converged
     return round(best * 1000, 1)
 
 
