@@ -162,20 +162,120 @@ def test_hybrid_flush_idle_after_size(spark, tmp_path):
     assert sorted(x for r in out for x in r["items"]) == [f"m{i}" for i in range(5)]
 
 
-def test_hybrid_flush_timer_anchored_at_first_item(spark, tmp_path):
-    """B3 divergence fix: a later arrival must NOT reset the flush
-    clock. First item at t0, second ~6.5 s later, limit 10 s: both
-    flush together as 'time' close to t0+limit. Under
-    reset-on-arrival semantics the flush would land near
-    t0+6.5s+limit = t0+16.5s -- the upper bound asserted here would
-    be blown.
+class _FakeState:
+    """Deterministic GroupState stand-in for unit-pinning the flush
+    handler: records update()/setTimeoutDuration()/remove() calls and
+    serves a scripted processing-time clock. The real GroupState's
+    surface used by the handler is exists/get/getCurrentProcessing-
+    TimeMs/hasTimedOut/update/setTimeoutDuration/remove -- nothing
+    else."""
 
-    Timing geometry: the discriminator is the arrival gap (6.5 s)
-    minus whatever micro-batch scheduling latency the loaded machine
-    adds to the anchored fire time. A 3 s gap was measured flaking at
-    +9.7 s under full-suite load; this geometry tolerates ~6 s of
-    scheduler latency before the two semantics become
-    indistinguishable."""
+    def __init__(self, now_ms, value=None, timed_out=False):
+        self._now = now_ms
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def getCurrentProcessingTimeMs(self):
+        return self._now
+
+    def update(self, value):
+        self._value = value
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+
+def _drive(handler, state, items):
+    import pandas as pd
+
+    pdfs = iter([pd.DataFrame({"item": items})]) if items else iter([])
+    return list(handler(("s1",), pdfs, state))
+
+
+def test_hybrid_flush_timer_anchored_at_first_item():
+    """B3 divergence pin, deterministic: a later arrival must NOT
+    reset the flush clock. The semantic lives entirely in what the
+    handler passes to setTimeoutDuration, so a fake GroupState with a
+    scripted clock observes it exactly -- the previous wall-clock e2e
+    discriminator (fire at ~t0+limit vs >= t0+gap+limit) was
+    box-sensitive: it needed micro-batch latency below the arrival
+    gap, flaked at a 3 s gap under full-suite load, was widened to
+    6.5 s in r8, and a contended host still blew past that (+28.4 s
+    measured in the r10 continuation, beyond BOTH semantics'
+    predictions -- pure scheduler latency, no signal)."""
+    from xmidt_event_streams_spark.streaming.stateful import (
+        _make_flush_handler,
+    )
+
+    handler = _make_flush_handler(
+        item_col="item", batch_size=10, time_limit_ms=10_000,
+        submit_on_empty_queue=False, queue_size=None,
+    )
+    # first item folds at t=1000: full interval armed
+    st = _FakeState(now_ms=1_000)
+    assert _drive(handler, st, ["m0"]) == []
+    assert st.timeout_set == 10_000
+    buffered, _, first_ms, _ = st.get
+    assert (list(buffered), first_ms) == (["m0"], 1_000)
+    # second item folds 6.5 s later: the clock does NOT reset -- the
+    # timer re-arms with the REMAINDER of the first item's interval
+    # (reset-on-arrival semantics would arm a fresh 10_000 here)
+    st._now = 7_500
+    assert _drive(handler, st, ["m1"]) == []
+    assert st.timeout_set == 3_500, (
+        f"timer re-armed with {st.timeout_set} ms -- anchored "
+        "semantics require the remainder (10000 - 6500)"
+    )
+    buffered, _, first_ms, _ = st.get
+    assert (list(buffered), first_ms) == (["m0", "m1"], 1_000)
+    # the timeout fires: both items flush as one 'time' batch and the
+    # state is torn down
+    st._now = 11_000
+    st.hasTimedOut = True
+    [out] = _drive(handler, st, [])
+    assert out["flush_reason"].tolist() == ["time"]
+    assert sorted(out["items"][0]) == ["m0", "m1"]
+    assert st.removed and not st.exists
+
+
+def test_hybrid_flush_timer_floor_when_overdue():
+    """An item already past its limit when the handler next runs
+    (e.g. a stalled micro-batch) re-arms with the 1 ms floor, not a
+    zero/negative duration (setTimeoutDuration rejects <= 0)."""
+    from xmidt_event_streams_spark.streaming.stateful import (
+        _make_flush_handler,
+    )
+
+    handler = _make_flush_handler(
+        item_col="item", batch_size=10, time_limit_ms=10_000,
+        submit_on_empty_queue=False, queue_size=None,
+    )
+    st = _FakeState(now_ms=1_000)
+    _drive(handler, st, ["m0"])
+    st._now = 20_000  # 9 s overdue, but not via hasTimedOut
+    _drive(handler, st, ["m1"])
+    assert st.timeout_set == 1
+
+
+def test_hybrid_flush_time_fires_e2e(spark, tmp_path):
+    """B3 e2e smoke on the REAL state store: a sub-batch-size buffer
+    flushes as 'time' without further arrivals (the semantics pin --
+    anchored, not reset -- is the deterministic unit test above; this
+    only asserts the wired-up operator fires at all, so it carries no
+    load-sensitive geometry)."""
     src = tmp_path / "in"
     src.mkdir()
     _write_items(src / "b1.json", [{"stream_name": "s1", "item": "m0"}])
@@ -183,28 +283,22 @@ def test_hybrid_flush_timer_anchored_at_first_item(spark, tmp_path):
     out: list = []
     t0 = time.time()
     q = (
-        hybrid_flush(stream, batch_size=10, time_limit_ms=10_000)
+        hybrid_flush(stream, batch_size=10, time_limit_ms=3_000)
         .writeStream.outputMode("append")
         .foreachBatch(lambda b, _i: out.extend(b.collect()))
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
     try:
-        time.sleep(6.5)
-        _write_items(src / "b2.json", [{"stream_name": "s1", "item": "m1"}])
-        deadline = t0 + 40.0
+        deadline = t0 + 90.0
         while time.time() < deadline and not out:
             time.sleep(0.2)
-        elapsed = time.time() - t0
     finally:
         q.stop()
         await_stream(q, 60)
     assert out, "time flush never fired"
     assert out[0]["flush_reason"] == "time"
-    assert sorted(out[0]["items"]) == ["m0", "m1"]
-    # anchored: fires ~t0+10s (+micro-batch latency); reset-on-arrival
-    # would be >= t0+16.5s.
-    assert elapsed < 16.0, f"flush at +{elapsed:.1f}s -- timer was reset"
+    assert out[0]["items"] == ["m0"]
 
 
 def test_hybrid_flush_drop_on_full(spark, tmp_path):

@@ -113,6 +113,37 @@ def hybrid_flush(
     (SURVEY.md §2.4 B1 note) — use the bound only for reference
     parity or when a key's backlog must be capped at any cost.
     """
+    flush = _make_flush_handler(
+        item_col, batch_size, time_limit_ms, submit_on_empty_queue,
+        queue_size,
+    )
+    return (
+        routed.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            flush,
+            outputStructType=FLUSH_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _make_flush_handler(
+    item_col: str,
+    batch_size: int,
+    time_limit_ms: int,
+    submit_on_empty_queue: bool,
+    queue_size: int | None,
+):
+    """The size-OR-time flush handler as a module-level factory, so
+    the B3 anchoring semantics can be pinned DETERMINISTICALLY
+    against a fake GroupState (test_stateful_streaming's unit pins):
+    a wall-clock e2e discriminator between anchored and
+    reset-on-arrival flushes is inherently box-sensitive -- scheduler
+    latency on a loaded machine blurs the two fire times together --
+    but the semantic lives entirely in what this handler passes to
+    ``setTimeoutDuration``, which a fake state observes exactly."""
 
     def flush(
         key: tuple,
@@ -177,13 +208,4 @@ def hybrid_flush(
                 }
             )
 
-    return (
-        routed.groupBy(F.col(key_col))
-        .applyInPandasWithState(
-            flush,
-            outputStructType=FLUSH_OUTPUT_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-        )
-    )
+    return flush
