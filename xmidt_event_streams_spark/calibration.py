@@ -127,6 +127,35 @@ def spark_kernel_ms(spark, reps: int = 3, max_reps: int = 12) -> float:
     return round(best * 1000, 1)
 
 
+def _cpu_ticks() -> list[int] | None:
+    """First /proc/stat line as tick counters (Linux only)."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(v) for v in f.readline().split()[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(t0: list[int] | None, t1: list[int] | None) -> float | None:
+    """Hypervisor steal as a share of the window's COMPUTE time
+    (user+nice+system+steal). Measured r10 continuation: a box with
+    near-zero load average, zero cgroup CPU pressure and nominal
+    frequency still delivered the spark kernel 3.5x slow -- /proc/
+    stat showed 20.7% steal under full 32-core load. loadavg and PSI
+    are blind to a co-tenant OUTSIDE the guest; steal is the direct
+    signature, so the calibration stamps it next to the kernel
+    times (sampled across the kernel runs, which load the box enough
+    to make the share meaningful)."""
+    if t0 is None or t1 is None:
+        return None
+    d = [b - a for a, b in zip(t0, t1)]
+    # user, nice, system, idle, iowait, irq, softirq, steal
+    busy = d[0] + d[1] + d[2] + (d[7] if len(d) > 7 else 0)
+    if busy <= 0:
+        return None
+    return round(100.0 * d[7] / busy, 1) if len(d) > 7 else None
+
+
 def load_best() -> dict | None:
     try:
         return json.loads(CALIBRATION_FILE.read_text())
@@ -153,15 +182,21 @@ def record_best(cal: dict) -> None:
 def host_calibration(spark=None) -> dict:
     """Run both kernels; compare against the recorded best.
 
-    Returns ``{numpy_ms, spark_ms, best, factor, host_degraded}``
+    Returns ``{numpy_ms, spark_ms, steal_pct, best, factor,
+    host_degraded}`` (``steal_pct`` Linux-only: hypervisor steal
+    share sampled across the kernel runs -- see :func:`_steal_pct`)
     where ``factor`` is the worst per-kernel ratio current/best
     (>1 = slower than best-known) and ``host_degraded`` is
     ``factor > DEGRADED_FACTOR``. With no recorded best yet, factor
     is 1.0 and the current numbers seed the record.
     """
+    ticks0 = _cpu_ticks()
     cal = {"numpy_ms": numpy_kernel_ms()}
     if spark is not None:
         cal["spark_ms"] = spark_kernel_ms(spark)
+    steal = _steal_pct(ticks0, _cpu_ticks())
+    if steal is not None:
+        cal["steal_pct"] = steal
     best = load_best()
     if best:
         ratios = [
