@@ -135,6 +135,10 @@ def main() -> None:
         "cal_end_factor": cal_end["factor"],
         "cal_numpy_ms": cal_end["numpy_ms"],
         "cal_spark_ms": cal_end["spark_ms"],
+        # hypervisor steal sampled across the calibration kernels: a
+        # high cal factor + high steal = co-tenant OUTSIDE the guest
+        # (invisible to loadavg/PSI -- r10 continuation post-mortem)
+        "cal_steal_pct": cal_end.get("steal_pct"),
         "idle_wait_sec": waited,
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
