@@ -717,6 +717,45 @@ class TestTokenRetrieval:
         ))
         assert token == pooled, (token, pooled)
 
+    def test_token_arm_merge_fallback_identical(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The driver-merge guard's pre-fold fallback must be
+        result-identical for the TOKEN arm on a token-ASSIGNED index
+        too -- the combination the pooled-arm pin
+        (test_distributed_merge_path_identical) never exercises:
+        dup_width > 1 widens the fold to n_short x max_cells_per_doc
+        and replicas of one doc (identical exact scores) arrive from
+        SEVERAL partitions, so the fallback's repartition-by-query
+        fold must keep enough slots for k DISTINCT docs to survive
+        into the driver dedupe."""
+        import xmidt_event_streams_spark.operators.ivfpq as ivfpq
+        from xmidt_event_streams_spark.operators.multivec import (
+            probe_maxsim_index,
+            write_maxsim_index,
+        )
+
+        df, rows = self._docs(spark)
+        _, cents = self._index(spark, tmp_path, df)
+        tpath = str(tmp_path / "tok_ix")
+        write_maxsim_index(
+            df, tpath, cents, assign="token", max_cells_per_doc=3
+        )
+        queries = [(int(i), rows[i][1]) for i in (0, 5)]
+
+        def run():
+            return sorted(
+                tuple(r)
+                for r in probe_maxsim_index(
+                    spark, tpath, queries, k_neighbors=5, n_probe=4,
+                    retrieval="token",
+                ).collect()
+            )
+
+        direct = run()
+        monkeypatch.setattr(ivfpq, "_DRIVER_MERGE_MAX_ROWS", 1)
+        assert run() == direct
+
     def test_token_assign_lifts_pooled_ceiling(self, spark, tmp_path):
         """The arm's reason to exist: a doc whose POOLED mean lands in
         a cell the pooled probe never opens is still retrieved through
