@@ -807,10 +807,17 @@ def probe_maxsim_index(
             sq8 = pdf["tok_sq8"].to_numpy()
             lo = pdf["tok_lo"].to_numpy()
             step = pdf["tok_step"].to_numpy()
-            for c, (qids, Qcat, spans) in tok_by_cell.items():
-                mask = cells == c
-                if not mask.any():
+            # iterate only the cells PRESENT in this batch: tasks are
+            # per-cell (partitionBy layout), so looping the full
+            # probed-cell map would run one all-False vectorized mask
+            # per absent cell per batch -- O(probed_cells x rows)
+            # wasted at wide probes (a token probe's union is
+            # n_probe x total query tokens cells)
+            for c in np.unique(cells):
+                if int(c) not in tok_by_cell:
                     continue
+                qids, Qcat, spans = tok_by_cell[int(c)]
+                mask = cells == c
                 sub_ids = ids[mask]
                 sub_lo = lo[mask]
                 lens = np.asarray([len(x) for x in sub_lo])
