@@ -115,6 +115,21 @@ def main() -> None:
         "stream": stream_bench(spark),
         "maxsim": maxsim_bench(spark),
     }
+    # close the calibration BRACKET around the sidecar section:
+    # cal_end above is measured after the headline passes but BEFORE
+    # the (much longer) sidecar arms run, so a co-tenant arriving
+    # mid-sidecars could contaminate every arm while the artifact
+    # still read "healthy" (observed r10 continuation: cal_end 1.044
+    # with the maxsim brute arm 6.5x its committed wall -- the
+    # contention arrived during the ann/maxsim sections). Gates that
+    # call the artifact calibration-healthy must see BOTH ends of the
+    # sidecar window healthy (tests/test_prose_claims.py).
+    sidecars["calibration_after_sidecars"] = host_calibration(spark)
+    record_best({
+        k: sidecars["calibration_after_sidecars"][k]
+        for k in ("numpy_ms", "spark_ms")
+        if k in sidecars["calibration_after_sidecars"]
+    })
     sidecar_path = Path(__file__).resolve().parent / "BENCH_SIDECARS.json"
     sidecar_path.write_text(json.dumps(sidecars, indent=1) + "\n")
     print(f"sidecars written to {sidecar_path}", file=sys.stderr)

@@ -144,6 +144,21 @@ def test_ann_serving_gate_at_calibration_parity():
     cal = side.get("calibration_end") or side.get("calibration_start")
     if cal is None or cal.get("host_degraded"):
         pytest.skip("sidecar self-describes a degraded host")
+    # the sidecar arms run AFTER calibration_end (the headline's
+    # closing bracket), so a co-tenant arriving mid-sidecars can
+    # contaminate every arm while calibration_end still reads healthy
+    # (observed r10 continuation: cal_end 1.044, maxsim brute 6.5x
+    # its committed wall). Artifacts written since carry a closing
+    # `calibration_after_sidecars` bracket -- require it healthy too,
+    # and scale the wall bounds by the WORSE of the two ends.
+    cal_after = side.get("calibration_after_sidecars")
+    if cal_after is not None:
+        if cal_after.get("host_degraded"):
+            pytest.skip(
+                "sidecar section's closing calibration is degraded "
+                "(co-tenant arrived mid-sidecars)"
+            )
+        cal = max(cal, cal_after, key=lambda c: float(c.get("factor") or 1.0))
     # scale the wall bounds by the MEASURED host factor (>= 1.0): the
     # per-round regen runs on whatever box the driver has, and a
     # sub-threshold co-tenant (factor 1.0-1.2, flagged healthy)
