@@ -636,6 +636,11 @@ def main() -> None:
     ):
         if index_paths[part]["flags"]:
             flagged[f"index_paths.{part}"] = index_paths[part]["flags"]
+    # calibration bracket (same contract as bench.py): the audit's
+    # volume channels are load-invariant, but each arm's `sec` is
+    # only interpretable next to the measured host speed + steal
+    from xmidt_event_streams_spark.calibration import host_calibration
+
     artifact = {
         "full_registry": full,
         "sf_small": sf_small,
@@ -644,6 +649,7 @@ def main() -> None:
         "broadcast_threshold_bytes": _BCAST_THRESHOLD_BYTES,
         "index_paths": index_paths,
         "queries": out,
+        "calibration_end": host_calibration(spark),
         "caveats": [
             "scalar-subquery subtrees not walked (1-row by construction)",
             "ReusedExchange is a leaf: reused shuffles counted once",
