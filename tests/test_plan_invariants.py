@@ -56,10 +56,23 @@ def test_no_scale_antipatterns(spark, name):
 
 def test_routing_hot_path_is_narrow(spark):
     """The reference's hot path (validate -> enrich -> serialize) must
-    stay a zero-exchange narrow plan: scan -> filter -> project."""
+    stay a narrow plan: no DATA-DEPENDENT exchange (hash/range -- a
+    shuffle by key that would move the full stream at 100 TB). The
+    only exchange permitted is the round-robin scan fan-out
+    (session.scan_fanout, guide §2.5): it exists solely because the
+    test files are single-row-group (unsplittable -> 1-task scans)
+    and is a no-op on splittable production layouts, so the at-scale
+    plan remains scan -> filter -> project."""
+    import re
+
     for name in ("route_fanout", "fixwrp_enrich", "json_serialize"):
         plan = _plan(spark, name)
-        assert "Exchange" not in plan, f"{name}: hot path grew a shuffle"
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        n_rr = plan.count("RoundRobinPartitioning")
+        assert n_exchange == n_rr, (
+            f"{name}: hot path grew a data-dependent shuffle "
+            f"({n_exchange} Exchange nodes, {n_rr} round-robin)"
+        )
 
 
 def test_dimension_joins_broadcast(spark):

@@ -61,7 +61,7 @@ from xmidt_event_streams_spark.operators.similarity import (
 )
 from xmidt_event_streams_spark.routing import route_union, routing_oracle_sql
 from xmidt_event_streams_spark.schema import WRP_VIEW_SQL, wrp_view
-from xmidt_event_streams_spark.session import load_tables
+from xmidt_event_streams_spark.session import load_tables, scan_fanout
 
 
 class QuerySpec(NamedTuple):
@@ -70,16 +70,29 @@ class QuerySpec(NamedTuple):
     headline: bool = False  # included in bench.py
 
 
-def _ev(spark, sf_dir):
-    return load_tables(spark, sf_dir, ("events",))["events"]
+def _ev(spark, sf_dir, fanout=False):
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    if fanout:
+        # guide §2.5: single-row-group test files are unsplittable, so
+        # the scan (and everything fused into it) is ONE task; recover
+        # parallelism with a round-robin repartition that no-ops on
+        # splittable production layouts. Opt-in per query: only the
+        # paths whose scan-stage compute dominates (regex routing,
+        # shingle md5s) win -- for cheap-downstream queries the extra
+        # exchange costs more than it buys (measured r10).
+        ev = scan_fanout(ev, f"{sf_dir}/events.parquet")
+    return ev
 
 
-def _wrp(spark, sf_dir):
-    return wrp_view(_ev(spark, sf_dir))
+def _wrp(spark, sf_dir, fanout=False):
+    return wrp_view(_ev(spark, sf_dir, fanout))
 
 
-def _docs(spark, sf_dir):
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
+def _docs(spark, sf_dir, fanout=False):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    if fanout:
+        docs = scan_fanout(docs, f"{sf_dir}/documents.parquet")
+    return docs
 
 
 def _emb(spark, sf_dir):
@@ -103,7 +116,7 @@ _ROUTED_SQL = routing_oracle_sql(
 def q_flagship_route_counts(spark, sf_dir):
     """R1-R4 + V8 + M1: fan-out routing then per-(stream, event type)
     counts -- the reference's hot path as one aggregate."""
-    routed = route_union(_wrp(spark, sf_dir), DEFAULT_FILTERS)
+    routed = route_union(_wrp(spark, sf_dir, fanout=True), DEFAULT_FILTERS)
     return routed.groupBy(
         "stream_name", extract_event_type("dest").alias("event_type")
     ).agg(F.count("*").alias("n"))
@@ -118,7 +131,7 @@ FROM routed GROUP BY 1, 2
 
 def q_route_fanout(spark, sf_dir):
     """R1/R2/R3: the (message, matching stream) pair set."""
-    routed = route_union(_wrp(spark, sf_dir), DEFAULT_FILTERS)
+    routed = route_union(_wrp(spark, sf_dir, fanout=True), DEFAULT_FILTERS)
     return routed.select("event_id", "stream_name")
 
 
@@ -354,7 +367,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash(8) + LSH(4 bands x 2) candidate near-dup pairs over
     word-3-gram shingles."""
     return minhash_lsh_candidates(
-        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+        _docs(spark, sf_dir, fanout=True), num_hashes=8, bands=4, shingle_n=3
     )
 
 
@@ -1263,11 +1276,23 @@ def q_tpch_q1(spark, sf_dir):
     per-row products run on int64 cents (whole-stage-codegen long
     multiplies) instead of BigDecimal: disc = price_cents *
     (100 - disc_cents) at scale 1e4, charge = disc * (100 + tax_cents)
-    at scale 1e6. Per-row longs cannot overflow (charge <= ~1e11); the
-    AGGREGATION BUFFERS are decimal(29,0) -- a pure-long sum of charge
-    would wrap int64 around 1e8 max-value rows per group, i.e. exactly
-    at the 100 TB regime, so 64-bit stays per-row only. The final
-    rescale divides the exact decimal sums by the scale factor and
+    at scale 1e6. Per-row longs cannot overflow (charge <= ~1e11).
+
+    r10: the AGGREGATION BUFFERS are now pure int64 too -- the
+    decimal(29,0) sums were the query's single biggest cost (measured
+    0.86 -> 0.67 s at sf0.1; BigDecimal buffer updates vs codegen long
+    adds). Overflow safety moves from decimal width to LIMB
+    DECOMPOSITION: disc and charge are summed as (x div 1e6, x mod 1e6)
+    long pairs and recombined exactly as decimal(38) on the k-row
+    aggregate output (sum = 1e6 * sum_hi + sum_lo, exact integer
+    identity -- bit-identical results, proven against the decimal
+    formulation and the DuckDB oracle). Bounds: lo < 1e6 and
+    hi <= 1e5 (charge <= ~1e11), so either limb sum wraps int64 only
+    past ~9e12 rows PER GROUP ~ 1.3 PB of lineitem in one group --
+    an order of magnitude past the 100 TB target (and the same bound
+    class as sum_qty's existing long sum). _sp (price cents <= ~1e7)
+    sums direct to long: wraps past ~9e11 max-price rows/group.
+    The final rescale divides the exact sums by the scale factor and
     casts to double, which is the same nearest-double the oracle's
     decimal->double cast produces."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
@@ -1276,28 +1301,34 @@ def q_tpch_q1(spark, sf_dir):
     ql = F.round(F.col("l_quantity")).cast("long")  # quantities are integral
     disc_l = pc * (100 - dc)  # scale 1e4
     charge_l = disc_l * (100 + tc)  # scale 1e6
+    limb = 1_000_000
     g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(ql).alias("_sq"),
-            F.sum(pc.cast("decimal(27,0)")).alias("_sp"),
-            F.sum(disc_l.cast("decimal(29,0)")).alias("_sd"),
-            F.sum(charge_l.cast("decimal(29,0)")).alias("_sc"),
+            F.sum(pc).alias("_sp"),
+            F.sum(disc_l % limb).alias("_sd_lo"),
+            F.sum((disc_l / limb).cast("long")).alias("_sd_hi"),
+            F.sum(charge_l % limb).alias("_sc_lo"),
+            F.sum((charge_l / limb).cast("long")).alias("_sc_hi"),
             F.sum(dc).alias("_sdc"),
             F.count("*").alias("count_order"),
         )
     )
-    base_price = (F.col("_sp") / 100).cast("double")
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    _sd = dec38("_sd_hi") * limb + dec38("_sd_lo")
+    _sc = dec38("_sc_hi") * limb + dec38("_sc_lo")
+    base_price = (dec38("_sp") / 100).cast("double")
     return g.select(
         "l_returnflag",
         "l_linestatus",
         F.round(F.col("_sq").cast("double"), 4).alias("sum_qty"),
         F.round(base_price, 4).alias("sum_base_price"),
-        F.round((F.col("_sd") / 10_000).cast("double"), 4).alias(
+        F.round((_sd / 10_000).cast("double"), 4).alias(
             "sum_disc_price"
         ),
-        F.round((F.col("_sc") / 1_000_000).cast("double"), 4).alias(
+        F.round((_sc / 1_000_000).cast("double"), 4).alias(
             "sum_charge"
         ),
         F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias(

@@ -571,26 +571,109 @@ def ivf_topk(
 
     Output: (query_id, vec_id, cos_sim, rank). Recall < 1 by
     construction (misses neighbors whose cell wasn't probed).
+
+    Physical shape (r10): ONE fused Arrow kernel over the corpus --
+    per batch: centroid argmax (cell assignment), probe-set
+    membership mask per query, cosine scores, and a PARTIAL top-k
+    fold per query (kept by the final window's own (rounded score
+    desc, id asc) order, so boundary ties are preserved) -- then the
+    rank window over O(partitions x queries x k) rows. The previous
+    shape ran THREE JVM->Python boundaries sequentially (corpus
+    assignment kernel, query probe kernel materialized into a
+    broadcast, pair-scoring kernel above the join) and shuffled every
+    scored (corpus x query) pair into the window; the fused kernel
+    pays the Python boundary once and the exchange carries only the
+    partial winners -- same contract as brute_force_topk, of which
+    this is the cell-masked variant. Queries are small by contract
+    (their vectors ride the kernel closure, as they already did via
+    the broadcast). Semantics unchanged and pinned by the oracle row:
+    6dp-rounded cosine, ties to lowest id, self-match excluded,
+    invalid vectors (null / dim mismatch) carry no cell and score
+    nothing; probe cells use the same stable-argsort
+    tie-to-lowest-cell rule as functions.vectors.nearest_cells.
     """
-    cb = assign_cells(corpus, centroids, vec_col)
-    qb = probe_cells(
-        queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-        ),
-        centroids,
-        n_probe,
-        "_qvec",
-        cell_col="probe_cell",
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    scored = cb.join(
-        F.broadcast(qb),
-        (F.col("cell") == F.col("probe_cell"))
-        & (F.col(id_col) != F.col(query_id_col)),
-    ).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine_pairs(vec_col, "_qvec"), 6).alias("cos_sim"),
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    dim = qmat.shape[1] if len(qrows) else 0
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1)) if len(qrows) else None
+    probe_sets = [
+        frozenset(int(c) for c in cs)
+        for cs in _nearest_cells_driver(
+            [list(r[1]) for r in qrows], centroids, n_probe
+        )
+    ] if qrows else []
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
+
+    def _score(batches):
+        best: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf[vec_col].tolist()
+            valid = np.array(
+                [v is not None and len(v) == cmat.shape[1] for v in vecs],
+                dtype=bool,
+            )
+            if not valid.any():
+                continue
+            idx = np.nonzero(valid)[0]
+            mat = np.vstack([vecs[i] for i in idx]).astype(np.float64)
+            ids = pdf[id_col].to_numpy()[idx]
+            vn = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            # cell assignment: argmax of the 6dp-rounded cosine
+            # (np.argmax returns the FIRST maximal index = the
+            # nearest_cells(n_probe=1) tie rule)
+            cden = np.outer(vn, cnorm)
+            csims = np.round(
+                np.where(cden > 0, (mat @ cmat.T) / np.where(cden > 0, cden, 1.0), 0.0),
+                6,
+            )
+            cells = np.argmax(csims, axis=1)
+            if dim and cmat.shape[1] == dim:
+                qden = vn[:, None] * qnorm[None, :]
+                qsims = np.round(
+                    np.where(qden > 0, (mat @ qmat.T) / np.where(qden > 0, qden, 1.0), 0.0),
+                    6,
+                )
+                for j, qid in enumerate(qids):
+                    mask = np.isin(cells, list(probe_sets[j])) & (ids != qid)
+                    s, i_ = qsims[mask, j], ids[mask]
+                    if qid in best:
+                        s = np.concatenate([best[qid][1], s])
+                        i_ = np.concatenate([best[qid][0], i_])
+                    if len(s) > k:
+                        keep = np.lexsort((i_, -s))[:k]
+                        s, i_ = s[keep], i_[keep]
+                    best[qid] = (i_, s)
+        for qid, (i_, s) in best.items():
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.full(len(i_), qid, dtype=np.int64),
+                    id_col: i_,
+                    "cos_sim": s,
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )

@@ -128,15 +128,33 @@ def route_union(
 ) -> DataFrame:
     """Fan-out flattened to a single relation tagged with the matching
     stream -- one row per (message, matching filter) pair, the exact
-    multiset the reference's dispatchers receive."""
-    branches = [
-        br.withColumn(stream_col, F.lit(fc.stream_name))
-        for fc, br in zip(list(filters), route(df, filters, dest, source).values())
-    ]
-    out = branches[0]
-    for br in branches[1:]:
-        out = out.unionByName(br)
-    return out
+    multiset the reference's dispatchers receive.
+
+    Physical shape (r10): ONE scan. Every filter's predicate is
+    evaluated in a single projection building the per-row array of
+    matching stream names, then ``explode`` emits the (message,
+    stream) pairs -- a narrow generator, no shuffle. The previous
+    shape (one filtered branch per filter, unioned) re-scanned and
+    re-decoded the source once PER FILTER: total regex work is
+    identical either way (each branch evaluated only its own
+    predicate), but the N-1 extra source passes are pure overhead --
+    at 100 TB a 3-filter set read 300 TB. Predicates stay plan-time
+    literals, so each regex still compiles once inside whole-stage
+    codegen (unlike route_crossjoin's data-driven patterns); putting
+    all of them in one projection also lets codegen's common-
+    subexpression elimination share the stripped-destination value
+    across filters instead of re-running regexp_replace per branch.
+    Works identically for batch and streaming DataFrames.
+    """
+    matched = F.array_compact(
+        F.array(
+            *[
+                F.when(pred, F.lit(fc.stream_name))
+                for fc, pred in compile_filters(filters, dest, source)
+            ]
+        )
+    )
+    return df.withColumn(stream_col, F.explode(matched))
 
 
 FILTER_RELATION_SCHEMA = StructType(

@@ -75,6 +75,64 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# ---------------------------------------------------------------------------
+# Parallelism recovery for unsplittable inputs (optimization guide §2.5:
+# "one huge unsplittable file ... repartition immediately after the read").
+#
+# A parquet file is splittable only at row-group boundaries, and the
+# driver's test tables are single-row-group files -- so every scan
+# stage, plus all narrow work Catalyst fuses into it (regex routing,
+# shingle md5s, decimal aggregation partials), runs as ONE task no
+# matter how many cores the session has. ``scan_fanout`` inserts one
+# round-robin repartition to the session's default parallelism right
+# after such a read. The trigger derives from the INPUT LAYOUT (row
+# groups across the table's files vs. available cores), not from a
+# tuned constant: production layouts carry many row groups per table,
+# the condition fails, and the operator is a no-op -- no extra
+# exchange at 100 TB. The decision per path is cached (footer reads
+# are driver-side metadata I/O; caching the *decision* keeps repeated
+# catalog calls free -- no data is cached).
+_FANOUT_DECISION: dict[str, bool] = {}
+
+
+def _splittable_units(path: str) -> int:
+    """Total parquet row groups across the table's files -- the real
+    upper bound on scan parallelism (byte-range splits cannot cut
+    inside a row group)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        [path]
+        if _os.path.isfile(path)
+        else _glob.glob(_os.path.join(path, "*.parquet"))
+    )
+    return sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
+
+
+def scan_fanout(df, path: str):
+    """Repartition a freshly-read table to default parallelism when
+    its files cannot be split into enough tasks to use the session's
+    cores (min 2x headroom). Row-identical (round-robin repartition);
+    filters and column pruning still push below the exchange, so
+    PushedFilters/ReadSchema on the scan are unchanged."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    key = f"{path}#{cores}"
+    decide = _FANOUT_DECISION.get(key)
+    if decide is None:
+        try:
+            units = _splittable_units(path.removeprefix("file://"))
+        except Exception:
+            units = cores  # unknown layout: leave the plan alone
+        decide = units * 2 <= cores
+        _FANOUT_DECISION[key] = decide
+    if decide:
+        return df.repartition(cores)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver's parquet tables and register temp views.
 
