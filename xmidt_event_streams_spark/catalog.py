@@ -1559,21 +1559,24 @@ WHERE list_has_any(partner_ids, ['partner-1', 'partner-3'])
 def q_asof_last_click(spark, sf_dir):
     """As-of join: each purchase event joined to the user's most
     recent click at-or-before it (point-in-time correctness, the
-    feature-store primitive)."""
-    from xmidt_event_streams_spark.operators.asof import asof_join
+    feature-store primitive). Both sides slice ONE relation, so this
+    uses the single-scan specialization (one pass, one shuffle; the
+    general two-relation asof_join stays for heterogeneous inputs --
+    see operators/asof.py)."""
+    from xmidt_event_streams_spark.operators.asof import (
+        asof_last_value_single_relation,
+    )
 
     ev = _ev(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-    )
-    return asof_join(
-        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
-        value_cols=("click_id",),
+    return asof_last_value_single_relation(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        value_col="event_id",
+        out_value_col="click_id",
+        left_cols=("event_id",),
     ).select("event_id", "user_id", "click_id")
 
 
