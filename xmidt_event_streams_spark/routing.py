@@ -146,15 +146,46 @@ def route_union(
     across filters instead of re-running regexp_replace per branch.
     Works identically for batch and streaming DataFrames.
     """
+    # strip the event: prefix ONCE per row: every rlike term otherwise
+    # embeds its own regexp_replace(dest) (6 evaluations/row at the
+    # default filter set -- codegen's subexpression elimination does
+    # not reach inside the generator expression)
+    stripped_col = "_xes_stripped"
+    src = F.col(source) if isinstance(source, str) else source
     matched = F.array_compact(
         F.array(
             *[
-                F.when(pred, F.lit(fc.stream_name))
-                for fc, pred in compile_filters(filters, dest, source)
+                F.when(
+                    _filter_predicate_stripped(fc, F.col(stripped_col), src),
+                    F.lit(fc.stream_name),
+                )
+                for fc in filters
             ]
         )
     )
-    return df.withColumn(stream_col, F.explode(matched))
+    return (
+        df.withColumn(stripped_col, strip_event_prefix(dest))
+        .withColumn(stream_col, F.explode(matched))
+        .drop(stripped_col)
+    )
+
+
+def _filter_predicate_stripped(
+    fc: FilterConfig, stripped: Column, source: Column
+) -> Column:
+    """R2 AND R3 against a pre-stripped destination column (the
+    shared-subexpression form of :func:`filter_predicate`; identical
+    predicate semantics, pinned by tests/test_routing.py)."""
+    pred = F.lit(False)
+    for pat in fc.events:
+        pred = pred | stripped.rlike(pat)
+    matchers = fc.effective_device_ids
+    if matchers:
+        dev = F.lit(False)
+        for pat in matchers:
+            dev = dev | source.rlike(pat) | stripped.rlike(pat)
+        pred = pred & dev
+    return pred
 
 
 FILTER_RELATION_SCHEMA = StructType(
