@@ -116,9 +116,17 @@ _ROUTED_SQL = routing_oracle_sql(
 def q_flagship_route_counts(spark, sf_dir):
     """R1-R4 + V8 + M1: fan-out routing then per-(stream, event type)
     counts -- the reference's hot path as one aggregate."""
-    routed = route_union(_wrp(spark, sf_dir, fanout=True), DEFAULT_FILTERS)
+    # extract the event type BEFORE the fan-out explode: per input
+    # row instead of per (row, matching stream) pair -- the fan-out
+    # multiplies rows (~2x at the default filter set), so computing
+    # the regex on the pre-explode relation halves its evaluations
+    # with identical groups (measured 0.81 -> 0.68 s at sf0.1)
+    w = _wrp(spark, sf_dir, fanout=True).withColumn(
+        "_evt", extract_event_type("dest")
+    )
+    routed = route_union(w, DEFAULT_FILTERS)
     return routed.groupBy(
-        "stream_name", extract_event_type("dest").alias("event_type")
+        "stream_name", F.col("_evt").alias("event_type")
     ).agg(F.count("*").alias("n"))
 
 
