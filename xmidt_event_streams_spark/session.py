@@ -154,10 +154,28 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     )
     out = {}
     for name in names:
-        df = normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = normalize_nanos(_read_parquet(spark, f"{sf_dir}/{name}.parquet"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# Driver-overhead trim (guide §5: the driver should do almost no
+# work; measured ~0.1 s of schema inference PER TABLE PER QUERY CALL
+# vs ~0.025 s with the schema supplied). The cache holds parquet
+# SCHEMAS -- static per path, re-derived fresh in every process --
+# never data or results; Spark's own FileStatusCache plays the same
+# role for listings.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str):
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 # The driver has generated events.ts under two physical types across
