@@ -111,6 +111,41 @@ class TestTextFunctions:
         out = df.select(word_ngrams("t", 3).alias("g")).collect()[0]["g"]
         assert out == []
 
+    def test_minhash_sql_tokenization_matches_column_api(self, spark):
+        """The r10 SQL-text minhash build must tokenize EXACTLY like
+        the Column API it replaced. Regression pin for the \\f escape
+        pitfall: the SQL parser drops the backslash from escapes it
+        does not recognize, so a '\\f' in the whitespace-class literal
+        became a literal 'f' and silently stripped f's from every
+        shingle ('fast' -> 'ast'). Texts cover every whitespace-class
+        member, f-heavy words, and too-short docs."""
+        from pyspark.sql import functions as F
+
+        from xmidt_event_streams_spark.operators.dedup import (
+            minhash_signature,
+            minhash_signatures_df,
+        )
+
+        rows = [
+            Row(doc_id=0, t="fast filter faceff fluff for from offf"),
+            Row(doc_id=1, t="a\tb\nc\x0bd\fe\rf  g a\tb\nc"),
+            Row(doc_id=2, t="one two"),  # too short: absent from df
+            Row(doc_id=3, t="The FÖÖ café f f f f"),
+        ]
+        df = spark.createDataFrame(rows)
+        got = {
+            r["doc_id"]: [r[f"h{i}"] for i in range(8)]
+            for r in minhash_signatures_df(df, "t", "doc_id", 8, 3).collect()
+        }
+        want = {
+            r["doc_id"]: list(r["sig"])
+            for r in df.select(
+                "doc_id", minhash_signature("t", 8, 3).alias("sig")
+            ).collect()
+            if r["sig"][0] is not None
+        }
+        assert got == want
+
     def test_lang_id_stopwords(self, spark):
         df = spark.createDataFrame(
             [Row(t="the cat and the dog is in that house"),

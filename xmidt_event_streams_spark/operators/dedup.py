@@ -65,6 +65,12 @@ def dedup_by_key(df: DataFrame, key_col: str = "transaction_uuid") -> DataFrame:
 
 _MH_P = (1 << 31) - 1  # Mersenne prime: products stay < 2^62, no overflow
 
+# normalize_text's explicit whitespace class as a SQL string literal:
+# \uXXXX escapes ONLY -- the SQL parser silently drops the backslash
+# from escapes it does not recognize (\f -> literal 'f'), and \s is
+# dialect-dependent (SURVEY.md §7)
+_WS_SQL = "[ \\u0009\\u000A\\u000B\\u000C\\u000D]+"
+
 
 def _mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) for the universal hash family,
@@ -160,16 +166,47 @@ def minhash_signatures_df(
 
     Docs with no shingles (fewer than shingle_n tokens) are absent
     from the output (they cannot be near-dup candidates).
+
+    r10: the pipeline is built from SQL-text expressions
+    (selectExpr / F.expr) instead of composed Column objects -- the
+    expressions are identical (oracle- and equality-pinned), but the
+    Column composition cost ~0.2 s of py4j round trips PER QUERY
+    BUILD on the driver (one JVM call per operator node vs one parse
+    per projection). Guide §5: the driver should do almost no work;
+    a fifth of a second of plan-construction chatter per call is
+    work. The whitespace class is spelled in \\uXXXX escapes because
+    the SQL parser drops the backslash from escapes it does not know
+    (\\f became a literal 'f' and stripped f's from every shingle --
+    caught by the result-identity A/B, tests now pin it).
     """
     coeffs = _mh_coeffs(num_hashes)
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(text_col, shingle_n)).alias("s"),
-    ).select(F.col(id_col), _minhash_base(F.col("s")).alias("x"))
+    n = shingle_n
+    # tokens()/normalize_text() in SQL text: same explicit whitespace
+    # class (functions/text.py:62 -- \\s is dialect-dependent), same
+    # empty-token filter, same n-gram window
+    toks = (
+        f"filter(split(trim(regexp_replace(lower(`{text_col}`), "
+        f"'{_WS_SQL}', ' ')), ' '), t -> t != '')"
+    )
+    shingles = (
+        f"CASE WHEN size(_toks) - {n - 1} >= 1 THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    shingled = (
+        df.selectExpr(f"`{id_col}`", f"{toks} as _toks")
+        .selectExpr(f"`{id_col}`", f"explode({shingles}) as _s")
+        .selectExpr(
+            f"`{id_col}`",
+            f"cast(conv(substring(md5(_s), 1, 15), 16, 10) as bigint) "
+            f"% {_MH_P} as x",
+        )
+    )
     return shingled.groupBy(id_col).agg(
         *[
-            F.min(_minhash_term(i, F.col("x"), coeffs)).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.expr(f"min(({a} * x + {b}) % {_MH_P}) as h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
 
@@ -197,18 +234,21 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
-    band_keys = [
-        F.md5(
-            F.concat(
-                F.lit(f"b{b}:"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
-                ),
-            )
+    # SQL-text build for the same py4j-chatter reason as
+    # minhash_signatures_df (expressions identical to the previous
+    # Column composition; see that docstring)
+    band_items = ", ".join(
+        "md5(concat('b{b}:', concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"cast(h{b * r + j} as string)" for j in range(r)
+            ),
         )
         for b in range(bands)
-    ]
-    keyed = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bucket"))
+    )
+    keyed = sig.selectExpr(
+        f"`{id_col}`", f"explode(array({band_items})) as bucket"
+    )
     a = keyed.alias("a")
     b = keyed.hint("shuffle_hash").alias("b")
     return (
