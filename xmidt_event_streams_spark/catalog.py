@@ -1303,51 +1303,46 @@ def q_tpch_q1(spark, sf_dir):
     The final rescale divides the exact sums by the scale factor and
     casts to double, which is the same nearest-double the oracle's
     decimal->double cast produces."""
+    # SQL-text build (same expressions the Column composition
+    # produced -- oracle-pinned; the composition cost ~0.25 s of py4j
+    # round trips per query build, see minhash_signatures_df)
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
-    pc, dc, tc = cents("l_extendedprice"), cents("l_discount"), cents("l_tax")
-    ql = F.round(F.col("l_quantity")).cast("long")  # quantities are integral
-    disc_l = pc * (100 - dc)  # scale 1e4
-    charge_l = disc_l * (100 + tc)  # scale 1e6
+    pc = "cast(round(l_extendedprice * 100) as bigint)"
+    dc = "cast(round(l_discount * 100) as bigint)"
+    tc = "cast(round(l_tax * 100) as bigint)"
+    ql = "cast(round(l_quantity) as bigint)"  # quantities are integral
+    disc_l = f"({pc} * (100 - {dc}))"  # scale 1e4
+    charge_l = f"({disc_l} * (100 + {tc}))"  # scale 1e6
     limb = 1_000_000
     g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(ql).alias("_sq"),
-            F.sum(pc).alias("_sp"),
-            F.sum(disc_l % limb).alias("_sd_lo"),
-            F.sum((disc_l / limb).cast("long")).alias("_sd_hi"),
-            F.sum(charge_l % limb).alias("_sc_lo"),
-            F.sum((charge_l / limb).cast("long")).alias("_sc_hi"),
-            F.sum(dc).alias("_sdc"),
-            F.count("*").alias("count_order"),
+            F.expr(f"sum({ql}) as _sq"),
+            F.expr(f"sum({pc}) as _sp"),
+            F.expr(f"sum({disc_l} % {limb}) as _sd_lo"),
+            F.expr(f"sum(cast({disc_l} / {limb} as bigint)) as _sd_hi"),
+            F.expr(f"sum({charge_l} % {limb}) as _sc_lo"),
+            F.expr(f"sum(cast({charge_l} / {limb} as bigint)) as _sc_hi"),
+            F.expr(f"sum({dc}) as _sdc"),
+            F.expr("count(*) as count_order"),
         )
     )
-    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    _sd = dec38("_sd_hi") * limb + dec38("_sd_lo")
-    _sc = dec38("_sc_hi") * limb + dec38("_sc_lo")
-    base_price = (dec38("_sp") / 100).cast("double")
-    return g.select(
+    dec38 = lambda c: f"cast({c} as decimal(38,0))"  # noqa: E731
+    _sd = f"({dec38('_sd_hi')} * {limb} + {dec38('_sd_lo')})"
+    _sc = f"({dec38('_sc_hi')} * {limb} + {dec38('_sc_lo')})"
+    base_price = f"cast({dec38('_sp')} / 100 as double)"
+    return g.selectExpr(
         "l_returnflag",
         "l_linestatus",
-        F.round(F.col("_sq").cast("double"), 4).alias("sum_qty"),
-        F.round(base_price, 4).alias("sum_base_price"),
-        F.round((_sd / 10_000).cast("double"), 4).alias(
-            "sum_disc_price"
-        ),
-        F.round((_sc / 1_000_000).cast("double"), 4).alias(
-            "sum_charge"
-        ),
-        F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias(
-            "avg_qty"
-        ),
-        F.round(base_price / F.col("count_order"), 4).alias("avg_price"),
-        F.round(
-            (F.col("_sdc").cast("decimal(27,0)") / 100).cast("double")
-            / F.col("count_order"),
-            4,
-        ).alias("avg_disc"),
+        "round(cast(_sq as double), 4) as sum_qty",
+        f"round({base_price}, 4) as sum_base_price",
+        f"round(cast({_sd} / 10000 as double), 4) as sum_disc_price",
+        f"round(cast({_sc} / 1000000 as double), 4) as sum_charge",
+        "round(cast(_sq as double) / count_order, 4) as avg_qty",
+        f"round({base_price} / count_order, 4) as avg_price",
+        "round(cast(cast(_sdc as decimal(27,0)) / 100 as double) "
+        "/ count_order, 4) as avg_disc",
         "count_order",
     )
 

@@ -60,35 +60,31 @@ def wrp_view(events: DataFrame) -> DataFrame:
       source  = 'mac:<user_id zero-padded>'             (device locator)
       session_id, transaction_uuid derived from ids.
     """
-    return events.select(
-        F.col("event_id"),
-        F.col("ts"),
-        F.col("user_id"),
-        F.col("value"),
-        F.col("props"),
+    # SQL-text build (r10): the Column composition of these eleven
+    # projections cost ~0.18 s of py4j round trips per query BUILD on
+    # the driver; selectExpr parses the identical expressions in one
+    # call (same CASE/concat/lpad semantics; every literal is fixed
+    # text, no regex/escape surface). Works for batch and streaming
+    # inputs alike.
+    return events.selectExpr(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        "props",
         # sprinkle non-SimpleEvent types so the V3 reject filter has work
-        F.when(F.col("event_id") % 17 == 0, F.lit(3))
-        .otherwise(F.lit(SIMPLE_EVENT_MSG_TYPE))
-        .cast("int")
-        .alias("msg_type"),
-        F.concat(
-            F.lit("event:"), F.col("event_type"), F.lit("/user-"),
-            F.col("user_id").cast("string"), F.lit("/v"),
-        ).alias("dest"),
-        F.concat(F.lit("mac:"), F.lpad(F.col("user_id").cast("string"), 12, "0")).alias(
-            "source"
-        ),
-        F.concat(F.lit("session-"), F.col("user_id").cast("string")).alias("session_id"),
-        F.when(F.col("event_id") % 10 == 0, F.lit("")).otherwise(
-            F.concat(F.lit("txn-"), F.col("event_id").cast("string"))
-        ).alias("transaction_uuid"),
-        F.when(F.col("event_id") % 7 == 0, F.lit("")).otherwise(
-            F.lit("application/json")
-        ).alias("content_type"),
-        F.array(
-            F.lit("comcast"),
-            F.concat(F.lit("partner-"), (F.col("user_id") % 5).cast("string")),
-        ).alias("partner_ids"),
+        f"cast(CASE WHEN event_id % 17 = 0 THEN 3 ELSE "
+        f"{SIMPLE_EVENT_MSG_TYPE} END as int) as msg_type",
+        "concat('event:', event_type, '/user-', cast(user_id as string), "
+        "'/v') as dest",
+        "concat('mac:', lpad(cast(user_id as string), 12, '0')) as source",
+        "concat('session-', cast(user_id as string)) as session_id",
+        "CASE WHEN event_id % 10 = 0 THEN '' ELSE "
+        "concat('txn-', cast(event_id as string)) END as transaction_uuid",
+        "CASE WHEN event_id % 7 = 0 THEN '' ELSE 'application/json' END "
+        "as content_type",
+        "array('comcast', concat('partner-', cast(user_id % 5 as string))) "
+        "as partner_ids",
     )
 
 
