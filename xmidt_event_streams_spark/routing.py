@@ -16,17 +16,21 @@ regex is compiled once per task inside whole-stage codegen and the OR
 short-circuits per row (the reference's early-exit loop,
 filter/filter.go:72-77, for free).
 
-Two physical strategies for the fan-out, both shuffle-free:
+Three physical strategies for the fan-out, all shuffle-free:
 
-  * :func:`route` / :func:`route_union` -- N branch plans over one
-    source (predicate per stream baked into the plan). Best when the
-    filter set is known at plan time: Catalyst sees plain Filter
-    nodes, pushes them into the scan.
+  * :func:`route_union` -- ONE scan: a single projection evaluates
+    every filter's predicate into a matched-streams array, explode
+    emits the (message, stream) pairs (r10 shape; the previous
+    branch-per-filter union re-read the source once per filter).
+    Best when the filter set is known at plan time: predicates stay
+    literal, codegen-compiled regexes.
+  * :func:`route` -- N branch plans over one source, for callers
+    that need per-stream DataFrames (e.g. one sink per stream).
   * :func:`route_crossjoin` -- a broadcast nested-loop join against
     the filter relation with a data-driven ``exists(..., rlike)``
-    predicate. Best when filters arrive as data. The filter table is
-    tiny (10s-100s of rows) so the broadcast is trivial; at 100 TB
-    the big side never moves.
+    predicate. Best when filters arrive as data OR the filter set is
+    large (hundreds of streams). The filter table is tiny so the
+    broadcast is trivial; at 100 TB the big side never moves.
 """
 
 from __future__ import annotations
