@@ -262,3 +262,65 @@ class TestFanOut:
         ]
         out = route_union(_df(spark, [("event:device-status", "m")]), filters)
         assert sorted(r["stream_name"] for r in out.collect()) == ["all", "dev"]
+
+
+class TestSqlTextBuild:
+    """r11: route_union builds its fan-out projection from SQL text
+    with config patterns shipped as lossless \\uXXXX string literals
+    (the SQL parser silently drops backslashes from escapes it does
+    not recognize -- the exact corruption that kept routing
+    Column-built in r10). These tests pin (a) literal round-tripping
+    for adversarial patterns and (b) result identity between the SQL
+    build and the Column build."""
+
+    ADVERSARIAL = [
+        FilterConfig("backslash", events=(r"device-\d+", r"a\.b")),
+        FilterConfig("quotes", events=("it's", 'say "hi"')),
+        FilterConfig("unicode", events=("café.*", "\U0001f600")),
+        FilterConfig(
+            "escapes", events=(r"tab\tnot", r"Aliteral", r"x\\y")
+        ),
+        FilterConfig(
+            "devs",
+            events=(".*",),
+            device_ids=(r"mac:\d{12}", "weird'\"\\\\pat"),
+        ),
+    ]
+
+    def test_literal_roundtrip(self, spark):
+        from xmidt_event_streams_spark.routing import sql_string_literal
+
+        pats = [p for fc in self.ADVERSARIAL for p in fc.events] + [
+            p for fc in self.ADVERSARIAL for p in fc.device_ids
+        ]
+        row = spark.sql(
+            "SELECT " + ", ".join(
+                f"{sql_string_literal(p)} as c{i}" for i, p in enumerate(pats)
+            )
+        ).collect()[0]
+        assert list(row) == pats
+
+    def test_sql_build_matches_column_build(self, spark):
+        rows = [
+            ("event:device-123/x", "mac:000000000042"),
+            ("event:a.b", "m"),
+            ("event:axb", "m"),          # a\.b must NOT match this
+            ("event:it's", "m"),
+            ('event:say "hi" twice', "m"),
+            ("event:café-au-lait", "m"),
+            ("event:\U0001f600!", "m"),
+            ("event:tab\tnot", "m"),
+            ("event:Aliteral", "m"),     # Aliteral == Aliteral
+            ("event:x\\y", "m"),
+            ("no-prefix", "mac:999999999999"),
+        ]
+        df = _df(spark, rows)
+        out_sql = route_union(df, self.ADVERSARIAL)
+        # force the Column path by aliasing dest through a Column obj
+        from pyspark.sql import functions as F
+
+        out_col = route_union(df, self.ADVERSARIAL, dest=F.col("dest"))
+        got = sorted(map(tuple, out_sql.collect()))
+        want = sorted(map(tuple, out_col.collect()))
+        assert got == want
+        assert len(got) > 0

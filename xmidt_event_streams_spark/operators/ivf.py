@@ -37,6 +37,7 @@ from xmidt_event_streams_spark.fsutil import (
     write_json_sidecar,
 )
 from xmidt_event_streams_spark.functions.vectors import cosine_pairs, nearest_cells
+from xmidt_event_streams_spark.operators.similarity import collect_query_rows
 
 _IVF_META_FILE = "_xes_ivf_index_meta.json"
 
@@ -523,7 +524,9 @@ def probe_ivf_index(
             f"(k={len(meta['centroids'])}) than the probe supplied "
             f"(k={len(centroids)})"
         )
-    rows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
+    rows = collect_query_rows(
+        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+    )
     cells_per_q = _nearest_cells_driver([r[1] for r in rows], centroids, n_probe)
     qb = spark.createDataFrame(
         [
@@ -596,12 +599,35 @@ def ivf_topk(
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
+        IntegralType,
         LongType,
         StructField,
         StructType,
     )
 
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    # The kernel's id arrays and output schema are int64: validate the
+    # contract on the INPUT schema instead of failing opaquely inside
+    # the Arrow conversion (r10 ADVICE -- string ids need the generic
+    # probe path, probe_ivf_index/lsh, not this fused kernel).
+    for side, rel in (("queries", queries), ("corpus", corpus)):
+        id_type = rel.schema[id_col].dataType
+        if not isinstance(id_type, IntegralType):
+            raise TypeError(
+                f"ivf_topk requires integral {id_col!r} ids "
+                f"({side} side has {id_type.simpleString()})"
+            )
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    # Invalid query rows (null vector / dimension mismatch with the
+    # centroid space) carry no probe cells and score nothing -- the
+    # masking behavior of the pre-fusion probe_cells/cosine_pairs
+    # path (r10 ADVICE); filtered BEFORE the bounded driver collect.
+    qrows = collect_query_rows(
+        queries.select(F.col(id_col), F.col(vec_col)).filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == cmat.shape[1])
+        )
+    )
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     dim = qmat.shape[1] if len(qrows) else 0
@@ -612,8 +638,6 @@ def ivf_topk(
             [list(r[1]) for r in qrows], centroids, n_probe
         )
     ] if qrows else []
-    cmat = np.asarray(centroids, dtype=np.float64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
 
     out_schema = StructType(
         [
@@ -650,10 +674,15 @@ def ivf_topk(
             cells = np.argmax(csims, axis=1)
             if dim and cmat.shape[1] == dim:
                 qden = vn[:, None] * qnorm[None, :]
-                qsims = np.round(
-                    np.where(qden > 0, (mat @ qmat.T) / np.where(qden > 0, qden, 1.0), 0.0),
-                    6,
+                raw = np.where(
+                    qden > 0, (mat @ qmat.T) / np.where(qden > 0, qden, 1.0), 0.0
                 )
+                # HALF_UP to 6dp, matching F.round on the probe path
+                # whose equivalence the tests pin (r10 ADVICE:
+                # np.round's half-to-even can diverge on scaled
+                # half-points). Sign-aware: HALF_UP = half away from
+                # zero for either sign.
+                qsims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
                 for j, qid in enumerate(qids):
                     mask = np.isin(cells, list(probe_sets[j])) & (ids != qid)
                     s, i_ = qsims[mask, j], ids[mask]

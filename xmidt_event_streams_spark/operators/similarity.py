@@ -67,6 +67,38 @@ class CandidatePairBudgetExceeded(RuntimeError):
         )
 
 
+class QueryRowBudgetExceeded(RuntimeError):
+    """Raised when a 'queries are small by contract' driver collect
+    (brute_force_topk / ivf_topk / probe_ivf_index query vectors)
+    would materialize more rows than the declared budget -- the
+    bounded-error alternative to a silent driver OOM when the
+    contract is violated (r10 VERDICT #6; same posture as
+    :class:`CandidatePairBudgetExceeded`)."""
+
+    def __init__(self, budget: int) -> None:
+        self.budget = budget
+        super().__init__(
+            f"query side exceeds the {budget}-row driver-materialization "
+            "budget: the top-k kernels ship query vectors in the task "
+            "closure and cannot hold a corpus-sized query set on the "
+            "driver. Partition the query set, or raise max_query_rows "
+            "if the driver genuinely has the memory."
+        )
+
+
+def collect_query_rows(queries: DataFrame, max_query_rows: int = 100_000):
+    """Bounded driver-side materialization of a (small by contract)
+    query relation: ``limit(budget+1).collect()`` so the driver never
+    holds more than budget+1 rows, then a typed
+    :class:`QueryRowBudgetExceeded` if the budget is exceeded. Row
+    order is not guaranteed (callers feed joins/windows, which are
+    order-insensitive)."""
+    rows = queries.limit(max_query_rows + 1).collect()
+    if len(rows) > max_query_rows:
+        raise QueryRowBudgetExceeded(max_query_rows)
+    return rows
+
+
 def measure_candidate_pairs(cells: DataFrame) -> tuple[int, int, int]:
     """One cheap hash-agg over the (id, cell) assignment relation:
     returns (sum over cells of n*(n-1)/2, hottest-cell count, total
@@ -155,7 +187,7 @@ def brute_force_topk(
         StructType,
     )
 
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qrows = collect_query_rows(queries.select(F.col(id_col), F.col(vec_col)))
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     dim = qmat.shape[1] if len(qrows) else 0

