@@ -107,3 +107,52 @@ def test_multi_probe_supersets_single(spark, clustered):
         key = (r["query_id"], r["rank"])
         assert key in m_by_rank
         assert m_by_rank[key] >= r["cos_sim"] - 1e-9
+
+
+def test_query_row_budget_raises_instead_of_collecting(spark):
+    """r11 (VERDICT r10 #6): the 'queries are small by contract'
+    driver collects are bounded -- a contract-violating query side
+    raises a typed error instead of OOMing the driver. The limit(n+1)
+    shape means the driver never materializes more than budget+1
+    rows even on the failure path."""
+    from xmidt_event_streams_spark.operators.similarity import (
+        QueryRowBudgetExceeded,
+        collect_query_rows,
+    )
+
+    big = spark.range(50)
+    with pytest.raises(QueryRowBudgetExceeded) as ei:
+        collect_query_rows(big, max_query_rows=10)
+    assert ei.value.budget == 10
+    # under budget: all rows come back
+    assert len(collect_query_rows(big, max_query_rows=50)) == 50
+
+
+def test_ivf_topk_masks_invalid_query_rows(spark):
+    """r11 (r10 ADVICE): a null or dim-mismatched query vector is
+    EXCLUDED (the pre-fusion probe_cells behavior), not an error; a
+    non-integral id column raises the documented contract error."""
+    from xmidt_event_streams_spark.operators.ivf import ivf_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (100, [1.0, 1.0]),
+            (101, None),          # null vector: masked
+            (102, [1.0, 1.0, 9.0]),  # dim mismatch: masked
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 1.0], [1.0, 0.5], [2.0, 0.3]]
+    out = ivf_topk(corpus, queries, cents, k=3, n_probe=2)
+    got_q = {r["query_id"] for r in out.collect()}
+    assert got_q == {100}
+
+    str_queries = spark.createDataFrame(
+        [("a", [1.0, 1.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        ivf_topk(corpus.withColumn("vec_id", F.col("vec_id")), str_queries, cents)
