@@ -146,6 +146,38 @@ class TestTextFunctions:
         }
         assert got == want
 
+    def test_minhash_kernel_matches_sql_pipeline(self, spark):
+        """r11: the Arrow signature kernel (tokenize/shingle/md5 in
+        Python, vectorized universal-hash mins) must be BIT-IDENTICAL
+        to the explode+hash-agg SQL pipeline it replaced on the
+        candidate path -- same whitespace class, same space-trim,
+        same 60-bit md5 base mod P, same duplicate-shingle and
+        too-short-doc handling. Reuses the adversarial texts of the
+        \\f-escape pin above (every whitespace-class member, unicode
+        case folding, too-short docs) plus null text."""
+        from xmidt_event_streams_spark.operators.dedup import (
+            minhash_signatures_df,
+            minhash_signatures_kernel,
+        )
+
+        rows = [
+            Row(doc_id=0, t="fast filter faceff fluff for from offf"),
+            Row(doc_id=1, t="a\tb\nc\x0bd\fe\rf  g a\tb\nc"),
+            Row(doc_id=2, t="one two"),  # too short: absent
+            Row(doc_id=3, t="The FÖÖ café f f f f"),
+            Row(doc_id=4, t=None),  # null text: absent
+            Row(doc_id=5, t="dup dup dup dup dup dup"),  # dup shingles
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, t string")
+        sql_rows = sorted(
+            map(tuple, minhash_signatures_df(df, "t", "doc_id").collect())
+        )
+        kern_rows = sorted(
+            map(tuple, minhash_signatures_kernel(df, "t", "doc_id").collect())
+        )
+        assert sql_rows == kern_rows
+        assert len(sql_rows) == 4  # docs 2 and 4 absent from both
+
     def test_lang_id_stopwords(self, spark):
         df = spark.createDataFrame(
             [Row(t="the cat and the dog is in that house"),

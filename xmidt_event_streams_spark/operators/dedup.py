@@ -211,6 +211,95 @@ def minhash_signatures_df(
     )
 
 
+def minhash_signatures_kernel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Signature relation (id, h0..h{k-1}) via ONE Arrow kernel --
+    the r11 A/B candidate against :func:`minhash_signatures_df`
+    (VERDICT r10 #3).
+
+    Per Arrow batch: tokenize/shingle/md5 in Python (exact twins of
+    the SQL expressions -- same explicit whitespace class, same
+    space-trim, same 60-bit md5 base mod P; products stay < 2^62 so
+    Python ints == JVM longs), then the k universal-hash mins as
+    vectorized int64 passes (np.minimum.reduceat over the
+    concatenated base array). Removes the shingle explode, the JVM
+    md5 projection, and the partial/final hash-agg exchange -- the
+    kernel emits one row per doc directly.
+
+    Trade (guide §4): the full text column crosses the Python
+    boundary once. At the test SFs the boundary is small and the
+    stage-count saving dominates; at 100 TB the corpus-sized boundary
+    transfer is the cost to weigh against the (already tiny,
+    doc x k-row) aggregation exchange it removes -- see
+    OPTIMIZATION_r11.md for the measured decision.
+
+    Duplicate shingles are deduped before hashing (min() is
+    idempotent over duplicates). Docs with no shingles are absent
+    (same as the explode path). Case folding is ASCII-identical to
+    the JVM/DuckDB lower() on the driver's corpus (the SQL path
+    already leans on the same cross-engine lower() parity; pinned by
+    the oracle row and the kernel-vs-SQL identity test)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    coeffs = _mh_coeffs(num_hashes)
+    n = shingle_n
+    p = _MH_P
+    ws = _re.compile("[ \t\n\x0b\x0c\r]+")
+    out_schema = f"`{id_col}` bigint, " + ", ".join(
+        f"h{i} bigint" for i in range(num_hashes)
+    )
+
+    def _sigs(batches):
+        md5 = hashlib.md5
+        sub = ws.sub
+        for pdf in batches:
+            ids_out: list[int] = []
+            bases: list[int] = []
+            starts: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [
+                    t
+                    for t in sub(" ", text.lower()).strip(" ").split(" ")
+                    if t
+                ]
+                m = len(toks) - (n - 1)
+                if m < 1:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + n]) for i in range(m)
+                }
+                starts.append(len(bases))
+                bases.extend(
+                    (int.from_bytes(md5(s.encode()).digest()[:8], "big") >> 4)
+                    % p
+                    for s in shingles
+                )
+                ids_out.append(int(did))
+            if not ids_out:
+                continue
+            base_arr = np.asarray(bases, dtype=np.int64)
+            start_arr = np.asarray(starts, dtype=np.int64)
+            cols = {id_col: np.asarray(ids_out, dtype=np.int64)}
+            for i, (a, b) in enumerate(coeffs):
+                cols[f"h{i}"] = np.minimum.reduceat(
+                    (a * base_arr + b) % p, start_arr
+                )
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, text_col).mapInPandas(_sigs, out_schema)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -233,7 +322,14 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
+    # r11: signatures via the Arrow kernel (bit-identical to
+    # minhash_signatures_df -- pinned by
+    # test_enrich_functions.test_minhash_kernel_matches_sql_pipeline;
+    # measured 0.77 -> 0.51 s for the signature stage at sf0.1, whole
+    # query 1.00 -> 0.88 interleaved). minhash_signatures_df remains
+    # the JVM-only path (incremental dedup keeps it; values match
+    # either way).
+    sig = minhash_signatures_kernel(df, text_col, id_col, num_hashes, shingle_n)
     # SQL-text build for the same py4j-chatter reason as
     # minhash_signatures_df (expressions identical to the previous
     # Column composition; see that docstring)
