@@ -56,17 +56,23 @@ def _groups(n: int) -> list[list[str]]:
     return [b[1] for b in buckets if b[1]]
 
 
-def _run_group(idx: int, files: list[str], cpus: int) -> dict:
+def _run_group(
+    idx: int, files: list[str], cpus: int, extra: list[str] | None = None
+) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     t0 = time.perf_counter()
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "--no-header", *files],
+        [sys.executable, "-m", "pytest", "-q", "--no-header",
+         *(extra or []), *files],
         cwd=REPO,
         env=env,
         capture_output=True,
         text=True,
     )
     wall = round(time.perf_counter() - t0, 1)
+    # full per-group output always lands on disk (e.g. --durations
+    # profiles; success output is otherwise discarded below)
+    Path(f"/tmp/xes_suite_group{idx}.out").write_text(proc.stdout or "")
     tail = (proc.stdout or "").strip().splitlines()[-1:]
     m = re.search(
         r"(\d+) passed", tail[0] if tail else ""
@@ -89,6 +95,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", "--groups", type=int, default=None)
     ap.add_argument("-j", "--jobs", type=int, default=4)
+    ap.add_argument("pytest_args", nargs="*", help="extra pytest args, e.g. --durations=40")
     args = ap.parse_args()
     n = args.groups or args.jobs
     cpus = max(2, int(os.environ.get("SPARK_GRAFT_CPUS", "32")) // args.jobs)
@@ -97,7 +104,7 @@ def main() -> int:
     with ThreadPoolExecutor(max_workers=args.jobs) as ex:
         results = list(
             ex.map(
-                lambda t: _run_group(t[0], t[1], cpus),
+                lambda t: _run_group(t[0], t[1], cpus, args.pytest_args),
                 enumerate(groups),
             )
         )

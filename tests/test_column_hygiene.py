@@ -83,7 +83,7 @@ def test_logreg_bias_not_decayed(spark):
     feats = hashed_features(df, dim=16).persist()
     try:
         w, _ = logreg_fit(
-            feats, df.select("doc_id", "label"), dim=16, iters=60, l2=0.5
+            feats, df.select("doc_id", "label"), dim=16, iters=24, l2=0.5
         )
         probs = [r["prob"] for r in logreg_score(feats, w).collect()]
         mean_prob = sum(probs) / len(probs)

@@ -50,24 +50,36 @@ def test_repetition_stats_match_duckdb(spark):
             top_ngram_frac("text", 2).alias("tbf"),
         ).collect()
     }
+    # tbf via unnest + group instead of the quadratic
+    # list_transform(list_distinct, d -> len(list_filter(...))) form:
+    # same quantity (max bigram count / total bigrams; equality
+    # spot-proven before the swap), but linear -- the nested-list form
+    # cost ~64 s of single-threaded DuckDB alone and was the single
+    # slowest test in the suite (r11, VERDICT r10 #2: keep plain
+    # pytest inside the driver's verify window).
     want = {
         row[0]: (row[1], row[2], row[3])
         for row in _duck_docs(
             f"""
-            SELECT doc_id,
-              CASE WHEN len({_TOKS}) > 0 THEN
-                round(1.0 - len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 6)
-              ELSE 0.0 END AS dtf,
-              CASE WHEN len({_BIGRAMS}) > 0 THEN
-                round(1.0 - len(list_distinct({_BIGRAMS}))::DOUBLE
-                      / len({_BIGRAMS}), 6)
-              ELSE 0.0 END AS dbf,
-              CASE WHEN len({_BIGRAMS}) > 0 THEN
-                round(list_max(list_transform(list_distinct({_BIGRAMS}),
-                  d -> len(list_filter({_BIGRAMS}, x -> x = d))))::DOUBLE
-                  / len({_BIGRAMS}), 6)
-              ELSE 0.0 END AS tbf
-            FROM documents
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN len({_TOKS}) > 0 THEN
+                  round(1.0 - len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 6)
+                ELSE 0.0 END AS dtf,
+                CASE WHEN len({_BIGRAMS}) > 0 THEN
+                  round(1.0 - len(list_distinct({_BIGRAMS}))::DOUBLE
+                        / len({_BIGRAMS}), 6)
+                ELSE 0.0 END AS dbf
+              FROM documents
+            ),
+            bg AS (SELECT doc_id, unnest({_BIGRAMS}) AS b FROM documents),
+            cnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+            agg AS (
+              SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) AS tbf
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT base.doc_id, dtf, dbf, coalesce(agg.tbf, 0.0) AS tbf
+            FROM base LEFT JOIN agg USING (doc_id)
             """,
             sf,
         )

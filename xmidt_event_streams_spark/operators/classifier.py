@@ -214,9 +214,17 @@ def logreg_fit(
 
     Returns (weights, loss_history); weights has dim + 1 entries (bias
     last). Per iteration: margin agg -> residual join -> gradient agg
-    -> (dim+1)-row collect. The input feature relation is reused every
+    -> (dim+2)-row collect. The input feature relation is reused every
     round — persist it at the call site for >2 iterations (the tests
     do); this function does not own caching policy.
+
+    r11 (guide §5): one ACTION per iteration instead of two — the
+    loss sum rides the gradient collect as a sentinel idx=-1 row
+    (the margins subtree was otherwise recomputed per action). The
+    per-round weight vector deliberately stays a broadcast RELATION,
+    not a literal array: literals change every round, so a literal
+    plan misses the whole-stage-codegen compile cache each iteration
+    (measured: the literal variant was NOT faster even at dim=16).
 
     Driver state: dim+1 doubles and the loss scalar per round —
     bounded by the declared dim, independent of corpus size.
@@ -256,14 +264,18 @@ def logreg_fit(
                 ).alias("ll"),
             )
         )
-        grad_rows = (
+        grad = (
             features.join(margins, [id_col])
             .groupBy("idx")
             .agg(F.sum(F.col("x") * F.col("resid")).alias("g"))
-            .collect()
         )
+        loss_row = margins.groupBy(F.lit(-1).alias("idx")).agg(
+            F.sum("ll").alias("g")
+        )
+        rows = grad.unionAll(loss_row).collect()
+        grad_rows = [r for r in rows if r["idx"] >= 0]
         loss = (
-            margins.agg(F.sum("ll").alias("s")).collect()[0]["s"] or 0.0
+            next((r["g"] for r in rows if r["idx"] == -1), 0.0) or 0.0
         ) / n_docs
         losses.append(loss)
         g = [0.0] * (dim + 1)
